@@ -1,0 +1,63 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries (registry entries flagged ``bench=True``) at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed twice: a warm-up of the session on the first
+query only (JVM/codegen warm-up is session-wide), then every query is
+timed with a full materialization (count of a cached-free plan) so scan
++ shuffle + agg costs are all included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from delta_lake_pyspark_scd2_spark.plans import REGISTRY
+    from delta_lake_pyspark_scd2_spark.session import get_spark
+
+    spark = get_spark("bench")
+    bench_specs = {n: s for n, s in REGISTRY.items() if s.bench}
+
+    # Session warm-up (JIT, codegen, parquet footer caches).
+    next(iter(bench_specs.values())).builder(spark, sf_dir).limit(1).count()
+
+    timings: dict[str, float] = {}
+    for name, spec in bench_specs.items():
+        t0 = time.time()
+        df = spec.builder(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,301 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  * Exact dedup is a hash-groupBy on the fingerprint — one shuffle,
+    map-side partial aggregation, no driver involvement.
+  * MinHash/LSH avoids the O(n²) pairwise comparison: shingles →
+    k minhash signatures → banded buckets → equi-join *within buckets
+    only*. The candidate join shuffles on the (band, bucket-hash) key,
+    whose cardinality grows with corpus size, so it stays balanced.
+  * All hashing is md5-based (not Spark's murmur3 ``F.hash``) so results
+    are engine-reproducible and oracle-checkable in DuckDB.
+  * Everything is built-in expressions + higher-order array functions —
+    no Python in the hot path. Arithmetic stays under 2^63 (ANSI-safe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+
+#: 61-bit Mersenne prime — modulus of the minhash permutation family.
+MERSENNE_61 = (1 << 61) - 1
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition before expensive per-row compute: a small/compact
+    upstream (one parquet row-group, a coalesced scan) would otherwise
+    pin the whole shingle/hash pipeline to a couple of cores. No-op cost
+    relative to the compute it unblocks; at 100 TB the scan is already
+    wide and AQE coalesces right back."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, key)
+
+#: SimHash width (60 bits: the per-word hash is 60 bits, so every bit
+#: position carries signal while staying inside a signed 64-bit long).
+SIMHASH_BITS = 60
+
+
+def _md5_32(col: Column) -> Column:
+    """Deterministic 32-bit integer hash: first 8 hex chars of md5.
+
+    Reproducible in DuckDB as ``('0x' || substr(md5(s),1,8))::BIGINT``.
+    32-bit base hashes keep every downstream ``a*h + b`` permutation
+    well inside int64 (no ANSI overflow).
+    """
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _md5_60(col: Column) -> Column:
+    """60-bit variant (15 hex chars) for SimHash bit sampling."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of the normalized text, as an array.
+
+    Built from ``split`` + ``transform``/``slice`` higher-order
+    functions — stays inside codegen, no UDF. Degenerate texts shorter
+    than ``n`` words fall back to one whole-text shingle.
+    """
+    words = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.array_distinct(
+        F.when(k > 0, shingles).otherwise(F.array(normalize_text(col)))
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: keep the
+    lowest id as canonical; report group size."""
+    fp = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (
+        df.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-document MinHash signature (array<long>, length
+    ``num_hashes``) over word shingles.
+
+    Permutation family ``h_i(x) = (a_i*x + b_i) mod M61`` with
+    ``a_i = 2i+1``, ``b_i = 1000003*(i+1)`` over the 32-bit base hash —
+    deterministic across engines and runs; max intermediate value
+    ``2^32 * (2k+1)`` stays far below 2^63.
+
+    Plan shape: explode shingles → hash once per shingle → ONE hash
+    aggregate with ``num_hashes`` MIN()s (map-side partial combine, so
+    the exchange carries one row per doc per partition). The naive
+    alternative — nested array ``transform`` per permutation — would
+    re-evaluate the md5 base hash ``num_hashes`` times per shingle
+    (Catalyst does not CSE across array branches): measured 120s vs 3s
+    at sf0.1.
+    """
+    sh = _spread(df, id_col).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle"),
+    ).withColumn("__h", _md5_32(F.col("__shingle")))
+    aggs = [
+        F.min(
+            (F.col("__h") * F.lit(2 * i + 1) + F.lit(1000003 * (i + 1)))
+            % F.lit(MERSENNE_61)
+        ).alias(f"__mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__mh_{i}") for i in range(num_hashes)]).alias("minhash"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: split each signature into ``bands``
+    bands of ``rows_per_band`` hashes, bucket by md5(band slice),
+    self-join within (band, bucket) only.
+
+    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``. The join key
+    includes the band index so distinct bands never collide; skewed
+    buckets (boilerplate-heavy corpora) are split by AQE's skew-join.
+    """
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("minhash"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ).cast("binary")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    # The self-join would otherwise recompute the whole shingle→hash→min
+    # pipeline for both sides; persist the (small: 1 row per doc per
+    # band) bucket table. At production scale this is a materialized
+    # signature table on storage.
+    banded = banded.persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            on=(
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Explode distinct shingles → self-join on the shingle (documents
+    sharing ≥1 shingle are the only ones that ever meet — the blocking
+    step) → count shared → ``J = shared / (|A| + |B| - shared)``.
+    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+
+    Scale: the shuffle key is the shingle; document-frequency-skewed
+    shingles (boilerplate) are the hazard — at production scale drop
+    shingles with df > max_df first (same idea as stopword removal).
+    """
+    # Persisted: consumed three times (set sizes + both join sides); at
+    # production scale this is the materialized doc→shingle index.
+    sh = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column) -> Column:
+    """60-bit SimHash over distinct words: for each bit position b, sum
+    +1/-1 of bit b across the word hashes; set bit b iff the sum > 0.
+
+    One pass over the word array with ``aggregate``/``zip_with`` — no
+    shuffle, no UDF. Near-dup detection downstream = Hamming distance
+    ``bit_count(x ^ y)`` over LSH-blocked candidate pairs.
+    """
+    words = F.array_distinct(F.split(normalize_text(col), " "))
+    hashes = F.transform(words, lambda w: _md5_60(w))
+    # shiftleft() needs a literal shift; use a powers-of-two lookup array
+    # instead so the bit index can be a column (exact long arithmetic).
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(SIMHASH_BITS)])
+    zero = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    counters = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+                lambda b: F.when(
+                    h.bitwiseAND(F.element_at(powers, b + 1)) != 0, 1
+                ).otherwise(-1),
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+            lambda cnt, b: F.when(cnt > 0, F.element_at(powers, b + 1)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_hamming(a: Column, b: Column) -> Column:
+    """Hamming distance between two simhashes."""
+    return F.bit_count(a.bitwiseXOR(b))

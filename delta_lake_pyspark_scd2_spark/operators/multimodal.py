@@ -1,0 +1,84 @@
+"""Multimodal (binary) column plumbing.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The decode step is STUBBED (no imaging/audio libraries in this
+container — see ``decode_image_stub``); everything Spark-side — schema,
+Arrow batch shape, ``mapInPandas`` signature, partitioning — is real
+and tested, so swapping in a real decoder is a one-function change.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Output schema of the feature extractor (what a real image decoder
+#: would emit: dimensions + a compact feature vector).
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Make a documents-like table multimodal: a ``binary`` payload
+    column (UTF-8 bytes of the text — a deterministic stand-in for real
+    image bytes) plus typed metadata columns."""
+    return (
+        df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+        .withColumn("media_type", F.lit("application/octet-stream"))
+        .withColumn("n_bytes", F.octet_length("payload"))
+    )
+
+
+def decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
+    """STUB decoder: a real implementation would use PIL/libvips/ffmpeg
+    (not present in this container). Returns a deterministic fake:
+    pseudo width/height from the payload hash, and an 8-dim feature
+    vector from the digest bytes. Raises on empty payloads like a real
+    decoder would on corrupt input."""
+    if not payload:
+        raise NotImplementedError("empty payload — real decoder unavailable")
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    features = [round(b / 255.0, 6) for b in digest[2:10]]
+    return width, height, features
+
+
+def extract_features(df: DataFrame, *, batch_limit: int | None = None) -> DataFrame:
+    """Feature extraction over binary payloads via ``mapInPandas`` —
+    the Arrow-batched slow path reserved for genuinely non-relational
+    work. One Python worker per partition; batch size bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": pdf["n_bytes"].astype("int32"),
+                "content_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+            }
+            decoded = pdf["payload"].map(lambda b: decode_image_stub(bytes(b)))
+            out["width"] = decoded.map(lambda d: d[0]).astype("int32")
+            out["height"] = decoded.map(lambda d: d[1]).astype("int32")
+            out["features"] = decoded.map(lambda d: d[2])
+            yield pd.DataFrame(out)
+
+    cols = ["doc_id", "media_type", "n_bytes", "payload"]
+    return df.select(*cols).mapInPandas(_extract, FEATURE_SCHEMA)

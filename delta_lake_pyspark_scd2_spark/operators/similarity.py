@@ -1,0 +1,164 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how a 100 TB pipeline would deploy ANN:
+  * :func:`cosine_topk` — exact brute-force top-k. The query set is
+    broadcast (it is small by definition); each partition of the corpus
+    scores locally and a single top-k-per-query aggregation follows.
+    O(|corpus| × |queries|) work but embarrassingly parallel and
+    shuffle-light: the only exchange carries ``|queries| × k`` rows.
+  * :func:`ivf_topk` — IVF-style bucketed search: corpus vectors are
+    assigned to their nearest centroid once (broadcast centroids);
+    queries probe only their own centroid's bucket. At scale the
+    assignment is persisted and bucketed-by-centroid on disk so a probe
+    is a partition-pruned scan.
+
+All arithmetic is double-precision via ``zip_with``/``aggregate``
+higher-order functions (JVM codegen) — deterministic left-to-right
+summation, so results are bit-reproducible against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition ahead of per-row-heavy vector math — a compact
+    upstream scan (single row-group) would pin the scoring loop to one
+    core; see operators.dedup._spread."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n, key)
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+
+    Ties broken by neighbor id ascending for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    )
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+    # Rank on the ROUNDED score (ties → neighbor id): rounding first makes
+    # the ranking reproducible across engines/architectures.
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            F.col("rank"),
+            F.col("cos_sim"),
+        )
+    )
+
+
+def assign_to_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF assignment: nearest centroid (max cosine) per corpus vector.
+
+    Centroids are broadcast; ties break toward the lower centroid id.
+    At 100 TB this output is written bucketed by ``centroid_id`` so
+    probes become partition-pruned scans.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("__cvec")
+    )
+    scored = _spread(corpus, id_col).crossJoin(F.broadcast(cents)).withColumn(
+        "__sim", F.round(cosine(F.col("__cvec"), F.col(vec_col)), 6)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cvec", "__sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (single-probe) ANN: search only the query's own centroid
+    bucket. Recall < exact, cost ~ corpus/|centroids| per query.
+
+    At 100 TB the assignment table is written once, bucketed by
+    ``centroid_id``; each probe is then a partition-pruned scan instead
+    of this in-flight join.
+    """
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .join(
+            assigned.select(F.col(id_col).alias("query_id"), "centroid_id"),
+            "query_id",
+        )
+    )
+    bucket = assigned.select(id_col, "centroid_id", vec_col)
+    scored = (
+        bucket.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
+    )

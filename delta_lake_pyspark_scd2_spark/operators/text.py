@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path expressions are built-in ``pyspark.sql.functions`` (JVM,
+whole-stage-codegen'd) — no Python UDFs — so they vectorize and scale
+linearly with partitions. Operates on the ``documents`` table shape
+(``doc_id, text, lang, source, n_chars``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword
+#: language-ID heuristic. Chosen to be disjoint across languages.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "with"],
+    "de": ["der", "und", "die", "mit"],
+    "fr": ["le", "et", "les", "avec"],
+    "es": ["el", "y", "los", "con"],
+    "zh": ["的", "和", "是", "在"],
+}
+
+
+def normalize_text(col: Column) -> Column:
+    """Lowercase + collapse whitespace — the canonical form used by
+    fingerprinting and exact dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text.
+
+    (A content-defined rolling hash would be used for shift-resistant
+    chunk fingerprints; md5-of-normalized is the whole-document variant
+    and is exactly reproducible in any SQL engine for oracle checks.)
+    """
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    t = F.trim(col)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def word_count_bpe_ish(col: Column) -> Column:
+    """BPE-ish subword proxy: count of word pieces after splitting on
+    non-alphanumerics — a cheap, deterministic token estimator."""
+    t = F.regexp_replace(F.lower(col), r"[^a-z0-9À-ɏ一-鿿]+", " ")
+    t = F.trim(t)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, " ")))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, punctuation ratio, stopword
+    ratio, alpha ratio, mean word length — the classic cheap filters a
+    pretraining pipeline applies before expensive dedup."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^.,;:!?'\"()\[\]-]", ""))
+    toks = token_count_ws(c)
+    stop_re = r"(?i)\b(the|and|of|with|a|to|in|is)\b"
+    n_stop = F.size(F.regexp_extract_all(c, F.lit(stop_re)))
+    return (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", toks)
+        .withColumn(
+            "alpha_ratio",
+            F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(n_stop / F.greatest(toks, F.lit(1)), 4),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.round(n_chars / F.greatest(toks, F.lit(1)), 4),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: score = count of per-language marker
+    stopwords in the text; predict the argmax (ties broken by language
+    code order). Pure JVM expressions — scales to any corpus size."""
+    c = F.col(text_col)
+    scored = df
+    for lang, markers in LANG_MARKERS.items():
+        # Word boundaries for latin scripts; CJK has no word breaks.
+        if lang == "zh":
+            pattern = "(" + "|".join(markers) + ")"
+        else:
+            pattern = r"\b(" + "|".join(markers) + r")\b"
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.size(F.regexp_extract_all(F.lower(c), F.lit(pattern))),
+        )
+    # argmax via greatest + chained when (deterministic tie order).
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return scored.withColumn("lang_pred", pred)

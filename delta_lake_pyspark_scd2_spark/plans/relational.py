@@ -1,0 +1,840 @@
+"""Relational operator inventory (SURVEY.md §2.1-2.9) as named queries.
+
+Each query = a Spark DataFrame builder + an exactly-equivalent DuckDB
+oracle. Numeric determinism rules used throughout (so the driver's
+value-hash matches):
+  * money sums go through ``DECIMAL(18,2)`` (exact, order-independent)
+    and are emitted as ``ROUND(..., 2)`` doubles on both sides;
+  * ratios/products are rounded to a fixed scale;
+  * every LIMIT/top-k has a total ordering (unique-key tiebreak);
+  * timestamps ride UTC on both engines.
+
+Scale annotations are inline; the general rules: filters/projections
+push into the parquet scan, dimension sides of joins are broadcast,
+aggregations keep map-side partials, windows shuffle once on their
+partition key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_pyspark_scd2_spark.plans.registry import register
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+
+def dec_sum(col: Column | str, alias: str, scale: int = 2) -> Column:
+    """Order-independent money sum: cast to decimal, sum exactly, round,
+    emit double (matches ``CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2))),2) AS
+    DOUBLE)`` in DuckDB)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.round(F.sum(c.cast(T.DecimalType(18, 2))), scale)
+        .cast("double")
+        .alias(alias)
+    )
+
+
+def _dsum(expr: str, alias: str) -> str:
+    return f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,2))), 2) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (reference §2.4) — flagship TPC-H-Q1-shaped summary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum('l_quantity', 'sum_qty')},
+           {_dsum('l_extendedprice', 'sum_base_price')},
+           CAST(ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(25,4))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(AVG(CAST(l_quantity AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Hash aggregate with multiple metrics (A1-A4); filter pushed to scan.",
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast(T.DecimalType(25, 4))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast(T.DecimalType(18, 2))), 4)
+            .cast("double")
+            .alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources (reference §2.1).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s1_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="Pipe-delimited CSV sink + explicit-schema CSV scan "
+    "(reference S1/S12, src/header_etl.py:64-66).",
+)
+def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_csv_{abs(hash(sf_dir)) % 10_000}"
+    )
+    (
+        nation.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("sep", "|")
+        .csv(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.option("header", "true")
+        .option("sep", "|")
+        .schema(schema)
+        .csv(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (reference §2.2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_projection_filter",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 50000.0
+    """,
+    doc="Projection narrowing + compound predicate (P1/P4); both push "
+    "into the parquet scan (PushedFilters + 3-column ReadSchema).",
+)
+def p1_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 50000.0)
+    ).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "p6_null_safe_compare",
+    oracle="""
+    SELECT event_type,
+           SUM(CASE WHEN (CASE WHEN event_type = 'error' THEN NULL ELSE event_type END)
+                         IS NOT DISTINCT FROM
+                        (CASE WHEN value < 10.0 THEN NULL ELSE event_type END)
+                    THEN 1 ELSE 0 END) AS n_null_safe_eq,
+           COUNT(*) AS n_total
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Null-safe equality <=> (P6, src/header_etl.py:189-194): "
+    "NULL==NULL counts as equal.",
+)
+def p6_null_safe_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("event_type") == "error", None).otherwise(F.col("event_type"))
+    b = F.when(F.col("value") < 10.0, None).otherwise(F.col("event_type"))
+    return ev.groupBy("event_type").agg(
+        F.sum(a.eqNullSafe(b).cast("int")).alias("n_null_safe_eq"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "p9_conditional_bucket",
+    oracle="""
+    SELECT CASE WHEN value < 10 THEN 'low'
+                WHEN value < 50 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="when/otherwise conditional column (P9) + aggregation.",
+)
+def p9_conditional_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 10, "low")
+        .when(F.col("value") < 50, "mid")
+        .otherwise("high")
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), dec_sum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (reference §2.3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_join_agg",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           {_dsum('o.o_totalprice', 'sum_price')}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="Inner equi-join on business key (J1) + aggregate; Catalyst "
+    "broadcasts the customer side under the 64MB threshold.",
+    bench=True,
+)
+def j1_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_price"))
+    )
+
+
+@register(
+    "j2_theta_residual",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_late
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Equi-join + theta residual predicate (J2, src/items_etl.py:97-100).",
+)
+def j2_theta_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late"))
+    )
+
+
+@register(
+    "j4_anti_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti-join / orphan detection (J4, test/items_etl_test.py:175-185) "
+    "as idiomatic left_anti instead of LEFT JOIN + IS NULL.",
+)
+def j4_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j7_semi_join",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Semi-join (EXISTS) — completes the join family beyond the reference.",
+)
+def j7_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "j5_multikey_join",
+    oracle="""
+    WITH firsts AS (
+      SELECT l_orderkey, MIN(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate
+    FROM lineitem l
+    JOIN firsts f ON l.l_orderkey = f.l_orderkey AND l.l_shipdate = f.first_ship
+    """,
+    doc="Composite-key equi-join (J5, test/items_etl_test.py:179-183): "
+    "earliest-shipped line items per order.",
+)
+def j5_multikey_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").alias("l")
+    firsts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("f_orderkey"))
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .alias("f")
+    )
+    return li.join(
+        firsts,
+        (F.col("l.l_orderkey") == F.col("f.f_orderkey"))
+        & (F.col("l.l_shipdate") == F.col("f.first_ship")),
+    ).select("l.l_orderkey", "l.l_linenumber", "l.l_shipdate")
+
+
+# ---------------------------------------------------------------------------
+# More aggregation shapes (reference §2.4) + SQL surface (§2.9).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_groupby_min",
+    oracle="""
+    SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="groupBy + MIN (A1, src/header_etl.py:199-200) — first event per key.",
+)
+def a1_groupby_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "a2_single_pass_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+           SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_high_value,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    """,
+    doc="Single-pass multi-metric conditional aggregation (A2, "
+    "src/utils/validations_utils.py:107-120) — one scan, not N counts.",
+)
+def a2_single_pass_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("n_error"),
+        F.sum((F.col("value") > 50.0).cast("int")).alias("n_high_value"),
+        F.sum(F.col("value").isNull().cast("int")).alias("n_null_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "a5_sql_count",
+    oracle="SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+    doc="spark.sql over a temp view (A5/§2.9, test/items_etl_test.py:151-161).",
+)
+def a5_sql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type")
+
+
+@register(
+    "a6_distinct",
+    oracle="""
+    SELECT DISTINCT c.c_mktsegment, o.o_orderstatus
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="DISTINCT over a join (A6, notes.md:57-73).",
+)
+def a6_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderstatus")
+        .distinct()
+    )
+
+
+@register(
+    "g_rollup",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           {_dsum('o_totalprice', 'sum_price')}
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP grouping sets — beyond the reference's flat groupBy.",
+)
+def g_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dec_sum("o_totalprice", "sum_price")
+    )
+
+
+@register(
+    "g_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS sum_open,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS sum_finished,
+           CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 2) AS DOUBLE) AS sum_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (conditional-sum formulation, portable across engines).",
+)
+def g_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cond_sum(status: str, alias: str) -> Column:
+        dec = F.col("o_totalprice").cast(T.DecimalType(18, 2))
+        return (
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == status, dec).otherwise(F.lit(0))),
+                2,
+            )
+            .cast("double")
+            .alias(alias)
+        )
+
+    return orders.groupBy("o_orderpriority").agg(
+        cond_sum("O", "sum_open"), cond_sum("F", "sum_finished"), cond_sum("P", "sum_pending")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows (reference §2.5).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w2_rownum_latest",
+    oracle="""
+    SELECT user_id, event_type, event_id, value FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Latest-wins dedup (W2, src/utils/validations_utils.py:75-78) "
+    "with a total order (event_id tiebreak).",
+)
+def w2_rownum_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@register(
+    "w3_count_over_singletons",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             COUNT(*) OVER (PARTITION BY user_id, event_type,
+                            CAST(ts AS DATE)) AS n_in_group
+      FROM events
+    ) WHERE n_in_group = 1
+    """,
+    doc="count(*) OVER partition, drop-all-duplicates semantics "
+    "(W3, src/items_etl.py:56-64).",
+)
+def w3_count_over_singletons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type", F.col("ts").cast("date"))
+    return (
+        ev.withColumn("n_in_group", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_in_group") == 1)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+@register(
+    "w4_topk_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+    doc="Top-k per group via ranked window — the scalable ORDER BY+LIMIT.",
+)
+def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+@register(
+    "w5_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_value
+    FROM events
+    """,
+    doc="Analytic frame (rowsBetween) running sum — frames beyond the "
+    "reference's default-frame windows.",
+)
+def w5_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col("value").cast(T.DecimalType(18, 2))).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(running, 2).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (reference §2.6).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "o1_top10_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    doc="ORDER BY + LIMIT top-k (O1/O3) with unique-key tiebreak; Spark "
+    "plans TakeOrderedAndProject (no full sort materialization).",
+)
+def o1_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "o2_scalar_bounds",
+    oracle="SELECT MIN(ts) AS first_ts, MAX(ts) AS last_ts FROM events",
+    doc="Scalar fetch — replaces the reference's limit(1).collect() "
+    "anti-pattern (O2, src/header_etl.py:72-73) with an aggregate.",
+)
+def o2_scalar_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations (reference §2.7) + completions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_all",
+    oracle="""
+    SELECT event_id, user_id, 'click' AS tag FROM events WHERE event_type = 'click' AND value > 40
+    UNION ALL
+    SELECT event_id, user_id, 'purchase' AS tag FROM events WHERE event_type = 'purchase' AND value > 40
+    """,
+    doc="Positional union (U1, src/items_etl.py:106-110).",
+)
+def u1_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter((F.col("event_type") == "click") & (F.col("value") > 40)).select(
+        "event_id", "user_id", F.lit("click").alias("tag")
+    )
+    buys = ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 40)).select(
+        "event_id", "user_id", F.lit("purchase").alias("tag")
+    )
+    return clicks.union(buys)
+
+
+@register(
+    "u2_union_by_name",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'click'
+    UNION
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="unionByName + distinct (U2, generate_header_datasets.py:185).",
+)
+def u2_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="INTERSECT — completes the set-op family (reference has none).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="EXCEPT — viewers who never purchased.",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "view").select("user_id")
+    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return a.subtract(b)  # EXCEPT (distinct) semantics, unlike exceptAll
+
+
+# ---------------------------------------------------------------------------
+# Scalar function suite (reference §2.8).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f_string_suite",
+    oracle="""
+    SELECT c_custkey,
+           CONCAT('cust_', LPAD(CAST(c_custkey AS VARCHAR), 10, '0')) AS padded_id,
+           UPPER(TRIM(c_name)) AS name_upper,
+           SUBSTR(c_name, 1, 8) AS name_prefix,
+           LENGTH(c_name) AS name_len,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS name_digits
+    FROM customer
+    """,
+    doc="String functions: concat/lpad/trim/substr/length/regexp_extract "
+    "(§2.8, src/header_etl.py:70, src/items_etl.py:52).",
+)
+def f_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"), F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+        ).alias("padded_id"),
+        F.upper(F.trim(F.col("c_name"))).alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+    )
+
+
+@register(
+    "f_timestamp_fallback",
+    oracle="""
+    WITH formatted AS (
+      SELECT event_id,
+             CASE WHEN event_id % 2 = 0
+                  THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                  ELSE strftime(ts, '%Y/%m/%d %H:%M:%S') END AS ts_str
+      FROM events
+    )
+    SELECT event_id,
+           COALESCE(try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'),
+                    try_strptime(ts_str, '%Y/%m/%d %H:%M:%S')) AS parsed_ts
+    FROM formatted
+    """,
+    doc="Multi-format timestamp parsing with a coalesce fallback chain "
+    "(§2.8, src/header_etl.py:89-102) — try_to_timestamp, ANSI-safe.",
+)
+def f_timestamp_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ts_str = F.when(
+        F.col("event_id") % 2 == 0,
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss"),
+    ).otherwise(F.date_format("ts", "yyyy/MM/dd HH:mm:ss"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+        F.try_to_timestamp(F.col("ts_str"), F.lit("yyyy/MM/dd HH:mm:ss")),
+    )
+    return (
+        ev.withColumn("ts_str", ts_str)
+        .select("event_id", parsed.alias("parsed_ts"))
+    )
+
+
+@register(
+    "f_date_parts",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           CAST(day(o_orderdate) AS INT) AS order_day,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(o_orderdate AS DATE) + 30 AS due_date
+    FROM orders
+    """,
+    doc="Date-part extraction + date arithmetic (§2.8, "
+    "src/header_etl.py:123-125 partition columns; date_add).",
+)
+def f_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "f_json_extract",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+    FROM events
+    """,
+    doc="JSON field extraction from a string column (beyond the reference: "
+    "no JSON functions there, §2.8 'no JSON functions').",
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-join analytical queries (SQL surface §2.9, bench headliners).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(25,4))), 2) AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H-Q3-shaped 3-way join + agg + top-k; filters push below "
+    "the joins, customer side broadcast.",
+    bench=True,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast(T.DecimalType(25, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_volume",
+    oracle="""
+    SELECT n.n_name,
+           CAST(ROUND(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(25,4))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H-Q5-shaped 6-way join; region/nation/supplier broadcast "
+    "(DIM_TABLES), fact-fact join shuffles once on orderkey.",
+    bench=True,
+)
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ).cast(T.DecimalType(25, 4))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
+    )

@@ -1,0 +1,188 @@
+"""SCD2 capability queries (SURVEY.md §2.5, §2.11) over the ``events``
+table — the driver-checkable face of the SCD2 operator layer.
+
+``events(event_id, ts, user_id, event_type, value, props)`` plays the
+role of the reference's header batches: ``user_id`` is the business key,
+``ts`` the event time, ``event_type`` the tracked column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import scd2
+from delta_lake_pyspark_scd2_spark.plans.registry import register
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+#: Point-in-time / staging cutoff used by several queries below.
+CUTOFF = "2024-01-15 00:00:00"
+
+_INTERVALIZED_CTE = """
+    intervalized AS (
+      SELECT user_id, event_id, event_type, value, ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+             (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+               AS is_current
+      FROM events
+    )
+"""
+
+
+@register(
+    "scd2_intervalize",
+    oracle=f"""
+    WITH {_INTERVALIZED_CTE}
+    SELECT user_id, event_id, valid_from, valid_to, is_current FROM intervalized
+    """,
+    doc="Intra-batch SCD2 version chaining (W1, src/header_etl.py:106-116): "
+    "lead() over (key ORDER BY ts) with open-interval sentinel.",
+    bench=True,
+)
+def scd2_intervalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return scd2.intervalize(
+        ev, "user_id", "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+
+
+@register(
+    "scd2_point_in_time",
+    oracle=f"""
+    WITH {_INTERVALIZED_CTE}
+    SELECT user_id, event_id, event_type, value FROM intervalized
+    WHERE valid_from <= TIMESTAMP '{CUTOFF}' AND valid_to > TIMESTAMP '{CUTOFF}'
+    """,
+    doc="Point-in-time (as-of) lookup on the interval model "
+    "(test/items_etl_test.py:135-141): valid_from <= t < valid_to.",
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = F.lit(CUTOFF).cast("timestamp")
+    return (
+        scd2.intervalize(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+        .filter((F.col("valid_from") <= t) & (F.col("valid_to") > t))
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+@register(
+    "scd2_variation_count",
+    oracle=f"""
+    WITH {_INTERVALIZED_CTE}
+    SELECT user_id, COUNT(*) AS n_versions
+    FROM intervalized WHERE NOT is_current GROUP BY user_id
+    """,
+    doc="Closed-version count per key (test/items_etl_test.py:151-161).",
+)
+def scd2_variation_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        scd2.intervalize(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+        .filter(~F.col("is_current"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_versions"))
+    )
+
+
+@register(
+    "scd2_detect_changes",
+    oracle=f"""
+    WITH current AS (
+      SELECT user_id, event_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{CUTOFF}'
+      ) WHERE rn = 1
+    ),
+    staged AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE ts >= TIMESTAMP '{CUTOFF}'
+    )
+    SELECT s.user_id, MIN(s.ts) AS first_change_ts
+    FROM staged s JOIN current c USING (user_id)
+    WHERE s.event_type IS DISTINCT FROM c.event_type
+    GROUP BY s.user_id
+    """,
+    doc="Null-safe change detection + first-change timestamp "
+    "(Phase-A input: J1+P6+A1, src/header_etl.py:183-200).",
+)
+def scd2_detect_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(CUTOFF).cast("timestamp")
+    current = scd2.latest_per_key(
+        ev.filter(F.col("ts") < cutoff), "user_id", "ts", tiebreak_cols=["event_id"]
+    ).select("user_id", "event_type")
+    staged = ev.filter(F.col("ts") >= cutoff).select("user_id", "ts", "event_type")
+    return scd2.detect_changes(
+        existing_current=current,
+        staged=staged,
+        key_cols="user_id",
+        tracked_cols=["event_type"],
+        ts_col="ts",
+    )
+
+
+@register(
+    "scd2_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT c.event_id FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_event_id,
+           (SELECT c.value FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts <= p.ts
+            ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS click_value
+    FROM purchases p
+    """,
+    doc="As-of join (first-class here; implicit in the reference's "
+    "interval model): last click at-or-before each purchase, via the "
+    "scalable union+window plan — one shuffle, no range-join explosion.",
+    bench=True,
+)
+def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2.asof_join(
+        probes=purchases,
+        events=clicks,
+        key_cols="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        value_cols=["click_event_id", "click_value"],
+        event_tiebreak_cols=["click_event_id"],
+    )
+
+
+@register(
+    "scd2_invariants_clean",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS event_id,
+           CAST(NULL AS VARCHAR) AS violation
+    WHERE FALSE
+    """,
+    doc="Invariant checker (notes.md:132-134): intervalize() output must "
+    "have no overlaps / multi-current / bad intervals — empty result.",
+)
+def scd2_invariants_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    versions = scd2.intervalize(ev, "user_id", "ts", tiebreak_cols=["event_id"])
+    return scd2.check_invariants(versions, "user_id").select(
+        "user_id", "event_id", "violation"
+    )

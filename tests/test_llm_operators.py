@@ -1,0 +1,114 @@
+"""Tests for dedup / similarity / text / multimodal operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="The  quick brown fox jumps over the lazy dog"),  # ws/case dup
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy cat"),  # near dup
+        Row(doc_id=4, text="completely different content about spark engines"),
+        Row(doc_id=5, text="tiny"),  # shorter than one shingle
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_groups(docs):
+    out = dedup.exact_dedup(docs)
+    groups = {r.keep_id: r.n_copies for r in out.collect()}
+    assert groups[1] == 2  # docs 1+2 normalize to the same text
+    assert groups[3] == 1 and groups[4] == 1 and groups[5] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # exact dup => jaccard 1.0
+    assert (1, 3) in got and (2, 3) in got  # one-word difference
+    assert all(4 not in p and 5 not in p for p in got)
+
+
+def test_minhash_lsh_candidates(docs):
+    sigs = dedup.minhash_signatures(docs)
+    assert sigs.select(F.size("minhash")).distinct().collect()[0][0] == 16
+    pairs = {(r.id_a, r.id_b) for r in dedup.lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs  # identical signatures always collide
+    # determinism: re-running produces identical signatures
+    a = sorted(sigs.collect(), key=lambda r: r.doc_id)
+    b = sorted(dedup.minhash_signatures(docs).collect(), key=lambda r: r.doc_id)
+    assert [r.minhash for r in a] == [r.minhash for r in b]
+
+
+def test_simhash_properties(docs):
+    out = docs.select("doc_id", dedup.simhash(F.col("text")).alias("sh")).collect()
+    sh = {r.doc_id: r.sh for r in out}
+    assert sh[1] == sh[2]  # normalization-equal docs hash equal
+    assert all(v >= 0 for v in sh.values())
+    # near-dup should be closer than unrelated
+    d_near = bin(sh[1] ^ sh[3]).count("1")
+    d_far = bin(sh[1] ^ sh[4]).count("1")
+    assert d_near < d_far
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # close to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),   # orthogonal to 0
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows)
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [1, 2, 3]
+    assert all(r.neighbor_id != 0 for r in out)
+
+
+def test_ivf_assignment(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.0, 1.0]),
+        Row(vec_id=10, embedding=[0.9, 0.1]),
+        Row(vec_id=11, embedding=[0.1, 0.9]),
+    ]
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") < 2)
+    assigned = {r.vec_id: r.centroid_id for r in
+                similarity.assign_to_centroids(df, cents).collect()}
+    assert assigned[10] == 0 and assigned[11] == 1
+
+
+def test_text_quality_and_langid(spark):
+    rows = [
+        Row(doc_id=1, text="the cat and the dog play with a ball", lang="en"),
+        Row(doc_id=2, text="der Hund und die Katze spielen mit dem Ball", lang="de"),
+        Row(doc_id=3, text="le chat et les chiens jouent avec une balle", lang="fr"),
+    ]
+    df = spark.createDataFrame(rows)
+    pred = {r.doc_id: r.lang_pred for r in text.language_id(df).collect()}
+    assert pred == {1: "en", 2: "de", 3: "fr"}
+    q = text.quality_features(df).collect()[0]
+    assert q.n_tokens == 9
+    assert 0 < q.stopword_ratio <= 1
+
+
+def test_multimodal_extract_features(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(payloads).collect()
+    assert len(feats) == docs.count()
+    by_id = {r.doc_id: r for r in feats}
+    assert by_id[1].n_bytes == len("the quick brown fox jumps over the lazy dog")
+    assert len(by_id[1].features) == 8
+    assert 64 <= by_id[1].width <= 319 and 64 <= by_id[1].height <= 319
+    # deterministic across runs
+    again = {r.doc_id: r for r in multimodal.extract_features(payloads).collect()}
+    assert again[1].content_md5 == by_id[1].content_md5
+    assert again[1].features == by_id[1].features

@@ -1,0 +1,129 @@
+"""Golden-scenario tests for the SCD2 operator layer.
+
+Ports the reference's behavioral specs (SURVEY.md §5 / FIXTURES.md §3,
+``test/run_all_test.py:40-159``) as operator-level assertions: interval
+contiguity, latest-wins dedup, null-safe change detection, as-of
+semantics, invariants.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import scd2
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def batch(spark):
+    rows = [
+        # key A: three events, the middle two share a timestamp (tiebreak)
+        Row(k="A", ts=ts("2023-01-21T10:00:00"), v="draft", eid=1),
+        Row(k="A", ts=ts("2023-01-21T12:00:00"), v="sent", eid=2),
+        Row(k="A", ts=ts("2023-01-21T12:00:00"), v="signed", eid=3),
+        # key B: single event
+        Row(k="B", ts=ts("2023-01-21T09:00:00"), v="draft", eid=4),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_intervalize_contiguity_and_current(batch):
+    out = scd2.intervalize(batch, "k", "ts", tiebreak_cols=["eid"]).orderBy(
+        "k", "valid_from", "eid"
+    )
+    rows = out.collect()
+    a = [r for r in rows if r.k == "A"]
+    # contiguous: each valid_to == next valid_from (run_all_test.py:98)
+    assert a[0].valid_to == a[1].valid_from
+    assert a[1].valid_to == a[2].valid_from
+    # exactly the last is current, sentinel open interval
+    assert [r.is_current for r in a] == [False, False, True]
+    assert str(a[2].valid_to) == "9999-12-31 00:00:00"
+    b = [r for r in rows if r.k == "B"]
+    assert len(b) == 1 and b[0].is_current
+
+
+def test_intervalize_no_invariant_violations(batch):
+    versions = scd2.intervalize(batch, "k", "ts", tiebreak_cols=["eid"])
+    assert scd2.check_invariants(versions, "k").count() == 0
+
+
+def test_latest_per_key_dedup(batch):
+    out = scd2.latest_per_key(batch, ["k"], "ts", tiebreak_cols=["eid"])
+    rows = {r.k: r for r in out.collect()}
+    assert rows["A"].eid == 3  # equal-ts tie broken by eid desc
+    assert rows["B"].eid == 4
+
+
+def test_detect_changes_null_safe(spark):
+    existing = spark.createDataFrame(
+        [
+            Row(k="A", v=None),   # NULL -> 'x' must be detected (notes.md:124-130)
+            Row(k="B", v="same"),
+            Row(k="C", v="old"),
+        ]
+    )
+    staged = spark.createDataFrame(
+        [
+            Row(k="A", v="x", ts=ts("2023-01-25T10:00:00")),
+            Row(k="B", v="same", ts=ts("2023-01-25T10:00:00")),  # no change
+            Row(k="C", v="new", ts=ts("2023-01-25T11:00:00")),
+            Row(k="C", v="newer", ts=ts("2023-01-25T09:00:00")),  # earlier change
+            Row(k="D", v="brand", ts=ts("2023-01-25T10:00:00")),  # not in existing
+        ]
+    )
+    out = scd2.detect_changes(existing, staged, "k", ["v"], "ts")
+    got = {r.k: r.first_change_ts for r in out.collect()}
+    assert set(got) == {"A", "C"}  # B unchanged, D not matched
+    assert got["C"] == ts("2023-01-25T09:00:00")  # min of changing events
+
+
+def test_asof_join_inclusive_and_strict(spark):
+    events = spark.createDataFrame(
+        [
+            Row(k="u1", ets=ts("2023-01-01T10:00:00"), val=1),
+            Row(k="u1", ets=ts("2023-01-01T12:00:00"), val=2),
+        ]
+    )
+    probes = spark.createDataFrame(
+        [
+            Row(k="u1", pts=ts("2023-01-01T11:00:00"), pid=1),
+            Row(k="u1", pts=ts("2023-01-01T12:00:00"), pid=2),  # equal ts
+            Row(k="u1", pts=ts("2023-01-01T09:00:00"), pid=3),  # before all
+            Row(k="u2", pts=ts("2023-01-01T09:00:00"), pid=4),  # unknown key
+        ]
+    )
+    out = scd2.asof_join(probes, events, "k", "pts", "ets", ["val"])
+    got = {r.pid: r.val for r in out.collect()}
+    assert got == {1: 1, 2: 2, 3: None, 4: None}
+
+    strict = scd2.asof_join(probes, events, "k", "pts", "ets", ["val"], strict=True)
+    got_strict = {r.pid: r.val for r in strict.collect()}
+    assert got_strict[2] == 1  # equal-ts event excluded under strict
+
+
+def test_check_invariants_flags_violations(spark):
+    bad = spark.createDataFrame(
+        [
+            # overlapping intervals for k=X
+            Row(k="X", valid_from=ts("2023-01-01T00:00:00"),
+                valid_to=ts("2023-01-03T00:00:00"), is_current=False),
+            Row(k="X", valid_from=ts("2023-01-02T00:00:00"),
+                valid_to=ts("2023-01-04T00:00:00"), is_current=True),
+            # two current rows for k=Y
+            Row(k="Y", valid_from=ts("2023-01-01T00:00:00"),
+                valid_to=ts("9999-12-31T00:00:00"), is_current=True),
+            Row(k="Y", valid_from=ts("2023-01-05T00:00:00"),
+                valid_to=ts("9999-12-31T00:00:00"), is_current=True),
+        ]
+    )
+    v = scd2.check_invariants(bad, "k")
+    kinds = {r.violation for r in v.collect()}
+    assert "overlap" in kinds and "multi_current" in kinds
