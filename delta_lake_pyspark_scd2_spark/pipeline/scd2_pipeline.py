@@ -1,0 +1,251 @@
+"""SCD2 batch pipeline: validate → intervalize → two-phase merge into a
+versioned Parquet table.
+
+Re-derives the reference's E1/E2 lifecycles (SURVEY.md §3:
+extract → validate(+quarantine) → transform(window) → 2-phase merge →
+audit counts → metrics) with the structural fixes SURVEY.md §7 calls
+for: pure operators, config over constants (``SCD2Spec``), injectable
+clock, null-safe change detection everywhere (the reference's items
+job used NULL-unsafe ``<>`` — notes.md:3-20 marks it a bug), and a
+stale-event guard that keeps the single-current invariant under
+superset re-runs (the reference's Phase A/B split can double-open a
+key there; see tests/test_scd2_pipeline.py).
+
+Scale story (the levers that matter at 100 TB):
+  * Phase A touches only the partitions holding the current rows of
+    *changed* keys — partition-scoped CoW, cost ∝ changed data.
+  * Phase B is append-only (no rewrite at all).
+  * Change detection joins staged×current on the key — broadcast when
+    the batch is small, AQE-planned shuffle otherwise.
+  * The idempotency anti-join reads only (key, valid_from) columns —
+    column-pruned parquet scan.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.functions import partition_cols_from
+from delta_lake_pyspark_scd2_spark.operators import scd2, validation
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+
+@dataclass(frozen=True)
+class SCD2Spec:
+    """Declarative table spec (reference hardcodes all of this at
+    ``src/header_etl.py:23-50``)."""
+
+    key_cols: Sequence[str]
+    event_ts_col: str
+    tracked_cols: Sequence[str]
+    tiebreak_cols: Sequence[str] = ()
+    max_ts: str = scd2.MAX_TS
+    partition_prefix: str = "valid_from"
+    dedup_mode: str = "keep_latest"  # or "drop_all" (items W3 semantics)
+
+    @property
+    def partition_cols(self) -> list[str]:
+        p = self.partition_prefix
+        return [f"{p}_year", f"{p}_month", f"{p}_day"]
+
+
+def _prepare_versions(spec: SCD2Spec, staged_events: DataFrame) -> DataFrame:
+    """Intervalize a batch of events into SCD2 version rows with
+    partition columns (reference transform, src/header_etl.py:106-125)."""
+    versions = scd2.intervalize(
+        staged_events,
+        spec.key_cols,
+        spec.event_ts_col,
+        tiebreak_cols=spec.tiebreak_cols,
+        max_ts=spec.max_ts,
+    ).withColumn("closed_by_batch", F.lit(None).cast("string"))
+    return partition_cols_from(versions, "valid_from", spec.partition_prefix)
+
+
+def run_scd2_batch(
+    spark: SparkSession,
+    spec: SCD2Spec,
+    batch: DataFrame,
+    table_path: str,
+    *,
+    batch_id: str = "batch",
+    batch_date_col: str | None = None,
+    quarantine_path: str | None = None,
+) -> dict:
+    """Process one batch end-to-end; returns the run-metrics record
+    (the reference's ``run_metrics`` flat dict, src/header_etl.py:319-340).
+    """
+    metrics: dict = {"batch_id": batch_id}
+    t0 = time.time()
+
+    # -- validate (reference validations_utils.14-150) ----------------------
+    tagged = validation.tag_discards(
+        batch,
+        list(spec.key_cols),
+        spec.event_ts_col,
+        batch_date_col=batch_date_col,
+        tiebreak_cols=spec.tiebreak_cols,
+    )
+    if spec.dedup_mode == "drop_all":
+        # items W3 semantics (src/items_etl.py:56-64): drop EVERY row of
+        # a duplicated (key, event_time) group, not keep-one
+        w_cnt = F.count(F.lit(1)).over(
+            Window.partitionBy(*spec.key_cols, spec.event_ts_col)
+        )
+        tagged = tagged.withColumn(
+            validation.DISCARD_COL,
+            F.when(
+                F.col(validation.DISCARD_COL).isNull() & (w_cnt > 1),
+                F.lit(validation.DUPLICATE_OLDER),
+            ).otherwise(F.col(validation.DISCARD_COL)),
+        )
+    tagged = tagged.persist()
+    kept, discarded = validation.split_valid(tagged)
+    metrics.update(validation.dq_metrics(tagged))
+    if quarantine_path is not None and metrics["n_total"] > metrics["n_kept"]:
+        discarded.write.mode("overwrite").parquet(
+            f"{quarantine_path}/batch={batch_id}"
+        )
+    metrics["duration_s_validation"] = round(time.time() - t0, 3)
+
+    # -- merge --------------------------------------------------------------
+    t1 = time.time()
+    if not VersionedParquetTable.is_table(table_path):
+        versions = _prepare_versions(spec, kept)
+        VersionedParquetTable.create(
+            spark,
+            versions,
+            table_path,
+            partition_cols=spec.partition_cols,
+            metrics={"batch_id": batch_id},
+        )
+        metrics["n_inserted"] = versions.count()
+        metrics["n_closed"] = 0
+        metrics["n_stale"] = 0
+    else:
+        table = VersionedParquetTable(spark, table_path)
+        m = _merge_batch(spec, table, kept, batch_id)
+        metrics.update(m)
+    metrics["duration_s_merge"] = round(time.time() - t1, 3)
+    metrics["duration_s_total"] = round(time.time() - t0, 3)
+    tagged.unpersist()
+    return metrics
+
+
+def _merge_batch(
+    spec: SCD2Spec,
+    table: VersionedParquetTable,
+    kept: DataFrame,
+    batch_id: str,
+) -> dict:
+    """Two-phase SCD2 merge (reference Phase A/B,
+    src/header_etl.py:144-280) on the versioned table.
+
+    Correctness refinements over the reference (documented divergences):
+      * events at or before the key's current ``valid_from`` are *stale*
+        (late-arriving) — counted and excluded instead of silently
+        inserted (which in the reference can yield two open rows for
+        one key on superset re-runs);
+      * only versions from the first *changing* event onward are
+        inserted — value-identical events create no version row;
+      * all comparisons null-safe (``<=>``).
+    """
+    keys = list(spec.key_cols)
+    ts = spec.event_ts_col
+
+    existing = table.read()
+    current = existing.filter(F.col("is_current")).select(
+        *keys, F.col("valid_from").alias("__cur_from"), *spec.tracked_cols
+    )
+
+    # Split staged events: new-key events, fresh events, stale events.
+    staged = kept.join(
+        current.select(*keys, "__cur_from"), on=keys, how="left"
+    )
+    is_new_key = F.col("__cur_from").isNull()
+    is_fresh = F.col(ts) > F.col("__cur_from")
+    n_stale = staged.filter(~is_new_key & ~is_fresh).count()
+    usable = staged.filter(is_new_key | is_fresh).drop("__cur_from")
+
+    # Null-safe change detection + first changing event per key
+    # (J1 + P6 + A1). New keys change by definition.
+    fresh_existing = usable.join(current.drop("__cur_from"), on=keys, how="left_semi")
+    changed = scd2.detect_changes(
+        current.drop("__cur_from"),
+        fresh_existing,
+        keys,
+        list(spec.tracked_cols),
+        ts,
+    )
+
+    # Phase A — close current rows of changed keys at first_change_ts,
+    # rewriting only the partitions those rows live in.
+    closed = 0
+    close_join = existing.filter(F.col("is_current")).join(
+        F.broadcast(changed), on=keys, how="inner"
+    ).filter(F.col("first_change_ts") > F.col("valid_from"))
+    touched = [
+        {k: str(r[k]) for k in spec.partition_cols}
+        for r in close_join.select(*spec.partition_cols).distinct().collect()
+    ]
+    if touched:
+        to_close = changed
+        part_df = table.read_partitions(touched)
+        updated = (
+            part_df.alias("t")
+            .join(F.broadcast(to_close).alias("c"), on=keys, how="left")
+            .withColumn(
+                "__close",
+                F.col("is_current")
+                & F.col("first_change_ts").isNotNull()
+                & (F.col("first_change_ts") > F.col("valid_from")),
+            )
+            .withColumn(
+                "valid_to",
+                F.when(F.col("__close"), F.col("first_change_ts")).otherwise(
+                    F.col("valid_to")
+                ),
+            )
+            .withColumn(
+                "is_current",
+                F.when(F.col("__close"), F.lit(False)).otherwise(F.col("is_current")),
+            )
+            .withColumn(
+                "closed_by_batch",
+                F.when(F.col("__close"), F.lit(batch_id)).otherwise(
+                    F.col("closed_by_batch")
+                ),
+            )
+        )
+        closed = updated.filter(F.col("__close")).count()
+        table.replace_partitions(
+            updated.drop("first_change_ts", "__close"),
+            touched,
+            operation="SCD2_CLOSE",
+            metrics={"batch_id": batch_id, "n_closed": closed},
+        )
+
+    # Phase B — insert version rows from the first change onward for
+    # changed keys plus everything for new keys; idempotency key =
+    # (key, valid_from) anti-join (reference src/header_etl.py:247-280).
+    new_key_events = usable.join(current, on=keys, how="left_anti")
+    changed_events = usable.join(
+        F.broadcast(changed), on=keys, how="inner"
+    ).filter(F.col(ts) >= F.col("first_change_ts")).drop("first_change_ts")
+    to_version = new_key_events.unionByName(changed_events)
+    versions = _prepare_versions(spec, to_version)
+    existing_keys = table.read().select(*keys, "valid_from")
+    inserts = versions.join(
+        existing_keys, on=[*keys, "valid_from"], how="left_anti"
+    )
+    n_inserted = inserts.count()
+    if n_inserted:
+        table.append(
+            inserts, metrics={"batch_id": batch_id, "n_inserted": n_inserted}
+        )
+    return {"n_closed": closed, "n_inserted": n_inserted, "n_stale": n_stale}
