@@ -40,6 +40,22 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # SCD2 ETL volume run (the reference's headline baseline: batch2
+    # merge duration, BASELINE.md volume-scaling table).
+    import tempfile
+
+    from delta_lake_pyspark_scd2_spark.pipeline.etl_bench import run_volume_bench
+
+    with tempfile.TemporaryDirectory() as tmp:
+        etl = run_volume_bench(spark, sf_dir, f"{tmp}/scd2_events")
+    timings["scd2_etl_load"] = etl["scd2_etl_load"]
+    timings["scd2_etl_merge"] = etl["scd2_etl_merge"]
+    print(
+        f"# scd2_etl: load {etl['scd2_etl_load']}s, merge {etl['scd2_etl_merge']}s "
+        f"({etl['rows_batch2']} rows, {etl['merge_rows_per_s']} rows/s)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:

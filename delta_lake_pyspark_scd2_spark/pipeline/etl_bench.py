@@ -1,0 +1,69 @@
+"""SCD2 ETL volume benchmark — the engine-side replica of the
+reference's volume-scaling harness (``infra/scale_size_runner.sh`` +
+``src/utils/generate_header_datasets.py``; numbers in BASELINE.md).
+
+The reference's headline metric is the end-to-end duration of a *batch2
+merge run* (extract + validate + transform + two-phase merge) against an
+already-loaded SCD2 table: 43.96 s at 100k rows / 226.76 s at 10M rows
+on a 6-worker cluster. This module reproduces that workload shape from
+the driver-supplied ``events`` table (TESTDATA.md) instead of a
+synthetic generator:
+
+  * key       = ``user_id``   (1.5k keys/sf0.1 — many versions per key)
+  * event ts  = ``ts``        (one month of events)
+  * tracked   = ``event_type``, ``value`` (changes on ~every event —
+    maximal merge stress, like the reference's 50%-new-keys batch2)
+  * batch1    = first half of the month  → initial load (CREATE path)
+  * batch2    = second half of the month → close + insert merge path
+
+At sf0.1 the events table is 100k rows, directly comparable to the
+reference's 100k-row line.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.pipeline.scd2_pipeline import (
+    SCD2Spec,
+    run_scd2_batch,
+)
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+EVENTS_SPEC = SCD2Spec(
+    key_cols=("user_id",),
+    event_ts_col="ts",
+    tracked_cols=("event_type", "value"),
+    tiebreak_cols=("event_id",),
+)
+
+
+def run_volume_bench(spark: SparkSession, sf_dir: str, table_path: str) -> dict:
+    """Run batch1 (initial load) + batch2 (merge) over ``events``;
+    return ``{"scd2_etl_load": s, "scd2_etl_merge": s, "rows_batch2": n,
+    "merge_rows_per_s": n}``."""
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = events.select(F.min("ts"), F.max("ts")).collect()[0]
+    split_ts = lo + (hi - lo) / 2
+
+    batch1 = events.filter(F.col("ts") < F.lit(split_ts))
+    batch2 = events.filter(F.col("ts") >= F.lit(split_ts))
+    n2 = batch2.count()
+
+    t0 = time.time()
+    run_scd2_batch(spark, EVENTS_SPEC, batch1, table_path, batch_id="bench_b1")
+    load_s = round(time.time() - t0, 3)
+
+    t1 = time.time()
+    run_scd2_batch(spark, EVENTS_SPEC, batch2, table_path, batch_id="bench_b2")
+    merge_s = round(time.time() - t1, 3)
+
+    return {
+        "scd2_etl_load": load_s,
+        "scd2_etl_merge": merge_s,
+        "rows_batch2": n2,
+        "merge_rows_per_s": round(n2 / merge_s) if merge_s else None,
+    }

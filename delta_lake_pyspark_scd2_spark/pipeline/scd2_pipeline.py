@@ -164,16 +164,19 @@ def _merge_batch(
     )
 
     # Split staged events: new-key events, fresh events, stale events.
+    # Persisted: reused by the stale count, Phase A and Phase B — without
+    # it every downstream action re-runs the batch×current join.
     staged = kept.join(
         current.select(*keys, "__cur_from"), on=keys, how="left"
-    )
+    ).persist()
     is_new_key = F.col("__cur_from").isNull()
     is_fresh = F.col(ts) > F.col("__cur_from")
     n_stale = staged.filter(~is_new_key & ~is_fresh).count()
     usable = staged.filter(is_new_key | is_fresh).drop("__cur_from")
 
     # Null-safe change detection + first changing event per key
-    # (J1 + P6 + A1). New keys change by definition.
+    # (J1 + P6 + A1). New keys change by definition. Persisted: feeds
+    # the Phase A close (twice) and the Phase B event filter.
     fresh_existing = usable.join(current.drop("__cur_from"), on=keys, how="left_semi")
     changed = scd2.detect_changes(
         current.drop("__cur_from"),
@@ -181,7 +184,7 @@ def _merge_batch(
         keys,
         list(spec.tracked_cols),
         ts,
-    )
+    ).persist()
 
     # Phase A — close current rows of changed keys at first_change_ts,
     # rewriting only the partitions those rows live in.
@@ -221,7 +224,7 @@ def _merge_batch(
                     F.col("closed_by_batch")
                 ),
             )
-        )
+        ).persist()
         closed = updated.filter(F.col("__close")).count()
         table.replace_partitions(
             updated.drop("first_change_ts", "__close"),
@@ -229,6 +232,7 @@ def _merge_batch(
             operation="SCD2_CLOSE",
             metrics={"batch_id": batch_id, "n_closed": closed},
         )
+        updated.unpersist()
 
     # Phase B — insert version rows from the first change onward for
     # changed keys plus everything for new keys; idempotency key =
@@ -242,10 +246,12 @@ def _merge_batch(
     existing_keys = table.read().select(*keys, "valid_from")
     inserts = versions.join(
         existing_keys, on=[*keys, "valid_from"], how="left_anti"
-    )
+    ).persist()
     n_inserted = inserts.count()
     if n_inserted:
         table.append(
             inserts, metrics={"batch_id": batch_id, "n_inserted": n_inserted}
         )
+    for df in (inserts, changed, staged):
+        df.unpersist()
     return {"n_closed": closed, "n_inserted": n_inserted, "n_stale": n_stale}
