@@ -149,6 +149,79 @@ def detect_changes(
     return changed.groupBy(*keys).agg(F.min(ts_col).alias("first_change_ts"))
 
 
+def collapse_unchanged(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    tracked_cols: Sequence[str],
+    *,
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Drop events whose tracked values null-safely equal the previous
+    event of the same key (change-only filter). The first event of a
+    key is always kept. One window shuffle on the key.
+
+    This is the batch analogue of the merge rule "value-identical
+    events create no version" and the building block of history
+    rebuilds under late-arriving data (notes.md:100-105).
+    """
+    keys = _keys(key_cols)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in tracked_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    keep = (F.row_number().over(w) == 1) | changed
+    return df.withColumn("__keep", keep).filter(F.col("__keep")).drop("__keep")
+
+
+def merge_late_events(
+    history: DataFrame,
+    late: DataFrame,
+    key_cols: Sequence[str] | str,
+    ts_col: str,
+    tracked_cols: Sequence[str],
+    *,
+    tiebreak_cols: Sequence[str] = (),
+    max_ts: str = MAX_TS,
+) -> DataFrame:
+    """Rebuild SCD2 histories with late-arriving events merged in —
+    the interval *splitting* the reference planned but never built
+    (notes.md:100-105).
+
+    ``history``: existing version rows of the affected keys (must still
+    carry the original event columns — our pipeline's versions do).
+    ``late``: event rows (original batch schema) with timestamps at or
+    before each key's current ``valid_from``.
+
+    Semantics: the rebuilt history is exactly what a from-scratch run
+    over (history's events ∪ late events) would produce — (key, ts)
+    collisions resolve in favor of the existing version (idempotent
+    re-runs are no-ops), value-identical neighbors collapse, intervals
+    re-chain contiguously. Cost ∝ affected keys' history, not table
+    size: callers pre-filter ``history`` to the late keys.
+    """
+    keys = _keys(key_cols)
+    event_cols = list(late.columns)
+    hist_events = history.select(*event_cols).withColumn("__prio", F.lit(0))
+    late_events = late.withColumn("__prio", F.lit(1))
+    merged = hist_events.unionByName(late_events)
+    # (key, ts) dedup: existing version first, then latest-wins among lates
+    order = [F.col("__prio").asc()] + [F.col(c).desc_nulls_last() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys, ts_col).orderBy(*order)
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__prio")
+    )
+    events = collapse_unchanged(
+        deduped, keys, ts_col, tracked_cols, tiebreak_cols=tiebreak_cols
+    )
+    return intervalize(
+        events, keys, ts_col, tiebreak_cols=tiebreak_cols, max_ts=max_ts
+    )
+
+
 def asof_join(
     probes: DataFrame,
     events: DataFrame,

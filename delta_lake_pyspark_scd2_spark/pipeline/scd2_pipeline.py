@@ -47,11 +47,27 @@ class SCD2Spec:
     max_ts: str = scd2.MAX_TS
     partition_prefix: str = "valid_from"
     dedup_mode: str = "keep_latest"  # or "drop_all" (items W3 semantics)
+    #: "drop" counts events at/before a key's current valid_from as
+    #: stale (reference behavior, made explicit); "rebuild" merges them
+    #: into the history via interval splitting (notes.md:100-105).
+    late_policy: str = "drop"
+    #: Column marking soft-delete/tombstone events (notes.md:87-97).
+    #: When set, it is normalized to boolean and tracked: a delete event
+    #: closes the live version and opens a tombstone version with the
+    #: flag true; a later event re-opens normally.
+    delete_col: str | None = None
 
     @property
     def partition_cols(self) -> list[str]:
         p = self.partition_prefix
         return [f"{p}_year", f"{p}_month", f"{p}_day"]
+
+    @property
+    def effective_tracked(self) -> list[str]:
+        cols = list(self.tracked_cols)
+        if self.delete_col and self.delete_col not in cols:
+            cols.append(self.delete_col)
+        return cols
 
 
 def _prepare_versions(spec: SCD2Spec, staged_events: DataFrame) -> DataFrame:
@@ -82,6 +98,12 @@ def run_scd2_batch(
     """
     metrics: dict = {"batch_id": batch_id}
     t0 = time.time()
+
+    if spec.delete_col:
+        batch = batch.withColumn(
+            spec.delete_col,
+            F.coalesce(F.col(spec.delete_col).cast("boolean"), F.lit(False)),
+        )
 
     # -- validate (reference validations_utils.14-150) ----------------------
     tagged = validation.tag_discards(
@@ -158,9 +180,10 @@ def _merge_batch(
     keys = list(spec.key_cols)
     ts = spec.event_ts_col
 
+    tracked = spec.effective_tracked
     existing = table.read()
     current = existing.filter(F.col("is_current")).select(
-        *keys, F.col("valid_from").alias("__cur_from"), *spec.tracked_cols
+        *keys, F.col("valid_from").alias("__cur_from"), *tracked
     )
 
     # Split staged events: new-key events, fresh events, stale events.
@@ -171,7 +194,8 @@ def _merge_batch(
     ).persist()
     is_new_key = F.col("__cur_from").isNull()
     is_fresh = F.col(ts) > F.col("__cur_from")
-    n_stale = staged.filter(~is_new_key & ~is_fresh).count()
+    late = staged.filter(~is_new_key & ~is_fresh).drop("__cur_from")
+    n_stale = late.count()
     usable = staged.filter(is_new_key | is_fresh).drop("__cur_from")
 
     # Null-safe change detection + first changing event per key
@@ -182,7 +206,7 @@ def _merge_batch(
         current.drop("__cur_from"),
         fresh_existing,
         keys,
-        list(spec.tracked_cols),
+        tracked,
         ts,
     ).persist()
 
@@ -252,6 +276,87 @@ def _merge_batch(
         table.append(
             inserts, metrics={"batch_id": batch_id, "n_inserted": n_inserted}
         )
+
+    # Phase C (optional) — late-arriving interval rebuild. Runs after
+    # A/B so rebuilt histories include this batch's fresh versions.
+    n_rebuilt = 0
+    if spec.late_policy == "rebuild" and n_stale:
+        n_rebuilt = _rebuild_late(spec, table, late, batch_id)
+
     for df in (inserts, changed, staged):
         df.unpersist()
-    return {"n_closed": closed, "n_inserted": n_inserted, "n_stale": n_stale}
+    out = {"n_closed": closed, "n_inserted": n_inserted, "n_stale": n_stale}
+    if spec.late_policy == "rebuild":
+        out["n_rebuilt"] = n_rebuilt
+    return out
+
+
+def _rebuild_late(
+    spec: SCD2Spec,
+    table: VersionedParquetTable,
+    late: DataFrame,
+    batch_id: str,
+) -> int:
+    """Merge late (stale) events into the affected keys' histories by
+    full per-key rebuild (scd2.merge_late_events) + partition-scoped
+    copy-on-write. Returns the number of net-new version rows.
+
+    Scale: cost ∝ (history of late keys) + (their partitions), never
+    table size. Late data is typically a tiny fraction of a batch, so
+    the per-key rebuild join stays broadcast-sized.
+    """
+    keys = list(spec.key_cols)
+    affected = late.select(*keys).distinct()
+    hist = (
+        table.read().join(F.broadcast(affected), on=keys, how="left_semi").persist()
+    )
+    n_old = hist.count()
+    rebuilt = scd2.merge_late_events(
+        hist,
+        late,
+        keys,
+        spec.event_ts_col,
+        spec.effective_tracked,
+        tiebreak_cols=spec.tiebreak_cols,
+        max_ts=spec.max_ts,
+    )
+    rebuilt = partition_cols_from(rebuilt, "valid_from", spec.partition_prefix)
+    # Restore audit lineage: rows whose interval end is unchanged keep
+    # their closed_by_batch; newly-closed rows are stamped with this
+    # batch; open rows carry NULL.
+    old_audit = hist.select(
+        *keys,
+        "valid_from",
+        F.col("valid_to").alias("__old_to"),
+        F.col("closed_by_batch").alias("__old_cb"),
+    )
+    rebuilt = (
+        rebuilt.join(old_audit, on=[*keys, "valid_from"], how="left")
+        .withColumn(
+            "closed_by_batch",
+            F.when(F.col("valid_to").eqNullSafe(F.col("__old_to")), F.col("__old_cb"))
+            .when(~F.col("is_current"), F.lit(batch_id)),
+        )
+        .drop("__old_to", "__old_cb")
+    ).persist()
+    n_new = rebuilt.count()
+    if n_new > n_old:
+        parts = (
+            hist.select(*spec.partition_cols)
+            .unionByName(rebuilt.select(*spec.partition_cols))
+            .distinct()
+            .collect()
+        )
+        touched = [{k: str(r[k]) for k in spec.partition_cols} for r in parts]
+        others = table.read_partitions(touched).join(
+            F.broadcast(affected), on=keys, how="left_anti"
+        )
+        table.replace_partitions(
+            others.unionByName(rebuilt, allowMissingColumns=True),
+            touched,
+            operation="SCD2_REBUILD",
+            metrics={"batch_id": batch_id, "n_rebuilt": n_new - n_old},
+        )
+    hist.unpersist()
+    rebuilt.unpersist()
+    return max(0, n_new - n_old)

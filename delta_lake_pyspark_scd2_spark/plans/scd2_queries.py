@@ -171,6 +171,59 @@ def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_late_rebuild",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER w AS rn,
+             LAG(event_type) OVER w AS pe,
+             LAG(value) OVER w AS pv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_id, ts FROM flagged
+      WHERE rn = 1 OR (event_type IS DISTINCT FROM pe)
+         OR (value IS DISTINCT FROM pv)
+    )
+    SELECT user_id, event_id, ts AS valid_from,
+           COALESCE(LEAD(ts) OVER w2, TIMESTAMP '9999-12-31 00:00:00')
+             AS valid_to,
+           (LEAD(ts) OVER w2) IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="Late-arriving interval rebuild (notes.md:100-105, unimplemented "
+    "in the reference): merging the odd-id half of the events as late "
+    "arrivals into the even-id half's history must equal a from-scratch "
+    "change-only SCD2 build over ALL events — the oracle recomputes that "
+    "ground truth directly.",
+)
+def scd2_late_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    history = scd2.intervalize(
+        ev.filter(F.col("event_id") % 2 == 0),
+        "user_id",
+        "ts",
+        tiebreak_cols=["event_id"],
+    )
+    late = ev.filter(F.col("event_id") % 2 == 1)
+    rebuilt = scd2.merge_late_events(
+        history,
+        late,
+        "user_id",
+        "ts",
+        tracked_cols=["event_type", "value"],
+        tiebreak_cols=["event_id"],
+    )
+    return rebuilt.select(
+        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
     "scd2_invariants_clean",
     oracle="""
     SELECT CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS BIGINT) AS event_id,

@@ -192,6 +192,128 @@ def test_vtable_time_travel_and_history(spark, table_path):
     assert ops[-1] == "CREATE" and "SCD2_CLOSE" in ops and "APPEND" in ops
 
 
+REBUILD_SPEC = SCD2Spec(
+    key_cols=("contract",),
+    event_ts_col="event_time",
+    tracked_cols=("status", "agent"),
+    tiebreak_cols=("rid",),
+    late_policy="rebuild",
+)
+
+
+def test_late_event_splits_closed_interval(spark, table_path):
+    # notes.md:100-105: late event lands inside a closed interval
+    b1 = spark.createDataFrame(
+        [
+            ev("A", "2023-01-10T00:00:00", "Draft"),
+            ev("A", "2023-01-20T00:00:00", "Signed"),
+        ], BATCH_SCHEMA
+    )
+    run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
+    late = spark.createDataFrame([ev("A", "2023-01-15T00:00:00", "Sent")], BATCH_SCHEMA)
+    m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
+    assert m["n_stale"] == 1 and m["n_rebuilt"] == 1
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    assert [r.status for r in rows] == ["Draft", "Sent", "Signed"]
+    assert rows[0].valid_to == rows[1].valid_from  # split point
+    assert rows[1].valid_to == rows[2].valid_from
+    assert rows[0].closed_by_batch == "b2"  # newly closed by the split
+    assert rows[2].is_current
+    assert scd2.check_invariants(_read(spark, table_path), "contract").count() == 0
+
+
+def test_late_event_before_first_version(spark, table_path):
+    b1 = spark.createDataFrame([ev("A", "2023-01-20T00:00:00", "Signed")], BATCH_SCHEMA)
+    run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
+    late = spark.createDataFrame([ev("A", "2023-01-05T00:00:00", "Draft")], BATCH_SCHEMA)
+    m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
+    assert m["n_rebuilt"] == 1
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    assert [r.status for r in rows] == ["Draft", "Signed"]
+    assert rows[0].valid_to == rows[1].valid_from
+    assert rows[1].is_current and not rows[0].is_current
+
+
+def test_late_value_identical_collapses(spark, table_path):
+    # late event equal to the enclosing version's values: no new version
+    b1 = spark.createDataFrame(
+        [
+            ev("A", "2023-01-10T00:00:00", "Draft"),
+            ev("A", "2023-01-20T00:00:00", "Signed"),
+        ], BATCH_SCHEMA
+    )
+    run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
+    late = spark.createDataFrame([ev("A", "2023-01-15T00:00:00", "Draft")], BATCH_SCHEMA)
+    m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
+    assert m["n_rebuilt"] == 0
+    assert _read(spark, table_path).count() == 2
+
+
+def test_late_rerun_idempotent(spark, table_path):
+    b1 = spark.createDataFrame(
+        [
+            ev("A", "2023-01-10T00:00:00", "Draft"),
+            ev("A", "2023-01-20T00:00:00", "Signed"),
+        ], BATCH_SCHEMA
+    )
+    run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
+    late = spark.createDataFrame([ev("A", "2023-01-15T00:00:00", "Sent")], BATCH_SCHEMA)
+    run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
+    m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b3")
+    assert m["n_rebuilt"] == 0
+    assert _read(spark, table_path).count() == 3
+    assert scd2.check_invariants(_read(spark, table_path), "contract").count() == 0
+
+
+DELETE_SPEC = SCD2Spec(
+    key_cols=("contract",),
+    event_ts_col="event_time",
+    tracked_cols=("status",),
+    tiebreak_cols=("rid",),
+    delete_col="deleted",
+)
+
+DEL_SCHEMA = BATCH_SCHEMA + ", deleted boolean"
+
+
+def dev(contract, t, status, deleted=None, rid=0):
+    return Row(
+        contract=contract, event_time=ts(t), status=status, agent=None,
+        rid=rid, deleted=deleted,
+    )
+
+
+def test_soft_delete_tombstone(spark, table_path):
+    # notes.md:87-97: delete event closes the live row and opens a
+    # tombstone version; a later event re-opens the entity
+    run_scd2_batch(
+        spark, DELETE_SPEC,
+        spark.createDataFrame([dev("A", "2023-01-10T00:00:00", "Draft")], DEL_SCHEMA),
+        table_path, batch_id="b1",
+    )
+    m = run_scd2_batch(
+        spark, DELETE_SPEC,
+        spark.createDataFrame(
+            [dev("A", "2023-01-15T00:00:00", "Draft", deleted=True)], DEL_SCHEMA
+        ),
+        table_path, batch_id="b2",
+    )
+    assert m["n_closed"] == 1 and m["n_inserted"] == 1
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    assert [bool(r.deleted) for r in rows] == [False, True]
+    assert rows[1].is_current  # tombstone is the current version
+    # re-activation
+    m3 = run_scd2_batch(
+        spark, DELETE_SPEC,
+        spark.createDataFrame([dev("A", "2023-02-01T00:00:00", "Draft")], DEL_SCHEMA),
+        table_path, batch_id="b3",
+    )
+    assert m3["n_closed"] == 1 and m3["n_inserted"] == 1
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    assert [bool(r.deleted) for r in rows] == [False, True, False]
+    assert rows[2].is_current and not rows[2].deleted
+
+
 def test_vtable_schema_evolution_append(spark, tmp_path):
     # reference schema_evolution_step1.py:139-178: add nullable column,
     # append with mergeSchema, time-travel across versions

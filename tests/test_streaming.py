@@ -1,0 +1,140 @@
+"""Structured Streaming tests: watermarked window agg and streaming
+SCD2 ingestion (file source, Trigger.AvailableNow).
+
+The reference has no streaming (SURVEY.md §2.10); these pin the
+streaming upgrade's contract: results equal the batch pipeline's, and
+checkpointed restarts are exactly-once.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.pipeline import SCD2Spec, run_scd2_batch
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+from delta_lake_pyspark_scd2_spark.streaming import (
+    run_stream_once,
+    scd2_stream,
+    windowed_event_agg,
+)
+
+SPEC = SCD2Spec(
+    key_cols=("user_id",),
+    event_ts_col="ts",
+    tracked_cols=("event_type", "value"),
+    tiebreak_cols=("event_id",),
+)
+
+
+def ev_row(event_id, t, user_id, event_type, value):
+    return Row(
+        event_id=event_id,
+        ts=dt.datetime.fromisoformat(t),
+        user_id=user_id,
+        event_type=event_type,
+        value=float(value),
+        props=None,
+    )
+
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _write_batch(spark, rows, path):
+    spark.createDataFrame(rows, EVENTS_DDL).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_windowed_agg_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows = [
+        ev_row(1, "2024-01-01T00:10:00", 1, "click", 1.0),
+        ev_row(2, "2024-01-01T00:20:00", 2, "click", 2.0),
+        ev_row(3, "2024-01-01T01:10:00", 1, "view", 3.0),
+        ev_row(4, "2024-01-01T05:00:00", 3, "click", 4.0),  # advances watermark
+    ]
+    _write_batch(spark, rows, src)
+    run_stream_once(windowed_event_agg(spark, src), out, ck)
+    got = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # windows ending before watermark (05:00 - 2h = 03:00) are emitted
+    assert got[("2024-01-01 00:00:00", "click")] == (2, 3.0)
+    assert got[("2024-01-01 01:00:00", "view")] == (1, 3.0)
+    # the 05:00 window is still open (not past watermark) => withheld
+    assert ("2024-01-01 05:00:00", "click") not in got
+
+
+def test_windowed_agg_incremental_restart(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(
+        spark,
+        [
+            ev_row(1, "2024-01-01T00:10:00", 1, "click", 1.0),
+            ev_row(2, "2024-01-01T03:00:00", 2, "click", 1.0),
+        ],
+        src,
+    )
+    run_stream_once(windowed_event_agg(spark, src), out, ck)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 1  # only the 00:00 window finalized
+    # second file arrives; restart drains only the new data
+    _write_batch(spark, [ev_row(3, "2024-01-01T06:00:00", 1, "view", 1.0)], src)
+    run_stream_once(windowed_event_agg(spark, src), out, ck)
+    rows = spark.read.parquet(out).collect()
+    starts = sorted(str(r.window_start) for r in rows)
+    # 03:00 window finalized by the 06:00 watermark advance; no dup of 00:00
+    assert starts == ["2024-01-01 00:00:00", "2024-01-01 03:00:00"]
+
+
+def test_scd2_stream_matches_batch_pipeline(spark, tmp_path):
+    src = str(tmp_path / "src")
+    stream_table = str(tmp_path / "stream_table")
+    batch_table = str(tmp_path / "batch_table")
+    ck = str(tmp_path / "ck")
+
+    b1 = [
+        ev_row(1, "2024-01-01T10:00:00", 1, "click", 1.0),
+        ev_row(2, "2024-01-02T10:00:00", 1, "view", 2.0),
+        ev_row(3, "2024-01-01T12:00:00", 2, "click", 1.0),
+    ]
+    b2 = [
+        ev_row(4, "2024-01-03T10:00:00", 1, "purchase", 9.0),
+        ev_row(5, "2024-01-03T12:00:00", 2, "click", 1.0),  # unchanged values
+    ]
+
+    seen: list[tuple[int, dict]] = []
+    _write_batch(spark, b1, src)
+    scd2_stream(spark, SPEC, src, stream_table, ck, on_batch=lambda n, m: seen.append((n, m)))
+    _write_batch(spark, b2, src)
+    scd2_stream(spark, SPEC, src, stream_table, ck, on_batch=lambda n, m: seen.append((n, m)))
+
+    run_scd2_batch(spark, SPEC, spark.createDataFrame(b1, EVENTS_DDL), batch_table, batch_id="b1")
+    run_scd2_batch(spark, SPEC, spark.createDataFrame(b2, EVENTS_DDL), batch_table, batch_id="b2")
+
+    key_cols = ["user_id", "valid_from", "valid_to", "is_current", "event_type", "value"]
+    got = sorted(
+        VersionedParquetTable(spark, stream_table).read().select(*key_cols).collect(),
+        key=str,
+    )
+    want = sorted(
+        VersionedParquetTable(spark, batch_table).read().select(*key_cols).collect(),
+        key=str,
+    )
+    assert got == want
+    assert len(seen) == 2
+    # replay safety: re-running with the same checkpoint moves nothing
+    scd2_stream(spark, SPEC, src, stream_table, ck, on_batch=lambda n, m: seen.append((n, m)))
+    assert len(seen) == 2  # no new micro-batch fired
+    assert VersionedParquetTable(spark, stream_table).read().count() == len(want)
