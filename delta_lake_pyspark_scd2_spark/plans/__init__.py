@@ -11,5 +11,6 @@ from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY, QuerySpec, re
 from delta_lake_pyspark_scd2_spark.plans import relational  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import scd2_queries  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import llm_ops  # noqa: E402,F401
+from delta_lake_pyspark_scd2_spark.plans import generator_queries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]

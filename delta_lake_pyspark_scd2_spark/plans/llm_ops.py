@@ -152,6 +152,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash(F.col("text")).alias("simhash"))
 
 
+@register(
+    "dq_contract_violations",
+    oracle="""
+    SELECT doc_id, 'lang' AS field, 'domain' AS rule FROM documents
+    WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr')
+    UNION ALL
+    SELECT doc_id, 'text' AS field, 'max_length_400' AS rule FROM documents
+    WHERE length(text) > 400
+    """,
+    doc="Declarative data-contract checker (promoted from the "
+    "reference's test-only metadata dicts, test/header_etl_test.py:35-47): "
+    "per-field rules evaluated in ONE pass (flag array + explode), not "
+    "one scan per rule.",
+)
+def dq_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.validation import (
+        FieldContract,
+        TableContract,
+        contract_violations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    contract = TableContract(
+        fields=(
+            FieldContract("doc_id", nullable=False, key=True),
+            FieldContract("lang", allowed=("en", "de", "fr")),
+            FieldContract("text", max_length=400),
+        )
+    )
+    return contract_violations(docs, contract).select("doc_id", "field", "rule")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a='a.ve', b='b.ve')} AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.ve', b='b.ve')} >= 0.35
+    """,
+    doc="Embedding-cosine near-duplicate pairs, exact brute force — the "
+    "correctness baseline for the LSH-blocked variant.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.35)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # recall < 1 by design: output is a verified SUBSET of
+    # dedup_embedding_cosine (asserted in pytest), not equal to it
+    doc="Embedding near-dup pairs via random-hyperplane LSH blocking + "
+    "exact cosine verification — the 100 TB path (scores bucket-mates "
+    "only, never n²). Configured for the realistic near-dup regime "
+    "(cosine ≥ 0.9, 8×8 banding → recall ≈ 0.94): this corpus has no "
+    "such pairs, so the correct output is empty; semantics are pinned "
+    "by tests/test_llm_operators.py on constructed near-dup clusters.",
+    bench=True,
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_lsh_pairs(
+        emb, threshold=0.9, bands=8, bits_per_band=8
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -86,6 +86,41 @@ def test_ivf_assignment(spark):
     assert assigned[10] == 0 and assigned[11] == 1
 
 
+def _near_dup_vectors():
+    """60 deterministic 8-dim vectors in 20 clusters of 3 near-identical
+    copies: intra-cluster cosine > 0.99, inter-cluster well below."""
+    rows = []
+    vid = 0
+    for c in range(20):
+        base = [((7 * c + 3 * d) % 17) - 8.0 for d in range(8)]
+        for copy in range(3):
+            vec = [x + 0.01 * copy * ((d + c) % 3 - 1) for d, x in enumerate(base)]
+            rows.append(Row(vec_id=vid, embedding=[float(x) for x in vec]))
+            vid += 1
+    return rows
+
+
+def test_embedding_lsh_subset_and_recall(spark):
+    df = spark.createDataFrame(_near_dup_vectors())
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_lsh_pairs(df, dim=8, threshold=0.95).collect()
+    }
+    assert len(exact) >= 20  # the construction really makes near-dups
+    assert lsh <= exact  # exact verification => precision 1.0
+    assert len(lsh) / len(exact) >= 0.9  # banding recall at cos>0.95
+    # determinism: hyperplanes are md5-derived, not RNG-seeded
+    again = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_lsh_pairs(df, dim=8, threshold=0.95).collect()
+    }
+    assert again == lsh
+
+
 def test_text_quality_and_langid(spark):
     rows = [
         Row(doc_id=1, text="the cat and the dog play with a ball", lang="en"),
