@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
@@ -205,27 +205,28 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+    """Near-duplicate pairs by exact n-gram Jaccard similarity
+    (shared-shingle join form).
 
-    Explode distinct shingles → self-join on the shingle (documents
-    sharing ≥1 shingle are the only ones that ever meet — the blocking
-    step) → count shared → ``J = shared / (|A| + |B| - shared)``.
-    Returns ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
+    Explode per-doc-distinct shingles → self-join on the shingle
+    (documents sharing ≥1 shingle are the only ones that ever meet) →
+    count shared → ``J = shared / (|A| + |B| - shared)``. Returns
+    ``(id_a, id_b, jaccard)`` with ``jaccard >= threshold``.
 
-    Scale: the shuffle key is the shingle; document-frequency-skewed
-    shingles (boilerplate) are the hazard — at production scale drop
-    shingles with df > max_df first (same idea as stopword removal).
+    Candidate volume is Θ(Σ df²) over shingle document frequencies —
+    fine up to mid-size corpora and boilerplate-light data; beyond that
+    use :func:`ngram_jaccard_pairs_prefix`, whose prefix filter bounds
+    the join to rare shingles (crossover measured around ~10⁵ docs
+    locally; earlier at 100 TB where df² explodes).
     """
-    # Persisted: consumed three times (set sizes + both join sides); at
-    # production scale this is the materialized doc→shingle index.
     sh = (
         _spread(df, id_col)
         .select(
             F.col(id_col),
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
-        .distinct()
-        .persist()
+        .persist()  # already (doc, shingle)-unique: word_shingles
+        #            applies array_distinct per document
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
@@ -249,6 +250,80 @@ def ngram_jaccard_pairs(
             F.round(
                 F.col("shared")
                 / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs with **prefix filtering**
+    (SSJoin/PPJoin family) — the 100 TB path.
+
+    Joining every shared shingle costs Θ(Σ df²) candidate rows; instead,
+    order the shingle universe by global document frequency (rarest
+    first) and join only each document's first ``⌊(1−t)·|A|⌋+1``
+    shingles. Exact: if J(A,B) ≥ t then |A∩B| ≥ t·|A|, so the
+    intersection cannot avoid A's prefix. Candidates are then verified
+    exactly with ``array_intersect`` on the full (small) shingle sets —
+    same output as :func:`ngram_jaccard_pairs`. Rare-first ordering
+    makes the surviving join keys precisely the low-df shingles, so the
+    blocking join is skew-free by construction.
+    """
+    # Persisted: the doc→shingle index feeds the df-counts, the prefix
+    # selection and the full-set arrays; at production scale this is a
+    # materialized table.
+    sh = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+        )
+        .persist()  # already (doc, shingle)-unique: word_shingles
+        #            applies array_distinct per document — no dedup shuffle
+    )
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w_doc = Window.partitionBy(id_col).orderBy(
+        F.col("__df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(doc_freq, "shingle")
+        .withColumn("__rank", F.row_number().over(w_doc))
+        .withColumn("__size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+    )
+    prefix = ranked.filter(
+        F.col("__rank") <= F.floor((1 - threshold) * F.col("__size")) + 1
+    ).select(id_col, "shingle")
+    candidates = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__set"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                inter / (F.size("__sa") + F.size("__sb") - inter),
                 6,
             ),
         )

@@ -56,6 +56,12 @@ class SCD2Spec:
     #: closes the live version and opens a tombstone version with the
     #: flag true; a later event re-opens normally.
     delete_col: str | None = None
+    #: Schema evolution inside the merge (notes.md:107-108, reference
+    #: had it only as a standalone mergeSchema append experiment): a
+    #: batch may carry new nullable columns — inserts commit the union
+    #: schema, pre-existing rows read NULL, and a *tracked* new column
+    #: null-safely change-detects against that NULL.
+    evolve_schema: bool = False
 
     @property
     def partition_cols(self) -> list[str]:
@@ -182,6 +188,8 @@ def _merge_batch(
 
     tracked = spec.effective_tracked
     existing = table.read()
+    if spec.evolve_schema:
+        existing = _pad_columns(existing, kept)
     current = existing.filter(F.col("is_current")).select(
         *keys, F.col("valid_from").alias("__cur_from"), *tracked
     )
@@ -274,7 +282,9 @@ def _merge_batch(
     n_inserted = inserts.count()
     if n_inserted:
         table.append(
-            inserts, metrics={"batch_id": batch_id, "n_inserted": n_inserted}
+            inserts,
+            merge_schema=spec.evolve_schema,
+            metrics={"batch_id": batch_id, "n_inserted": n_inserted},
         )
 
     # Phase C (optional) — late-arriving interval rebuild. Runs after
@@ -289,6 +299,17 @@ def _merge_batch(
     if spec.late_policy == "rebuild":
         out["n_rebuilt"] = n_rebuilt
     return out
+
+
+def _pad_columns(df: DataFrame, reference: DataFrame) -> DataFrame:
+    """Add (as typed NULLs) any columns ``reference`` has that ``df``
+    lacks — lets change detection and history rebuilds treat a
+    schema-evolving batch uniformly (old data simply has NULLs)."""
+    have = set(df.columns)
+    for f in reference.schema.fields:
+        if f.name not in have:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def _rebuild_late(
@@ -307,9 +328,10 @@ def _rebuild_late(
     """
     keys = list(spec.key_cols)
     affected = late.select(*keys).distinct()
-    hist = (
-        table.read().join(F.broadcast(affected), on=keys, how="left_semi").persist()
-    )
+    hist = table.read()
+    if spec.evolve_schema:
+        hist = _pad_columns(hist, late)
+    hist = hist.join(F.broadcast(affected), on=keys, how="left_semi").persist()
     n_old = hist.count()
     rebuilt = scd2.merge_late_events(
         hist,
@@ -355,6 +377,7 @@ def _rebuild_late(
             others.unionByName(rebuilt, allowMissingColumns=True),
             touched,
             operation="SCD2_REBUILD",
+            merge_schema=spec.evolve_schema,
             metrics={"batch_id": batch_id, "n_rebuilt": n_new - n_old},
         )
     hist.unpersist()

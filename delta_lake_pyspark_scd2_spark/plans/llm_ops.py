@@ -107,6 +107,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_prefix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(shared / (sa.set_size + sb.set_size - shared), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    """,
+    doc="Same exact Jaccard output via SSJoin/PPJoin prefix filtering "
+    "(join only each doc's (1-t)|A|+1 rarest shingles, verify candidates "
+    "with array_intersect) — the candidate-bounded 100 TB path; oracle "
+    "is the full ground truth, proving the filter loses nothing.",
+)
+def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=f"""
     WITH {_SHINGLES_CTE},
@@ -470,6 +497,37 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming-equivalent windowed aggregation
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Gap-based sessionization (30-min gap): lag-flag + running-sum "
+    "session ids, one shuffle; streaming twin is the "
+    "applyInPandasWithState operator in streaming/stream_jobs.py.",
+    bench=True,
+)
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800, value_col="value")
 
 
 @register(

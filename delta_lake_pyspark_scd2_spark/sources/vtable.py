@@ -226,16 +226,24 @@ class VersionedParquetTable:
         partitions: list[dict[str, str]],
         *,
         operation: str = "REPLACE_PARTITIONS",
+        merge_schema: bool = False,
         metrics: dict | None = None,
     ) -> int:
         """Partition-scoped copy-on-write: swap the files of exactly
         ``partitions`` for ``df``'s files; every other partition is
         carried by reference. This is the engine's MERGE rewrite
         primitive — cost proportional to touched data, not table size.
+        ``merge_schema`` widens the committed schema with ``df``'s new
+        nullable columns (untouched partitions read them as NULL).
         """
         m = self._current()
         pc = list(m["partition_cols"])
         schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if merge_schema:
+            have = {f.name for f in schema.fields}
+            for f in df.schema.fields:
+                if f.name not in have:
+                    schema = schema.add(f.name, f.dataType, True)
         touched = {tuple(sorted(p.items())) for p in partitions}
         kept = [
             ManifestEntry(f["path"], f["partition"])
@@ -253,6 +261,37 @@ class VersionedParquetTable:
         v = m["version"] + 1
         self._commit(v, kept + new_files, schema, pc, operation, metrics)
         return v
+
+    def compact(self, *, max_files_per_partition: int = 1) -> int:
+        """Small-file compaction (Delta ``OPTIMIZE`` analogue — the
+        reference flags small files as the partitioning hazard,
+        ``partitioning_strategies.md:27``): rewrite every partition
+        holding more than ``max_files_per_partition`` files into
+        coalesced files, committing one COMPACT snapshot. Readers of
+        older versions still see the old files (never deleted here —
+        a VACUUM-style retention sweep would remove unreferenced ones).
+        At 100 TB this runs per-partition-subset, not whole-table.
+        """
+        m = self._current()
+        per_part: dict[tuple, int] = {}
+        for f in m["files"]:
+            k = tuple(sorted(f["partition"].items()))
+            per_part[k] = per_part.get(k, 0) + 1
+        crowded = [
+            dict(k) for k, n in per_part.items() if n > max_files_per_partition
+        ]
+        if not crowded:
+            return m["version"]
+        pc = list(m["partition_cols"])
+        df = self.read_partitions(crowded)
+        if pc:
+            df = df.repartition(*[F.col(c) for c in pc])
+        else:
+            df = df.coalesce(1)
+        return self.replace_partitions(
+            df, crowded, operation="COMPACT",
+            metrics={"n_partitions": len(crowded)},
+        )
 
     # -- read API ------------------------------------------------------------
 

@@ -99,6 +99,108 @@ def run_stream_once(
     return q
 
 
+def sessionize_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: T.StructType = EVENTS_SCHEMA,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming gap-sessionization — a custom stateful operator via
+    ``applyInPandasWithState`` (the batch twin is
+    ``operators.sessions.sessionize``; same output schema).
+
+    State per key = the open session (start/end/count). An incoming
+    batch's events extend or close it; event-time timeout (watermark)
+    flushes sessions no late event can reopen — state is bounded by
+    (keys active inside the watermark), not history. A closed session is
+    emitted exactly once (append semantics).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField(key_col, T.LongType()),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start", T.LongType()),   # µs since epoch
+            T.StructField("end", T.LongType()),
+            T.StructField("count", T.LongType()),
+        ]
+    )
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        # normalize to µs regardless of the Arrow batch's time unit
+        us = lambda s: s.astype("datetime64[us]").astype("int64")  # noqa: E731
+        if state.hasTimedOut:
+            start, end, cnt = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
+                    "n_events": [cnt],
+                }
+            )
+            return
+        times = []
+        for pdf in pdf_iter:
+            times.append(us(pdf[ts_col]))
+        ts_all = pd.concat(times).sort_values().to_numpy()
+        sessions = []  # closed sessions to emit
+        if state.exists:
+            start, end, cnt = state.get
+        else:
+            start = end = int(ts_all[0])
+            cnt = 0
+            ts_all = ts_all  # first event counted in loop
+        for t in ts_all:
+            t = int(t)
+            if t - end > gap_us:
+                sessions.append((start, end, cnt))
+                start, end, cnt = t, t, 1
+            else:
+                end = max(end, t)
+                cnt += 1
+        state.update((start, end, cnt))
+        # event-time timeout: fires once the watermark passes end + gap
+        state.setTimeoutTimestamp(end // 1000 + gap_seconds * 1000)
+        if sessions:
+            yield pd.DataFrame(
+                {
+                    key_col: [key[0]] * len(sessions),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in sessions],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in sessions],
+                    "n_events": [c for _, _, c in sessions],
+                }
+            )
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def scd2_stream(
     spark: SparkSession,
     spec: SCD2Spec,

@@ -314,6 +314,58 @@ def test_soft_delete_tombstone(spark, table_path):
     assert rows[2].is_current and not rows[2].deleted
 
 
+def test_merge_schema_evolution_new_tracked_column(spark, table_path):
+    # notes.md:107-108: schema evolution inside the merge itself — a
+    # batch carries a new column; when tracked, NULL→value change-detects
+    spec1 = SCD2Spec(
+        key_cols=("contract",), event_ts_col="event_time",
+        tracked_cols=("status",), evolve_schema=True,
+    )
+    run_scd2_batch(
+        spark, spec1,
+        spark.createDataFrame([ev("A", "2023-01-10T00:00:00", "Draft")], BATCH_SCHEMA),
+        table_path, batch_id="b1",
+    )
+    spec2 = SCD2Spec(
+        key_cols=("contract",), event_ts_col="event_time",
+        tracked_cols=("status", "risk_score"), evolve_schema=True,
+    )
+    b2 = spark.createDataFrame(
+        [("A", ts("2023-01-15T00:00:00"), "Draft", None, 0, 0.7)],
+        BATCH_SCHEMA + ", risk_score double",
+    )
+    m = run_scd2_batch(spark, spec2, b2, table_path, batch_id="b2")
+    assert m["n_closed"] == 1 and m["n_inserted"] == 1  # NULL -> 0.7 is a change
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    assert rows[0].risk_score is None and rows[1].risk_score == 0.7
+    assert rows[1].is_current
+    # idempotent re-run with the evolved schema
+    m2 = run_scd2_batch(spark, spec2, b2, table_path, batch_id="b3")
+    assert m2["n_closed"] == 0 and m2["n_inserted"] == 0
+
+
+def test_vtable_compaction(spark, table_path):
+    # several merges leave multiple files per partition; COMPACT
+    # coalesces them without changing data, and time travel still works
+    for i, t in enumerate(["2023-01-10T00:00:00", "2023-01-10T06:00:00",
+                           "2023-01-10T12:00:00"]):
+        run_scd2_batch(
+            spark, SPEC,
+            spark.createDataFrame([ev("A", t, f"S{i}")], BATCH_SCHEMA),
+            table_path, batch_id=f"b{i}",
+        )
+    t = VersionedParquetTable(spark, table_path)
+    before = sorted(t.read().collect(), key=lambda r: r.valid_from)
+    v_before = t.latest_version()
+    n_files_before = len(t._current()["files"])
+    assert n_files_before > 1
+    t.compact()
+    assert len(t._current()["files"]) == 1  # one partition day => one file
+    after = sorted(t.read().collect(), key=lambda r: r.valid_from)
+    assert [r.asDict() for r in before] == [r.asDict() for r in after]
+    assert t.read(v_before).count() == len(before)  # old snapshot intact
+
+
 def test_vtable_schema_evolution_append(spark, tmp_path):
     # reference schema_evolution_step1.py:139-178: add nullable column,
     # append with mergeSchema, time-travel across versions

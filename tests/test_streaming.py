@@ -21,6 +21,7 @@ from delta_lake_pyspark_scd2_spark.streaming import (
     scd2_stream,
     windowed_event_agg,
 )
+from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import sessionize_stream
 
 SPEC = SCD2Spec(
     key_cols=("user_id",),
@@ -96,6 +97,51 @@ def test_windowed_agg_incremental_restart(spark, tmp_path):
     starts = sorted(str(r.window_start) for r in rows)
     # 03:00 window finalized by the 06:00 watermark advance; no dup of 00:00
     assert starts == ["2024-01-01 00:00:00", "2024-01-01 03:00:00"]
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows = [
+        # user 1: two sessions separated by a 2h gap
+        ev_row(1, "2024-01-01T00:00:00", 1, "click", 1.0),
+        ev_row(2, "2024-01-01T00:10:00", 1, "click", 1.0),
+        ev_row(3, "2024-01-01T02:30:00", 1, "view", 1.0),
+        # user 2: one session
+        ev_row(4, "2024-01-01T01:00:00", 2, "click", 1.0),
+        # watermark driver: far-future event closes everything above
+        ev_row(5, "2024-01-02T00:00:00", 3, "click", 1.0),
+    ]
+    _write_batch(spark, rows, src)
+    run_stream_once(
+        sessionize_stream(spark, src, gap_seconds=1800, watermark="1 hour"),
+        out, ck,
+    )
+    # second trigger advances the watermark past earlier timeouts
+    _write_batch(spark, [ev_row(6, "2024-01-03T00:00:00", 3, "click", 1.0)], src)
+    run_stream_once(
+        sessionize_stream(spark, src, gap_seconds=1800, watermark="1 hour"),
+        out, ck,
+    )
+    got = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    # batch twin over the same closed horizon
+    from delta_lake_pyspark_scd2_spark.operators.sessions import sessionize
+
+    batch = spark.createDataFrame(rows, EVENTS_DDL)
+    want = {
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events)
+        for r in sessionize(batch, "user_id", "ts", gap_seconds=1800)
+        .filter(F.col("session_end") < "2024-01-01 23:00:00")  # closed by watermark
+        .collect()
+    }
+    assert want  # sanity: the horizon contains sessions
+    assert want <= got  # every watermark-closed session was emitted once
+    counts = [r for r in spark.read.parquet(out).collect()]
+    assert len(counts) == len(got)  # exactly-once: no duplicate emissions
 
 
 def test_scd2_stream_matches_batch_pipeline(spark, tmp_path):
