@@ -80,8 +80,8 @@ def run_synthetic_volume_bench(
 
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
-    1M        12.7       22.1        45k           54.73 s
-    10M       38.1       42.1        238k          226.76 s
+    1M        ~12        ~20         ~50k          54.73 s
+    10M       21.5       40.6        246k          226.76 s
     ========  =========  ==========  ============  ================
     """
     import time as _t

@@ -27,7 +27,7 @@ import time
 from collections.abc import Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.functions import partition_cols_from
@@ -219,10 +219,13 @@ def _merge_batch(
     ).persist()
 
     # Phase A — close current rows of changed keys at first_change_ts,
-    # rewriting only the partitions those rows live in.
+    # rewriting only the partitions those rows live in. No forced
+    # broadcast of `changed`: its size is data-dependent (≤ all keys in
+    # the batch) — AQE picks broadcast when it is actually small and
+    # falls back to a shuffle join when it is not.
     closed = 0
     close_join = existing.filter(F.col("is_current")).join(
-        F.broadcast(changed), on=keys, how="inner"
+        changed, on=keys, how="inner"
     ).filter(F.col("first_change_ts") > F.col("valid_from"))
     touched = [
         {k: str(r[k]) for k in spec.partition_cols}
@@ -233,7 +236,7 @@ def _merge_batch(
         part_df = table.read_partitions(touched)
         updated = (
             part_df.alias("t")
-            .join(F.broadcast(to_close).alias("c"), on=keys, how="left")
+            .join(to_close.alias("c"), on=keys, how="left")
             .withColumn(
                 "__close",
                 F.col("is_current")
@@ -256,22 +259,31 @@ def _merge_batch(
                     F.col("closed_by_batch")
                 ),
             )
-        ).persist()
-        closed = updated.filter(F.col("__close")).count()
+        )
+        # count piggybacks on the write job (observe) — no separate scan
+        obs = Observation("scd2_close")
+        updated = updated.observe(
+            obs, F.sum(F.col("__close").cast("long")).alias("n_closed")
+        )
         table.replace_partitions(
             updated.drop("first_change_ts", "__close"),
             touched,
             operation="SCD2_CLOSE",
-            metrics={"batch_id": batch_id, "n_closed": closed},
+            # evaluated at commit time, after the write job resolves the
+            # observation — count rides the write, no extra scan
+            metrics=lambda: {
+                "batch_id": batch_id,
+                "n_closed": int(obs.get["n_closed"] or 0),
+            },
         )
-        updated.unpersist()
+        closed = int(obs.get["n_closed"] or 0)
 
     # Phase B — insert version rows from the first change onward for
     # changed keys plus everything for new keys; idempotency key =
     # (key, valid_from) anti-join (reference src/header_etl.py:247-280).
     new_key_events = usable.join(current, on=keys, how="left_anti")
     changed_events = usable.join(
-        F.broadcast(changed), on=keys, how="inner"
+        changed, on=keys, how="inner"
     ).filter(F.col(ts) >= F.col("first_change_ts")).drop("first_change_ts")
     to_version = new_key_events.unionByName(changed_events)
     versions = _prepare_versions(spec, to_version)
@@ -279,13 +291,21 @@ def _merge_batch(
     inserts = versions.join(
         existing_keys, on=[*keys, "valid_from"], how="left_anti"
     ).persist()
-    n_inserted = inserts.count()
-    if n_inserted:
-        table.append(
-            inserts,
-            merge_schema=spec.evolve_schema,
-            metrics={"batch_id": batch_id, "n_inserted": n_inserted},
+    n_inserted = 0
+    if not inserts.isEmpty():  # cheap gate (first non-empty partition)
+        obs_ins = Observation("scd2_insert")
+        counted = inserts.observe(
+            obs_ins, F.count(F.lit(1)).alias("n_inserted")
         )
+        table.append(
+            counted,
+            merge_schema=spec.evolve_schema,
+            metrics=lambda: {
+                "batch_id": batch_id,
+                "n_inserted": int(obs_ins.get["n_inserted"] or 0),
+            },
+        )
+        n_inserted = int(obs_ins.get["n_inserted"] or 0)
 
     # Phase C (optional) — late-arriving interval rebuild. Runs after
     # A/B so rebuilt histories include this batch's fresh versions.
@@ -331,7 +351,9 @@ def _rebuild_late(
     hist = table.read()
     if spec.evolve_schema:
         hist = _pad_columns(hist, late)
-    hist = hist.join(F.broadcast(affected), on=keys, how="left_semi").persist()
+    # (no forced broadcast: late-key volume is data-dependent; AQE
+    # broadcasts when small)
+    hist = hist.join(affected, on=keys, how="left_semi").persist()
     n_old = hist.count()
     rebuilt = scd2.merge_late_events(
         hist,
@@ -371,7 +393,7 @@ def _rebuild_late(
         )
         touched = [{k: str(r[k]) for k in spec.partition_cols} for r in parts]
         others = table.read_partitions(touched).join(
-            F.broadcast(affected), on=keys, how="left_anti"
+            affected, on=keys, how="left_anti"
         )
         table.replace_partitions(
             others.unionByName(rebuilt, allowMissingColumns=True),

@@ -28,6 +28,7 @@ import os
 import shutil
 import time
 import uuid
+from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -106,7 +107,7 @@ class VersionedParquetTable:
         schema: T.StructType,
         partition_cols: list[str],
         operation: str,
-        metrics: dict | None = None,
+        metrics: "dict | Callable[[], dict] | None" = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         manifest = {
@@ -116,7 +117,7 @@ class VersionedParquetTable:
             "schema": schema.json(),
             "partition_cols": partition_cols,
             "files": [{"path": e.path, "partition": e.partition} for e in files],
-            "metrics": metrics or {},
+            "metrics": (metrics() if callable(metrics) else metrics) or {},
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -176,7 +177,7 @@ class VersionedParquetTable:
         path: str,
         *,
         partition_cols: list[str] | None = None,
-        metrics: dict | None = None,
+        metrics: "dict | Callable[[], dict] | None" = None,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
         ``src/header_etl.py:159-162``)."""
@@ -192,7 +193,7 @@ class VersionedParquetTable:
         return self._load_manifest(self.latest_version())
 
     def append(self, df: DataFrame, *, merge_schema: bool = False,
-               metrics: dict | None = None) -> int:
+               metrics: "dict | Callable[[], dict] | None" = None) -> int:
         """Append-only commit (reference S9 ``mergeSchema`` append,
         ``schema_evolution_step1.py:144``): adds files, never rewrites.
         With ``merge_schema`` the committed schema is the union; old
@@ -212,7 +213,7 @@ class VersionedParquetTable:
         self._commit(v, files, schema, pc, "APPEND", metrics)
         return v
 
-    def overwrite(self, df: DataFrame, *, metrics: dict | None = None) -> int:
+    def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
         m = self._current()
         pc = list(m["partition_cols"])
         files = self._write_files(df, pc)
@@ -227,7 +228,7 @@ class VersionedParquetTable:
         *,
         operation: str = "REPLACE_PARTITIONS",
         merge_schema: bool = False,
-        metrics: dict | None = None,
+        metrics: "dict | Callable[[], dict] | None" = None,
     ) -> int:
         """Partition-scoped copy-on-write: swap the files of exactly
         ``partitions`` for ``df``'s files; every other partition is
