@@ -11,7 +11,7 @@ checked, not just row-counted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -497,6 +497,60 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Streaming-equivalent windowed aggregation
 # ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    weighted AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term ASC) AS rn
+      FROM weighted
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF document keywords (top-3 terms per doc): explode terms "
+    "-> tf groupBy -> df groupBy -> weight join -> per-doc top-k window. "
+    "Three shuffles total (term stats reuse the term partitioning); the "
+    "df table is corpus-vocabulary-sized and broadcastable.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = words.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    weighted = tf.join(df_t, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.log(F.lit(n_docs) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
 
 
 @register(

@@ -838,3 +838,143 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / analytics / higher-order extensions (beyond the reference's
+# inventory — a complete engine's query surface, SURVEY.md §7 M1 scope).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sub_exists_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+    )
+    """,
+    doc="Correlated EXISTS (decorrelated by Catalyst to a left-semi "
+    "join; the filter pushes into the orders scan).",
+)
+def sub_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("customer")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "sub_scalar_avg",
+    oracle="""
+    SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+    doc="Scalar subquery (single-row broadcast result reused by the "
+    "filter; one pass over orders for the average, one for the filter).",
+)
+def sub_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, CAST(ROUND(o_totalprice, 2) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@register(
+    "g_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (extends the reference's plain group-by "
+    "inventory; Spark expands to a single shuffle with grouping-id).",
+)
+def g_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "w_ntile_rank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(4) OVER w AS spend_quartile,
+           CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr
+    FROM (
+      SELECT o_custkey AS c_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    WINDOW w AS (ORDER BY spend DESC, c_custkey ASC)
+    """,
+    doc="Global analytic ranking (ntile + percent_rank) over per-key "
+    "aggregates. The global window is a deliberate single-partition "
+    "stage over one row per customer (post-agg, small); rank-within-"
+    "group variants shuffle on the group key instead.",
+)
+def w_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
+    return spend.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.percent_rank().over(w).cast("double").alias("pr"),
+    )
+
+
+@register(
+    "f_higher_order_arrays",
+    oracle="""
+    SELECT o_orderkey,
+           len(list_filter(parts, x -> x % 2 = 0)) AS n_even,
+           list_reduce(list_transform(parts, x -> x * 2), (a, b) -> a + b)
+             AS doubled_sum
+    FROM (
+      SELECT o_orderkey, list_sort(list(l_partkey)) AS parts
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey
+    )
+    """,
+    doc="Higher-order array functions (transform/filter/aggregate) over "
+    "collected per-order part lists — the array-programming surface the "
+    "reference lacks entirely (SURVEY.md §2.8 'no higher-order array "
+    "functions').",
+)
+def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    parts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    return parts.select(
+        "o_orderkey",
+        F.size(F.filter("parts", lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform("parts", lambda x: x * 2),
+            F.lit(0).cast("bigint"),
+            lambda a, b: a + b,
+        ).alias("doubled_sum"),
+    )
