@@ -847,6 +847,37 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j8_salted_join",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS order_lineitem_total
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+    doc="Salted equi-join (operators/skew.py): shuffle key becomes "
+    "(key, salt) so a hot key spreads over N tasks; the oracle is the "
+    "PLAIN join's result — salting must change the plan, never the "
+    "answer. AQE skew-join is the runtime default; salting is the "
+    "planned fallback for keys too hot for partition splitting.",
+)
+def j8_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    joined = salted_join(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        orders.select("o_orderkey", "o_custkey"),
+        on="o_orderkey",
+        salt_buckets=4,
+    )
+    return joined.groupBy("o_orderkey", "o_custkey").agg(
+        dec_sum("l_extendedprice", "order_lineitem_total")
+    )
+
+
+@register(
     "sub_exists_semi",
     oracle="""
     SELECT c_custkey, c_name FROM customer c

@@ -1,0 +1,70 @@
+"""Scale-technique demos pinned as tests: bucketed co-located joins
+(no shuffle), salted-join result equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators.skew import salted_join
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_join_equals_plain_join(spark):
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    plain = li.join(orders, "o_orderkey")
+    salted = salted_join(li, orders, on="o_orderkey", salt_buckets=4)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("o_orderkey").count()
+    b = salted.groupBy("o_orderkey").count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # and the physical shuffle key really is (key, salt)
+    plan = salted._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "__salt" in plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    # bucketBy co-location: both sides bucketed on the join key => the
+    # sort-merge join reads buckets directly, no Exchange on either side
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    t_orders, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+            t_orders
+        )
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(t_li)
+        # at this toy size the planner rightly prefers broadcast; turn it
+        # off to surface the bucketed sort-merge join path (the one that
+        # matters when both sides are fact-sized)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(t_li).join(
+            spark.table(t_orders),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = j._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        assert "Exchange" not in plan  # co-located: zero shuffles
+        assert "SortMergeJoin" in plan
+        assert j.count() == li.count()
+    finally:
+        import shutil
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in (t_orders, t_li):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
