@@ -77,10 +77,23 @@ class SCD2Spec:
 
 
 def _prepare_versions(spec: SCD2Spec, staged_events: DataFrame) -> DataFrame:
-    """Intervalize a batch of events into SCD2 version rows with
-    partition columns (reference transform, src/header_etl.py:106-125)."""
-    versions = scd2.intervalize(
+    """Collapse + intervalize a batch of events into SCD2 version rows
+    with partition columns (reference transform, src/header_etl.py:106-125).
+
+    The collapse enforces this engine's change-only contract uniformly:
+    value-identical consecutive events never create a version row — on
+    initial loads and new keys too, not just against an existing current
+    row (the reference versions *every* event; our documented divergence).
+    """
+    events = scd2.collapse_unchanged(
         staged_events,
+        spec.key_cols,
+        spec.event_ts_col,
+        spec.effective_tracked,
+        tiebreak_cols=spec.tiebreak_cols,
+    )
+    versions = scd2.intervalize(
+        events,
         spec.key_cols,
         spec.event_ts_col,
         tiebreak_cols=spec.tiebreak_cols,
