@@ -90,6 +90,78 @@ def test_reference_golden_history_Y02103210(spark, tmp_path):
     assert scd2.check_invariants(full, "contratto_cod").count() == 0
 
 
+REF_ITEMS = "/root/reference/crm/items"
+
+ITEMS_SPEC = SCD2Spec(
+    key_cols=("contratto_cod", "numero_annuncio"),
+    event_ts_col="batch_ts",
+    # the reference's items change columns (src/items_etl.py:100,118);
+    # null-safe here by default (the reference's `<>` was its known bug)
+    tracked_cols=("contracted_price", "total_discount", "data_fine_prestazione"),
+    dedup_mode="drop_all",
+)
+
+
+def _load_items(spark, name):
+    import re
+
+    batch_date = re.search(r"(\d{8})", name).group(1)
+    raw = (
+        spark.read.option("header", "true")
+        .option("sep", "|")
+        .csv(os.path.join(REF_ITEMS, name))
+    )
+    return (
+        raw.withColumn(
+            "contracted_price", F.col("contracted_price").cast("decimal(18,2)")
+        )
+        .withColumn("total_discount", F.col("total_discount").cast("decimal(18,2)"))
+        .withColumn(
+            "data_fine_prestazione",
+            F.coalesce(
+                F.try_to_timestamp(
+                    F.col("data_fine_prestazione"), F.lit("M/d/yyyy")
+                ).cast("date"),
+            ),
+        )
+        # date granularity: valid_from is the batch file's date
+        # (reference src/items_etl.py:52, regex on input_file_name)
+        .withColumn(
+            "batch_ts",
+            F.to_timestamp(F.lit(batch_date), "yyyyMMdd"),
+        )
+    )
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(REF_ITEMS), reason="reference fixtures not present"
+)
+def test_reference_items_golden_history(spark, tmp_path):
+    # reference test/items_etl_test.py:84-117: after the 20230123 and
+    # 20230125 batches, item (Y06119362, 10) has two versions; the old
+    # one closes on the 25th; the current one carries price 500.00
+    table = str(tmp_path / "items_scd2")
+    run_scd2_batch(spark, ITEMS_SPEC, _load_items(spark, "items_20230123.txt"),
+                   table, batch_id="20230123")
+    run_scd2_batch(spark, ITEMS_SPEC, _load_items(spark, "items_20230125.txt"),
+                   table, batch_id="20230125")
+    rows = sorted(
+        VersionedParquetTable(spark, table)
+        .read()
+        .filter(
+            (F.col("contratto_cod") == "Y06119362")
+            & (F.col("numero_annuncio") == "10")
+        )
+        .collect(),
+        key=lambda r: r.valid_from,
+    )
+    assert len(rows) == 2
+    assert [r.is_current for r in rows] == [False, True]
+    assert str(rows[0].valid_to) == "2023-01-25 00:00:00"
+    assert str(rows[1].valid_from) == "2023-01-25 00:00:00"
+    assert float(rows[1].contracted_price) == 500.00
+
+
 @pytest.mark.skipif(
     not os.path.isdir(REF_DATA), reason="reference fixtures not present"
 )
