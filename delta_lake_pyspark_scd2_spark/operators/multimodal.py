@@ -82,3 +82,89 @@ def extract_features(df: DataFrame, *, batch_limit: int | None = None) -> DataFr
 
     cols = ["doc_id", "media_type", "n_bytes", "payload"]
     return df.select(*cols).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+#: Output schema of the resize stage: payload replaced by the resized
+#: bytes, dimensions updated, provenance kept.
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("orig_md5", T.StringType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, target_width: int = 224, target_height: int = 224
+) -> DataFrame:
+    """Image resize over ``mapInPandas`` — plumbing real, pixel work
+    STUBBED (a real implementation calls PIL/libvips per payload; this
+    container has neither, so the stub emits a deterministic
+    size-stamped payload). The Spark-side contract a real decoder slots
+    into: binary in → binary out, per-row transformation, Arrow
+    batches, no shuffle (narrow op — resizes run where the bytes live).
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(bytes)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    # stub: a real resize re-encodes pixels; we stamp the
+                    # target geometry over the content hash
+                    "payload": payloads.map(
+                        lambda b: hashlib.md5(b).digest()
+                        + target_width.to_bytes(2, "big")
+                        + target_height.to_bytes(2, "big")
+                    ),
+                    "width": target_width,
+                    "height": target_height,
+                    "orig_md5": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+#: One row per sampled frame.
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame sampling over ``mapInPandas`` — a 1→N exploding
+    media op (each payload yields several frame rows). Decode STUBBED
+    (real: ffmpeg seeks); the fake derives a deterministic frame count
+    from the payload and hashes per-frame bytes. Spark contract shown:
+    output cardinality > input, still narrow (no shuffle) — the
+    downstream repartition decides frame distribution for training.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_ts_ms": [], "frame": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                n = min(max_frames, 1 + (len(b) % max_frames))
+                for i in range(n):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(i)
+                    rows["frame_ts_ms"].append(i * every_ms)
+                    rows["frame"].append(
+                        hashlib.md5(b + i.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)

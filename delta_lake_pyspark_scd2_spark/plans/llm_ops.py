@@ -500,6 +500,34 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_resize",
+    oracle=None,  # stubbed pixel work; plumbing determinism pinned in pytest
+    doc="Image resize over mapInPandas (binary in -> binary out, narrow "
+    "op, Arrow batches; decoder stubbed — codec libs absent by design).",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return multimodal.resize_images(payloads).select(
+        "doc_id", "width", "height", "orig_md5"
+    )
+
+
+@register(
+    "mm_sample_frames",
+    oracle=None,  # stubbed decode; 1->N cardinality pinned in pytest
+    doc="Video frame sampling over mapInPandas (1->N exploding media "
+    "op, still narrow; ffmpeg-seek stubbed deterministically).",
+)
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_binary_payload(docs)
+    return multimodal.sample_frames(payloads).select(
+        "doc_id", "frame_no", "frame_ts_ms"
+    )
+
+
+@register(
     "text_tfidf_topk",
     oracle=f"""
     WITH words AS (

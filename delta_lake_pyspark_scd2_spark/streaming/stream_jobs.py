@@ -21,6 +21,7 @@ real cluster); SCD2 merge cost stays ∝ batch size, as in batch mode.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -97,6 +98,27 @@ def run_stream_once(
     )
     q.awaitTermination()
     return q
+
+
+def deduped_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: T.StructType = EVENTS_SCHEMA,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once event dedup: ``dropDuplicates`` on the
+    key with a watermark bounding the dedup state — duplicates arriving
+    within the watermark are dropped; state for keys older than the
+    watermark is evicted (bounded memory at any runtime length).
+    The batch twin is a plain ``dropDuplicates``/`row_number`.
+    """
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(
+        [*key_cols, ts_col]
+    )
 
 
 def sessionize_stream(

@@ -135,6 +135,27 @@ def test_text_quality_and_langid(spark):
     assert 0 < q.stopword_ratio <= 1
 
 
+def test_multimodal_resize_and_frames(spark, docs):
+    payloads = multimodal.attach_binary_payload(docs)
+    resized = {r.doc_id: r for r in multimodal.resize_images(payloads).collect()}
+    assert all(r.width == 224 and r.height == 224 for r in resized.values())
+    assert len(resized[1].payload) == 16 + 4  # md5 + stamped geometry
+    frames = multimodal.sample_frames(payloads, every_ms=500).collect()
+    by_doc: dict = {}
+    for f in frames:
+        by_doc.setdefault(f.doc_id, []).append(f)
+    assert set(by_doc) == {r.doc_id for r in docs.collect()}
+    for doc_frames in by_doc.values():
+        nos = sorted(f.frame_no for f in doc_frames)
+        assert nos == list(range(len(nos)))  # dense frame numbering
+        assert all(f.frame_ts_ms == f.frame_no * 500 for f in doc_frames)
+    # deterministic across runs
+    again = multimodal.sample_frames(payloads, every_ms=500).collect()
+    assert {(f.doc_id, f.frame_no, bytes(f.frame)) for f in frames} == {
+        (f.doc_id, f.frame_no, bytes(f.frame)) for f in again
+    }
+
+
 def test_multimodal_extract_features(spark, docs):
     payloads = multimodal.attach_binary_payload(docs)
     feats = multimodal.extract_features(payloads).collect()

@@ -99,6 +99,37 @@ def test_windowed_agg_incremental_restart(spark, tmp_path):
     assert starts == ["2024-01-01 00:00:00", "2024-01-01 03:00:00"]
 
 
+def test_deduped_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import deduped_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(
+        spark,
+        [
+            ev_row(1, "2024-01-01T00:00:00", 1, "click", 1.0),
+            ev_row(1, "2024-01-01T00:00:00", 1, "click", 1.0),  # intra-file dup
+            ev_row(2, "2024-01-01T00:30:00", 2, "view", 1.0),
+        ],
+        src,
+    )
+    run_stream_once(deduped_stream(spark, src), out, ck)
+    assert spark.read.parquet(out).count() == 2
+    # the same event re-arrives in a later file (within watermark): dropped
+    _write_batch(
+        spark,
+        [
+            ev_row(1, "2024-01-01T00:00:00", 1, "click", 1.0),  # cross-file dup
+            ev_row(3, "2024-01-01T01:00:00", 1, "view", 1.0),
+        ],
+        src,
+    )
+    run_stream_once(deduped_stream(spark, src), out, ck)
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+
 def test_sessionize_stream_matches_batch(spark, tmp_path):
     src = str(tmp_path / "src")
     out = str(tmp_path / "out")
