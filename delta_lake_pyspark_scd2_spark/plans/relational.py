@@ -1009,3 +1009,150 @@ def f_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, b: a + b,
         ).alias("doubled_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shapes SURVEY.md §2.3/§2.5 lists as absent from the reference — added
+# as first-class coverage: range join, analytic frames, percentile /
+# distinct aggregates, deterministic hash sampling.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j9_range_join",
+    oracle="""
+    SELECT e.event_id AS err_event_id, COUNT(c.ts) AS n_clicks_5m
+    FROM events e
+    LEFT JOIN events c
+      ON c.user_id = e.user_id
+     AND c.event_type = 'click'
+     AND c.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="Range (interval) join: clicks within the 5 minutes preceding "
+    "each error, per user (SURVEY.md §2.3 'not present: range joins'). "
+    "Scale: the equi key (user_id) carries the shuffle, so this is a "
+    "hash join with a range residual — per-user event lists stay small "
+    "and the quadratic term is bounded within a key, not the table.",
+    bench=True,
+)
+def j9_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_event_id"),
+        F.col("ts").alias("err_ts"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = err.join(
+        clk,
+        (err.user_id == clk.c_user_id)
+        & (clk.click_ts >= err.err_ts - F.expr("INTERVAL 5 MINUTES"))
+        & (clk.click_ts <= err.err_ts),
+        "left",
+    )
+    return joined.groupBy("err_event_id").agg(
+        F.count("click_ts").alias("n_clicks_5m")
+    )
+
+
+@register(
+    "w6_moving_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w, 2)
+             AS DOUBLE) AS msum_30d,
+           COUNT(*) OVER w AS n_30d
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey
+      ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc="Analytic RANGE frame: 30-day moving order-value sum + count per "
+    "customer (SURVEY.md §2.5 'no analytic frames' in the reference). "
+    "Value-bounded frames are tie-stable (peers share a frame), so the "
+    "result is deterministic without a unique-key tiebreak. One shuffle "
+    "on o_custkey; frame evaluation is a per-partition sliding scan.",
+)
+def w6_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_days)
+        .rangeBetween(-30, 0)
+    )
+    # exact decimal SUM + count (a moving AVG divides cents by 2 and
+    # lands on .xx5 halves, where double rounding diverges between
+    # engines; sum/count carries the same information exactly)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).over(w), 2
+        )
+        .cast("double")
+        .alias("msum_30d"),
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+    )
+
+
+@register(
+    "a7_percentile_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_cust,
+           CAST(ROUND(quantile_cont(o_totalprice, 0.5), 2) AS DOUBLE)
+             AS median_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct count + interpolated median per group "
+    "(aggregate families absent from the reference, SURVEY.md §2.4). "
+    "Scale: COUNT(DISTINCT) expands to a two-stage partial-distinct "
+    "plan; at 100 TB swap in approx_count_distinct (HLL) when 2% error "
+    "is acceptable — exact kept here because the oracle is exact.",
+)
+def a7_percentile_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("n_cust"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2)
+        .cast("double")
+        .alias("median_price"),
+    )
+
+
+@register(
+    "sample_hash",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+              CAST(l_linenumber AS VARCHAR)) LIKE '0%'
+    """,
+    doc="Deterministic ~1/16 sample by content hash of the row key — "
+    "the reproducible-sampling primitive a training-data pipeline needs "
+    "(vs. nondeterministic df.sample). Pure narrow filter: pushes "
+    "nothing to the driver, reshuffles nothing, and the same rows are "
+    "selected on any cluster size or partitioning.",
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    key_hash = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    return li.filter(key_hash.startswith("0")).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
