@@ -347,13 +347,29 @@ def embedding_cosine_pairs(
     broadcast of the right side at test scale; a block-nested
     repartition join beyond broadcast size).
     """
-    from delta_lake_pyspark_scd2_spark.operators.similarity import cosine
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
 
-    a = _spread(df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")), "id_a")
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = _spread(
+        df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
+        "id_a",
+    ).withColumn("__na", norm(F.col("__va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm(F.col("__vb")))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
@@ -403,7 +419,10 @@ def embedding_lsh_pairs(
     buckets; bucket-count grows with corpus so the join stays balanced;
     AQE splits skewed buckets.
     """
-    from delta_lake_pyspark_scd2_spark.operators.similarity import cosine
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
 
     # Signature computation is a (batch × dim) @ (dim × planes) matmul —
     # exactly the shape where an Arrow-batched pandas UDF (one BLAS call
@@ -439,12 +458,24 @@ def embedding_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    va = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm(F.col("__va")))
+    vb = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm(F.col("__vb")))
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

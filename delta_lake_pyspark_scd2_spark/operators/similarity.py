@@ -53,6 +53,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with norms precomputed per *vector* (n work) instead of
+    per *pair* (n² work): same doubles, same result, 3x less per-pair
+    arithmetic — the difference between feasible and not at 100 TB.
+    """
+    return dot(a, b) / (na * nb)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -68,14 +76,27 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    c = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col).withColumn(
+        "__cnorm", norm(F.col(vec_col))
     )
-    c = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
     # Rank on the ROUNDED score (ties → neighbor id): rounding first makes
     # the ranking reproducible across engines/architectures.
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"),
+                    F.col(vec_col),
+                    F.col("__qnorm"),
+                    F.col("__cnorm"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -108,9 +129,23 @@ def assign_to_centroids(
     """
     cents = centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("__cvec")
-    )
-    scored = _spread(corpus, id_col).crossJoin(F.broadcast(cents)).withColumn(
-        "__sim", F.round(cosine(F.col("__cvec"), F.col(vec_col)), 6)
+    ).withColumn("__centnorm", norm(F.col("__cvec")))
+    scored = (
+        _spread(corpus, id_col)
+        .withColumn("__vnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "__sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__cvec"),
+                    F.col(vec_col),
+                    F.col("__centnorm"),
+                    F.col("__vnorm"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id_col).asc()
@@ -118,7 +153,7 @@ def assign_to_centroids(
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cvec", "__sim")
+        .drop("__rn", "__cvec", "__sim", "__centnorm", "__vnorm")
     )
 
 
@@ -143,16 +178,30 @@ def ivf_topk(
     )
     probes = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .withColumn("__qnorm", norm(F.col("__qvec")))
         .join(
             assigned.select(F.col(id_col).alias("query_id"), "centroid_id"),
             "query_id",
         )
     )
-    bucket = assigned.select(id_col, "centroid_id", vec_col)
+    bucket = assigned.select(id_col, "centroid_id", vec_col).withColumn(
+        "__cnorm", norm(F.col(vec_col))
+    )
     scored = (
         bucket.join(F.broadcast(probes), "centroid_id")
         .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qvec"), F.col(vec_col)), 6))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"),
+                    F.col(vec_col),
+                    F.col("__qnorm"),
+                    F.col("__cnorm"),
+                ),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col(id_col).asc()
