@@ -1156,3 +1156,80 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter(key_hash.startswith("0")).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c_custkey, o_orderkey
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate driving an IN "
+    "semi-join back onto the fact. Scale: the HAVING side reduces to "
+    "a tiny key list, so Catalyst turns the IN into a broadcast "
+    "left-semi; only qualifying orders reach the 3-way join.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(dec_sum("l_quantity", "total_qty"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    oracle="""
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size >= 10
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type
+    """,
+    doc="TPC-H Q16 shape: NOT-IN anti-join + distinct count per "
+    "attribute pair. Scale: the NOT-IN list (negative-balance "
+    "suppliers) broadcasts as a null-aware anti-join; part is the "
+    "broadcast dim; the distinct expands to a two-stage partial "
+    "aggregate on (brand, type, suppkey).",
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10))
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

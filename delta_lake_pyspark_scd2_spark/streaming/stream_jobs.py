@@ -121,6 +121,57 @@ def deduped_stream(
     )
 
 
+def interval_joined_stream(
+    spark: SparkSession,
+    source_dir: str,
+    *,
+    schema: T.StructType = EVENTS_SCHEMA,
+    left_type: str = "error",
+    right_type: str = "click",
+    lookback: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the streaming twin of
+    the batch ``j9_range_join`` query: for each *error* event, the
+    *click* events by the same user within the preceding ``lookback``.
+
+    Both sides carry a watermark and the join has a time-range bound on
+    the event-time columns, so the state store only retains each side
+    for ``watermark + lookback`` — bounded state at any stream length
+    (an unbounded stream-stream join would otherwise keep every row
+    forever). Inner join ⇒ append mode emits each match exactly once.
+    """
+    errs = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("err_event_id"),
+            F.col("user_id").alias("err_user_id"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("click_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    return errs.join(
+        clicks,
+        (F.col("err_user_id") == F.col("click_user_id"))
+        & (F.col("click_ts") >= F.col("err_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("click_ts") <= F.col("err_ts")),
+        "inner",
+    ).select("err_event_id", "click_event_id", "err_user_id", "err_ts", "click_ts")
+
+
 def sessionize_stream(
     spark: SparkSession,
     source_dir: str,

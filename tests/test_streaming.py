@@ -215,3 +215,47 @@ def test_scd2_stream_matches_batch_pipeline(spark, tmp_path):
     scd2_stream(spark, SPEC, src, stream_table, ck, on_batch=lambda n, m: seen.append((n, m)))
     assert len(seen) == 2  # no new micro-batch fired
     assert VersionedParquetTable(spark, stream_table).read().count() == len(want)
+
+
+def test_interval_joined_stream_matches_batch_and_crosses_files(spark, tmp_path):
+    from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
+        interval_joined_stream,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(
+        spark,
+        [
+            ev_row(1, "2024-01-01T00:00:00", 1, "click", 1.0),
+            ev_row(2, "2024-01-01T00:03:00", 1, "error", 1.0),  # joins click 1
+            ev_row(3, "2024-01-01T00:10:00", 1, "error", 1.0),  # out of range
+            ev_row(4, "2024-01-01T00:04:00", 2, "click", 1.0),  # other user
+        ],
+        src,
+    )
+    run_stream_once(interval_joined_stream(spark, src), out, ck)
+    got = {
+        (r.err_event_id, r.click_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 1)}
+    # a click and a matching error arrive in a LATER file, plus a late
+    # click matching the first file's error (within watermark): both
+    # matches come from cross-file state
+    _write_batch(
+        spark,
+        [
+            ev_row(5, "2024-01-01T00:02:00", 1, "click", 1.0),  # late, joins err 2
+            ev_row(6, "2024-01-01T00:30:00", 2, "click", 1.0),
+            ev_row(7, "2024-01-01T00:31:00", 2, "error", 1.0),  # joins click 6
+        ],
+        src,
+    )
+    run_stream_once(interval_joined_stream(spark, src), out, ck)
+    got = {
+        (r.err_event_id, r.click_event_id)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(2, 1), (2, 5), (7, 6)}
