@@ -110,3 +110,47 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
     return scored.withColumn("lang_pred", pred)
+
+
+def group_token_share(
+    df: DataFrame,
+    *,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group token-count share via grouped ``applyInPandas`` — the
+    grouped-map Pandas surface (one Arrow batch per group; the whole
+    group is visible to Python at once, which is what separates this
+    from ``mapInPandas``).
+
+    Numeric contract: token counts are exact int64; the share is a
+    single int/int IEEE division (no rounding), so results value-hash
+    against a SQL window formulation exactly. Scale: one shuffle on the
+    group key; a group must fit one task's memory — right-sized here
+    (languages), use salting or mapInPandas re-aggregation for
+    mega-groups.
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {group_col} string, token_n long, token_share double"
+    )
+
+    def _share(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf[text_col].map(
+            lambda s: len([t for t in (s or "").split(" ") if t])
+        )
+        total = float(counts.sum())
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "token_n": counts.astype("int64"),
+                "token_share": counts.to_numpy(dtype="float64") / total,
+            }
+        )
+
+    return df.select(id_col, group_col, text_col).groupBy(group_col).applyInPandas(
+        _share, out_schema
+    )

@@ -76,6 +76,49 @@ class SCD2Spec:
         return cols
 
 
+def _log_dir(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/_events_log"
+
+
+def _append_event_log(spec: SCD2Spec, kept: DataFrame, table_path: str, batch_id: str) -> None:
+    """Bronze event-log sidecar (``late_policy="rebuild"`` only): every
+    validated event is retained, *including* ones the change-only
+    version table collapses away. Without it, a same-value event that
+    gets collapsed is unrecoverable when a later out-of-order event
+    lands before it — the history silently loses a version (found by
+    the batching-convergence property test). Partitioned by batch so a
+    re-run overwrites its own slice (idempotent).
+
+    Scale: append ∝ batch. The per-batch read-back is column-pruned to
+    (key, ts); at 100 TB compact the log periodically and/or keep a
+    bucketed (key → max_seen_ts) state table instead of the group-by.
+    """
+    kept.write.mode("overwrite").parquet(f"{_log_dir(table_path)}/batch={batch_id}")
+
+
+def _read_event_log(
+    spark: SparkSession, table_path: str, *, exclude_batch: str
+) -> DataFrame | None:
+    """All prior logged events (merged schema), or None if no log —
+    pre-log tables fall back to version rows as the event source."""
+    import os
+
+    root = _log_dir(table_path)
+    parts = [
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("batch=") and d != f"batch={exclude_batch}"
+    ]
+    if not parts:
+        return None
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", root)
+        .parquet(*[f"{root}/{d}" for d in parts])
+        .drop("batch")
+    )
+
+
 def _prepare_versions(spec: SCD2Spec, staged_events: DataFrame) -> DataFrame:
     """Collapse + intervalize a batch of events into SCD2 version rows
     with partition columns (reference transform, src/header_etl.py:106-125).
@@ -156,6 +199,8 @@ def run_scd2_batch(
 
     # -- merge --------------------------------------------------------------
     t1 = time.time()
+    if spec.late_policy == "rebuild":
+        _append_event_log(spec, kept, table_path, batch_id)
     if not VersionedParquetTable.is_table(table_path):
         versions = _prepare_versions(spec, kept)
         VersionedParquetTable.create(
@@ -210,14 +255,38 @@ def _merge_batch(
     # Split staged events: new-key events, fresh events, stale events.
     # Persisted: reused by the stale count, Phase A and Phase B — without
     # it every downstream action re-runs the batch×current join.
-    staged = kept.join(
-        current.select(*keys, "__cur_from"), on=keys, how="left"
-    ).persist()
-    is_new_key = F.col("__cur_from").isNull()
-    is_fresh = F.col(ts) > F.col("__cur_from")
-    late = staged.filter(~is_new_key & ~is_fresh).drop("__cur_from")
+    #
+    # Freshness reference point differs by policy. "drop": the current
+    # row's valid_from (reference behavior — anything at/before it is
+    # discarded as stale). "rebuild": the per-key max ts ever LOGGED —
+    # an event may be later than valid_from yet still interleave with a
+    # collapsed-away same-value event; only the full event log can see
+    # that (convergence property, tests/test_scd2_properties.py).
+    prior_events: DataFrame | None = None
+    if spec.late_policy == "rebuild":
+        prior_events = _read_event_log(
+            kept.sparkSession, table.path, exclude_batch=batch_id
+        )
+        if prior_events is None:  # pre-log table: version rows as events
+            prior_events = existing.select(*kept.columns)
+        seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
+        staged = (
+            kept.join(current.select(*keys, "__cur_from"), on=keys, how="left")
+            .join(seen, on=keys, how="left")
+            .persist()
+        )
+        is_new_key = F.col("__cur_from").isNull()
+        is_fresh = F.col("__max_seen").isNull() | (F.col(ts) > F.col("__max_seen"))
+    else:
+        staged = kept.join(
+            current.select(*keys, "__cur_from"), on=keys, how="left"
+        ).persist()
+        is_new_key = F.col("__cur_from").isNull()
+        is_fresh = F.col(ts) > F.col("__cur_from")
+    helper_cols = [c for c in ("__cur_from", "__max_seen") if c in staged.columns]
+    late = staged.filter(~is_new_key & ~is_fresh).drop(*helper_cols)
     n_stale = late.count()
-    usable = staged.filter(is_new_key | is_fresh).drop("__cur_from")
+    usable = staged.filter(is_new_key | is_fresh).drop(*helper_cols)
 
     # Null-safe change detection + first changing event per key
     # (J1 + P6 + A1). New keys change by definition. Persisted: feeds
@@ -322,9 +391,12 @@ def _merge_batch(
 
     # Phase C (optional) — late-arriving interval rebuild. Runs after
     # A/B so rebuilt histories include this batch's fresh versions.
+    # Event source = full log (prior batches ∪ this batch), so versions
+    # collapsed away by earlier change-only loads are recoverable.
     n_rebuilt = 0
     if spec.late_policy == "rebuild" and n_stale:
-        n_rebuilt = _rebuild_late(spec, table, late, batch_id)
+        all_events = prior_events.unionByName(kept, allowMissingColumns=True)
+        n_rebuilt = _rebuild_late(spec, table, late, all_events, batch_id)
 
     for df in (inserts, changed, staged):
         df.unpersist()
@@ -349,17 +421,20 @@ def _rebuild_late(
     spec: SCD2Spec,
     table: VersionedParquetTable,
     late: DataFrame,
+    all_events: DataFrame,
     batch_id: str,
 ) -> int:
-    """Merge late (stale) events into the affected keys' histories by
-    full per-key rebuild (scd2.merge_late_events) + partition-scoped
-    copy-on-write. Returns the number of net-new version rows.
+    """Rebuild the late keys' histories from scratch over the complete
+    event log (``all_events`` = prior logged batches ∪ current batch) +
+    partition-scoped copy-on-write. Returns the number of changed
+    version rows (rebuilt rows not present in the prior history).
 
-    Scale: cost ∝ (history of late keys) + (their partitions), never
-    table size. Late data is typically a tiny fraction of a batch, so
-    the per-key rebuild join stays broadcast-sized.
+    Scale: cost ∝ (logged events of late keys) + (their partitions),
+    never table size. Late data is typically a tiny fraction of a
+    batch, so the per-key rebuild join stays broadcast-sized.
     """
     keys = list(spec.key_cols)
+    ts = spec.event_ts_col
     affected = late.select(*keys).distinct()
     hist = table.read()
     if spec.evolve_schema:
@@ -368,16 +443,19 @@ def _rebuild_late(
     # broadcasts when small)
     hist = hist.join(affected, on=keys, how="left_semi").persist()
     n_old = hist.count()
-    rebuilt = scd2.merge_late_events(
-        hist,
-        late,
-        keys,
-        spec.event_ts_col,
-        spec.effective_tracked,
-        tiebreak_cols=spec.tiebreak_cols,
-        max_ts=spec.max_ts,
+    # (key, ts) collisions across log batches resolve by tiebreak —
+    # deterministic, and a re-run's identical events are exact no-ops.
+    events = all_events.join(affected, on=keys, how="left_semi")
+    order = [F.col(c).desc_nulls_last() for c in spec.tiebreak_cols] or [
+        F.lit(1).asc()
+    ]
+    w_dedup = Window.partitionBy(*keys, ts).orderBy(*order)
+    events = (
+        events.withColumn("__rn", F.row_number().over(w_dedup))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    rebuilt = partition_cols_from(rebuilt, "valid_from", spec.partition_prefix)
+    rebuilt = _prepare_versions(spec, events)
     # Restore audit lineage: rows whose interval end is unchanged keep
     # their closed_by_batch; newly-closed rows are stamped with this
     # batch; open rows carry NULL.
@@ -397,7 +475,22 @@ def _rebuild_late(
         .drop("__old_to", "__old_cb")
     ).persist()
     n_new = rebuilt.count()
-    if n_new > n_old:
+    # Rewrite iff the rebuilt history differs in CONTENT — a row-count
+    # comparison misses the collapse case (late event carrying the same
+    # tracked values as the current version shifts valid_from with no
+    # net row change). Idempotent re-runs still no-op: identical sets
+    # compare empty here.
+    cmp_cols = [
+        *keys,
+        "valid_from",
+        "valid_to",
+        "is_current",
+        *spec.effective_tracked,
+    ]
+    n_changed = (
+        rebuilt.select(*cmp_cols).exceptAll(hist.select(*cmp_cols)).count()
+    )
+    if n_changed or n_new != n_old:
         parts = (
             hist.select(*spec.partition_cols)
             .unionByName(rebuilt.select(*spec.partition_cols))
@@ -413,8 +506,8 @@ def _rebuild_late(
             touched,
             operation="SCD2_REBUILD",
             merge_schema=spec.evolve_schema,
-            metrics={"batch_id": batch_id, "n_rebuilt": n_new - n_old},
+            metrics={"batch_id": batch_id, "n_rebuilt": n_changed},
         )
     hist.unpersist()
     rebuilt.unpersist()
-    return max(0, n_new - n_old)
+    return n_changed

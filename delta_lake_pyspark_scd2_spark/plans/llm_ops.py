@@ -394,6 +394,30 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_group_share",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_filter(string_split(text, ' '), x -> x <> '')) END
+             AS token_n,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(list_filter(string_split(text, ' '), x -> x <> '')) END
+             AS DOUBLE)
+             / SUM(CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(list_filter(string_split(text, ' '), x -> x <> '')) END)
+               OVER (PARTITION BY lang) AS token_share
+    FROM documents
+    """,
+    doc="Grouped applyInPandas (grouped-map Pandas surface): per-language "
+    "token share. Exact int64 counts + one int/int IEEE division, so the "
+    "Arrow path value-hashes against the SQL window formulation.",
+)
+def text_group_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.group_token_share(docs)
+
+
+@register(
     "text_quality",
     oracle=r"""
     SELECT doc_id,

@@ -101,3 +101,29 @@ def test_registry_oracle_contract():
     for name, spec in REGISTRY.items():
         assert spec.doc, f"{name} missing doc"
     assert registry.REGISTRY.keys() == REGISTRY.keys()
+
+
+def test_vtable_partition_pruning_in_plan(spark, tmp_path):
+    """A partition-column filter on a versioned-table read must prune at
+    the scan (PartitionFilters), not post-filter the rows — at 100 TB
+    this is the difference between reading one day and reading a year."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    events = load_table(spark, SF, "events").withColumn(
+        "d", F.dayofmonth("ts")
+    )
+    t = VersionedParquetTable.create(
+        spark, events, str(tmp_path / "pt"), partition_cols=["d"]
+    )
+    df = t.read().filter(F.col("d") == 3)
+    plan = _formatted(df)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "d" in pf and pf.strip() != "[]"
+    # and the pruned read returns exactly the partition's rows
+    assert df.count() == events.filter(F.col("d") == 3).count() > 0
+    # manifest-level pruning never lists the other partitions at all
+    pruned = t.read_partitions([{"d": "3"}])
+    assert pruned.count() == df.count()

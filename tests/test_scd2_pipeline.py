@@ -212,7 +212,9 @@ def test_late_event_splits_closed_interval(spark, table_path):
     run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
     late = spark.createDataFrame([ev("A", "2023-01-15T00:00:00", "Sent")], BATCH_SCHEMA)
     m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
-    assert m["n_stale"] == 1 and m["n_rebuilt"] == 1
+    # n_rebuilt counts CHANGED rows: the inserted Sent version plus the
+    # Draft version whose valid_to moved to the split point
+    assert m["n_stale"] == 1 and m["n_rebuilt"] == 2
     rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
     assert [r.status for r in rows] == ["Draft", "Sent", "Signed"]
     assert rows[0].valid_to == rows[1].valid_from  # split point
@@ -247,6 +249,23 @@ def test_late_value_identical_collapses(spark, table_path):
     m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
     assert m["n_rebuilt"] == 0
     assert _read(spark, table_path).count() == 2
+
+
+def test_late_same_value_before_first_shifts_valid_from(spark, table_path):
+    # regression (hypothesis-found): a late event EARLIER than the first
+    # version with the SAME tracked values must shift that version's
+    # valid_from back (from-scratch ground truth collapses the pair into
+    # one interval starting at the earlier event). Row count does not
+    # change, so a count-based rewrite guard would silently skip it.
+    b1 = spark.createDataFrame([ev("A", "2023-01-20T00:00:00", "Signed")], BATCH_SCHEMA)
+    run_scd2_batch(spark, REBUILD_SPEC, b1, table_path, batch_id="b1")
+    late = spark.createDataFrame([ev("A", "2023-01-05T00:00:00", "Signed")], BATCH_SCHEMA)
+    m = run_scd2_batch(spark, REBUILD_SPEC, late, table_path, batch_id="b2")
+    assert m["n_stale"] == 1 and m["n_rebuilt"] == 1
+    rows = _read(spark, table_path).collect()
+    assert len(rows) == 1 and rows[0].is_current
+    assert rows[0].valid_from.isoformat().startswith("2023-01-05")
+    assert scd2.check_invariants(_read(spark, table_path), "contract").count() == 0
 
 
 def test_late_rerun_idempotent(spark, table_path):
