@@ -11,6 +11,8 @@ checked, not just row-counted.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -660,4 +662,132 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom-function matrix completion: grouped-agg Pandas UDAF + UDTF
+# (reference §2.10 has *none* of the UDF/UDAF/UDTF surface).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a8_grouped_pandas_median",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS median_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Grouped-aggregate Pandas UDAF (Series -> scalar over Arrow): "
+    "exact median per group. Median is order-independent (sort + "
+    "midpoint), so the Python path value-hashes against quantile_cont "
+    "exactly — chosen precisely because a sum-based UDAF would not. "
+    "Scale: partial aggregation is impossible for exact medians; the "
+    "group's values stream to one task — use approx_percentile when "
+    "groups outgrow task memory.",
+)
+def a8_grouped_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pd_median(v: pd.Series) -> float:
+        return float(v.median())
+
+    # (pandas and JVM aggregates cannot mix in one agg — count rides a
+    # second pandas UDAF)
+    @pandas_udf("long")
+    def pd_count(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        pd_median("value").alias("median_value"),
+        pd_count("value").alias("n"),
+    )
+
+
+@register(
+    "udtf_sentence_split",
+    oracle="""
+    WITH parts AS (
+      SELECT doc_id, string_split(text, '.') AS p FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS i, trim(p[CAST(t.i AS BIGINT)]) AS s
+      FROM parts, unnest(range(1, len(p) + 1)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT)
+             AS sentence_no,
+           s AS sentence
+    FROM idx WHERE s <> ''
+    """,
+    doc="Python UDTF (Spark 4): one row per sentence via lateral join — "
+    "the table-function surface (1->N row expansion with typed output "
+    "schema). Runs per-row in the Python worker; for hot paths prefer "
+    "the equivalent posexplode(split(...)) which stays in codegen — "
+    "registered here to pin the UDTF plumbing, with the JVM-side twin "
+    "being the oracle-equivalent implementation choice at scale.",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence_no int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            n = 0
+            for part in text.split("."):
+                s = part.strip()
+                if s:
+                    yield n, s
+                    n += 1
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("sentence_split", SentenceSplit)
+    return spark.sql(
+        "SELECT doc_id, s.sentence_no, s.sentence "
+        "FROM __udtf_docs, LATERAL sentence_split(text) AS s"
+    )
+
+
+@register(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type
+    FROM (
+      SELECT event_id, event_type,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    WHERE rn <= CAST(ceil(n * 0.1) AS BIGINT)
+    """,
+    doc="Deterministic stratified sample: exactly ceil(10%) of every "
+    "stratum, rows chosen by content-hash order — reproducible on any "
+    "cluster shape/partitioning (df.sampleBy is probabilistic per-row "
+    "and seed+partitioning dependent). One shuffle on the stratum key.",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    wn = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_id",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
+        .select("event_id", "event_type")
     )
