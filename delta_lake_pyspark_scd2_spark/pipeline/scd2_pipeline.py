@@ -80,6 +80,10 @@ def _log_dir(table_path: str) -> str:
     return f"{table_path.rstrip('/')}/_events_log"
 
 
+def _watermark_dir(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}/_events_log_watermarks"
+
+
 def _append_event_log(spec: SCD2Spec, kept: DataFrame, table_path: str, batch_id: str) -> None:
     """Bronze event-log sidecar (``late_policy="rebuild"`` only): every
     validated event is retained, *including* ones the change-only
@@ -89,11 +93,44 @@ def _append_event_log(spec: SCD2Spec, kept: DataFrame, table_path: str, batch_id
     the batching-convergence property test). Partitioned by batch so a
     re-run overwrites its own slice (idempotent).
 
-    Scale: append ∝ batch. The per-batch read-back is column-pruned to
-    (key, ts); at 100 TB compact the log periodically and/or keep a
-    bucketed (key → max_seen_ts) state table instead of the group-by.
+    Alongside the events, a compact per-batch watermark file
+    (key → max event ts, size ∝ distinct keys) is written: freshness
+    classification reads ONLY these, so the per-batch read cost does
+    not grow with event volume. The full log is read just on the
+    rebuild path, column/key-pruned to the affected keys.
     """
     kept.write.mode("overwrite").parquet(f"{_log_dir(table_path)}/batch={batch_id}")
+    (
+        kept.groupBy(*spec.key_cols)
+        .agg(F.max(spec.event_ts_col).alias("__max_seen"))
+        .write.mode("overwrite")
+        .parquet(f"{_watermark_dir(table_path)}/batch={batch_id}")
+    )
+
+
+def _read_key_watermarks(
+    spark: SparkSession, spec: SCD2Spec, table_path: str, *, exclude_batch: str
+) -> DataFrame | None:
+    """Per-key max logged ts across prior batches, from the compact
+    watermark files; None when absent (pre-log table)."""
+    import os
+
+    root = _watermark_dir(table_path)
+    parts = [
+        d
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("batch=") and d != f"batch={exclude_batch}"
+    ]
+    if not parts:
+        return None
+    per_batch = (
+        spark.read.option("basePath", root)
+        .parquet(*[f"{root}/{d}" for d in parts])
+        .drop("batch")
+    )
+    return per_batch.groupBy(*spec.key_cols).agg(
+        F.max("__max_seen").alias("__max_seen")
+    )
 
 
 def _read_event_log(
@@ -264,12 +301,16 @@ def _merge_batch(
     # that (convergence property, tests/test_scd2_properties.py).
     prior_events: DataFrame | None = None
     if spec.late_policy == "rebuild":
-        prior_events = _read_event_log(
-            kept.sparkSession, table.path, exclude_batch=batch_id
-        )
+        spark = kept.sparkSession
+        # classification reads only the compact watermark files (∝
+        # distinct keys per batch); the full event log is touched on
+        # the rebuild path alone
+        seen = _read_key_watermarks(spark, spec, table.path, exclude_batch=batch_id)
+        prior_events = _read_event_log(spark, table.path, exclude_batch=batch_id)
         if prior_events is None:  # pre-log table: version rows as events
             prior_events = existing.select(*kept.columns)
-        seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
+        if seen is None:
+            seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
         staged = (
             kept.join(current.select(*keys, "__cur_from"), on=keys, how="left")
             .join(seen, on=keys, how="left")

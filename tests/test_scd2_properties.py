@@ -64,7 +64,7 @@ events_strategy = st.lists(
 
 @pytest.mark.slow
 @settings(
-    max_examples=6,
+    max_examples=10,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
