@@ -81,7 +81,7 @@ def run_synthetic_volume_bench(
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
     1M        11.5       11.2        ~89k          54.73 s
-    10M       21.5       40.6        246k          226.76 s
+    10M       16.2       20.8        480k          226.76 s
     ========  =========  ==========  ============  ================
     """
     import time as _t
