@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from delta_lake_pyspark_scd2_spark.operators import scd2
 from delta_lake_pyspark_scd2_spark.plans.registry import register
 from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
 
 #: Point-in-time / staging cutoff used by several queries below.
 CUTOFF = "2024-01-15 00:00:00"
@@ -239,3 +240,51 @@ def scd2_invariants_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2.check_invariants(versions, "user_id").select(
         "user_id", "event_id", "violation"
     )
+
+
+@register(
+    "s8_generic_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 < 4
+    ),
+    upd AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             CAST(o_totalprice * 2 AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+    """,
+    doc="Generic MERGE upsert (reference S8 whenMatchedUpdate/"
+    "whenNotMatchedInsert, src/header_etl.py:205-215): updates replace "
+    "matched keys (moving partition when their partition value changes) "
+    "and insert otherwise; oracle is the equivalent anti-join union. "
+    "Partition-scoped CoW — only partitions with a matched old row or "
+    "a new row rewrite.",
+)
+def s8_generic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 < 4).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 2).cast("double").alias("price"),
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_upsert_{uuid.uuid4().hex}"
+    t = VersionedParquetTable.create(
+        spark, base, path, partition_cols=["o_orderstatus"]
+    )
+    t.upsert(updates, ["o_orderkey"])
+    return t.read().select("o_orderkey", "o_orderstatus", "price")

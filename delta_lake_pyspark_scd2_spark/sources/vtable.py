@@ -28,7 +28,7 @@ import os
 import shutil
 import time
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -262,6 +262,50 @@ class VersionedParquetTable:
         v = m["version"] + 1
         self._commit(v, kept + new_files, schema, pc, operation, metrics)
         return v
+
+    def upsert(
+        self,
+        updates: DataFrame,
+        key_cols: "Sequence[str]",
+        *,
+        operation: str = "UPSERT",
+        metrics: "dict | Callable[[], dict] | None" = None,
+    ) -> dict:
+        """Generic MERGE (reference S8's ``whenMatchedUpdate`` +
+        ``whenNotMatchedInsert``, src/header_etl.py:205-215 shape, made
+        table-generic): rows of ``updates`` replace same-key rows and
+        insert otherwise. ``updates`` must be unique per key (classic
+        MERGE multiple-source-rows-match error, left to the caller).
+
+        Partition-scoped: only partitions holding a matched key's old
+        row or receiving a new row are rewritten — including the move
+        case where an update changes its own partition values. Cost ∝
+        touched partitions, never table size.
+        """
+        keys = list(key_cols)
+        m = self._current()
+        pc = list(m["partition_cols"])
+        cur = self.read()
+        upd_keys = updates.select(*keys).distinct()
+        n_matched = cur.join(upd_keys, on=keys, how="left_semi").count()
+        n_updates = updates.count()
+        if pc:
+            old_parts = (
+                cur.join(upd_keys, on=keys, how="left_semi").select(*pc).distinct()
+            )
+            parts = old_parts.unionByName(updates.select(*pc).distinct()).distinct()
+            touched = [{k: str(r[k]) for k in pc} for r in parts.collect()]
+            base = self.read_partitions(touched)
+        else:
+            touched = [{}]
+            base = cur
+        survivors = base.join(upd_keys, on=keys, how="left_anti")
+        merged = survivors.unionByName(updates.select(*base.columns))
+        out = {"n_updated": n_matched, "n_inserted": n_updates - n_matched}
+        self.replace_partitions(
+            merged, touched, operation=operation, metrics=metrics or out
+        )
+        return out
 
     def compact(self, *, max_files_per_partition: int = 1) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` analogue — the

@@ -398,3 +398,37 @@ def test_vtable_schema_evolution_append(spark, tmp_path):
     vals = {r.k: r.risk_score for r in latest.collect()}
     assert vals["a"] is None and vals["b"] == 0.5
     assert "risk_score" not in t.read(0).columns  # old snapshot unchanged
+
+
+def test_vtable_generic_upsert(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    rows = [
+        Row(k="A", part=1, v="a1"),
+        Row(k="B", part=1, v="b1"),
+        Row(k="C", part=2, v="c1"),
+    ]
+    df = spark.createDataFrame(rows, "k string, part int, v string")
+    t = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "u"), partition_cols=["part"]
+    )
+    v0 = t.latest_version()
+    updates = spark.createDataFrame(
+        [
+            Row(k="A", part=2, v="a2"),  # update that MOVES partition 1 -> 2
+            Row(k="D", part=3, v="d1"),  # brand-new key, new partition
+        ],
+        "k string, part int, v string",
+    )
+    out = t.upsert(updates, ["k"])
+    assert out == {"n_updated": 1, "n_inserted": 1}
+    got = {(r.k, r.part, r.v) for r in t.read().collect()}
+    assert got == {("A", 2, "a2"), ("B", 1, "b1"), ("C", 2, "c1"), ("D", 3, "d1")}
+    # time travel still sees the pre-upsert state
+    old = {(r.k, r.part, r.v) for r in t.read(v0).collect()}
+    assert old == {("A", 1, "a1"), ("B", 1, "b1"), ("C", 2, "c1")}
+    # idempotent re-apply: same updates, same final state
+    t.upsert(updates, ["k"])
+    assert {(r.k, r.part, r.v) for r in t.read().collect()} == got
