@@ -1336,3 +1336,43 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(vol), 2).cast("double").alias("volume"))
     )
+
+
+@register(
+    "f_map_functions",
+    oracle="""
+    WITH per AS (
+      SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           list_extract(map_extract(m, 'O'), 1) AS n_open,
+           CAST(cardinality(m) AS INT) AS n_statuses
+    FROM (
+      SELECT o_orderpriority,
+             map_from_entries(
+               list_sort(list(struct_pack(k := o_orderstatus, v := n)))
+             ) AS m
+      FROM per GROUP BY o_orderpriority
+    )
+    """,
+    doc="Map-type surface (SURVEY.md §2.8 'no map functions' in the "
+    "reference): build a status->count map per priority via "
+    "map_from_entries over collected entries, then element_at lookup "
+    "and size. Missing-key lookups are NULL on both engines.",
+)
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = per.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_orderpriority",
+        F.element_at("m", "O").alias("n_open"),
+        F.size("m").cast("int").alias("n_statuses"),
+    )
