@@ -338,6 +338,44 @@ class VersionedParquetTable:
             metrics={"n_partitions": len(crowded)},
         )
 
+    def vacuum(self, *, keep_versions: int = 1) -> dict:
+        """Retention sweep (Delta ``VACUUM`` analogue): delete data
+        files referenced ONLY by manifests older than the newest
+        ``keep_versions``, then drop those manifests. Time travel is
+        retained for the kept versions; older versions become
+        unreadable — the same trade Delta makes. Never touches files
+        the live manifests still reference, so concurrent readers of
+        kept versions are safe.
+        """
+        keep_versions = max(1, keep_versions)
+        vs = self.versions()
+        kept_vs, dropped_vs = vs[-keep_versions:], vs[:-keep_versions]
+        live = {
+            f["path"]
+            for v in kept_vs
+            for f in self._load_manifest(v)["files"]
+        }
+        data_root = os.path.join(self.path, DATA_DIR)
+        n_deleted = 0
+        for v in dropped_vs:
+            for f in self._load_manifest(v)["files"]:
+                if f["path"] not in live:
+                    p = os.path.join(data_root, f["path"])
+                    if os.path.exists(p):
+                        os.remove(p)
+                        n_deleted += 1
+        for v in dropped_vs:
+            os.remove(self._manifest_path(v))
+        # prune emptied partition dirs so listings stay honest
+        for root, dirs, files in os.walk(data_root, topdown=False):
+            if root != data_root and not dirs and not files:
+                os.rmdir(root)
+        return {
+            "n_files_deleted": n_deleted,
+            "n_versions_dropped": len(dropped_vs),
+            "oldest_kept_version": kept_vs[0],
+        }
+
     # -- read API ------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:

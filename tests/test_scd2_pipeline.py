@@ -432,3 +432,38 @@ def test_vtable_generic_upsert(spark, tmp_path):
     # idempotent re-apply: same updates, same final state
     t.upsert(updates, ["k"])
     assert {(r.k, r.part, r.v) for r in t.read().collect()} == got
+
+
+def test_vtable_vacuum_retention(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    df = spark.createDataFrame(
+        [Row(k="A", part=1, v="a1"), Row(k="B", part=2, v="b1")],
+        "k string, part int, v string",
+    )
+    t = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "vac"), partition_cols=["part"]
+    )
+    # three more versions: two upserts + a compaction
+    t.upsert(
+        spark.createDataFrame([Row(k="A", part=1, v="a2")], "k string, part int, v string"),
+        ["k"],
+    )
+    t.upsert(
+        spark.createDataFrame([Row(k="C", part=3, v="c1")], "k string, part int, v string"),
+        ["k"],
+    )
+    versions_before = t.versions()
+    assert len(versions_before) == 3
+    out = t.vacuum(keep_versions=1)
+    assert out["n_versions_dropped"] == 2 and out["n_files_deleted"] > 0
+    # latest snapshot intact
+    got = {(r.k, r.part, r.v) for r in t.read().collect()}
+    assert got == {("A", 1, "a2"), ("B", 2, "b1"), ("C", 3, "c1")}
+    # old versions are gone (time travel beyond retention fails)
+    assert t.versions() == [versions_before[-1]]
+    with _pytest.raises(FileNotFoundError):
+        t._load_manifest(versions_before[0])

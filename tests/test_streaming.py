@@ -259,3 +259,49 @@ def test_interval_joined_stream_matches_batch_and_crosses_files(spark, tmp_path)
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(2, 1), (2, 5), (7, 6)}
+
+
+def test_scd2_stream_out_of_order_files_converge(spark, tmp_path):
+    """Streaming SCD2 with late_policy="rebuild": files arriving out of
+    event-time order still converge to the from-scratch history (the
+    event-log sidecar works identically under foreachBatch)."""
+    from delta_lake_pyspark_scd2_spark.streaming import scd2_stream
+
+    spec = SCD2Spec(
+        key_cols=("user_id",),
+        event_ts_col="ts",
+        tracked_cols=("event_type",),
+        tiebreak_cols=("event_id",),
+        late_policy="rebuild",
+    )
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ck = str(tmp_path / "ck")
+    # file 1: hours 0 and 2 share a value (the h2 event collapses away)
+    _write_batch(
+        spark,
+        [
+            ev_row(1, "2024-01-01T00:00:00", 1, "z", 1.0),
+            ev_row(2, "2024-01-01T02:00:00", 1, "z", 1.0),
+            ev_row(3, "2024-01-01T03:00:00", 1, "x", 1.0),
+        ],
+        src,
+    )
+    q = scd2_stream(spark, spec, src, table, ck)
+    q.awaitTermination()
+    # file 2 arrives later with an hour-1 event that interleaves before
+    # the collapsed h2 — only the event log can resurrect z@2
+    _write_batch(spark, [ev_row(4, "2024-01-01T01:00:00", 1, "x", 1.0)], src)
+    q = scd2_stream(spark, spec, src, table, ck)
+    q.awaitTermination()
+    rows = sorted(
+        VersionedParquetTable(spark, table).read().collect(),
+        key=lambda r: r.valid_from,
+    )
+    # from-scratch ground truth over all 4 events: z@0, x@1, z@2, x@3
+    assert [(r.event_type, r.valid_from.hour, r.is_current) for r in rows] == [
+        ("z", 0, False),
+        ("x", 1, False),
+        ("z", 2, False),
+        ("x", 3, True),
+    ]
