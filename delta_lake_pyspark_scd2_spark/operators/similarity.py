@@ -163,11 +163,16 @@ def ivf_topk(
     queries: DataFrame,
     *,
     k: int = 5,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF (single-probe) ANN: search only the query's own centroid
-    bucket. Recall < exact, cost ~ corpus/|centroids| per query.
+    """IVF ANN: search the query's ``nprobe`` nearest centroid buckets.
+    Recall rises with ``nprobe`` (= exact when nprobe = |centroids|);
+    cost ~ nprobe × corpus/|centroids| per query. Queries need not be
+    corpus members — probes rank centroids against the query vector
+    directly (identical bucket choice for corpus members, since
+    assignment uses the same ranking).
 
     At 100 TB the assignment table is written once, bucketed by
     ``centroid_id``; each probe is then a partition-pruned scan instead
@@ -176,13 +181,28 @@ def ivf_topk(
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__centnorm", norm(F.col("__cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim",
+        F.round(
+            cosine_prenormed(
+                F.col("__cvec"), F.col("__qvec"), F.col("__centnorm"), F.col("__qnorm")
+            ),
+            6,
+        ),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
-        .withColumn("__qnorm", norm(F.col("__qvec")))
-        .join(
-            assigned.select(F.col(id_col).alias("query_id"), "centroid_id"),
-            "query_id",
-        )
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", "__qnorm", "centroid_id")
     )
     bucket = assigned.select(id_col, "centroid_id", vec_col).withColumn(
         "__cnorm", norm(F.col(vec_col))

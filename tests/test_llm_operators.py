@@ -168,3 +168,27 @@ def test_multimodal_extract_features(spark, docs):
     again = {r.doc_id: r for r in multimodal.extract_features(payloads).collect()}
     assert again[1].content_md5 == by_id[1].content_md5
     assert again[1].features == by_id[1].features
+
+
+def test_ivf_multiprobe_recall_monotone(spark):
+    """nprobe=1 misses neighbors in adjacent buckets; raising nprobe
+    recovers them, and at nprobe=|centroids| IVF equals exact search."""
+    rows = _near_dup_vectors()
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") % 3 == 0).limit(8)
+    queries = df.filter(F.col("vec_id") < 6)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(df, queries, k=2).collect()
+    }
+    recalls = []
+    for nprobe in (1, 2, 8):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ivf_topk(
+                df, cents, queries, k=2, nprobe=nprobe
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)  # recall monotone in nprobe
+    assert recalls[-1] == 1.0  # probing every bucket == exact
