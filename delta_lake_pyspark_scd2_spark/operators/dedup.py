@@ -300,8 +300,17 @@ def ngram_jaccard_pairs_prefix(
         .withColumn("__rank", F.row_number().over(w_doc))
         .withColumn("__size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
     )
+    # Prefix length = n - ceil(t*n) + 1. NOT floor((1-t)*n)+1: 1-t is
+    # inexact in binary (1-0.8 = 0.19999...), so for n divisible by 5
+    # the floor lands one short and a true pair whose earliest common
+    # shingle sits exactly at the boundary is missed (found by the
+    # sf0.1 oracle sweep: pair (1568, 2466), |B| = 10). The epsilon
+    # guards ceil against t*n floating one ulp ABOVE an exact integer;
+    # when in doubt the prefix gets longer, and the exact verification
+    # step makes longer always safe (cost, never correctness).
+    required = F.ceil(F.col("__size") * threshold - F.lit(1e-9))
     prefix = ranked.filter(
-        F.col("__rank") <= F.floor((1 - threshold) * F.col("__size")) + 1
+        F.col("__rank") <= F.col("__size") - required + 1
     ).select(id_col, "shingle")
     candidates = (
         prefix.alias("a")

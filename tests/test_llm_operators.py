@@ -192,3 +192,26 @@ def test_ivf_multiprobe_recall_monotone(spark):
         recalls.append(len(got & exact) / len(exact))
     assert recalls == sorted(recalls)  # recall monotone in nprobe
     assert recalls[-1] == 1.0  # probing every bucket == exact
+
+
+def test_prefix_jaccard_boundary_set_size_multiple_of_five(spark):
+    """Regression (sf0.1 oracle sweep): with t=0.8 and |B| divisible by
+    5, the old floor((1-t)*n)+1 prefix length lost one slot to binary
+    rounding (1-0.8 = 0.19999...) and dropped a true pair whose first
+    common shingle sat exactly at the boundary rank."""
+    words = [f"w{i:02d}" for i in range(1, 13)]
+    b_text = " ".join(words)        # 12 words -> 10 shingles
+    a_text = " ".join(words[2:])    # 10 words -> 8 shingles, all in B
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a_text), Row(doc_id=2, text=b_text)]
+    )
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert full == {(1, 2, 0.8)}  # J = 8 / (8 + 10 - 8)
+    pre = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
+    }
+    assert pre == full
