@@ -104,3 +104,33 @@ def test_plan_quality_pushdown_and_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan5
     assert "CartesianProduct" not in plan5
+
+
+def test_cli_end_to_end(tmp_path, spark):
+    """E1 CLI contract: <read_path> <base_write_path> produces the
+    reference's landing/discarded/metrics layout and prints metrics."""
+    import json
+
+    from delta_lake_pyspark_scd2_spark.pipeline import cli
+
+    path = _write_pipe_csv(
+        tmp_path,
+        "header_20230121.csv",
+        [
+            "A|2023-01-21 10:00:00|Draft",
+            "A|2023-01-21 12:00:00|Signed",
+            "B|2023-01-22 09:00:00|Draft",  # batch-date mismatch => quarantined
+        ],
+    )
+    base = str(tmp_path / "out")
+    m = cli.main([path, base])
+    assert m["batch_id"] == "20230121"
+    assert m["n_kept"] == 2 and m["n_batch_date_mismatch"] == 1
+    t = VersionedParquetTable(spark, f"{base}/landing")
+    rows = sorted(t.read().collect(), key=lambda r: r.valid_from)
+    assert [r.status for r in rows] == ["Draft", "Signed"]
+    assert rows[1].is_current and not rows[0].is_current
+    q = spark.read.parquet(f"{base}/discarded/batch=20230121")
+    assert q.count() == 1
+    hist = spark.read.option("header", True).csv(f"{base}/metrics")
+    assert hist.count() == 1
