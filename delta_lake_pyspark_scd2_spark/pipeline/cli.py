@@ -42,6 +42,13 @@ def main(argv: list[str] | None = None) -> dict:
     p.add_argument("--schema", default=None, help="DDL schema; inferred if omitted")
     p.add_argument("--sep", default="|")
     p.add_argument("--late-policy", default="drop", choices=["drop", "rebuild"])
+    p.add_argument(
+        "--dedup-mode",
+        default="keep_latest",
+        choices=["keep_latest", "drop_all"],
+        help="drop_all = the reference's items-job W3 semantics",
+    )
+    p.add_argument("--delete-col", default=None, help="soft-delete flag column")
     args = p.parse_args(argv)
 
     from delta_lake_pyspark_scd2_spark.functions import batch_date_from_filename
@@ -56,6 +63,8 @@ def main(argv: list[str] | None = None) -> dict:
         event_ts_col=args.ts_col,
         tracked_cols=tuple(args.tracked.split(",")),
         late_policy=args.late_policy,
+        dedup_mode=args.dedup_mode,
+        delete_col=args.delete_col,
     )
     reader = spark.read.option("header", "true").option("sep", args.sep)
     if args.schema:

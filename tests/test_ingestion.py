@@ -134,3 +134,22 @@ def test_cli_end_to_end(tmp_path, spark):
     assert q.count() == 1
     hist = spark.read.option("header", True).csv(f"{base}/metrics")
     assert hist.count() == 1
+
+
+def test_cli_items_variant_drop_all(tmp_path, spark):
+    from delta_lake_pyspark_scd2_spark.pipeline import cli
+
+    path = _write_pipe_csv(
+        tmp_path,
+        "items_20230121.csv",
+        [
+            "A|2023-01-21 10:00:00|Draft",
+            "A|2023-01-21 10:00:00|Signed",  # same key+ts: drop_all kills both
+            "B|2023-01-21 11:00:00|Draft",
+        ],
+    )
+    base = str(tmp_path / "out")
+    m = cli.main([path, base, "--dedup-mode", "drop_all"])
+    assert m["n_kept"] == 1
+    rows = VersionedParquetTable(spark, f"{base}/landing").read().collect()
+    assert [r.contract for r in rows] == ["B"]

@@ -467,3 +467,42 @@ def test_vtable_vacuum_retention(spark, tmp_path):
     assert t.versions() == [versions_before[-1]]
     with _pytest.raises(FileNotFoundError):
         t._load_manifest(versions_before[0])
+
+
+def test_late_tombstone_rebuild(spark, table_path):
+    # late-arriving DELETE event: the tombstone must split the history
+    # through the rebuild path, and the final current row stays the
+    # post-deletion reactivation
+    spec = SCD2Spec(
+        key_cols=("contract",),
+        event_ts_col="event_time",
+        tracked_cols=("status",),
+        tiebreak_cols=("rid",),
+        delete_col="deleted",
+        late_policy="rebuild",
+    )
+    b1 = spark.createDataFrame(
+        [
+            dev("A", "2023-01-10T00:00:00", "Draft"),
+            dev("A", "2023-01-20T00:00:00", "Draft"),  # same value: collapses
+            dev("A", "2023-01-30T00:00:00", "Signed"),
+        ],
+        DEL_SCHEMA,
+    )
+    run_scd2_batch(spark, spec, b1, table_path, batch_id="b1")
+    # the delete happened on the 15th but arrives late
+    late = spark.createDataFrame(
+        [dev("A", "2023-01-15T00:00:00", "Draft", deleted=True)], DEL_SCHEMA
+    )
+    m = run_scd2_batch(spark, spec, late, table_path, batch_id="b2")
+    assert m["n_stale"] == 1 and m["n_rebuilt"] >= 2
+    rows = sorted(_read(spark, table_path).collect(), key=lambda r: r.valid_from)
+    # ground truth over all events: Draft@10, deleted@15, Draft@20
+    # (reactivation IS a change vs the tombstone), Signed@30
+    assert [(r.status, bool(r.deleted), r.is_current) for r in rows] == [
+        ("Draft", False, False),
+        ("Draft", True, False),
+        ("Draft", False, False),
+        ("Signed", False, True),
+    ]
+    assert scd2.check_invariants(_read(spark, table_path), "contract").count() == 0
