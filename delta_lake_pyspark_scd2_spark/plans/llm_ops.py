@@ -172,9 +172,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # 60-bit simhash aggregation loop is not tractable in SQL
-    doc="SimHash fingerprint per doc (rows-only check; determinism "
-    "asserted in pytest): bit-majority over md5-hashed words.",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split({_NORM}, ' '))) AS w
+      FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h FROM words
+    ),
+    bits AS (
+      SELECT doc_id, bb.b AS bit,
+             SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed, (SELECT UNNEST(range(0, 60)) AS b) bb
+      GROUP BY doc_id, bb.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    doc="SimHash fingerprint per doc: bit-majority over 60-bit "
+    "md5-derived word hashes, one higher-order-function pass, no "
+    "shuffle. Value-hash checked bit-for-bit against a per-bit "
+    "unnest+majority SQL formulation.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
