@@ -62,6 +62,21 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# Hyperplane-LSH oracle fragments: the same md5-derived planes the
+# Spark operator uses, inlined as literals (repr round-trips doubles
+# exactly, so both engines take the sign of the identical dot product).
+_LSH_BANDS, _LSH_BITS = 8, 8
+_LSH_PLANES = dedup._hyperplanes(_LSH_BANDS * _LSH_BITS, 64)
+_LSH_BIT_EXPRS = ",\n             ".join(
+    "CASE WHEN list_dot_product(embedding::DOUBLE[], ["
+    + ", ".join(repr(x) for x in p)
+    + "]) >= 0 THEN 1 ELSE 0 END"
+    for p in _LSH_PLANES
+)
+_LSH_BUCKET = " + ".join(
+    f"bits[bb.b * {_LSH_BITS} + {r + 1}] * {1 << r}" for r in range(_LSH_BITS)
+)
+
 
 # ---------------------------------------------------------------------------
 # Deduplication
@@ -252,8 +267,31 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_embedding_lsh",
-    oracle=None,  # recall < 1 by design: output is a verified SUBSET of
-    # dedup_embedding_cosine (asserted in pytest), not equal to it
+    oracle=f"""
+    WITH sig AS (
+      SELECT vec_id, [
+             {_LSH_BIT_EXPRS}
+      ] AS bits
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, bb.b AS band, {_LSH_BUCKET} AS bucket
+      FROM sig, (SELECT UNNEST(range(0, {_LSH_BANDS})) AS b) bb
+    ),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           {_COS.format(a="ea.embedding::DOUBLE[]", b="eb.embedding::DOUBLE[]")}
+             AS cos_sim
+    FROM cands
+    JOIN embeddings ea ON ea.vec_id = id_a
+    JOIN embeddings eb ON eb.vec_id = id_b
+    WHERE {_COS.format(a="ea.embedding::DOUBLE[]", b="eb.embedding::DOUBLE[]")} >= 0.9
+    """,
     doc="Embedding near-dup pairs via random-hyperplane LSH blocking + "
     "exact cosine verification — the 100 TB path (scores bucket-mates "
     "only, never n²). Configured for the realistic near-dup regime "

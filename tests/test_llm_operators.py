@@ -215,3 +215,31 @@ def test_prefix_jaccard_boundary_set_size_multiple_of_five(spark):
         for r in dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).collect()
     }
     assert pre == full
+
+
+def test_embedding_lsh_oracle_buckets_match_duckdb(spark):
+    """The registered LSH oracle replicates Spark's hyperplane banding
+    exactly — checked at threshold 0.2 where the corpus yields hundreds
+    of pairs (the registered 0.9 query is empty on this corpus, which
+    would let a broken bucket formula pass unnoticed)."""
+    import duckdb
+
+    from delta_lake_pyspark_scd2_spark.plans import llm_ops as L
+    from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_lsh_pairs(
+            emb, threshold=0.2, bands=L._LSH_BANDS, bits_per_band=L._LSH_BITS
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'"
+    )
+    sql = REGISTRY["dedup_embedding_lsh"].oracle.replace(">= 0.9", ">= 0.2")
+    want = set(map(tuple, con.execute(sql).fetchall()))
+    assert got and got == want
