@@ -101,3 +101,52 @@ def test_any_batching_converges_to_ground_truth(spark, tmp_path_factory, events,
     assert got == want
     full = VersionedParquetTable(spark, table).read()
     assert scd2.check_invariants(full, "k").count() == 0
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", "C", "D"]),
+                st.integers(min_value=1, max_value=3),  # partition value
+                st.sampled_from(["p", "q", "r"]),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda r: r[0],  # upsert batches unique per key
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_upsert_sequence_equals_dict_replay(spark, tmp_path_factory, ops):
+    """Generic upsert property: any sequence of per-key upsert batches
+    leaves the table equal to a python dict replay — including rows
+    hopping partitions between batches."""
+    import uuid
+
+    from pyspark.sql import Row
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    path = str(tmp_path_factory.mktemp("ups") / f"t{uuid.uuid4().hex}")
+    first, rest = ops[0], ops[1:]
+    mk = lambda batch: spark.createDataFrame(
+        [Row(k=k, part=p, v=v) for k, p, v in batch],
+        "k string, part int, v string",
+    )
+    t = VersionedParquetTable.create(
+        spark, mk(first), path, partition_cols=["part"]
+    )
+    replay = {k: (p, v) for k, p, v in first}
+    for batch in rest:
+        t.upsert(mk(batch), ["k"])
+        replay.update({k: (p, v) for k, p, v in batch})
+    got = {(r.k, r.part, r.v) for r in t.read().collect()}
+    assert got == {(k, p, v) for k, (p, v) in replay.items()}
