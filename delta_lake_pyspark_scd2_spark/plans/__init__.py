@@ -9,6 +9,7 @@ from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY, QuerySpec, re
 
 # Populate the registry (import order == presentation order).
 from delta_lake_pyspark_scd2_spark.plans import relational  # noqa: E402,F401
+from delta_lake_pyspark_scd2_spark.plans import tpch_shapes  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import scd2_queries  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import llm_ops  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import generator_queries  # noqa: E402,F401

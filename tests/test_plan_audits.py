@@ -95,6 +95,42 @@ def test_single_shuffle_windows(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pure scan-throughput query: all four predicates must
+    reach the parquet reader and the scan must read only the four
+    touched columns — at 100 TB this is the whole query."""
+    plan = _formatted(REGISTRY["q6_forecast_revenue"].builder(spark, SF))
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    for c in ("l_shipdate", "l_discount", "l_quantity"):
+        assert c in pushed, c
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema
+    assert "l_orderkey" not in read_schema and "l_tax" not in read_schema
+
+
+def test_q19_disjunct_extraction(spark):
+    """Q19's OR-of-ANDs must not disable pushdown entirely: Catalyst
+    extracts the part-side disjunction (brand/size) and the
+    lineitem-side quantity disjunction as standalone pushable filters
+    ahead of the broadcast join."""
+    plan = _formatted(REGISTRY["q19_disjunctive_revenue"].builder(spark, SF))
+    pushed_sections = [
+        s.split("\n")[0] for s in plan.split("PushedFilters:")[1:]
+    ]
+    assert any("p_brand" in s for s in pushed_sections), pushed_sections
+    assert any("l_quantity" in s for s in pushed_sections), pushed_sections
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_semi_anti_share_orderkey_partitioning(spark):
+    """Q21's EXISTS/NOT-EXISTS chain joins three times on l_orderkey;
+    the semi and anti joins must be hash joins (never nested-loop over
+    the fact table)."""
+    plan = _simple(REGISTRY["q21_waiting_supplier"].builder(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_registry_oracle_contract():
     """Every oracle key exists in queries(), every bench query exists,
     and docs are present (the judge reads these)."""
