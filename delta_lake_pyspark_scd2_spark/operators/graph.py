@@ -1,0 +1,136 @@
+"""Distributed connected components over an edge DataFrame.
+
+The missing last step of every near-dup dedup pipeline: pair emitters
+(``operators.dedup``) produce edges, but a keep/drop decision needs
+*clusters* — each document labeled with its component's canonical id.
+
+Algorithm: hash-min label propagation with pointer jumping.
+Every node starts labeled with its own id; each round
+  1. neighbor-min — a node adopts the minimum label among itself and
+     its neighbors (one shuffle: edges joined to labels on the
+     neighbor end, then a min-aggregate on node id);
+  2. pointer jump — a node re-reads the label *of its label*
+     (labels self-joined on label -> node), which short-circuits
+     label chains and gives O(log diameter) convergence instead of
+     O(diameter) (the Hash-to-Min idea from Rastogi et al.,
+     "Finding Connected Components in Map-Reduce", ICDE 2013).
+
+Scale story (100 TB): state per round is one (node, label) row per
+vertex — linear, evenly hash-partitioned on node id, no driver-side
+collect of graph data. Both shuffles key on node id, so AQE reuses
+the partitioning between rounds. Each round eagerly
+``localCheckpoint``s the label frame: lineage would otherwise double
+per iteration and the convergence-check action would replay the whole
+chain. Near-dup graphs have tiny components (bounded cluster sizes),
+so round counts are small; the per-round driver action is a
+``limit(1).count()`` convergence probe, not data movement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Label every vertex of the undirected graph ``edges`` with the
+    minimum vertex id of its connected component.
+
+    Returns a DataFrame ``(node, label)`` covering every vertex that
+    appears in ``edges`` (isolated vertices never enter; callers
+    left-join and coalesce to their own id). Deterministic; raises if
+    ``max_iter`` rounds don't converge (near-dup graphs converge in
+    O(log max-component-diameter) rounds).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    # Cache the (static) symmetrized edge list: it is re-joined every
+    # round and must not be recomputed from the pair pipeline each time.
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+
+    for i in range(max_iter):
+        # 1. neighbor-min: candidate labels = own ∪ neighbors', min per node.
+        nbr = sym.join(labels, sym.v == labels.node).select(
+            F.col("u").alias("node"), "label"
+        )
+        stepped = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # 2. pointer jump: follow label -> label(label). Label values are
+        # always vertex ids present in `labels`, so the join never misses;
+        # coalesce only guards the theoretical empty case.
+        ptr = stepped.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = stepped.join(
+            ptr, stepped.label == ptr.p_node, "left"
+        ).select("node", F.coalesce("p_label", "label").alias("label"))
+
+        if (i + 1) % checkpoint_every == 0:
+            jumped = jumped.localCheckpoint(eager=True)
+
+        changed = (
+            jumped.alias("a")
+            .join(labels.alias("b"), "node")
+            .filter(F.col("a.label") != F.col("b.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def cluster_documents(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Assign every document to a near-dup cluster.
+
+    ``pairs`` are undirected near-dup edges (from any pair emitter).
+    Output: ``(doc_id, cluster_id, cluster_size, is_canonical)`` where
+    ``cluster_id`` is the component's minimum doc_id, and the canonical
+    (keep) document is the one whose id equals it. Documents in no pair
+    form singleton clusters.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    labeled = (
+        docs.select(id_col)
+        .join(comp, F.col(id_col) == comp.node, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("label", F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    return labeled.select(
+        id_col,
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("cluster_id") == F.col(id_col)).alias("is_canonical"),
+    )

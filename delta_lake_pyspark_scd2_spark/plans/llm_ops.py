@@ -849,3 +849,61 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
         .select("event_id", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering (connected components over the pair graph)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (cluster_id = doc_id) AS is_canonical
+    FROM (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    """,
+    doc="Near-dup clustering: Jaccard>=0.8 pairs become an undirected "
+    "graph; distributed connected components (hash-min label "
+    "propagation + pointer jumping, operators/graph.py) labels every "
+    "document with its component's min doc_id; the canonical keeper "
+    "is the label owner. The oracle recomputes components with a "
+    "recursive CTE (min label over reachability), proving the "
+    "iterative Spark algorithm exact. Scale: per-round state is one "
+    "row per vertex hash-partitioned on node id; O(log diameter) "
+    "rounds; lineage truncated by per-round localCheckpoint.",
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    return graph.cluster_documents(docs, pairs)

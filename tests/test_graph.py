@@ -1,0 +1,107 @@
+"""Connected-components operator: property-tested against union-find.
+
+The registry oracle (``dedup_cluster_canonical``) proves the end-to-end
+pipeline on real documents; these tests pin the operator itself on
+adversarial graph shapes (chains that need pointer jumping, cycles,
+isolated star centers) that the near-dup corpus may never produce.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from delta_lake_pyspark_scd2_spark.operators.graph import (
+    cluster_documents,
+    connected_components,
+)
+
+
+def _union_find(nodes, edges):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = min node id in component
+    comp = {}
+    for n in nodes:
+        r = find(n)
+        comp.setdefault(r, []).append(n)
+    return {n: min(members) for r, members in comp.items() for n in members}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r.node: r.label
+        for r in connected_components(df, max_iter=20).collect()
+    }
+
+
+def test_long_chain_needs_pointer_jumping(spark):
+    """A 33-node path converges only via pointer jumping within the
+    max_iter budget (plain min-propagation needs diameter rounds)."""
+    edges = [(i, i + 1) for i in range(32)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(33)}
+
+
+def test_cycle_and_disjoint_components(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (10, 11), (12, 11)]
+    got = _cc_spark(spark, edges)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_components_match_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    nodes = sorted({n for e in edges for n in e})
+    assert _cc_spark(spark, edges) == _union_find(nodes, edges)
+
+
+def test_cluster_documents_singletons_and_canonical(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {
+        r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in cluster_documents(docs, pairs).collect()
+    }
+    assert out == {
+        0: (0, 3, True),
+        3: (0, 3, False),
+        5: (0, 3, False),
+        1: (1, 1, True),
+        2: (2, 1, True),
+        4: (4, 1, True),
+    }
+
+
+def test_nonconvergence_raises(spark):
+    df = spark.createDataFrame([(i, i + 1) for i in range(32)], "src long, dst long")
+    with pytest.raises(RuntimeError):
+        connected_components(df, max_iter=1)
