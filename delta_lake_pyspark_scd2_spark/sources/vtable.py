@@ -41,11 +41,95 @@ DATA_DIR = "data"
 
 @dataclass(frozen=True)
 class ManifestEntry:
-    """One live data file: path relative to ``data/`` + its partition
-    values (empty dict for unpartitioned tables)."""
+    """One live data file: path relative to ``data/``, its partition
+    values (empty dict for unpartitioned tables), and file-level
+    statistics — row count plus per-column min/max/null-count read from
+    the parquet footer at commit time (the Delta ``add``-action ``stats``
+    analogue). ``stats`` maps column name → ``{"min", "max", "nulls"}``;
+    columns without usable footer stats are simply absent."""
 
     path: str
     partition: dict[str, str]
+    stats: dict | None = None
+    rows: int | None = None
+
+
+def _stat_key(v):
+    """Normalize a value into the JSON-storable, *order-preserving*
+    domain used for both footer stats and pruning predicates.
+    Timestamps/dates become fixed-width ISO strings (lexicographic ==
+    chronological), numbers/strings/bools pass through. Returns None
+    for types min/max pruning can't safely order (binary, decimal,
+    nested) — the caller then skips stats for that column."""
+    import datetime
+
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.strftime("%Y-%m-%d")
+    return None
+
+
+def _file_stats(path: str) -> tuple[dict, int]:
+    """Per-column min/max/null-count for one parquet file, merged across
+    row groups — read from the FOOTER only (metadata I/O, no data scan,
+    no Spark job). Nested columns and types ``_stat_key`` can't order
+    are skipped. Returns ``(stats, num_rows)``."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    acc: dict[str, dict] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            rec = acc.setdefault(
+                name, {"min": None, "max": None, "nulls": 0, "mm": True, "nn": True}
+            )
+            st = col.statistics
+            if st is None:
+                rec["mm"] = rec["nn"] = False
+                continue
+            if st.null_count is None:
+                rec["nn"] = False
+            else:
+                rec["nulls"] += st.null_count
+            if not st.has_min_max:
+                # legal for an all-null row group; min/max unusable
+                # only if some row group has values we can't see
+                if st.null_count != rg.num_rows:
+                    rec["mm"] = False
+                continue
+            try:
+                mn, mx = _stat_key(st.min), _stat_key(st.max)
+            except Exception:  # pyarrow can't extract for some types
+                mn = mx = None
+            if mn is None or mx is None:
+                rec["mm"] = False
+                continue
+            rec["min"] = mn if rec["min"] is None else min(rec["min"], mn)
+            rec["max"] = mx if rec["max"] is None else max(rec["max"], mx)
+    out = {}
+    for name, rec in acc.items():
+        if not rec["mm"]:
+            rec["min"] = rec["max"] = None
+        nulls = rec["nulls"] if rec["nn"] else None
+        if rec["mm"] or rec["nn"]:
+            out[name] = {"min": rec["min"], "max": rec["max"], "nulls": nulls}
+    return out, md.num_rows
+
+
+def _entry(f: dict) -> ManifestEntry:
+    """Rehydrate a manifest file record, carrying stats forward so
+    unrewritten files never lose their skipping metadata."""
+    return ManifestEntry(
+        f["path"], f["partition"], f.get("stats"), f.get("rows")
+    )
 
 
 class VersionedParquetTable:
@@ -116,7 +200,15 @@ class VersionedParquetTable:
             "operation": operation,
             "schema": schema.json(),
             "partition_cols": partition_cols,
-            "files": [{"path": e.path, "partition": e.partition} for e in files],
+            "files": [
+                {
+                    "path": e.path,
+                    "partition": e.partition,
+                    "stats": e.stats,
+                    "rows": e.rows,
+                }
+                for e in files
+            ],
             "metrics": (metrics() if callable(metrics) else metrics) or {},
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -158,11 +250,13 @@ class VersionedParquetTable:
                         partition[k] = v
                 dest_dir = os.path.join(data_root, rel_dir)
                 os.makedirs(dest_dir, exist_ok=True)
-                os.rename(
-                    os.path.join(root, fname), os.path.join(dest_dir, fname)
-                )
+                dest = os.path.join(dest_dir, fname)
+                os.rename(os.path.join(root, fname), dest)
+                stats, rows = _file_stats(dest)
                 entries.append(
-                    ManifestEntry(os.path.join(rel_dir, fname), partition)
+                    ManifestEntry(
+                        os.path.join(rel_dir, fname), partition, stats, rows
+                    )
                 )
         shutil.rmtree(staging)
         return entries
@@ -207,7 +301,7 @@ class VersionedParquetTable:
                 if f.name not in new_fields:
                     schema = schema.add(f.name, f.dataType, True)
         df = _align(df, schema)
-        files = [ManifestEntry(f["path"], f["partition"]) for f in m["files"]]
+        files = [_entry(f) for f in m["files"]]
         files += self._write_files(df, pc)
         v = m["version"] + 1
         self._commit(v, files, schema, pc, "APPEND", metrics)
@@ -247,7 +341,7 @@ class VersionedParquetTable:
                     schema = schema.add(f.name, f.dataType, True)
         touched = {tuple(sorted(p.items())) for p in partitions}
         kept = [
-            ManifestEntry(f["path"], f["partition"])
+            _entry(f)
             for f in m["files"]
             if tuple(sorted(f["partition"].items())) not in touched
         ]
@@ -307,7 +401,13 @@ class VersionedParquetTable:
         )
         return out
 
-    def compact(self, *, max_files_per_partition: int = 1) -> int:
+    def compact(
+        self,
+        *,
+        max_files_per_partition: int = 1,
+        zorder_by: "Sequence[str] | None" = None,
+        output_files: int = 1,
+    ) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` analogue — the
         reference flags small files as the partitioning hazard,
         ``partitioning_strategies.md:27``): rewrite every partition
@@ -316,8 +416,38 @@ class VersionedParquetTable:
         older versions still see the old files (never deleted here —
         a VACUUM-style retention sweep would remove unreferenced ones).
         At 100 TB this runs per-partition-subset, not whole-table.
+
+        With ``zorder_by`` (``OPTIMIZE ... ZORDER BY`` analogue) EVERY
+        partition is rewritten as ``output_files`` files range-split
+        and sorted on the interleaved-bits z-value of the named
+        columns, so each file's footer min/max is tight on ALL of them
+        and ``read_where`` prunes on any — multidimensional data
+        skipping, the layout Delta uses for the same job. Plain
+        compaction keeps ``output_files=1`` per partition.
         """
         m = self._current()
+        pc = list(m["partition_cols"])
+        if zorder_by:
+            crowded = self.partitions_of() or [{}]
+            df = self.read()
+            bounds = df.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
+                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            ).first()
+            z = zorder_column(
+                {c: (bounds[f"mn_{c}"], bounds[f"mx_{c}"]) for c in zorder_by}
+            )
+            df = df.withColumn("__z", z)
+            n = max(1, output_files) * max(1, len(crowded))
+            df = (
+                df.repartitionByRange(n, *[F.col(c) for c in pc], F.col("__z"))
+                .sortWithinPartitions(*pc, "__z")
+                .drop("__z")
+            )
+            return self.replace_partitions(
+                df, crowded, operation="ZORDER",
+                metrics={"n_partitions": len(crowded), "zorder_by": list(zorder_by)},
+            )
         per_part: dict[tuple, int] = {}
         for f in m["files"]:
             k = tuple(sorted(f["partition"].items()))
@@ -327,7 +457,6 @@ class VersionedParquetTable:
         ]
         if not crowded:
             return m["version"]
-        pc = list(m["partition_cols"])
         df = self.read_partitions(crowded)
         if pc:
             df = df.repartition(*[F.col(c) for c in pc])
@@ -411,6 +540,157 @@ class VersionedParquetTable:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.option("basePath", data_root).schema(schema).parquet(*paths)
 
+    # -- data skipping -------------------------------------------------------
+
+    def files_for(
+        self,
+        filters: "Sequence[tuple]",
+        version: int | None = None,
+    ) -> list[ManifestEntry]:
+        """The live files that might satisfy ``filters`` — everything
+        else is skipped at PLAN time from manifest metadata alone, before
+        Spark ever lists a path (Delta data skipping / Zen of file
+        pruning). ``filters`` is a conjunction of
+        ``(col, op, value)`` with op in ``= < <= > >= in is_null
+        not_null``. Pruning is conservative: a file survives unless its
+        footer min/max (or partition value) PROVES no row can match;
+        files with no stats for a column always survive.
+
+        At 100 TB this is the difference between a query touching one
+        day's files and listing the whole table: O(#files) manifest
+        arithmetic on the driver, zero data I/O. (A table with millions
+        of files would page the manifest into a parquet checkpoint —
+        same trade Delta makes.)
+        """
+        m = self._load_manifest(
+            self.latest_version() if version is None else version
+        )
+        pc = set(m["partition_cols"])
+        out = []
+        for f in m["files"]:
+            e = _entry(f)
+            if all(
+                _file_may_match(e, c, op, v, c in pc) for c, op, v in filters
+            ):
+                out.append(e)
+        return out
+
+    def read_where(
+        self,
+        filters: "Sequence[tuple]",
+        version: int | None = None,
+    ) -> DataFrame:
+        """Filtered snapshot read with manifest-level data skipping:
+        only ``files_for(filters)`` enter the scan, and the same
+        predicate is applied to the rows (pushed into the parquet
+        reader by Catalyst), so results are exact whether or not
+        pruning fired."""
+        m = self._load_manifest(
+            self.latest_version() if version is None else version
+        )
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        data_root = os.path.join(self.path, DATA_DIR)
+        paths = [
+            os.path.join(data_root, e.path)
+            for e in self.files_for(filters, version)
+        ]
+        if not paths:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = (
+                self.spark.read.option("basePath", data_root)
+                .schema(schema)
+                .parquet(*paths)
+            )
+        for c, op, v in filters:
+            df = df.filter(_filter_expr(c, op, v))
+        return df
+
+    # -- change data feed ----------------------------------------------------
+
+    def table_changes(
+        self,
+        key_cols: "Sequence[str]",
+        version_from: int,
+        version_to: int | None = None,
+    ) -> DataFrame:
+        """Row-level diff between two snapshots — the Delta change data
+        feed (``table_changes``) analogue the reference's consumers
+        would use for downstream incremental loads. Output = the
+        ``version_to`` schema plus ``_change_type`` (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``) and
+        ``_commit_version``.
+
+        Scale: the two manifests are diffed FIRST — data files are
+        immutable, so any row whose file is referenced by both versions
+        is bit-identical in both and cannot be a change. Only files
+        dropped or added between the versions are read; with
+        partition-scoped copy-on-write that is the touched partitions,
+        not the table. The remaining join keys on ``key_cols`` over
+        just that changed slice.
+        """
+        keys = list(key_cols)
+        v_to = self.latest_version() if version_to is None else version_to
+        m_from = self._load_manifest(version_from)
+        m_to = self._load_manifest(v_to)
+        schema = T.StructType.fromJson(json.loads(m_to["schema"]))
+        fa = {f["path"] for f in m_from["files"]}
+        fb = {f["path"] for f in m_to["files"]}
+        pre_df = _align(
+            self._read_paths(m_from, sorted(fa - fb)), schema
+        )
+        post_df = self._read_paths(m_to, sorted(fb - fa))
+        cols = [f.name for f in schema.fields]
+        nonkey = [c for c in cols if c not in keys]
+        payload = (
+            (lambda d: F.struct(*[d[c] for c in nonkey]))
+            if nonkey
+            else (lambda d: F.lit(0))
+        )
+        pre = pre_df.select(*keys, payload(pre_df).alias("_pre"))
+        post = post_df.select(*keys, payload(post_df).alias("_post"))
+        j = pre.join(post, on=keys, how="full_outer")
+        inserted = j.filter(F.col("_pre").isNull() & F.col("_post").isNotNull())
+        deleted = j.filter(F.col("_post").isNull() & F.col("_pre").isNotNull())
+        updated = j.filter(
+            F.col("_pre").isNotNull()
+            & F.col("_post").isNotNull()
+            & ~F.col("_pre").eqNullSafe(F.col("_post"))
+        )
+
+        def rows(frame: DataFrame, side: str, change: str) -> DataFrame:
+            sel = (
+                [
+                    F.col(c) if c in keys else F.col(f"{side}.{c}").alias(c)
+                    for c in cols
+                ]
+                if nonkey
+                else [F.col(c) for c in cols]
+            )
+            return frame.select(
+                *sel,
+                F.lit(change).alias("_change_type"),
+                F.lit(v_to).alias("_commit_version"),
+            )
+
+        return (
+            rows(inserted, "_post", "insert")
+            .unionByName(rows(deleted, "_pre", "delete"))
+            .unionByName(rows(updated, "_pre", "update_preimage"))
+            .unionByName(rows(updated, "_post", "update_postimage"))
+        )
+
+    def _read_paths(self, manifest: dict, rel_paths: list[str]) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        data_root = os.path.join(self.path, DATA_DIR)
+        if not rel_paths:
+            return self.spark.createDataFrame([], schema)
+        return (
+            self.spark.read.option("basePath", data_root)
+            .schema(schema)
+            .parquet(*[os.path.join(data_root, p) for p in rel_paths])
+        )
+
     def partitions_of(self, version: int | None = None) -> list[dict[str, str]]:
         m = self._load_manifest(
             self.latest_version() if version is None else version
@@ -419,6 +699,138 @@ class VersionedParquetTable:
         for f in m["files"]:
             seen[tuple(sorted(f["partition"].items()))] = f["partition"]
         return list(seen.values())
+
+
+def zorder_column(bounds: "dict[str, tuple]", bits: int = 8):
+    """Morton (Z-order) curve value over numeric columns, as a pure
+    built-in column expression (JVM whole-stage codegen, no UDF):
+    each column is bucketed into ``2**bits`` equal-width bins between
+    its ``(min, max)`` bounds via ``width_bucket``, then the bucket
+    ids' bits are interleaved. Sorting by this value clusters rows so
+    every file's min/max range is tight on ALL the columns at once —
+    the layout behind ``OPTIMIZE ... ZORDER BY``.
+
+    Numeric columns only (cast dates to epoch days / timestamps to
+    epoch seconds first); null buckets as 0 (sorts first).
+    """
+    cols = list(bounds)
+    if not cols:
+        raise ValueError("zorder_column needs at least one column")
+    if bits * len(cols) > 62:
+        raise ValueError("bits * n_cols must fit a signed 64-bit value")
+    nb = 2 ** bits
+    buckets = []
+    for c, (mn, mx) in bounds.items():
+        if mn is None or mx is None or float(mn) == float(mx):
+            buckets.append(F.lit(0).cast("long"))
+            continue
+        b = (
+            F.width_bucket(
+                F.col(c).cast("double"),
+                F.lit(float(mn)),
+                F.lit(float(mx)),
+                F.lit(nb),
+            )
+            - 1
+        )
+        b = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(nb - 1).cast("long"), F.coalesce(b, F.lit(0)).cast("long")),
+        )
+        buckets.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for ji, b in enumerate(buckets):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * len(buckets) + ji)
+    return z
+
+
+def _range_may_match(mn, mx, op: str, v) -> bool:
+    if op == "=":
+        return mn <= v <= mx
+    if op == "<":
+        return mn < v
+    if op == "<=":
+        return mn <= v
+    if op == ">":
+        return mx > v
+    if op == ">=":
+        return mx >= v
+    raise ValueError(f"unknown pruning op {op!r}")
+
+
+def _file_may_match(
+    e: ManifestEntry, col: str, op: str, value, is_partition_col: bool
+) -> bool:
+    """Conservative can-this-file-contain-a-match test for one
+    conjunct. Any uncertainty (no stats, uncastable partition value,
+    unorderable predicate value) keeps the file."""
+    if is_partition_col and e.partition.get(col) is not None and op not in (
+        "is_null",
+        "not_null",
+    ):
+        pv: object = e.partition[col]
+        try:
+            if isinstance(value, bool):
+                pv = pv.lower() == "true"
+            elif isinstance(value, int):
+                pv = int(pv)
+            elif isinstance(value, float):
+                pv = float(pv)
+        except (TypeError, ValueError):
+            return True
+        if op == "in":
+            return any(pv == x for x in value)
+        return _range_may_match(pv, pv, op, value)
+    st = (e.stats or {}).get(col)
+    nulls = st.get("nulls") if st else None
+    if op == "is_null":
+        return st is None or nulls is None or nulls > 0
+    if op == "not_null":
+        if st is None or nulls is None or e.rows is None:
+            return True
+        return e.rows > nulls
+    if st is None:
+        return True
+    if nulls is not None and e.rows is not None and nulls == e.rows:
+        return False  # every row is NULL — no value predicate can match
+    if st["min"] is None or st["max"] is None:
+        return True
+    if op == "in":
+        vals = [_stat_key(x) for x in value]
+        return any(
+            x is not None and _range_may_match(st["min"], st["max"], "=", x)
+            for x in vals
+        ) or any(x is None for x in vals)
+    v = _stat_key(value)
+    if v is None:
+        return True
+    try:
+        return _range_may_match(st["min"], st["max"], op, v)
+    except TypeError:  # predicate/stat type mismatch — don't prune
+        return True
+
+
+def _filter_expr(col: str, op: str, value):
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(value)
+    if op == "<":
+        return c < F.lit(value)
+    if op == "<=":
+        return c <= F.lit(value)
+    if op == ">":
+        return c > F.lit(value)
+    if op == ">=":
+        return c >= F.lit(value)
+    if op == "in":
+        return c.isin(list(value))
+    if op == "is_null":
+        return c.isNull()
+    if op == "not_null":
+        return c.isNotNull()
+    raise ValueError(f"unknown filter op {op!r}")
 
 
 def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
