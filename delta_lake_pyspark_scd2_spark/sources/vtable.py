@@ -362,6 +362,7 @@ class VersionedParquetTable:
         updates: DataFrame,
         key_cols: "Sequence[str]",
         *,
+        deletes: DataFrame | None = None,
         operation: str = "UPSERT",
         metrics: "dict | Callable[[], dict] | None" = None,
     ) -> dict:
@@ -370,22 +371,33 @@ class VersionedParquetTable:
         table-generic): rows of ``updates`` replace same-key rows and
         insert otherwise. ``updates`` must be unique per key (classic
         MERGE multiple-source-rows-match error, left to the caller).
+        ``deletes`` (key rows; the ``whenMatchedDelete`` clause) drops
+        those keys in the same commit.
 
-        Partition-scoped: only partitions holding a matched key's old
-        row or receiving a new row are rewritten — including the move
-        case where an update changes its own partition values. Cost ∝
-        touched partitions, never table size.
+        Partition-scoped: only partitions holding a matched/deleted
+        key's old row or receiving a new row are rewritten — including
+        the move case where an update changes its own partition values.
+        Cost ∝ touched partitions, never table size.
         """
         keys = list(key_cols)
         m = self._current()
         pc = list(m["partition_cols"])
         cur = self.read()
         upd_keys = updates.select(*keys).distinct()
+        del_keys = deletes.select(*keys).distinct() if deletes is not None else None
+        gone_keys = (
+            upd_keys if del_keys is None else upd_keys.unionByName(del_keys).distinct()
+        )
         n_matched = cur.join(upd_keys, on=keys, how="left_semi").count()
         n_updates = updates.count()
+        n_deleted = (
+            cur.join(del_keys, on=keys, how="left_semi").count()
+            if del_keys is not None
+            else 0
+        )
         if pc:
             old_parts = (
-                cur.join(upd_keys, on=keys, how="left_semi").select(*pc).distinct()
+                cur.join(gone_keys, on=keys, how="left_semi").select(*pc).distinct()
             )
             parts = old_parts.unionByName(updates.select(*pc).distinct()).distinct()
             touched = [{k: str(r[k]) for k in pc} for r in parts.collect()]
@@ -393,12 +405,59 @@ class VersionedParquetTable:
         else:
             touched = [{}]
             base = cur
-        survivors = base.join(upd_keys, on=keys, how="left_anti")
+        survivors = base.join(gone_keys, on=keys, how="left_anti")
         merged = survivors.unionByName(updates.select(*base.columns))
-        out = {"n_updated": n_matched, "n_inserted": n_updates - n_matched}
+        out = {
+            "n_updated": n_matched,
+            "n_inserted": n_updates - n_matched,
+            "n_deleted": n_deleted,
+        }
         self.replace_partitions(
             merged, touched, operation=operation, metrics=metrics or out
         )
+        return out
+
+    def delete(
+        self,
+        filters: "Sequence[tuple]",
+        *,
+        metrics: "dict | Callable[[], dict] | None" = None,
+    ) -> dict:
+        """``DELETE FROM`` (Delta deletion analogue) at FILE
+        granularity: data skipping (``files_for``) first narrows the
+        rewrite set to files whose stats admit a match; only those are
+        re-written without the matching rows, every other file is
+        carried by reference. Cost ∝ files that might hold deleted
+        rows — at 100 TB a predicate on a clustered column touches a
+        handful of files, not the table. Rewritten files whose rows all
+        matched simply vanish from the manifest.
+        """
+        m = self._current()
+        pc = list(m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        candidates = {e.path for e in self.files_for(filters)}
+        kept = [_entry(f) for f in m["files"] if f["path"] not in candidates]
+        if not candidates:
+            v = m["version"] + 1
+            self._commit(v, kept, schema, pc, "DELETE", metrics or {"n_deleted": 0})
+            return {"n_deleted": 0, "n_files_rewritten": 0}
+        cand_df = self._read_paths(m, sorted(candidates))
+        keep_pred = None
+        for c, op, v_ in filters:
+            e_ = _filter_expr(c, op, v_)
+            keep_pred = e_ if keep_pred is None else (keep_pred & e_)
+        survivors = cand_df.filter(~F.coalesce(keep_pred, F.lit(False)))
+        n_before = sum(
+            f.get("rows") or 0 for f in m["files"] if f["path"] in candidates
+        )
+        new_files = self._write_files(_align(survivors, schema), pc)
+        n_after = sum(e.rows or 0 for e in new_files)
+        v = m["version"] + 1
+        out = {
+            "n_deleted": n_before - n_after,
+            "n_files_rewritten": len(candidates),
+        }
+        self._commit(v, kept + new_files, schema, pc, "DELETE", metrics or out)
         return out
 
     def compact(

@@ -1,0 +1,127 @@
+"""DELETE FROM, MERGE-with-deletes, and CDF-driven incremental
+aggregate maintenance.
+
+The headline property: after ANY sequence of upsert/delete batches on
+a base table, folding each batch's change feed into an aggregate table
+leaves it bit-identical to recomputing the aggregate from scratch —
+the self-maintainable-view algebra, machine-checked.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators.incremental import (
+    aggregate_of,
+    incremental_agg_refresh,
+)
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+
+def test_delete_rewrites_only_matching_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("v")
+    ).repartitionByRange(8, "id")
+    t = VersionedParquetTable.create(spark, df, path)
+    before = {f["path"] for f in json.load(open(t._manifest_path(0)))["files"]}
+    out = t.delete([("id", ">=", 875)])
+    assert out == {"n_deleted": 125, "n_files_rewritten": 1}
+    after = {f["path"] for f in json.load(open(t._manifest_path(1)))["files"]}
+    # 7 of 8 range files carried by reference, 1 rewritten
+    assert len(before & after) == 7
+    assert t.read().count() == 875
+    assert t.read(0).count() == 1000  # time travel unaffected
+
+    # deleting an entire file's rows drops the file, writes nothing
+    out = t.delete([("id", "<", 125)])
+    assert out["n_deleted"] == 125
+    assert t.read().count() == 750
+    assert {r.id for r in t.read_where([("id", "<", 130)]).collect()} == {
+        125, 126, 127, 128, 129,
+    }
+
+
+def test_delete_null_predicate_semantics(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, None), (2, 5), (3, 9)], "id int, v int"
+    )
+    t = VersionedParquetTable.create(spark, df, path)
+    t.delete([("v", "<", 7)])  # NULL predicate -> row kept, like SQL
+    assert {r.id for r in t.read().collect()} == {1, 3}
+
+
+def test_upsert_with_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, i * 10) for i in range(9)], "k int, p int, v int"
+    )
+    t = VersionedParquetTable.create(spark, df, path, partition_cols=["p"])
+    ups = spark.createDataFrame([(4, 1, 999), (90, 0, 900)], "k int, p int, v int")
+    dels = spark.createDataFrame([(2,), (5,)], "k int")
+    out = t.upsert(ups, ["k"], deletes=dels.select(F.col("k")))
+    assert out == {"n_updated": 1, "n_inserted": 1, "n_deleted": 2}
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {0: 0, 1: 10, 3: 30, 4: 999, 6: 60, 7: 70, 8: 80, 90: 900}
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    batches=st.lists(
+        st.tuples(
+            # upserts: key -> (group, value)
+            st.dictionaries(
+                st.integers(min_value=0, max_value=12),
+                st.tuples(
+                    st.integers(min_value=0, max_value=3),
+                    st.integers(min_value=-50, max_value=50),
+                ),
+                max_size=5,
+            ),
+            # delete keys
+            st.lists(st.integers(min_value=0, max_value=12), max_size=3),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_any_change_sequence_keeps_aggregate_exact(spark, tmp_path_factory, batches):
+    base_path = str(tmp_path_factory.mktemp("ivm") / "base")
+    agg_path = str(tmp_path_factory.mktemp("ivm") / "agg")
+    seed = spark.createDataFrame(
+        [(k, k % 4, k) for k in range(8)], "k int, g int, val long"
+    )
+    base = VersionedParquetTable.create(spark, seed, base_path)
+    agg = VersionedParquetTable.create(
+        spark, aggregate_of(seed, ["g"], ["val"], "n"), agg_path
+    )
+    since = 0
+    for ups, dels in batches:
+        upd = spark.createDataFrame(
+            [(k, g, v) for k, (g, v) in ups.items()], "k int, g int, val long"
+        ) if ups else spark.createDataFrame([], "k int, g int, val long")
+        dels_df = (
+            spark.createDataFrame([(k,) for k in dels], "k int")
+            if dels
+            else None
+        )
+        base.upsert(upd, ["k"], deletes=dels_df)
+        out = incremental_agg_refresh(
+            base, agg, ["k"], ["g"], ["val"], since, count_col="n"
+        )
+        since = out["refreshed_to_version"]
+        truth = {
+            (r.g,): (r.n, r.val)
+            for r in aggregate_of(base.read(), ["g"], ["val"], "n").collect()
+        }
+        got = {(r.g,): (r.n, r.val) for r in agg.read().collect()}
+        assert got == truth

@@ -423,7 +423,7 @@ def test_vtable_generic_upsert(spark, tmp_path):
         "k string, part int, v string",
     )
     out = t.upsert(updates, ["k"])
-    assert out == {"n_updated": 1, "n_inserted": 1}
+    assert out == {"n_updated": 1, "n_inserted": 1, "n_deleted": 0}
     got = {(r.k, r.part, r.v) for r in t.read().collect()}
     assert got == {("A", 2, "a2"), ("B", 1, "b1"), ("C", 2, "c1"), ("D", 3, "d1")}
     # time travel still sees the pre-upsert state
