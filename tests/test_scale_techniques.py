@@ -68,3 +68,38 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         for t in (t_orders, t_li):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(f"spark-warehouse/{t}", ignore_errors=True)
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    """The 100-TB swap-in for exact COUNT DISTINCT
+    (a7_percentile_distinct's noted alternative): HLL++ is a fixed-size
+    mergeable sketch — constant memory per group, one map-side
+    combinable pass, no giant distinct shuffle. Pin the advertised
+    error contract against ground truth on real data."""
+    ev = load_table(spark, SF, "events")
+    exact = ev.select(F.countDistinct("user_id")).first()[0]
+    approx = ev.select(F.approx_count_distinct("user_id", rsd=0.02)).first()[0]
+    assert abs(approx - exact) <= max(3.0, 4 * 0.02 * exact)  # 4 sigma
+    # deterministic: same data -> same sketch -> same estimate
+    again = ev.repartition(3).select(
+        F.approx_count_distinct("user_id", rsd=0.02)
+    ).first()[0]
+    assert again == approx  # merge is partitioning-independent
+
+
+def test_approx_percentile_within_accuracy(spark):
+    """percentile_approx (Greenwald-Khanna) vs the exact percentile:
+    rank error bounded by n/accuracy — the streaming/low-memory
+    quantile path for 100-TB columns."""
+    ev = load_table(spark, SF, "events").filter(F.col("value").isNotNull())
+    acc = 1000
+    exact_med = ev.select(F.expr("percentile(value, 0.5)")).first()[0]
+    approx_med = ev.select(
+        F.percentile_approx("value", F.lit(0.5), F.lit(acc))
+    ).first()[0]
+    # value at a rank within n/acc of the true median rank
+    lo, hi = ev.select(
+        F.expr(f"percentile(value, {max(0.0, 0.5 - 2.0 / acc)})"),
+        F.expr(f"percentile(value, {min(1.0, 0.5 + 2.0 / acc)})"),
+    ).first()
+    assert lo <= approx_med <= hi, (approx_med, exact_med, lo, hi)
