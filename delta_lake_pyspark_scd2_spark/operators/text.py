@@ -154,3 +154,71 @@ def group_token_share(
     return df.select(id_col, group_col, text_col).groupBy(group_col).applyInPandas(
         _share, out_schema
     )
+
+
+# -- PII redaction -----------------------------------------------------------
+
+#: Dialect-portable patterns (no \d, no backrefs): identical semantics
+#: under Java regex (Spark) and RE2 (DuckDB), so oracles can replay them.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub email addresses and phone-number-shaped digit runs — the
+    standard pre-training hygiene pass. Pure JVM regexp expressions
+    (whole-stage codegen, no UDF): a narrow map over the corpus, no
+    shuffle, linear at any scale. Adds ``redacted``, ``n_emails``,
+    ``n_phones``; emails are replaced first so their digits never
+    double-count as phones."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "redacted": F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "[EMAIL]"), PHONE_RE, "[PHONE]"
+            ),
+            "n_emails": F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))),
+            "n_phones": F.size(
+                F.regexp_extract_all(
+                    F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+                    F.lit(PHONE_RE),
+                    F.lit(0),
+                )
+            ),
+        }
+    )
+
+
+# -- chunking ----------------------------------------------------------------
+
+
+def chunk_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 50,
+    step: int = 40,
+) -> DataFrame:
+    """Split each document into fixed-size overlapping token windows —
+    the training-data chunker (window=50, step=40 → 10-token overlap).
+    Whitespace is normalized first so tokenization is unambiguous.
+    Built from split/sequence/posexplode/slice only: the explode is a
+    narrow 1→N op, no shuffle; chunk count ∝ corpus tokens / step.
+    Output: input columns minus text, plus chunk_ix / chunk / n_tokens.
+    """
+    nt = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    d = df.withColumn("_t", F.split(nt, " "))
+    d = d.select(
+        *[c for c in df.columns if c != text_col],
+        "_t",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("_t") - 1, F.lit(step))
+        ).alias("chunk_ix", "_s"),
+    )
+    return d.select(
+        *[c for c in df.columns if c != text_col],
+        F.col("chunk_ix").cast("int"),
+        F.concat_ws(" ", F.slice("_t", F.col("_s") + 1, window)).alias("chunk"),
+        F.least(F.lit(window), F.size("_t") - F.col("_s"))
+        .cast("int")
+        .alias("n_tokens"),
+    )

@@ -907,3 +907,34 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
     return graph.cluster_documents(docs, pairs)
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (fixed-size overlapping token windows)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_chunk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS INT) AS chunk_ix,
+           array_to_string(t[s + 1 : s + 50], ' ') AS chunk,
+           CAST(least(50, len(t) - s) AS INT) AS n_tokens
+    FROM toks, UNNEST(range(0, len(t), 40)) AS u(s)
+    """,
+    doc="Training-data chunker: every document split into 50-token "
+    "windows advancing by 40 (10-token overlap), via "
+    "split/sequence/posexplode/slice built-ins only — a narrow 1→N "
+    "explode, no shuffle, chunk count ∝ corpus tokens/step "
+    "(operators/text.py chunk_tokens). Whitespace-normalized before "
+    "splitting so Spark and the DuckDB oracle tokenize identically.",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_tokens(docs, window=50, step=40)

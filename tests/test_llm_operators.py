@@ -243,3 +243,41 @@ def test_embedding_lsh_oracle_buckets_match_duckdb(spark):
     sql = REGISTRY["dedup_embedding_lsh"].oracle.replace(">= 0.9", ">= 0.2")
     want = set(map(tuple, con.execute(sql).fetchall()))
     assert got and got == want
+
+
+def test_redact_pii_and_counts(spark):
+    rows = [
+        (1, "mail me at jo.doe+x@sub.example.org or call +1 (415) 555-0199 now"),
+        (2, "two mails a@b.io c@d.co; digits 12345678 inline"),
+        (3, "clean text, no pii at all"),
+        (4, "edge: not-an-email @@ nor a phone 12 34"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r.doc_id: (r.redacted, r.n_emails, r.n_phones)
+           for r in text.redact_pii(df).collect()}
+    assert got[1] == ("mail me at [EMAIL] or call [PHONE] now", 1, 1)
+    assert got[2] == ("two mails [EMAIL] [EMAIL]; digits [PHONE] inline", 2, 1)
+    assert got[3] == ("clean text, no pii at all", 0, 0)
+    assert got[4] == ("edge: not-an-email @@ nor a phone 12 34", 0, 0)
+
+
+def test_chunk_tokens_windows_and_overlap(spark):
+    words = " ".join(f"w{i}" for i in range(95))
+    df = spark.createDataFrame(
+        [(1, words), (2, "only three tokens"), (3, "  padded   spacing  ")],
+        "doc_id int, text string",
+    )
+    from delta_lake_pyspark_scd2_spark.operators.text import chunk_tokens
+
+    out = chunk_tokens(df, window=50, step=40).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_ix, r.chunk, r.n_tokens))
+    # 95 tokens -> starts 0, 40, 80: full window, full window, 15-token tail
+    c1 = sorted(by_doc[1])
+    assert [(ix, n) for ix, _, n in c1] == [(0, 50), (1, 50), (2, 15)]
+    assert c1[0][1].split(" ")[:2] == ["w0", "w1"]
+    assert c1[1][1].split(" ")[0] == "w40"  # 10-token overlap with chunk 0
+    assert c1[0][1].split(" ")[-10:] == c1[1][1].split(" ")[:10]
+    assert by_doc[2] == [(0, "only three tokens", 3)]
+    assert by_doc[3] == [(0, "padded spacing", 2)]  # whitespace normalized
