@@ -39,9 +39,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS) parquet, surfaced as long nanos via
-    # spark.sql.legacy.parquet.nanosAsLong; restore a proper timestamp
-    # (µs — the corpus has no sub-µs digits, so this is lossless).
+    # Normalize events.ts to a session-TZ TIMESTAMP regardless of how the
+    # driver generated the parquet: older corpora store TIMESTAMP(NANOS)
+    # (surfaced as long nanos via spark.sql.legacy.parquet.nanosAsLong),
+    # newer ones timestamp[us] without TZ (surfaced as TIMESTAMP_NTZ).
+    # Session TZ is UTC, so the NTZ cast is epoch-identical to DuckDB's
+    # naive-timestamp reading of the same file.
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -49,6 +52,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             # integer div: epoch-ns exceeds double precision (2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
