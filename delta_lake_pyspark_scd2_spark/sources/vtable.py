@@ -31,7 +31,7 @@ import uuid
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -192,6 +192,7 @@ class VersionedParquetTable:
         partition_cols: list[str],
         operation: str,
         metrics: "dict | Callable[[], dict] | None" = None,
+        constraints: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         manifest = {
@@ -200,6 +201,7 @@ class VersionedParquetTable:
             "operation": operation,
             "schema": schema.json(),
             "partition_cols": partition_cols,
+            "constraints": constraints or {},
             "files": [
                 {
                     "path": e.path,
@@ -223,18 +225,51 @@ class VersionedParquetTable:
     # -- data-file staging ---------------------------------------------------
 
     def _write_files(
-        self, df: DataFrame, partition_cols: list[str]
+        self,
+        df: DataFrame,
+        partition_cols: list[str],
+        constraints: dict[str, str] | None = None,
     ) -> list[ManifestEntry]:
         """Write df once via Spark (partitioned layout), then move the
         produced parquet files into ``data/`` under their partition
         dirs. Filenames carry Spark's task UUIDs → never collide with
         live files; a failed write leaves only unreferenced garbage
-        (never a corrupt table) exactly like Delta."""
+        (never a corrupt table) exactly like Delta.
+
+        ``constraints`` (name → SQL boolean expr) are CHECK-enforced on
+        the written rows via an Observation riding the write job itself
+        (no second scan); any violation deletes the staged files and
+        raises before a manifest commit, so the table is untouched.
+        SQL-standard semantics: NULL evaluations satisfy the check."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        obs = None
+        if constraints:
+            obs = Observation(f"check-{uuid.uuid4().hex[:8]}")
+            df = df.observe(
+                obs,
+                *[
+                    F.sum(
+                        (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+                    ).alias(n)
+                    for n, e in constraints.items()
+                ],
+            )
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
         writer.parquet(staging)
+        if obs is not None:
+            got = obs.get
+            bad = {n: int(got[n] or 0) for n in constraints if got[n]}
+            if bad:
+                shutil.rmtree(staging)
+                raise ValueError(
+                    f"CHECK constraint violation(s), write aborted: "
+                    + ", ".join(
+                        f"{n} ({constraints[n]!r}): {c} row(s)"
+                        for n, c in bad.items()
+                    )
+                )
         entries: list[ManifestEntry] = []
         data_root = os.path.join(self.path, DATA_DIR)
         for root, _dirs, fnames in os.walk(staging):
@@ -301,18 +336,20 @@ class VersionedParquetTable:
                 if f.name not in new_fields:
                     schema = schema.add(f.name, f.dataType, True)
         df = _align(df, schema)
+        cons = m.get("constraints") or {}
         files = [_entry(f) for f in m["files"]]
-        files += self._write_files(df, pc)
+        files += self._write_files(df, pc, cons)
         v = m["version"] + 1
-        self._commit(v, files, schema, pc, "APPEND", metrics)
+        self._commit(v, files, schema, pc, "APPEND", metrics, cons)
         return v
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
         m = self._current()
         pc = list(m["partition_cols"])
-        files = self._write_files(df, pc)
+        cons = m.get("constraints") or {}
+        files = self._write_files(df, pc, cons)
         v = m["version"] + 1
-        self._commit(v, files, df.schema, pc, "OVERWRITE", metrics)
+        self._commit(v, files, df.schema, pc, "OVERWRITE", metrics, cons)
         return v
 
     def replace_partitions(
@@ -345,7 +382,8 @@ class VersionedParquetTable:
             for f in m["files"]
             if tuple(sorted(f["partition"].items())) not in touched
         ]
-        new_files = self._write_files(_align(df, schema), pc)
+        cons = m.get("constraints") or {}
+        new_files = self._write_files(_align(df, schema), pc, cons)
         stray = [
             e for e in new_files if tuple(sorted(e.partition.items())) not in touched
         ]
@@ -354,7 +392,7 @@ class VersionedParquetTable:
                 f"replacement data writes outside the declared partitions: {stray[:3]}"
             )
         v = m["version"] + 1
-        self._commit(v, kept + new_files, schema, pc, operation, metrics)
+        self._commit(v, kept + new_files, schema, pc, operation, metrics, cons)
         return v
 
     def upsert(
@@ -450,6 +488,7 @@ class VersionedParquetTable:
         n_before = sum(
             f.get("rows") or 0 for f in m["files"] if f["path"] in candidates
         )
+        cons = m.get("constraints") or {}
         new_files = self._write_files(_align(survivors, schema), pc)
         n_after = sum(e.rows or 0 for e in new_files)
         v = m["version"] + 1
@@ -457,7 +496,7 @@ class VersionedParquetTable:
             "n_deleted": n_before - n_after,
             "n_files_rewritten": len(candidates),
         }
-        self._commit(v, kept + new_files, schema, pc, "DELETE", metrics or out)
+        self._commit(v, kept + new_files, schema, pc, "DELETE", metrics or out, cons)
         return out
 
     def compact(
@@ -525,6 +564,151 @@ class VersionedParquetTable:
             df, crowded, operation="COMPACT",
             metrics={"n_partitions": len(crowded)},
         )
+
+    def restore(self, version: int) -> int:
+        """Roll the table back to ``version`` as a NEW commit (Delta
+        ``RESTORE TABLE ... TO VERSION AS OF`` analogue): the restored
+        snapshot's file list, schema and partitioning are re-committed
+        at head, so history is preserved and the rollback is itself
+        time-travelable / auditable. O(1) data I/O — files are
+        immutable and carried by reference; fails cleanly if retention
+        (``vacuum``) already deleted any file of the target version,
+        exactly like Delta."""
+        m = self._load_manifest(version)  # raises if version unknown
+        data_root = os.path.join(self.path, DATA_DIR)
+        missing = [
+            f["path"]
+            for f in m["files"]
+            if not os.path.exists(os.path.join(data_root, f["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore v{version}: {len(missing)} data file(s) "
+                f"removed by retention, e.g. {missing[0]!r}"
+            )
+        cur = self._current()
+        v = cur["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "RESTORE",
+            {"restored_version": version},
+            m.get("constraints") or {},
+        )
+        return v
+
+    # -- CHECK constraints ---------------------------------------------------
+
+    def add_constraint(self, name: str, expr_sql: str) -> int:
+        """``ALTER TABLE ... ADD CONSTRAINT ... CHECK`` analogue.
+        Existing rows are validated first (one column-pruned scan, like
+        Delta); from then on every write enforces the check on the
+        write job itself and aborts pre-commit on violation."""
+        m = self._current()
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        n_bad = (
+            self.read()
+            .filter(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+            .limit(1)
+            .count()
+        )
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {name!r}: existing rows violate "
+                f"{expr_sql!r}"
+            )
+        cons[name] = expr_sql
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "ADD_CONSTRAINT",
+            {"name": name, "expr": expr_sql},
+            cons,
+        )
+        return v
+
+    def drop_constraint(self, name: str) -> int:
+        m = self._current()
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no constraint {name!r}")
+        del cons[name]
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "DROP_CONSTRAINT",
+            {"name": name},
+            cons,
+        )
+        return v
+
+    def clone(self, dest_path: str) -> "VersionedParquetTable":
+        """Shallow clone (Delta ``CREATE TABLE ... SHALLOW CLONE``
+        analogue): a new independent table whose v0 manifest carries the
+        source's current snapshot with zero data copied — files are
+        hardlinked (copy fallback across filesystems). Because data
+        files are immutable-once-written in both tables, later writes,
+        compaction or ``vacuum`` on either side never disturb the other:
+        each manipulates only its own manifest and link names."""
+        if self.is_table(dest_path):
+            raise FileExistsError(dest_path)
+        m = self._current()
+        src_root = os.path.join(self.path, DATA_DIR)
+        dst_root = os.path.join(dest_path, DATA_DIR)
+        for f in m["files"]:
+            src = os.path.join(src_root, f["path"])
+            dst = os.path.join(dst_root, f["path"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:  # cross-device: fall back to a real copy
+                shutil.copy2(src, dst)
+        t = VersionedParquetTable(self.spark, dest_path)
+        t._commit(
+            0,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "CLONE",
+            {"source_path": self.path, "source_version": m["version"]},
+            m.get("constraints") or {},
+        )
+        return t
+
+    def detail(self) -> dict:
+        """``DESCRIBE DETAIL`` analogue: one dict of table-level facts
+        from manifest metadata alone (no data I/O — footer stats were
+        captured at commit time)."""
+        m = self._current()
+        data_root = os.path.join(self.path, DATA_DIR)
+        size = 0
+        for f in m["files"]:
+            p = os.path.join(data_root, f["path"])
+            if os.path.exists(p):
+                size += os.path.getsize(p)
+        rows = [f.get("rows") for f in m["files"]]
+        return {
+            "location": self.path,
+            "version": m["version"],
+            "num_files": len(m["files"]),
+            "size_bytes": size,
+            "num_rows": sum(r for r in rows if r is not None)
+            if all(r is not None for r in rows)
+            else None,
+            "partition_cols": list(m["partition_cols"]),
+            "num_versions": len(self.versions()),
+            "constraints": dict(m.get("constraints") or {}),
+        }
 
     def vacuum(self, *, keep_versions: int = 1) -> dict:
         """Retention sweep (Delta ``VACUUM`` analogue): delete data

@@ -506,3 +506,129 @@ def test_late_tombstone_rebuild(spark, table_path):
         ("Signed", False, True),
     ]
     assert scd2.check_invariants(_read(spark, table_path), "contract").count() == 0
+
+
+def test_vtable_restore(spark, tmp_path):
+    """RESTORE analogue: rollback is a new auditable commit; data files
+    carry by reference; restore of a vacuumed version fails cleanly."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k="A", part=1, v="a1"), Row(k="B", part=2, v="b1")],
+        "k string, part int, v string",
+    )
+    t = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "res"), partition_cols=["part"]
+    )
+    t.upsert(
+        spark.createDataFrame([Row(k="A", part=1, v="a2")], "k string, part int, v string"),
+        ["k"],
+    )
+    assert {(r.k, r.v) for r in t.read().collect()} == {("A", "a2"), ("B", "b1")}
+    v = t.restore(0)
+    # head content equals v0, history preserved (3 commits + RESTORE)
+    assert {(r.k, r.v) for r in t.read().collect()} == {("A", "a1"), ("B", "b1")}
+    assert t.history()[0]["operation"] == "RESTORE"
+    assert t.history()[0]["metrics"] == {"restored_version": 0}
+    # the pre-restore head is still time-travelable
+    assert {(r.k, r.v) for r in t.read(v - 1).collect()} == {("A", "a2"), ("B", "b1")}
+    # retention can orphan a restore target: clean failure, head intact
+    t.upsert(
+        spark.createDataFrame([Row(k="C", part=3, v="c1")], "k string, part int, v string"),
+        ["k"],
+    )
+    t.vacuum(keep_versions=1)
+    with pytest.raises(FileNotFoundError):
+        t.restore(v - 1)
+    assert {(r.k, r.v) for r in t.read().collect()} == {
+        ("A", "a1"),
+        ("B", "b1"),
+        ("C", "c1"),
+    }
+
+
+def test_vtable_shallow_clone_is_independent(spark, tmp_path):
+    """CLONE analogue: zero data copy at clone time, then fully
+    independent histories — writes/vacuum on either side never disturb
+    the other."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k="A", part=1, v="a1"), Row(k="B", part=2, v="b1")],
+        "k string, part int, v string",
+    )
+    src = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "src"), partition_cols=["part"]
+    )
+    dst = src.clone(str(tmp_path / "dst"))
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("A", "a1"), ("B", "b1")}
+    assert dst.history()[0]["operation"] == "CLONE"
+    # diverge both sides
+    dst.upsert(
+        spark.createDataFrame([Row(k="A", part=1, v="clone")], "k string, part int, v string"),
+        ["k"],
+    )
+    src.upsert(
+        spark.createDataFrame([Row(k="B", part=2, v="srcv")], "k string, part int, v string"),
+        ["k"],
+    )
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("A", "clone"), ("B", "b1")}
+    assert {(r.k, r.v) for r in src.read().collect()} == {("A", "a1"), ("B", "srcv")}
+    # vacuum on the source must not break the clone's head (hardlinks)
+    src.vacuum(keep_versions=1)
+    assert {(r.k, r.v) for r in dst.read().collect()} == {("A", "clone"), ("B", "b1")}
+
+
+def test_vtable_detail(spark, tmp_path):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k="A", part=1, v="a1"), Row(k="B", part=2, v="b1")],
+        "k string, part int, v string",
+    )
+    t = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "det"), partition_cols=["part"]
+    )
+    d = t.detail()
+    assert d["num_rows"] == 2 and d["num_files"] >= 2
+    assert d["partition_cols"] == ["part"] and d["size_bytes"] > 0
+    assert d["version"] == 0 and d["constraints"] == {}
+
+
+def test_vtable_check_constraints(spark, tmp_path):
+    """CHECK constraint analogue: validated on add, enforced on every
+    write path pre-commit (violating write leaves no trace), carried
+    through upsert commits, droppable."""
+    from pyspark.sql import Row
+
+    schema = "k string, part int, v int"
+    df = spark.createDataFrame([Row(k="A", part=1, v=10), Row(k="B", part=2, v=None)], schema)
+    t = VersionedParquetTable.create(
+        spark, df, str(tmp_path / "chk"), partition_cols=["part"]
+    )
+    # NULL satisfies the check (SQL standard); add passes, is auditable
+    t.add_constraint("v_positive", "v > 0")
+    assert t.history()[0]["operation"] == "ADD_CONSTRAINT"
+    assert t.detail()["constraints"] == {"v_positive": "v > 0"}
+    # adding a constraint existing rows violate fails
+    with pytest.raises(ValueError, match="existing rows violate"):
+        t.add_constraint("v_big", "v > 100")
+    # violating append aborts pre-commit: same version, no stray files
+    v_before = t.latest_version()
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([Row(k="C", part=1, v=-5)], schema))
+    assert t.latest_version() == v_before
+    assert {(r.k, r.v) for r in t.read().collect()} == {("A", 10), ("B", None)}
+    # violating upsert (replace_partitions path) also aborts
+    with pytest.raises(ValueError, match="v_positive"):
+        t.upsert(spark.createDataFrame([Row(k="A", part=1, v=0)], schema), ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == {("A", 10), ("B", None)}
+    # valid writes pass and keep carrying the constraint
+    t.upsert(spark.createDataFrame([Row(k="A", part=1, v=20)], schema), ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == {("A", 20), ("B", None)}
+    with pytest.raises(ValueError, match="v_positive"):
+        t.append(spark.createDataFrame([Row(k="D", part=2, v=-1)], schema))
+    # drop, then the formerly-violating write succeeds
+    t.drop_constraint("v_positive")
+    t.append(spark.createDataFrame([Row(k="D", part=2, v=-1)], schema))
+    assert ("D", -1) in {(r.k, r.v) for r in t.read().collect()}
