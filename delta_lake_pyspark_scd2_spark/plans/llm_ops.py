@@ -938,3 +938,53 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.chunk_tokens(docs, window=50, step=40)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus preparation (the composed training-data pipeline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH filtered AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en'
+        AND len(string_split_regex(trim(text), '\\s+')) >= 30
+    ),
+    keep AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM filtered GROUP BY md5({_NORM})
+    ),
+    toks AS (
+      SELECT f.doc_id,
+             string_split(trim(regexp_replace(f.text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM filtered f JOIN keep k USING (doc_id)
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS INT) AS chunk_ix,
+           array_to_string(t[s + 1 : s + 50], ' ') AS chunk,
+           CAST(least(50, len(t) - s) AS INT) AS n_tokens
+    FROM toks, UNNEST(range(0, len(t), 40)) AS u(s)
+    """,
+    doc="The composed corpus-prep pipeline a pretraining run actually "
+    "executes, as ONE declarative plan: language filter → length gate "
+    "(token_count_ws) → exact dedup keeping the canonical lowest-id "
+    "copy → 50/40 overlapping chunking. Everything stays JVM-side; "
+    "Catalyst fuses the filters into the scan, the dedup is the only "
+    "shuffle (hash agg on the text fingerprint + a semi join AQE turns "
+    "into a broadcast when the survivor set is small), and the chunk "
+    "explode is narrow. At 100 TB each stage drops data before the "
+    "next pays for it — filter pushdown first, the shuffle only "
+    "carries survivors, chunks never materialize for dropped docs.",
+    bench=True,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    filtered = docs.filter(
+        (F.col("lang") == "en") & (text.token_count_ws(F.col("text")) >= 30)
+    ).select("doc_id", "text")
+    keep = dedup.exact_dedup(filtered).select(F.col("keep_id").alias("doc_id"))
+    kept = filtered.join(keep, on="doc_id", how="left_semi")
+    return text.chunk_tokens(kept, window=50, step=40)
