@@ -103,3 +103,44 @@ def test_approx_percentile_within_accuracy(spark):
         F.expr(f"percentile(value, {min(1.0, 0.5 + 2.0 / acc)})"),
     ).first()
     assert lo <= approx_med <= hi, (approx_med, exact_med, lo, hi)
+
+
+def test_runtime_bloom_filter_join_injection(spark):
+    """Runtime bloom-filter semi-join reduction — the 100 TB lever for
+    a big-fact × selectively-filtered-dim shuffle join: the optimizer
+    builds a bloom filter from the filtered dim keys and applies it on
+    the fact side BEFORE the shuffle, so most fact rows never cross the
+    wire. Thresholds are lowered to fire at test scale (defaults need a
+    10 MB+ creation side); the join result must be unchanged."""
+    sets = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1000GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in sets}
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_totalprice")
+    expected = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.sum("l_quantity").alias("s"))
+        .first()["s"]
+    )
+    try:
+        for k, v in sets.items():
+            spark.conf.set(k, v)
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        assert "bloom_filter" in plan.lower() or "mightcontain" in plan.lower(), plan
+        assert joined.first()["s"] == expected
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
