@@ -1,0 +1,184 @@
+"""Differential fuzzing: randomized filter/group-by/join queries built
+from a small grammar, executed twice — once through this engine's
+DataFrame composition and once as SQL in DuckDB over the same parquet —
+and compared row-for-row.
+
+This extends the oracle gate beyond the 100+ hand-written registry
+queries: hypothesis explores the predicate/aggregate lattice (operator
+interactions, empty groups, empty results, join + filter orderings)
+that enumerated tests never cover. Floating aggregates compare with a
+relative tolerance (summation order differs between engines); integer
+and count aggregates compare exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+# -- grammar ----------------------------------------------------------------
+
+# (name, spark_builder, sql_fragment) per predicate; values chosen from
+# the real column domains so every predicate is satisfiable-but-selective.
+PREDICATES = [
+    ("qty_lo", lambda: F.col("l_quantity") > 25, "l_quantity > 25"),
+    ("qty_hi", lambda: F.col("l_quantity") <= 10, "l_quantity <= 10"),
+    ("flag_a", lambda: F.col("l_returnflag") == "A", "l_returnflag = 'A'"),
+    ("flag_ne", lambda: F.col("l_returnflag") != "N", "l_returnflag <> 'N'"),
+    ("status_o", lambda: F.col("l_linestatus") == "O", "l_linestatus = 'O'"),
+    ("disc", lambda: F.col("l_discount") >= 0.05, "l_discount >= 0.05"),
+    ("tax", lambda: F.col("l_tax") < 0.04, "l_tax < 0.04"),
+    (
+        "ship",
+        lambda: F.col("l_shipdate") >= "1995-06-01",
+        "l_shipdate >= DATE '1995-06-01'",
+    ),
+    ("price", lambda: F.col("l_extendedprice") < 30000.0, "l_extendedprice < 30000.0"),
+    ("part_mod", lambda: F.col("l_partkey") % 7 == 0, "l_partkey % 7 = 0"),
+]
+
+GROUP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+# (alias, spark_column_builder, sql_expr, exact?)
+AGGREGATES = [
+    ("n_rows", lambda: F.count(F.lit(1)), "COUNT(*)", True),
+    ("sum_qty", lambda: F.sum("l_quantity"), "SUM(l_quantity)", False),
+    ("avg_disc", lambda: F.avg("l_discount"), "AVG(l_discount)", False),
+    ("min_price", lambda: F.min("l_extendedprice"), "MIN(l_extendedprice)", True),
+    ("max_tax", lambda: F.max("l_tax"), "MAX(l_tax)", True),
+    (
+        "n_parts",
+        lambda: F.count_distinct(F.col("l_partkey")),
+        "COUNT(DISTINCT l_partkey)",
+        True,
+    ),
+    ("min_ship", lambda: F.min("l_shipdate"), "MIN(l_shipdate)", True),
+]
+
+ORDER_PREDS = [
+    ("urgent", lambda: F.col("o_orderpriority") == "1-URGENT", "o_orderpriority = '1-URGENT'"),
+    ("open", lambda: F.col("o_orderstatus") == "O", "o_orderstatus = 'O'"),
+    ("big", lambda: F.col("o_totalprice") > 100000.0, "o_totalprice > 100000.0"),
+]
+
+query_strategy = st.fixed_dictionaries(
+    {
+        "preds": st.lists(
+            st.sampled_from(range(len(PREDICATES))), unique=True, max_size=3
+        ),
+        "groups": st.lists(
+            st.sampled_from(GROUP_COLS), unique=True, max_size=2
+        ),
+        "aggs": st.lists(
+            st.sampled_from(range(len(AGGREGATES))),
+            unique=True,
+            min_size=1,
+            max_size=3,
+        ),
+        "join": st.one_of(
+            st.none(), st.sampled_from(range(len(ORDER_PREDS)))
+        ),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    yield con
+    con.close()
+
+
+def _approx_eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+    return a == b
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=query_strategy)
+def test_random_query_matches_duckdb(q, spark, ddb):
+    li = load_table(spark, SF, "lineitem")
+    df = li
+    where_sql: list[str] = []
+    for i in q["preds"]:
+        _, build, frag = PREDICATES[i]
+        df = df.filter(build())
+        where_sql.append(frag)
+    from_sql = "lineitem"
+    if q["join"] is not None:
+        _, obuild, ofrag = ORDER_PREDS[q["join"]]
+        orders = load_table(spark, SF, "orders").filter(obuild())
+        df = df.join(orders, df.l_orderkey == orders.o_orderkey, "inner")
+        from_sql = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+        where_sql.append(ofrag)
+
+    agg_cols = []
+    agg_sql = []
+    exact_flags = {}
+    for i in q["aggs"]:
+        alias, build, frag, exact = AGGREGATES[i]
+        agg_cols.append(build().alias(alias))
+        agg_sql.append(f"{frag} AS {alias}")
+        exact_flags[alias] = exact
+
+    groups = q["groups"]
+    if groups:
+        df = df.groupBy(*groups).agg(*agg_cols)
+        sql = (
+            f"SELECT {', '.join(groups + agg_sql)} FROM {from_sql}"
+            + (f" WHERE {' AND '.join(where_sql)}" if where_sql else "")
+            + f" GROUP BY {', '.join(groups)}"
+        )
+    else:
+        df = df.agg(*agg_cols)
+        sql = (
+            f"SELECT {', '.join(agg_sql)} FROM {from_sql}"
+            + (f" WHERE {' AND '.join(where_sql)}" if where_sql else "")
+        )
+
+    got = {
+        tuple(str(r[g]) for g in groups): r
+        for r in df.collect()
+    }
+    exp_rows = ddb.execute(sql).fetchall()
+    exp_names = [d[0] for d in ddb.description]
+    exp = {
+        tuple(str(row[exp_names.index(g)]) for g in groups): row
+        for row in exp_rows
+    }
+
+    # DuckDB's global COUNT over zero rows yields one row (0 / NULLs);
+    # Spark's agg over zero rows does too — keys must line up either way.
+    assert set(got) == set(exp), f"group keys diverge for:\n{sql}"
+    for key, r in got.items():
+        row = exp[key]
+        for alias in exact_flags:
+            a, b = r[alias], row[exp_names.index(alias)]
+            if exact_flags[alias]:
+                assert str(a) == str(b) or _approx_eq(a, b), (
+                    f"{alias} mismatch for {key}: {a!r} != {b!r}\n{sql}"
+                )
+            else:
+                assert _approx_eq(a, b), (
+                    f"{alias} mismatch for {key}: {a!r} != {b!r}\n{sql}"
+                )
