@@ -97,6 +97,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # Direct comparison to the reference's headline number
+                # (BASELINE.md volume-scaling): full batch2 ETL run at
+                # 100k rows took 43.96 s on its 6-worker cluster; ours
+                # is the events-table load+merge at sf0.1 (= 100k rows)
+                # on one local[32] node.
+                "baseline": {
+                    "scd2_etl_total_s": round(
+                        etl["scd2_etl_load"] + etl["scd2_etl_merge"], 3
+                    ),
+                    "reference_100k_6workers_s": 43.96,
+                    "merge_rows_per_s": etl["merge_rows_per_s"],
+                },
             }
         )
     )
