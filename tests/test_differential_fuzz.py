@@ -182,3 +182,128 @@ def test_random_query_matches_duckdb(q, spark, ddb):
                 assert _approx_eq(a, b), (
                     f"{alias} mismatch for {key}: {a!r} != {b!r}\n{sql}"
                 )
+
+
+# -- window-function fuzzing -------------------------------------------------
+
+WINDOW_FNS = [
+    # (alias, spark_builder(order?), sql_template, needs_order, exact?)
+    (
+        "rn",
+        lambda: F.row_number(),
+        "ROW_NUMBER() OVER ({ps} {os})",
+        True,
+        True,
+    ),
+    (
+        "rnk",
+        lambda: F.rank(),
+        "RANK() OVER ({ps} {os})",
+        True,
+        True,
+    ),
+    (
+        "prev_qty",
+        lambda: F.lag("l_quantity"),
+        "LAG(l_quantity) OVER ({ps} {os})",
+        True,
+        True,
+    ),
+    (
+        "part_sum",
+        lambda: F.sum("l_quantity"),
+        "SUM(l_quantity) OVER ({ps})",
+        False,
+        False,
+    ),
+    (
+        "run_sum",
+        lambda: F.sum("l_quantity"),
+        "SUM(l_quantity) OVER ({ps} {os} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        True,
+        False,
+    ),
+]
+
+WINDOW_PARTS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+window_strategy = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(WINDOW_PARTS),
+        "fn": st.sampled_from(range(len(WINDOW_FNS))),
+        "pred": st.one_of(st.none(), st.sampled_from(range(len(PREDICATES)))),
+    }
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=window_strategy)
+def test_random_window_query_matches_duckdb(q, spark, ddb):
+    """Window functions compared as sorted multisets of output rows.
+
+    The synthetic lineitem has no unique key — (l_orderkey,
+    l_linenumber) collides — so the ORDER BY tie-breaks through every
+    scalar column. Rows that still tie are full duplicates, and any
+    permutation of identical rows yields the same output multiset, so
+    multiset comparison is exact even where per-row attachment is
+    engine-dependent. row_number/rank/lag compare exactly, frame sums
+    with float tolerance."""
+    from pyspark.sql import Window
+
+    alias, build, tmpl, needs_order, exact = WINDOW_FNS[q["fn"]]
+    part = q["part"]
+    order_cols = [
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_partkey",
+        "l_suppkey",
+        "l_discount",
+        "l_tax",
+    ]
+    ps = f"PARTITION BY {part}"
+    os_ = "ORDER BY " + ", ".join(order_cols) if needs_order else ""
+
+    li = load_table(spark, SF, "lineitem")
+    where_sql = ""
+    if q["pred"] is not None:
+        _, pbuild, pfrag = PREDICATES[q["pred"]]
+        li = li.filter(pbuild())
+        where_sql = f" WHERE {pfrag}"
+
+    w = Window.partitionBy(part)
+    if needs_order:
+        w = w.orderBy(*order_cols)
+        if alias == "run_sum":
+            w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = li.select(
+        "l_orderkey", "l_linenumber", build().over(w).alias(alias)
+    )
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {tmpl.format(ps=ps, os=os_)} AS {alias} "
+        f"FROM lineitem{where_sql}"
+    )
+
+    def norm(rows):
+        return sorted(
+            ((a, b, v) for a, b, v in rows),
+            key=lambda t: (t[0], t[1], t[2] is None, t[2] or 0),
+        )
+
+    got = norm((r.l_orderkey, r.l_linenumber, r[alias]) for r in df.collect())
+    exp = norm(ddb.execute(sql).fetchall())
+    assert len(got) == len(exp), f"row counts diverge for:\n{sql}"
+    for (ga, gb, gv), (ea, eb, ev) in zip(got, exp):
+        assert (ga, gb) == (ea, eb), f"row keys diverge for:\n{sql}"
+        if exact:
+            assert gv == ev, f"{alias} mismatch at {(ga, gb)}: {gv!r} != {ev!r}\n{sql}"
+        else:
+            assert _approx_eq(gv, ev), (
+                f"{alias} mismatch at {(ga, gb)}: {gv!r} != {ev!r}\n{sql}"
+            )
