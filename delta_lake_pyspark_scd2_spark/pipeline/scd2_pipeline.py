@@ -240,6 +240,10 @@ def run_scd2_batch(
         _append_event_log(spec, kept, table_path, batch_id)
     if not VersionedParquetTable.is_table(table_path):
         versions = _prepare_versions(spec, kept)
+        # count rides the initial write job (observe) — recomputing the
+        # whole versions plan for a count would double the load cost
+        obs = Observation("scd2_create")
+        versions = versions.observe(obs, F.count(F.lit(1)).alias("n_inserted"))
         VersionedParquetTable.create(
             spark,
             versions,
@@ -247,7 +251,7 @@ def run_scd2_batch(
             partition_cols=spec.partition_cols,
             metrics={"batch_id": batch_id},
         )
-        metrics["n_inserted"] = versions.count()
+        metrics["n_inserted"] = int(obs.get["n_inserted"] or 0)
         metrics["n_closed"] = 0
         metrics["n_stale"] = 0
     else:
