@@ -1376,3 +1376,56 @@ def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "O").alias("n_open"),
         F.size("m").cast("int").alias("n_statuses"),
     )
+
+
+@register(
+    "a9_collect_set",
+    oracle="""
+    SELECT l_returnflag,
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',')
+             AS statuses,
+           CAST(COUNT(DISTINCT l_linestatus) AS INT) AS n_statuses
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="collect_set aggregation (the reference imports collect_set at "
+    "src/header_etl.py:8 but never uses it — here it is as a real "
+    "capability): per-group distinct-value set, sorted then joined so "
+    "the value hash is order-independent across engines. One shuffle "
+    "with map-side partial collect.",
+)
+def a9_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.count_distinct("l_linestatus").cast("int").alias("n_statuses"),
+    )
+
+
+@register(
+    "f_struct_nested",
+    oracle="""
+    SELECT o_orderkey,
+           {'status': o_orderstatus, 'price': o_totalprice} AS order_info,
+           o_orderstatus AS status_out,
+           round(o_totalprice * 1.1, 2) AS taxed
+    FROM orders WHERE o_orderkey < 100
+    """,
+    doc="Struct construction + field access (nested-type surface the "
+    "reference never touches): build a struct column, read fields back "
+    "out, compute through them — all codegen'd projections.",
+)
+def f_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    d = o.select("o_orderkey", s.alias("order_info"))
+    return d.select(
+        "o_orderkey",
+        "order_info",
+        F.col("order_info.status").alias("status_out"),
+        F.round(F.col("order_info.price") * 1.1, 2).alias("taxed"),
+    )
