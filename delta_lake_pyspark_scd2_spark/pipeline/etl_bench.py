@@ -80,9 +80,12 @@ def run_synthetic_volume_bench(
 
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
-    1M        11.5       11.2        ~89k          54.73 s
-    10M       16.2       20.8        480k          226.76 s
+    1M        9.8        10.4        ~95k          54.73 s
+    10M       16.8       20.8        480k          226.76 s
     ========  =========  ==========  ============  ================
+
+    (Warm-session numbers; a cold first run pays ~2x one-time JIT /
+    codegen on the 10M load.)
     """
     import time as _t
 
