@@ -1429,3 +1429,56 @@ def f_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("order_info.status").alias("status_out"),
         F.round(F.col("order_info.price") * 1.1, 2).alias("taxed"),
     )
+
+
+@register(
+    "g_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey,
+             'totalprice' AS metric, o_totalprice AS val
+      FROM orders WHERE o_orderkey < 200
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE)
+      FROM orders WHERE o_orderkey < 200
+    )
+    """,
+    doc="UNPIVOT/melt (wide -> long), the inverse of g_pivot_status: "
+    "Spark's unpivot operator, a narrow per-row explode — no shuffle.",
+)
+def g_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    ).unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "f_date_trunc",
+    oracle="""
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(date_trunc('week', o_orderdate)) AS first_week
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="date_trunc month/week bucketing — the time-rollup primitive "
+    "under calendar aggregations (ISO week semantics match DuckDB).",
+)
+def f_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(
+            F.date_trunc("week", F.col("o_orderdate")).cast("date")
+        ).alias("first_week"),
+    )
