@@ -73,6 +73,46 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     )
 
 
+def levenshtein_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_dist: int = 30,
+    block_prefix: int = 12,
+) -> DataFrame:
+    """Fuzzy near-duplicate pairs by edit distance with prefix
+    blocking — the record-linkage complement to the set-similarity
+    dedups: catches small in-place edits (typo fixes, template fills)
+    that shift every shingle.
+
+    Scale story: the ``block_prefix``-char prefix of the normalized
+    text is the blocking key, so the self-join touches only same-block
+    rows (bucket sizes shrink as the corpus grows more diverse; AQE
+    splits residual skew). The JVM ``levenshtein(l, r, threshold)``
+    short-circuits its DP once ``max_dist`` is exceeded, so comparing
+    long non-dup texts costs O(len·max_dist), not O(len²). Prefix
+    blocking assumes edits are not concentrated in the first
+    ``block_prefix`` chars — the standard trade; multi-pass with a
+    suffix or mid-string key lifts recall when that assumption fails.
+    """
+    nt = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col), nt.alias("__nt")).withColumn(
+        "__blk", F.substring("__nt", 1, block_prefix)
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__nt").alias("__na"), "__blk")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("__nt").alias("__nb"), "__blk")
+    return (
+        a.join(b, on="__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "edit_dist", F.levenshtein(F.col("__na"), F.col("__nb"), max_dist)
+        )
+        .filter(F.col("edit_dist") >= 0)  # threshold form returns -1 above it
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -988,3 +988,27 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = dedup.exact_dedup(filtered).select(F.col("keep_id").alias("doc_id"))
     kept = filtered.join(keep, on="doc_id", how="left_semi")
     return text.chunk_tokens(kept, window=50, step=40)
+
+
+@register(
+    "dedup_levenshtein",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, {_NORM} AS nt FROM documents
+    ),
+    b AS (SELECT doc_id, nt, substr(nt, 1, 12) AS blk FROM n)
+    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(levenshtein(a.nt, c.nt) AS INT) AS edit_dist
+    FROM b a JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+    WHERE levenshtein(a.nt, c.nt) <= 30
+    """,
+    doc="Edit-distance near-dup pairs with prefix blocking — the "
+    "record-linkage complement to shingle/MinHash dedup (catches "
+    "in-place edits that shift every shingle). The JVM "
+    "levenshtein(l, r, threshold) short-circuits above the bound, so "
+    "non-dup comparisons cost O(len*max_dist); the corpus genuinely "
+    "contains sub-threshold pairs, so the oracle checks real matches.",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.levenshtein_pairs(docs, max_dist=30, block_prefix=12)
