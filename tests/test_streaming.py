@@ -305,3 +305,32 @@ def test_scd2_stream_out_of_order_files_converge(spark, tmp_path):
         ("z", 2, False),
         ("x", 3, True),
     ]
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static join: per-micro-batch broadcast enrichment equals
+    the batch join; unmatched stream rows survive (left join); appended
+    source files are enriched incrementally through the checkpoint."""
+    from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import enriched_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    dim = spark.createDataFrame(
+        [Row(user_id=1, cohort="alpha"), Row(user_id=2, cohort="beta")],
+        "user_id long, cohort string",
+    )
+    rows1 = [
+        ev_row(1, "2024-01-01T00:10:00", 1, "click", 1.0),
+        ev_row(2, "2024-01-01T00:20:00", 2, "click", 2.0),
+        ev_row(3, "2024-01-01T00:30:00", 9, "view", 3.0),  # no dim row
+    ]
+    _write_batch(spark, rows1, src)
+    run_stream_once(enriched_stream(spark, src, dim), out, ck)
+    got = {r.event_id: r.cohort for r in spark.read.parquet(out).collect()}
+    assert got == {1: "alpha", 2: "beta", 3: None}
+    # incremental restart: only the new file is processed and enriched
+    _write_batch(spark, [ev_row(4, "2024-01-01T01:00:00", 2, "click", 4.0)], src)
+    run_stream_once(enriched_stream(spark, src, dim), out, ck)
+    got = {r.event_id: r.cohort for r in spark.read.parquet(out).collect()}
+    assert got == {1: "alpha", 2: "beta", 3: None, 4: "beta"}
