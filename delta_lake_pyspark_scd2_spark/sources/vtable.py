@@ -16,9 +16,11 @@ environment, so this module supplies the same *capabilities* natively:
     untouched partitions are carried by reference. At 100 TB a merge
     touching one day of data costs one day of data, not the table.
 
-Concurrency: single-writer (manifest commit is an atomic rename;
-optimistic writers would retry on version collision — documented,
-not needed for batch ETL).
+Concurrency: manifest commit is an atomic rename, so a version
+collision is detected, never silently overwritten. Blind appends
+resolve collisions optimistically (rebase onto the new head and
+retry — Delta's append semantics); rewriting commits and metadata
+changes stay single-writer and surface collisions as errors.
 """
 
 from __future__ import annotations
@@ -326,7 +328,13 @@ class VersionedParquetTable:
         """Append-only commit (reference S9 ``mergeSchema`` append,
         ``schema_evolution_step1.py:144``): adds files, never rewrites.
         With ``merge_schema`` the committed schema is the union; old
-        files simply lack the new columns (read as NULL)."""
+        files simply lack the new columns (read as NULL).
+
+        Concurrency: appends conflict with nothing (they only add
+        files), so a version collision with another writer is resolved
+        optimistically — re-read the head manifest, merge the new files
+        on top, retry (Delta's blind-append semantics). The data files
+        are written once; only the manifest commit retries."""
         m = self._current()
         pc = list(m["partition_cols"])
         schema = T.StructType.fromJson(json.loads(m["schema"]))
@@ -337,11 +345,30 @@ class VersionedParquetTable:
                     schema = schema.add(f.name, f.dataType, True)
         df = _align(df, schema)
         cons = m.get("constraints") or {}
-        files = [_entry(f) for f in m["files"]]
-        files += self._write_files(df, pc, cons)
-        v = m["version"] + 1
-        self._commit(v, files, schema, pc, "APPEND", metrics, cons)
-        return v
+        new_files = self._write_files(df, pc, cons)
+        base_schema_json, base_cons = m["schema"], cons
+        for attempt in range(10):
+            files = [_entry(f) for f in m["files"]] + new_files
+            v = m["version"] + 1
+            try:
+                self._commit(v, files, schema, pc, "APPEND", metrics, cons)
+                return v
+            except RuntimeError:  # version collision: rebase on new head
+                m = self._current()
+                # a blind append rebases only onto metadata-identical
+                # heads: if the winner changed the schema or the
+                # constraint set, this append's files were written and
+                # validated against stale metadata — real conflict.
+                if (
+                    m["schema"] != base_schema_json and not merge_schema
+                ) or (m.get("constraints") or {}) != base_cons:
+                    raise RuntimeError(
+                        f"append to {self.path} conflicts with a concurrent "
+                        "schema/constraint change — retry the operation"
+                    ) from None
+        raise RuntimeError(
+            f"append to {self.path} lost {attempt + 1} optimistic commit races"
+        )
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
         m = self._current()

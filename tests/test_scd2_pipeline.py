@@ -632,3 +632,61 @@ def test_vtable_check_constraints(spark, tmp_path):
     t.drop_constraint("v_positive")
     t.append(spark.createDataFrame([Row(k="D", part=2, v=-1)], schema))
     assert ("D", -1) in {(r.k, r.v) for r in t.read().collect()}
+
+
+def test_vtable_concurrent_append_retries(spark, tmp_path):
+    """Optimistic concurrency for blind appends: when another writer
+    wins the version race, the append rebases onto the new head and
+    commits — both writers' rows survive. A concurrent metadata change
+    (new constraint) is a real conflict and raises."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    schema = "k string, v int"
+    t = VersionedParquetTable.create(
+        spark, spark.createDataFrame([Row(k="base", v=0)], schema), str(tmp_path / "cc")
+    )
+
+    # Simulate a concurrent writer: every _commit first loses one race
+    # because a rival manifest appears at the target version.
+    orig_commit = t._commit
+    rival_done = {"done": False}
+
+    def racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+        if not rival_done["done"]:
+            rival_done["done"] = True
+            m0 = t._load_manifest(t.latest_version())
+            rival = dict(m0)
+            rival["version"] = version
+            rival["operation"] = "APPEND"  # the rival's own append
+            with open(t._manifest_path(version), "w") as fh:
+                _json.dump(rival, fh)
+        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+
+    t._commit = racing_commit
+    v = t.append(spark.createDataFrame([Row(k="mine", v=1)], schema))
+    t._commit = orig_commit
+    # the rival took v1; our append must land at v2 with both visible
+    assert v == 2
+    assert {(r.k, r.v) for r in t.read().collect()} == {("base", 0), ("mine", 1)}
+    assert [h["operation"] for h in t.history()[:2]] == ["APPEND", "APPEND"]
+
+    # concurrent CONSTRAINT change during the race → hard conflict
+    rival_done["done"] = False
+
+    def constraint_racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+        if not rival_done["done"]:
+            rival_done["done"] = True
+            m0 = t._load_manifest(t.latest_version())
+            rival = dict(m0)
+            rival["version"] = version
+            rival["constraints"] = {"v_pos": "v > 0"}
+            with open(t._manifest_path(version), "w") as fh:
+                _json.dump(rival, fh)
+        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+
+    t._commit = constraint_racing_commit
+    with pytest.raises(RuntimeError, match="concurrent schema/constraint"):
+        t.append(spark.createDataFrame([Row(k="late", v=-3)], schema))
+    t._commit = orig_commit
