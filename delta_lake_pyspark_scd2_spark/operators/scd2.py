@@ -124,19 +124,25 @@ def detect_changes(
     key_cols: Sequence[str] | str,
     tracked_cols: Sequence[str],
     ts_col: str,
+    *,
+    carry_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Keys whose staged batch differs (null-safely) from the current
     open version, with the timestamp of the *first* changing event.
 
-    Returns one row per changed key: ``key_cols + [first_change_ts]``.
-    This is the reference's Phase-A input (J1 inner join on the key,
-    P6 null-safe filter, A1 ``min(valid_from_ts)`` — all at
+    Returns one row per changed key: ``key_cols + [first_change_ts]``
+    (+ ``carry_cols`` copied from the existing current row — there is
+    exactly one per key, so ``min`` in the same aggregate is exact and
+    free). This is the reference's Phase-A input (J1 inner join on the
+    key, P6 null-safe filter, A1 ``min(valid_from_ts)`` — all at
     ``src/header_etl.py:183-200``), with the same guard applied later by
     the merge: close only when ``first_change_ts > existing.valid_from``.
 
     Scale: inner join shuffles on the key (or broadcasts the staged side
     when small — Catalyst/AQE decides); the groupBy reuses the same key
-    so AQE can avoid a second full exchange.
+    so AQE can avoid a second full exchange. Carrying the current row's
+    ``valid_from`` here is what lets the merge derive its touched
+    partitions arithmetically instead of re-joining the table.
     """
     keys = _keys(key_cols)
     st = staged.alias("st")
@@ -144,9 +150,16 @@ def detect_changes(
     changed = (
         st.join(ex, on=keys, how="inner")
         .filter(any_tracked_change("st", "ex", tracked_cols))
-        .select(*keys, F.col(f"st.{ts_col}").alias(ts_col))
+        .select(
+            *keys,
+            F.col(f"st.{ts_col}").alias(ts_col),
+            *[F.col(f"ex.{c}").alias(c) for c in carry_cols],
+        )
     )
-    return changed.groupBy(*keys).agg(F.min(ts_col).alias("first_change_ts"))
+    return changed.groupBy(*keys).agg(
+        F.min(ts_col).alias("first_change_ts"),
+        *[F.min(c).alias(c) for c in carry_cols],
+    )
 
 
 def collapse_unchanged(

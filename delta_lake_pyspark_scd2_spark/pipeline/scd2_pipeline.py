@@ -328,6 +328,7 @@ def _merge_batch(
         ).persist()
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col(ts) > F.col("__cur_from")
+    t_a = time.time()
     helper_cols = [c for c in ("__cur_from", "__max_seen") if c in staged.columns]
     late = staged.filter(~is_new_key & ~is_fresh).drop(*helper_cols)
     n_stale = late.count()
@@ -335,31 +336,40 @@ def _merge_batch(
 
     # Null-safe change detection + first changing event per key
     # (J1 + P6 + A1). New keys change by definition. Persisted: feeds
-    # the Phase A close (twice) and the Phase B event filter.
+    # the Phase A close (twice) and the Phase B event filter. The
+    # current row's valid_from rides along (__cur_from) so touched
+    # partitions derive from `changed` alone — no second table scan.
     fresh_existing = usable.join(current.drop("__cur_from"), on=keys, how="left_semi")
     changed = scd2.detect_changes(
-        current.drop("__cur_from"),
+        current,
         fresh_existing,
         keys,
         tracked,
         ts,
+        carry_cols=("__cur_from",),
     ).persist()
 
     # Phase A — close current rows of changed keys at first_change_ts,
-    # rewriting only the partitions those rows live in. No forced
+    # rewriting only the partitions those rows live in. Touched
+    # partitions come from the carried current-row valid_from by pure
+    # date arithmetic over the (small, persisted) changed set. No forced
     # broadcast of `changed`: its size is data-dependent (≤ all keys in
     # the batch) — AQE picks broadcast when it is actually small and
     # falls back to a shuffle join when it is not.
     closed = 0
-    close_join = existing.filter(F.col("is_current")).join(
-        changed, on=keys, how="inner"
-    ).filter(F.col("first_change_ts") > F.col("valid_from"))
+    close_parts = partition_cols_from(
+        changed.filter(F.col("first_change_ts") > F.col("__cur_from")).select(
+            F.col("__cur_from").alias("valid_from")
+        ),
+        "valid_from",
+        spec.partition_prefix,
+    )
     touched = [
         {k: str(r[k]) for k in spec.partition_cols}
-        for r in close_join.select(*spec.partition_cols).distinct().collect()
+        for r in close_parts.select(*spec.partition_cols).distinct().collect()
     ]
     if touched:
-        to_close = changed
+        to_close = changed.drop("__cur_from")
         part_df = table.read_partitions(touched)
         updated = (
             part_df.alias("t")
@@ -405,13 +415,16 @@ def _merge_batch(
         )
         closed = int(obs.get["n_closed"] or 0)
 
+    t_b = time.time()
     # Phase B — insert version rows from the first change onward for
     # changed keys plus everything for new keys; idempotency key =
     # (key, valid_from) anti-join (reference src/header_etl.py:247-280).
     new_key_events = usable.join(current, on=keys, how="left_anti")
-    changed_events = usable.join(
-        changed, on=keys, how="inner"
-    ).filter(F.col(ts) >= F.col("first_change_ts")).drop("first_change_ts")
+    changed_events = (
+        usable.join(changed, on=keys, how="inner")
+        .filter(F.col(ts) >= F.col("first_change_ts"))
+        .drop("first_change_ts", "__cur_from")
+    )
     to_version = new_key_events.unionByName(changed_events)
     versions = _prepare_versions(spec, to_version)
     existing_keys = table.read().select(*keys, "valid_from")
@@ -438,6 +451,7 @@ def _merge_batch(
     # A/B so rebuilt histories include this batch's fresh versions.
     # Event source = full log (prior batches ∪ this batch), so versions
     # collapsed away by earlier change-only loads are recoverable.
+    t_c = time.time()
     n_rebuilt = 0
     if spec.late_policy == "rebuild" and n_stale:
         all_events = prior_events.unionByName(kept, allowMissingColumns=True)
@@ -445,9 +459,20 @@ def _merge_batch(
 
     for df in (inserts, changed, staged):
         df.unpersist()
-    out = {"n_closed": closed, "n_inserted": n_inserted, "n_stale": n_stale}
+    out = {
+        "n_closed": closed,
+        "n_inserted": n_inserted,
+        "n_stale": n_stale,
+        # phase breakdown (reference tracks per-phase durations,
+        # src/header_etl.py:319-331; these localize merge cost the
+        # same way at any scale: close = partition rewrite, insert =
+        # append, rebuild = late-history reconstruction)
+        "duration_s_close": round(t_b - t_a, 3),
+        "duration_s_insert": round(t_c - t_b, 3),
+    }
     if spec.late_policy == "rebuild":
         out["n_rebuilt"] = n_rebuilt
+        out["duration_s_rebuild"] = round(time.time() - t_c, 3)
     return out
 
 
