@@ -1482,3 +1482,29 @@ def f_date_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("week", F.col("o_orderdate")).cast("date")
         ).alias("first_week"),
     )
+
+
+@register(
+    "a10_stats_suite",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covs_qp,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp,
+           round(stddev_samp(l_discount), 6) AS sd_disc,
+           round(var_samp(l_discount), 6) AS var_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr / covar / stddev / variance) — "
+    "single-pass distributed moments with map-side partial combine; "
+    "rounded so the cross-engine float hash is stable.",
+)
+def a10_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covs_qp"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covp_qp"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
