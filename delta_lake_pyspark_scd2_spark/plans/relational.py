@@ -1508,3 +1508,85 @@ def a10_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
     )
+
+
+@register(
+    "w7_value_windows",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice)
+             OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND UNBOUNDED FOLLOWING) AS last_price,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Value/rank window surface beyond row_number: first_value, "
+    "whole-partition last_value (explicit UNBOUNDED FOLLOWING frame — "
+    "the default frame ends at CURRENT ROW, a classic silent-semantics "
+    "trap), percent_rank, cume_dist; ORDER BY is made total with the "
+    "key so both engines agree.",
+)
+def w7_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "ts_gap_fill",
+    oracle="""
+    WITH spans AS (
+      SELECT o_custkey, MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi
+      FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
+    ),
+    cal AS (
+      SELECT o_custkey, CAST(UNNEST(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS DATE) AS d
+      FROM spans
+    ),
+    daily AS (
+      SELECT o_custkey, o_orderdate AS d,
+             round(SUM(o_totalprice), 2) AS spend
+      FROM orders WHERE o_custkey < 50 GROUP BY 1, 2
+    )
+    SELECT cal.o_custkey, cal.d, coalesce(daily.spend, 0.0) AS spend
+    FROM cal LEFT JOIN daily
+      ON cal.o_custkey = daily.o_custkey AND cal.d = daily.d
+    """,
+    doc="Time-series gap filling (calendar densification): per-key "
+    "date spine via sequence+explode — a narrow 1-to-N generate, no "
+    "shuffle for the spine itself — left-joined to the daily aggregate "
+    "with zero-fill. The spine explode is how resampling scales: spine "
+    "size ~ keys x days, built where the key already lives, never on "
+    "the driver.",
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    spans = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    cal = spans.select(
+        "o_custkey",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+        ).alias("d"),
+    )
+    daily = o.groupBy("o_custkey", F.col("o_orderdate").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend")
+    )
+    return cal.join(daily, on=["o_custkey", "d"], how="left").select(
+        "o_custkey", "d", F.coalesce("spend", F.lit(0.0)).alias("spend")
+    )
