@@ -80,12 +80,13 @@ def run_synthetic_volume_bench(
 
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
-    1M        9.8        10.4        ~95k          54.73 s
-    10M       16.8       20.8        480k          226.76 s
+    1M        13.2       16.8        ~60k          54.73 s
+    10M       28.1       39.6        253k          226.76 s
     ========  =========  ==========  ============  ================
 
-    (Warm-session numbers; a cold first run pays ~2x one-time JIT /
-    codegen on the 10M load.)
+    (Warm-session numbers; a cold first run pays one-time JIT/codegen.
+    Every synthetic event carries distinct tracked values, so versions
+    ≈ input rows — the reference's kept-rows regime.)
     """
     import time as _t
 

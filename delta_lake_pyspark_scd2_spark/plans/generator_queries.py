@@ -29,6 +29,13 @@ def _mix_sql(expr: str, salt: int, modulus: int) -> str:
     return f"(({expr} % {modulus}) * {a} + {b}) % {modulus}"
 
 
+def _mix2_sql(expr: str, salt: int, modulus: int) -> str:
+    """DuckDB replica of generators._mix2 (prime-decorrelated mix)."""
+    return _mix_sql(
+        _mix_sql(expr, salt, G.DECORRELATE_P), salt + 1000, modulus
+    )
+
+
 @register(
     "gen_events",
     oracle=f"""
@@ -37,9 +44,9 @@ def _mix_sql(expr: str, salt: int, modulus: int) -> str:
              + ({_mix_sql('id', SEED, SPAN)}) * INTERVAL 1 SECOND AS ts,
            {_mix_sql('id', SEED + 1, N_KEYS)} AS user_id,
            (ARRAY[{", ".join(repr(t) for t in TYPES)}])
-             [CAST({_mix_sql('id', SEED + 2, len(TYPES))} AS INT) + 1]
+             [CAST({_mix2_sql('id', SEED + 2, len(TYPES))} AS INT) + 1]
              AS event_type,
-           ({_mix_sql('id', SEED + 3, 100000)}) / 100.0 AS value
+           ({_mix2_sql('id', SEED + 3, 100000)}) / 100.0 AS value
     FROM range(0, {N_GEN}) t(id)
     """,
     doc="Deterministic distributed event generator (S14 range source + "
@@ -60,7 +67,7 @@ def gen_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              TIMESTAMP '2024-01-01 00:00:00'
                + ({_mix_sql('id', SEED, SPAN)}) * INTERVAL 1 SECOND AS ts,
              {_mix_sql('id', SEED + 1, N_KEYS)} AS user_id,
-             ({_mix_sql('id', SEED + 3, 100000)}) / 100.0 AS value
+             ({_mix2_sql('id', SEED + 3, 100000)}) / 100.0 AS value
       FROM range(0, {N_GEN}) t(id)
     )
     SELECT event_id + 1000000000 AS event_id,

@@ -53,6 +53,23 @@ def _mix(col, salt: int, modulus: int) -> F.Column:
     return (col % F.lit(modulus) * F.lit(a) + F.lit(b)) % F.lit(modulus)
 
 
+#: Prime ≫ any key count used; stage-1 modulus of :func:`_mix2`.
+DECORRELATE_P = 999_983
+
+
+def _mix2(col, salt: int, modulus: int) -> F.Column:
+    """Two-stage mix: affine mod a large prime, then affine mod the
+    target. A single-stage ``_mix`` is affine in ``id``, so the events
+    of one key (ids spaced ``n_keys`` apart) hit a fixed stride in the
+    target ring — and when ``n_keys`` shares a factor with ``modulus``
+    (e.g. 100k keys vs the 100000 value ring, or any multiple of the
+    5 event types) the stride is ZERO: every event of the key gets the
+    SAME attribute, silently collapsing SCD2 version counts. Routing
+    through a prime first makes the stride non-degenerate for every
+    key count below the prime."""
+    return _mix(_mix(col, salt, DECORRELATE_P), salt + 1000, modulus)
+
+
 def synthetic_events(
     spark: SparkSession,
     n_rows: int,
@@ -78,10 +95,10 @@ def synthetic_events(
             + F.make_interval(secs=_mix(F.col("id"), seed, span_seconds))
         ).alias("ts"),
         _mix(F.col("id"), seed + 1, n_keys).alias("user_id"),
-        F.element_at(types, (_mix(F.col("id"), seed + 2, len(event_types)) + 1).cast("int")).alias(
+        F.element_at(types, (_mix2(F.col("id"), seed + 2, len(event_types)) + 1).cast("int")).alias(
             "event_type"
         ),
-        (_mix(F.col("id"), seed + 3, 100000) / 100.0).alias("value"),
+        (_mix2(F.col("id"), seed + 3, 100000) / 100.0).alias("value"),
         F.lit(None).cast("string").alias("props"),
     )
 
