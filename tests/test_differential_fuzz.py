@@ -85,7 +85,11 @@ query_strategy = st.fixed_dictionaries(
             max_size=3,
         ),
         "join": st.one_of(
-            st.none(), st.sampled_from(range(len(ORDER_PREDS)))
+            st.none(),
+            st.tuples(
+                st.sampled_from(["inner", "left"]),
+                st.sampled_from(range(len(ORDER_PREDS))),
+            ),
         ),
     }
 )
@@ -126,11 +130,21 @@ def test_random_query_matches_duckdb(q, spark, ddb):
         where_sql.append(frag)
     from_sql = "lineitem"
     if q["join"] is not None:
-        _, obuild, ofrag = ORDER_PREDS[q["join"]]
+        how, oi = q["join"]
+        _, obuild, ofrag = ORDER_PREDS[oi]
         orders = load_table(spark, SF, "orders").filter(obuild())
-        df = df.join(orders, df.l_orderkey == orders.o_orderkey, "inner")
-        from_sql = "lineitem JOIN orders ON l_orderkey = o_orderkey"
-        where_sql.append(ofrag)
+        df = df.join(orders, df.l_orderkey == orders.o_orderkey, how)
+        if how == "inner":
+            from_sql = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+            where_sql.append(ofrag)
+        else:
+            # LEFT: the dim predicate must live in the ON clause — in
+            # WHERE it would silently turn the join inner (the classic
+            # outer-join trap; both engines must agree on null rows)
+            from_sql = (
+                "lineitem LEFT JOIN orders ON l_orderkey = o_orderkey "
+                f"AND {ofrag}"
+            )
 
     agg_cols = []
     agg_sql = []
