@@ -231,3 +231,113 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the IVF index the in-flight :func:`ivf_topk` only
+    simulates: centroid assignment + per-vector norm, committed as a
+    :class:`VersionedParquetTable` PARTITIONED BY ``centroid_id``.
+
+    This is the build/search split every production ANN system makes —
+    the O(corpus × centroids) assignment runs once, searches amortize
+    it. Because the table is partitioned on the centroid id, a probe
+    is a manifest-level partition-pruned scan: at 100 TB a query that
+    probes 2 of 4096 buckets lists 2/4096ths of the files, not the
+    corpus. The index versions like any table (rebuild = new version,
+    time travel to the old index for A/B comparison).
+    """
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).withColumn("__vnorm", norm(F.col(vec_col)))
+    return VersionedParquetTable.create(
+        corpus.sparkSession,
+        assigned,
+        index_path,
+        partition_cols=["centroid_id"],
+        metrics={"op": "IVF_BUILD"},
+    )
+
+
+def ivf_search_index(
+    index,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (:func:`build_ivf_index`): rank
+    centroids per query, then read ONLY the probed buckets' partitions
+    from the index table and score within them. Results are identical
+    to :func:`ivf_topk` at the same ``(centroids, nprobe, k)`` — the
+    difference is the probe cost: a partition-pruned scan of the
+    prebuilt assignment instead of recomputing it per search.
+
+    The probed-centroid list is collected to the driver first — it is
+    ``|queries| × nprobe`` ids, small by definition, and knowing it at
+    plan time is exactly what makes the scan prunable.
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__centnorm", norm(F.col("__cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim",
+        F.round(
+            cosine_prenormed(
+                F.col("__cvec"), F.col("__qvec"), F.col("__centnorm"), F.col("__qnorm")
+            ),
+            6,
+        ),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__qvec", "__qnorm", "centroid_id")
+    )
+    probed_ids = sorted(
+        {r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()}
+    )
+    bucket = index.read_partitions(
+        [{"centroid_id": str(c)} for c in probed_ids]
+    )
+    scored = (
+        bucket.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"),
+                    F.col(vec_col),
+                    F.col("__qnorm"),
+                    F.col("__vnorm"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
+    )

@@ -281,3 +281,40 @@ def test_chunk_tokens_windows_and_overlap(spark):
     assert c1[0][1].split(" ")[-10:] == c1[1][1].split(" ")[:10]
     assert by_doc[2] == [(0, "only three tokens", 3)]
     assert by_doc[3] == [(0, "padded spacing", 2)]  # whitespace normalized
+
+
+def test_ivf_persisted_index_matches_inflight(spark, tmp_path):
+    """build_ivf_index + ivf_search_index == ivf_topk at the same
+    (centroids, nprobe, k), and the probe scan reads ONLY the probed
+    buckets' files (manifest-level partition pruning)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search_index,
+        ivf_topk,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    index = build_ivf_index(emb, centroids, str(tmp_path / "ivf"))
+    got = ivf_search_index(index, centroids, queries, k=5, nprobe=2)
+    exp = ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+    key = lambda r: (r.query_id, r.rank)
+    got_rows = {key(r): (r.neighbor_id, r.cos_sim) for r in got.collect()}
+    exp_rows = {key(r): (r.neighbor_id, r.cos_sim) for r in exp.collect()}
+    assert got_rows == exp_rows and got_rows
+
+    # pruning pin: a probed-bucket read touches only those partitions
+    bucket_df = index.read_partitions(
+        [{"centroid_id": "0"}, {"centroid_id": "3"}]
+    )
+    for f in bucket_df.inputFiles():
+        assert "centroid_id=0" in f or "centroid_id=3" in f
+
+    # index versions like any table: rebuild commits a new version
+    assert index.history()[0]["operation"] == "CREATE"
