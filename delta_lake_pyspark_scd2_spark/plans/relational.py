@@ -150,10 +150,10 @@ def p1_projection_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p6_null_safe_compare",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN (CASE WHEN event_type = 'error' THEN NULL ELSE event_type END)
+           CAST(SUM(CASE WHEN (CASE WHEN event_type = 'error' THEN NULL ELSE event_type END)
                          IS NOT DISTINCT FROM
                         (CASE WHEN value < 10.0 THEN NULL ELSE event_type END)
-                    THEN 1 ELSE 0 END) AS n_null_safe_eq,
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe_eq,
            COUNT(*) AS n_total
     FROM events
     GROUP BY event_type
@@ -337,9 +337,9 @@ def a1_groupby_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_single_pass_metrics",
     oracle="""
     SELECT COUNT(*) AS n_total,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-           SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS n_high_value,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     """,
@@ -1407,14 +1407,21 @@ def a9_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_struct_nested",
     oracle="""
     SELECT o_orderkey,
-           {'status': o_orderstatus, 'price': o_totalprice} AS order_info,
-           o_orderstatus AS status_out,
-           round(o_totalprice * 1.1, 2) AS taxed
-    FROM orders WHERE o_orderkey < 100
+           order_info.status AS status_out,
+           order_info.price AS price_out,
+           round(order_info.price * 1.1, 2) AS taxed
+    FROM (
+      SELECT o_orderkey,
+             {'status': o_orderstatus, 'price': o_totalprice} AS order_info
+      FROM orders WHERE o_orderkey < 100
+    )
     """,
     doc="Struct construction + field access (nested-type surface the "
     "reference never touches): build a struct column, read fields back "
-    "out, compute through them — all codegen'd projections.",
+    "out, compute through them — all codegen'd projections. Output is "
+    "scalar-only: raw struct columns break pandas-side canonicalizers "
+    "(unhashable dict), so the struct lives inside the plan and the "
+    "fields are projected back out at the end.",
 )
 def f_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
@@ -1425,8 +1432,8 @@ def f_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = o.select("o_orderkey", s.alias("order_info"))
     return d.select(
         "o_orderkey",
-        "order_info",
         F.col("order_info.status").alias("status_out"),
+        F.col("order_info.price").alias("price_out"),
         F.round(F.col("order_info.price") * 1.1, 2).alias("taxed"),
     )
 
@@ -1553,8 +1560,8 @@ def w7_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey < 50 GROUP BY o_custkey
     ),
     cal AS (
-      SELECT o_custkey, CAST(UNNEST(generate_series(lo, hi,
-                        INTERVAL 1 DAY)) AS DATE) AS d
+      SELECT o_custkey, UNNEST(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS d
       FROM spans
     ),
     daily AS (
