@@ -285,11 +285,31 @@ def _merge_batch(
     keys = list(spec.key_cols)
     ts = spec.event_ts_col
 
+    # Phases A and B derive touched partitions *arithmetically* from
+    # valid_from under THIS spec's partition scheme; that is only sound
+    # if the table on disk was partitioned the same way. Fail fast on a
+    # spec/manifest mismatch instead of silently pruning to the wrong
+    # partitions and missing closes.
+    table_pc = table.partition_columns()
+    if table_pc != list(spec.partition_cols):
+        raise ValueError(
+            f"SCD2 spec partition_cols {list(spec.partition_cols)} do not "
+            f"match table manifest partition_cols {table_pc} at {table.path}; "
+            "merge's partition pruning would be unsound under a different "
+            "scheme. Recreate the table or align spec.partition_prefix."
+        )
+
     tracked = spec.effective_tracked
-    existing = table.read()
+    # Current rows via manifest data skipping: files whose footer says
+    # max(is_current)=false (fully-closed histories) never enter the
+    # scan. Phase-B appends are all-current and Phase-A rewrites mix,
+    # so over time old day-partitions go all-closed and drop out — the
+    # per-batch current-row scan tracks the LIVE key count, not the
+    # total version-row count.
+    cur_src = table.read_where([("is_current", "=", True)])
     if spec.evolve_schema:
-        existing = _pad_columns(existing, kept)
-    current = existing.filter(F.col("is_current")).select(
+        cur_src = _pad_columns(cur_src, kept)
+    current = cur_src.select(
         *keys, F.col("valid_from").alias("__cur_from"), *tracked
     )
 
@@ -312,6 +332,9 @@ def _merge_batch(
         seen = _read_key_watermarks(spark, spec, table.path, exclude_batch=batch_id)
         prior_events = _read_event_log(spark, table.path, exclude_batch=batch_id)
         if prior_events is None:  # pre-log table: version rows as events
+            existing = table.read()
+            if spec.evolve_schema:
+                existing = _pad_columns(existing, kept)
             prior_events = existing.select(*kept.columns)
         if seen is None:
             seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
@@ -426,8 +449,23 @@ def _merge_batch(
         .drop("first_change_ts", "__cur_from")
     )
     to_version = new_key_events.unionByName(changed_events)
-    versions = _prepare_versions(spec, to_version)
-    existing_keys = table.read().select(*keys, "valid_from")
+    # Persisted: feeds the partition-scope collect AND the anti-join —
+    # without it the collapse+intervalize windows run twice.
+    versions = _prepare_versions(spec, to_version).persist()
+    # Idempotency conflicts share (key, valid_from), and the partition
+    # columns are a pure function of valid_from — so a conflicting
+    # existing row can only live in a partition some incoming version
+    # also maps to. Scope the anti-join's right side to exactly those
+    # partitions (manifest-pruned scan) instead of the whole table:
+    # per-batch cost stays ∝ batch footprint as the table grows 100×.
+    # Same derivation Phase A uses for `touched`; the collect is a
+    # distinct over the (small, persisted) batch, bounded by its
+    # distinct valid_from days.
+    ins_touched = [
+        {k: str(r[k]) for k in spec.partition_cols}
+        for r in versions.select(*spec.partition_cols).distinct().collect()
+    ]
+    existing_keys = table.read_partitions(ins_touched).select(*keys, "valid_from")
     inserts = versions.join(
         existing_keys, on=[*keys, "valid_from"], how="left_anti"
     ).persist()
@@ -457,7 +495,7 @@ def _merge_batch(
         all_events = prior_events.unionByName(kept, allowMissingColumns=True)
         n_rebuilt = _rebuild_late(spec, table, late, all_events, batch_id)
 
-    for df in (inserts, changed, staged):
+    for df in (inserts, versions, changed, staged):
         df.unpersist()
     out = {
         "n_closed": closed,

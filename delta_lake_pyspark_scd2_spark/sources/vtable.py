@@ -712,6 +712,11 @@ class VersionedParquetTable:
         )
         return t
 
+    def partition_columns(self) -> list[str]:
+        """The partition columns the table was created with — manifest
+        metadata only, no data or file I/O."""
+        return list(self._current()["partition_cols"])
+
     def detail(self) -> dict:
         """``DESCRIBE DETAIL`` analogue: one dict of table-level facts
         from manifest metadata alone (no data I/O — footer stats were

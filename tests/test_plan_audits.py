@@ -163,3 +163,62 @@ def test_vtable_partition_pruning_in_plan(spark, tmp_path):
     # manifest-level pruning never lists the other partitions at all
     pruned = t.read_partitions([{"d": "3"}])
     assert pruned.count() == df.count()
+
+
+def test_merge_phase_b_anti_join_is_partition_scoped(spark, tmp_path):
+    """Phase B's idempotency anti-join must read ONLY the partitions the
+    incoming versions map to, and the current-rows read must go through
+    stats-based skipping (read_where on is_current) — otherwise per-batch
+    merge cost grows with total table size instead of batch footprint
+    (round-1 VERDICT 'What's wrong' #3)."""
+    import datetime as dt
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    from delta_lake_pyspark_scd2_spark.pipeline import SCD2Spec, run_scd2_batch
+    from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+    spec = SCD2Spec(
+        key_cols=("k",), event_ts_col="t", tracked_cols=("v",)
+    )
+    schema = "k string, t timestamp, v string"
+
+    def ev(k, day, v):
+        return Row(k=k, t=dt.datetime(2023, 1, day, 10, 0, 0), v=v)
+
+    path = str(tmp_path / "t")
+    # seed: three keys on three different days -> three day-partitions
+    b1 = spark.createDataFrame([ev("A", 1, "x"), ev("B", 2, "y"), ev("C", 3, "z")], schema)
+    run_scd2_batch(spark, spec, b1, path, batch_id="b1")
+
+    # batch 2 touches only day 28 (update for A) — record every
+    # read_partitions / read_where call the merge makes
+    calls: list[list[dict]] = []
+    where_calls: list[list[tuple]] = []
+    orig_rp = VersionedParquetTable.read_partitions
+    orig_rw = VersionedParquetTable.read_where
+
+    def spy_rp(self, partitions, version=None):
+        calls.append(partitions)
+        return orig_rp(self, partitions, version)
+
+    def spy_rw(self, filters, version=None):
+        where_calls.append(list(filters))
+        return orig_rw(self, filters, version)
+
+    b2 = spark.createDataFrame([ev("A", 28, "x2")], schema)
+    with mock.patch.object(VersionedParquetTable, "read_partitions", spy_rp), \
+         mock.patch.object(VersionedParquetTable, "read_where", spy_rw):
+        m = run_scd2_batch(spark, spec, b2, path, batch_id="b2")
+    assert m["n_closed"] == 1 and m["n_inserted"] == 1
+
+    # current-rows read used stats-based skipping on is_current
+    assert [("is_current", "=", True)] in where_calls
+    # every partition-scoped read touched only day 1 (phase A: A's
+    # current row) or day 28 (phase B: the incoming version) — never
+    # days 2/3, and never an unscoped full read
+    seen_days = {p["valid_from_day"] for ps in calls for p in ps}
+    assert calls and seen_days <= {"1", "28"}, (calls, seen_days)
+    # phase B's scope is exactly the incoming version's partition
+    assert [{"valid_from_year": "2023", "valid_from_month": "1", "valid_from_day": "28"}] in calls
