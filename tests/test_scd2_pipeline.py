@@ -690,3 +690,67 @@ def test_vtable_concurrent_append_retries(spark, tmp_path):
     with pytest.raises(RuntimeError, match="concurrent schema/constraint"):
         t.append(spark.createDataFrame([Row(k="late", v=-3)], schema))
     t._commit = orig_commit
+
+
+def test_vtable_merge_schema_rebase_keeps_winner_columns(spark, tmp_path):
+    """Losing an append race to a concurrent schema-changing commit must
+    rebase the schema too (new head ∪ ours), not re-commit the stale
+    local union — otherwise the winner's new columns silently vanish
+    from the table schema and its data reads back as absent."""
+    from pyspark.sql import Row
+
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame([Row(k="base", v=0)], "k string, v int"),
+        str(tmp_path / "msr"),
+    )
+    orig_commit = t._commit
+    rival_done = {"done": False}
+
+    def racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+        if not rival_done["done"]:
+            rival_done["done"] = True
+            # a REAL rival append through a second handle: adds column w
+            t2 = VersionedParquetTable(spark, t.path)
+            t2.append(
+                spark.createDataFrame([Row(k="rival", w=7)], "k string, w int"),
+                merge_schema=True,
+            )
+        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+
+    t._commit = racing_commit
+    t.append(
+        spark.createDataFrame([Row(k="mine", c=5)], "k string, c int"),
+        merge_schema=True,
+    )
+    t._commit = orig_commit
+
+    got = t.read()
+    assert {"k", "v", "w", "c"} <= set(got.columns)
+    rows = {r.k: r for r in got.collect()}
+    assert rows["rival"].w == 7      # the winner's column survived the rebase
+    assert rows["mine"].c == 5
+    assert rows["base"].v == 0
+
+
+def test_vtable_commit_is_atomic_no_clobber(tmp_path, spark):
+    """_commit must never overwrite an existing manifest, even without
+    the pre-existence check having fired (os.link fails EEXIST
+    atomically; a check-then-rename can clobber)."""
+    import os as _os
+
+    from pyspark.sql import Row
+
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame([Row(k="base", v=0)], "k string, v int"),
+        str(tmp_path / "at"),
+    )
+    v = t.latest_version()
+    before = open(t._manifest_path(v)).read()
+    with pytest.raises(RuntimeError, match="already committed"):
+        t._commit(v, [], t.read().schema, [], "CLOBBER_ATTEMPT")
+    assert open(t._manifest_path(v)).read() == before  # intact
+    # no orphaned tmp files left behind
+    mdir = _os.path.dirname(t._manifest_path(v))
+    assert not [f for f in _os.listdir(mdir) if ".tmp-" in f]
