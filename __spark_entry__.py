@@ -24,8 +24,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY["q1_pricing_summary"].builder(spark, SF0001)
 
 
+def _wrap(builder: Callable[[SparkSession, str], DataFrame]):
+    """Release the previous query's tracked cache entries before
+    building the next one: operators persist shared intermediates
+    (dedup signature/shingle tables), and this bounds live cache to one
+    query even when many queries run in a single session."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from delta_lake_pyspark_scd2_spark.functions.caching import release_tracked
+
+        release_tracked()
+        return builder(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: _wrap(spec.builder) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

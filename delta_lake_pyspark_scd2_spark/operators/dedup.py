@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from delta_lake_pyspark_scd2_spark.functions.caching import persist_tracked
 from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
 
 #: 61-bit Mersenne prime — modulus of the minhash permutation family.
@@ -215,9 +216,10 @@ def lsh_candidate_pairs(
     ).select(id_col, "bb.band", "bb.bucket")
     # The self-join would otherwise recompute the whole shingle→hash→min
     # pipeline for both sides; persist the (small: 1 row per doc per
-    # band) bucket table. At production scale this is a materialized
-    # signature table on storage.
-    banded = banded.persist()
+    # band) bucket table — tracked, so the harness releases it at the
+    # query boundary (no session-lifetime cache leak). At production
+    # scale this is a materialized signature table on storage.
+    banded = persist_tracked(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -259,14 +261,13 @@ def ngram_jaccard_pairs(
     the join to rare shingles (crossover measured around ~10⁵ docs
     locally; earlier at 100 TB where df² explodes).
     """
-    sh = (
-        _spread(df, id_col)
-        .select(
+    sh = persist_tracked(  # released at the query boundary
+        _spread(df, id_col).select(
             F.col(id_col),
+            # already (doc, shingle)-unique: word_shingles applies
+            # array_distinct per document
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
-        .persist()  # already (doc, shingle)-unique: word_shingles
-        #            applies array_distinct per document
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.alias("a")
@@ -319,17 +320,17 @@ def ngram_jaccard_pairs_prefix(
     makes the surviving join keys precisely the low-df shingles, so the
     blocking join is skew-free by construction.
     """
-    # Persisted: the doc→shingle index feeds the df-counts, the prefix
-    # selection and the full-set arrays; at production scale this is a
-    # materialized table.
-    sh = (
-        _spread(df, id_col)
-        .select(
+    # Persisted (tracked — released at the query boundary): the
+    # doc→shingle index feeds the df-counts, the prefix selection and
+    # the full-set arrays; at production scale this is a materialized
+    # table.
+    sh = persist_tracked(
+        _spread(df, id_col).select(
             F.col(id_col),
+            # already (doc, shingle)-unique: word_shingles applies
+            # array_distinct per document — no dedup shuffle
             F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
         )
-        .persist()  # already (doc, shingle)-unique: word_shingles
-        #            applies array_distinct per document — no dedup shuffle
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col).orderBy(
@@ -493,11 +494,12 @@ def embedding_lsh_pairs(
     # Bucket join + pair-dedup carry IDS ONLY — hashing/shuffling the
     # vectors through the n-candidate distinct would dominate the cost;
     # vectors re-attach afterwards (|pairs| rows, not |candidates|).
-    sigs = (
+    # Persisted (tracked): both join sides read the signatures — without
+    # it the Arrow-batched matmul UDF runs twice.
+    sigs = persist_tracked(
         _spread(df.select(id_col, vec_col), id_col)
         .withColumn("__bb", band_buckets(F.col(vec_col)))
         .select(id_col, F.posexplode("__bb").alias("band", "bucket"))
-        .persist()
     )
     a = sigs.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b = sigs.select(F.col(id_col).alias("id_b"), "band", "bucket")

@@ -22,13 +22,15 @@ the partitioning between rounds. Each round eagerly
 ``localCheckpoint``s the label frame: lineage would otherwise double
 per iteration and the convergence-check action would replay the whole
 chain. Near-dup graphs have tiny components (bounded cluster sizes),
-so round counts are small; the per-round driver action is a
-``limit(1).count()`` convergence probe, not data movement.
+so round counts are small; convergence detection costs NO extra job —
+the changed-label count rides the checkpoint's own materialization as
+an ``Observation`` (each node's previous label is carried through the
+min-aggregate, so changed = sum(label != old_label)).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -63,16 +65,21 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    label_t = labels.schema["label"].dataType
     for i in range(max_iter):
-        # 1. neighbor-min: candidate labels = own ∪ neighbors', min per node.
+        # 1. neighbor-min: candidate labels = own ∪ neighbors', min per
+        # node. The node's previous label rides along as max(own) (each
+        # node contributes exactly one own row) so convergence is
+        # decidable from this round's rows alone — no join against the
+        # previous labels, no second action.
         nbr = sym.join(labels, sym.v == labels.node).select(
-            F.col("u").alias("node"), "label"
+            F.col("u").alias("node"), "label", F.lit(None).cast(label_t).alias("own")
         )
         stepped = (
-            labels.select("node", "label")
+            labels.select("node", "label", F.col("label").alias("own"))
             .union(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("own").alias("old_label"))
         )
         # 2. pointer jump: follow label -> label(label). Label values are
         # always vertex ids present in `labels`, so the join never misses;
@@ -82,21 +89,27 @@ def connected_components(
         )
         jumped = stepped.join(
             ptr, stepped.label == ptr.p_node, "left"
-        ).select("node", F.coalesce("p_label", "label").alias("label"))
+        ).select(
+            "node",
+            F.coalesce("p_label", "label").alias("label"),
+            "old_label",
+        )
 
         if (i + 1) % checkpoint_every == 0:
-            jumped = jumped.localCheckpoint(eager=True)
-
-        changed = (
-            jumped.alias("a")
-            .join(labels.alias("b"), "node")
-            .filter(F.col("a.label") != F.col("b.label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
-        if changed == 0:
-            return labels
+            # convergence count rides the checkpoint's materialization
+            obs = Observation(f"cc_round_{i}")
+            jumped = jumped.observe(
+                obs,
+                F.sum((F.col("label") != F.col("old_label")).cast("long")).alias(
+                    "n_changed"
+                ),
+            )
+            labels = jumped.drop("old_label").localCheckpoint(eager=True)
+            if int(obs.get["n_changed"] or 0) == 0:
+                return labels
+        else:
+            # lineage-growing round: no action, no convergence probe
+            labels = jumped.drop("old_label")
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

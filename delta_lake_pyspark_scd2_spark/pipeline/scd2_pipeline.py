@@ -108,19 +108,33 @@ def _append_event_log(spec: SCD2Spec, kept: DataFrame, table_path: str, batch_id
     )
 
 
+def _list_batch_dirs(
+    spark: SparkSession, root: str, *, exclude_batch: str
+) -> list[str]:
+    """List ``batch=*`` sidecar directories through the Hadoop
+    FileSystem API, not ``os.listdir`` — so the sidecars work wherever
+    Spark can read (HDFS, s3a://, abfss://, local), and the listing
+    semantics match the scans that follow."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(root)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return []
+    return [
+        name
+        for st in fs.listStatus(path)
+        if (name := st.getPath().getName()).startswith("batch=")
+        and name != f"batch={exclude_batch}"
+    ]
+
+
 def _read_key_watermarks(
     spark: SparkSession, spec: SCD2Spec, table_path: str, *, exclude_batch: str
 ) -> DataFrame | None:
     """Per-key max logged ts across prior batches, from the compact
     watermark files; None when absent (pre-log table)."""
-    import os
-
     root = _watermark_dir(table_path)
-    parts = [
-        d
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if d.startswith("batch=") and d != f"batch={exclude_batch}"
-    ]
+    parts = _list_batch_dirs(spark, root, exclude_batch=exclude_batch)
     if not parts:
         return None
     per_batch = (
@@ -138,14 +152,8 @@ def _read_event_log(
 ) -> DataFrame | None:
     """All prior logged events (merged schema), or None if no log —
     pre-log tables fall back to version rows as the event source."""
-    import os
-
     root = _log_dir(table_path)
-    parts = [
-        d
-        for d in (os.listdir(root) if os.path.isdir(root) else [])
-        if d.startswith("batch=") and d != f"batch={exclude_batch}"
-    ]
+    parts = _list_batch_dirs(spark, root, exclude_batch=exclude_batch)
     if not parts:
         return None
     return (

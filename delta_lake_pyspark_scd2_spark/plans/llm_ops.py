@@ -115,8 +115,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
     """,
     doc="N-gram Jaccard near-dup pairs: shingle-blocked self-join (only "
-    "docs sharing a shingle meet); shuffle key = shingle.",
-    bench=True,
+    "docs sharing a shingle meet); shuffle key = shingle. Θ(Σ df²) "
+    "candidates — the correctness baseline; the benched scale path is "
+    "dedup_ngram_jaccard_prefix.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -144,6 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(join only each doc's (1-t)|A|+1 rarest shingles, verify candidates "
     "with array_intersect) — the candidate-bounded 100 TB path; oracle "
     "is the full ground truth, proving the filter loses nothing.",
+    bench=True,
 )
 def dedup_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -321,3 +321,251 @@ def test_random_window_query_matches_duckdb(q, spark, ddb):
             assert _approx_eq(gv, ev), (
                 f"{alias} mismatch at {(ga, gb)}: {gv!r} != {ev!r}\n{sql}"
             )
+
+
+# -- set-operation fuzzing ---------------------------------------------------
+
+SETOP_COLS = ["l_returnflag", "l_linestatus", "l_linenumber"]
+
+SETOPS = [
+    # (name, spark_combiner, sql_keyword)
+    ("union_all", lambda a, b: a.unionAll(b), "UNION ALL"),
+    ("union", lambda a, b: a.union(b).distinct(), "UNION"),
+    ("intersect", lambda a, b: a.intersect(b), "INTERSECT"),
+    ("intersect_all", lambda a, b: a.intersectAll(b), "INTERSECT ALL"),
+    # NOTE: SQL EXCEPT is SET semantics (a row present in B at all is
+    # removed), NOT exceptAll().distinct() (which keeps a row whose A
+    # multiplicity exceeds its B multiplicity) — caught by this very fuzz.
+    ("except", lambda a, b: a.subtract(b), "EXCEPT"),
+    ("except_all", lambda a, b: a.exceptAll(b), "EXCEPT ALL"),
+]
+
+setop_strategy = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(range(len(SETOPS))),
+        "p1": st.lists(
+            st.sampled_from(range(len(PREDICATES))), unique=True, max_size=2
+        ),
+        "p2": st.lists(
+            st.sampled_from(range(len(PREDICATES))), unique=True, max_size=2
+        ),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=setop_strategy)
+def test_random_setop_matches_duckdb(q, spark, ddb):
+    """UNION/INTERSECT/EXCEPT (ALL and DISTINCT) of two filtered
+    branches over the same table, compared as sorted row lists."""
+    _, combine, kw = SETOPS[q["op"]]
+
+    def branch(pred_ixs):
+        df = load_table(spark, SF, "lineitem")
+        frags = []
+        for i in pred_ixs:
+            _, build, frag = PREDICATES[i]
+            df = df.filter(build())
+            frags.append(frag)
+        where = f" WHERE {' AND '.join(frags)}" if frags else ""
+        cols = ", ".join(SETOP_COLS)
+        return df.select(*SETOP_COLS), f"SELECT {cols} FROM lineitem{where}"
+
+    a, sql_a = branch(q["p1"])
+    b, sql_b = branch(q["p2"])
+    df = combine(a, b)
+    sql = f"({sql_a}) {kw} ({sql_b})"
+
+    got = sorted(tuple(r) for r in df.collect())
+    exp = sorted(tuple(r) for r in ddb.execute(sql).fetchall())
+    assert got == exp, f"set-op rows diverge for:\n{sql}"
+
+
+# -- subquery fuzzing (EXISTS / NOT EXISTS / scalar) -------------------------
+
+subquery_strategy = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(["exists", "not_exists", "scalar_gt", "in"]),
+        "inner_pred": st.sampled_from(range(len(PREDICATES))),
+        "outer_pred": st.one_of(st.none(), st.sampled_from(range(len(ORDER_PREDS)))),
+    }
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=subquery_strategy)
+def test_random_subquery_matches_duckdb(q, spark, ddb):
+    """Correlated EXISTS / NOT EXISTS / IN over orders→lineitem (Spark:
+    left_semi / left_anti), and an uncorrelated scalar-aggregate
+    comparison (Spark: broadcast one-row agg). Output = count + a
+    checksum-ish grouped count per orderstatus, exact."""
+    _, ibuild, ifrag = PREDICATES[q["inner_pred"]]
+    orders = load_table(spark, SF, "orders")
+    owhere = ""
+    if q["outer_pred"] is not None:
+        _, obuild, ofrag = ORDER_PREDS[q["outer_pred"]]
+        orders = orders.filter(obuild())
+        owhere = f" AND {ofrag}"
+
+    li = load_table(spark, SF, "lineitem").filter(ibuild())
+    if q["kind"] in ("exists", "not_exists", "in"):
+        how = "left_anti" if q["kind"] == "not_exists" else "left_semi"
+        df = orders.join(li, orders.o_orderkey == li.l_orderkey, how)
+        op = {
+            "exists": "EXISTS",
+            "not_exists": "NOT EXISTS",
+            "in": "EXISTS",  # IN (SELECT key ...) ≡ correlated EXISTS here
+        }[q["kind"]]
+        sub = f"SELECT 1 FROM lineitem WHERE {ifrag} AND l_orderkey = o_orderkey"
+        if q["kind"] == "in":
+            sub = None
+            sql_pred = f"o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE {ifrag})"
+        else:
+            sql_pred = f"{op} ({sub})"
+        sql = (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            f"WHERE {sql_pred}{owhere} GROUP BY o_orderstatus"
+        )
+        out = df.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    else:  # scalar_gt: price above the filtered average
+        avg = li.agg(F.avg("l_extendedprice").alias("__avg"))
+        out = (
+            orders.crossJoin(F.broadcast(avg))
+            .filter(F.col("o_totalprice") > F.col("__avg"))
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sql = (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders "
+            f"WHERE o_totalprice > (SELECT AVG(l_extendedprice) FROM lineitem "
+            f"WHERE {ifrag}){owhere} GROUP BY o_orderstatus"
+        )
+
+    got = sorted((r.o_orderstatus, r.n) for r in out.collect())
+    exp = sorted(tuple(r) for r in ddb.execute(sql).fetchall())
+    assert got == exp, f"subquery result diverges for:\n{sql}"
+
+
+# -- null-heavy aggregation fuzzing ------------------------------------------
+
+EVENT_PREDS = [
+    ("vnull", lambda: F.col("value").isNull(), "value IS NULL"),
+    ("vnn", lambda: F.col("value").isNotNull(), "value IS NOT NULL"),
+    ("vlow", lambda: F.col("value") < 10.0, "value < 10.0"),
+    ("etype", lambda: F.col("event_type") == "error", "event_type = 'error'"),
+    (
+        "null_or_hi",
+        lambda: F.col("value").isNull() | (F.col("value") > 90.0),
+        "(value IS NULL OR value > 90.0)",
+    ),
+]
+
+# (alias, spark, sql, exact) — COUNT(col) skips nulls, SUM of all-null
+# is NULL, AVG ignores nulls: the exact semantics both engines must share.
+EVENT_AGGS = [
+    ("n_all", lambda: F.count(F.lit(1)), "COUNT(*)", True),
+    ("n_val", lambda: F.count("value"), "COUNT(value)", True),
+    ("sum_val", lambda: F.sum("value"), "SUM(value)", False),
+    ("avg_val", lambda: F.avg("value"), "AVG(value)", False),
+    ("min_val", lambda: F.min("value"), "MIN(value)", True),
+    (
+        "n_null",
+        lambda: F.sum(F.col("value").isNull().cast("long")),
+        "CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)",
+        True,
+    ),
+    (
+        "n_users_null_val",
+        lambda: F.count_distinct(F.when(F.col("value").isNull(), F.col("user_id"))),
+        "COUNT(DISTINCT CASE WHEN value IS NULL THEN user_id END)",
+        True,
+    ),
+]
+
+nullagg_strategy = st.fixed_dictionaries(
+    {
+        "preds": st.lists(
+            st.sampled_from(range(len(EVENT_PREDS))), unique=True, max_size=2
+        ),
+        "aggs": st.lists(
+            st.sampled_from(range(len(EVENT_AGGS))),
+            unique=True,
+            min_size=1,
+            max_size=4,
+        ),
+        "group": st.booleans(),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def ddb_events():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(q=nullagg_strategy)
+def test_random_nullheavy_agg_matches_duckdb(q, spark, ddb_events):
+    """Aggregation over the null-bearing events.value column: NULL
+    skipping in COUNT(col)/AVG, NULL results of SUM over empty/all-null
+    groups, IS NULL predicates, conditional distinct counts."""
+    ev = load_table(spark, SF, "events")
+    where_sql: list[str] = []
+    for i in q["preds"]:
+        _, build, frag = EVENT_PREDS[i]
+        ev = ev.filter(build())
+        where_sql.append(frag)
+
+    agg_cols, agg_sql, exact_flags = [], [], {}
+    for i in q["aggs"]:
+        alias, build, frag, exact = EVENT_AGGS[i]
+        agg_cols.append(build().alias(alias))
+        agg_sql.append(f"{frag} AS {alias}")
+        exact_flags[alias] = exact
+
+    where = f" WHERE {' AND '.join(where_sql)}" if where_sql else ""
+    if q["group"]:
+        df = ev.groupBy("event_type").agg(*agg_cols)
+        sql = (
+            f"SELECT event_type, {', '.join(agg_sql)} FROM events{where} "
+            "GROUP BY event_type"
+        )
+        got = {r.event_type: r for r in df.collect()}
+        rows = ddb_events.execute(sql).fetchall()
+        names = [d[0] for d in ddb_events.description]
+        exp = {row[0]: row for row in rows}
+    else:
+        df = ev.agg(*agg_cols)
+        sql = f"SELECT {', '.join(agg_sql)} FROM events{where}"
+        got = {None: df.collect()[0]}
+        rows = ddb_events.execute(sql).fetchall()
+        names = [d[0] for d in ddb_events.description]
+        exp = {None: rows[0]}
+
+    assert set(got) == set(exp), f"group keys diverge for:\n{sql}"
+    for key, r in got.items():
+        for alias, exact in exact_flags.items():
+            a, b = r[alias], exp[key][names.index(alias)]
+            if exact:
+                assert str(a) == str(b) or _approx_eq(a, b), (
+                    f"{alias} mismatch for {key}: {a!r} != {b!r}\n{sql}"
+                )
+            else:
+                assert _approx_eq(a, b), (
+                    f"{alias} mismatch for {key}: {a!r} != {b!r}\n{sql}"
+                )

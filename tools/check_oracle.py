@@ -45,6 +45,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    from delta_lake_pyspark_scd2_spark.functions.caching import release_tracked
     from delta_lake_pyspark_scd2_spark.plans import REGISTRY
     from delta_lake_pyspark_scd2_spark.session import get_spark
 
@@ -60,6 +61,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        release_tracked()  # previous query's shared intermediates
         try:
             out = spec.builder(spark, sf_dir)
             try:
