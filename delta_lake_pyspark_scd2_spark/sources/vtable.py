@@ -24,14 +24,24 @@ files AND, under mergeSchema, the schema union — and retry: Delta's
 append semantics); rewriting commits and metadata changes stay
 single-writer and surface collisions as errors.
 
-Object-store portability caveats (local-FS assumptions, by design in
-this environment): (1) the commit primitive needs a conditional PUT
+Log layout (Delta's checkpoint + incremental-log split): each commit
+``v{N}.json`` is a DELTA record — ``add`` (new file entries) and
+``remove`` (dropped paths) against version N-1 — so commit size is
+O(files touched by the operation), never O(table). Every
+``CHECKPOINT_INTERVAL`` commits a full-snapshot checkpoint
+``v{N}.ckpt.json`` is also written (derived, idempotent, outside the
+atomic-commit path), so snapshot reconstruction replays at most
+``CHECKPOINT_INTERVAL`` deltas from the nearest checkpoint at or
+below the requested version. At 100 TB a merge touching one day
+commits one day's file entries; the million-file live set lives only
+in the periodic checkpoint (which at that scale would graduate from
+JSON to parquet — same trade Delta makes). Old-format manifests that
+carry a full ``files`` list are read as self-checkpoints.
+
+Object-store portability caveat (local-FS assumption, by design in
+this environment): the commit primitive needs a conditional PUT
 (S3 If-None-Match / GCS x-goog-if-generation-match / ABFS ETag) where
-hard links don't exist; (2) each manifest lists the complete live file
-set — at millions of files manifest size itself becomes the bottleneck
-and would need Delta's checkpoint + incremental-log split (measured
-here: ~180 bytes/file entry → a 10M-row, ~3k-file table's manifest is
-~550 KB; fine locally, not at 10M files).
+hard links don't exist.
 """
 
 from __future__ import annotations
@@ -50,6 +60,9 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
+#: Full-snapshot checkpoint cadence: reconstruction replays at most
+#: this many delta commits. Delta Lake's default is 10 as well.
+CHECKPOINT_INTERVAL = 10
 
 
 @dataclass(frozen=True)
@@ -149,6 +162,12 @@ class VersionedParquetTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = path
+        # Snapshot-reconstruction cache: version → materialized file
+        # records. Commits are immutable once written, so a cached
+        # snapshot can never go stale; bounded (LRU-evicted) so long
+        # histories don't accumulate full file lists on the driver.
+        self._snap_cache: dict[int, list[dict]] = {}
+        self._snap_cache_max = 4
 
     # -- existence / versions ------------------------------------------------
 
@@ -163,7 +182,22 @@ class VersionedParquetTable:
         if not os.path.isdir(d):
             return []
         return sorted(
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+            int(f[1:-5])
+            for f in os.listdir(d)
+            if f.startswith("v")
+            and f.endswith(".json")
+            and not f.endswith(".ckpt.json")
+            and f[1:-5].isdigit()
+        )
+
+    def _checkpoint_versions(self) -> list[int]:
+        d = os.path.join(self.path, MANIFEST_DIR)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(f[1:-10])
+            for f in os.listdir(d)
+            if f.startswith("v") and f.endswith(".ckpt.json") and f[1:-10].isdigit()
         )
 
     def latest_version(self) -> int:
@@ -173,16 +207,20 @@ class VersionedParquetTable:
         return vs[-1]
 
     def history(self) -> list[dict]:
-        """Commit log, newest first (reference S6: ``DeltaTable.history``)."""
+        """Commit log, newest first (reference S6: ``DeltaTable.history``).
+        Reads only the delta commit records — ``num_files`` is stamped
+        at commit time, so no snapshot reconstruction happens here."""
         out = []
         for v in reversed(self.versions()):
-            m = self._load_manifest(v)
+            m = self._load_commit(v)
             out.append(
                 {
                     "version": v,
                     "timestamp": m["timestamp"],
                     "operation": m["operation"],
-                    "num_files": len(m["files"]),
+                    "num_files": m["num_files"]
+                    if "num_files" in m
+                    else len(m["files"]),
                     "metrics": m.get("metrics", {}),
                 }
             )
@@ -193,9 +231,74 @@ class VersionedParquetTable:
     def _manifest_path(self, version: int) -> str:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version:010d}.json")
 
-    def _load_manifest(self, version: int) -> dict:
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.path, MANIFEST_DIR, f"v{version:010d}.ckpt.json")
+
+    def _load_commit(self, version: int) -> dict:
+        """Raw commit record: metadata + either delta actions
+        (``add``/``remove``) or, old-format, a full ``files`` list."""
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    def _snapshot_files(self, version: int) -> list[dict]:
+        """Materialize the live file set at ``version``: start from the
+        nearest checkpoint (or full-format commit) at or below it, then
+        replay the delta commits up to it — at most
+        ``CHECKPOINT_INTERVAL`` of them. Cached per instance (commits
+        are immutable)."""
+        if version in self._snap_cache:
+            return self._snap_cache[version]
+        # walk back collecting deltas until a self-contained base
+        chain: list[dict] = []
+        base: list[dict] = []
+        ckpts = {v for v in self._checkpoint_versions() if v <= version}
+        v = version
+        while True:
+            if v in self._snap_cache:
+                base = self._snap_cache[v]
+                break
+            if v in ckpts:
+                with open(self._ckpt_path(v)) as fh:
+                    base = json.load(fh)["files"]
+                break
+            m = self._load_commit(v)
+            if "files" in m:  # old-format full snapshot
+                base = m["files"]
+                break
+            chain.append(m)
+            if v == 0:  # v0 is a delta against the empty table
+                break
+            v -= 1
+        files = list(base)
+        for m in reversed(chain):
+            removed = set(m.get("remove", []))
+            files = [f for f in files if f["path"] not in removed]
+            files.extend(m.get("add", []))
+        if len(self._snap_cache) >= self._snap_cache_max:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[version] = files
+        return files
+
+    def _load_manifest(self, version: int) -> dict:
+        """Commit metadata with the file set MATERIALIZED under
+        ``files`` — the shape every reader of this class consumes;
+        the on-disk delta/checkpoint split stays internal."""
+        m = self._load_commit(version)
+        if "files" not in m:
+            m = dict(m)
+            m["files"] = self._snapshot_files(version)
+        return m
+
+    def _write_checkpoint(self, version: int, files: list[dict]) -> None:
+        """Full-snapshot checkpoint — derived data, written OUTSIDE the
+        atomic commit path (a lost checkpoint only means a longer
+        replay). ``os.replace`` is fine here: content for a given
+        version is deterministic, so concurrent writers racing on the
+        same checkpoint write identical bytes."""
+        tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.replace(tmp, self._ckpt_path(version))
 
     def _commit(
         self,
@@ -208,6 +311,16 @@ class VersionedParquetTable:
         constraints: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
+        # Delta record: diff the desired file set against the parent
+        # snapshot — commit size ∝ files this operation touched. Paths
+        # identify files (written-once, never mutated), so path-set
+        # difference is exact.
+        prev = {f["path"]: f for f in self._snapshot_files(version - 1)} if version > 0 else {}
+        new_records = [
+            {"path": e.path, "partition": e.partition, "stats": e.stats, "rows": e.rows}
+            for e in files
+        ]
+        new_paths = {r["path"] for r in new_records}
         manifest = {
             "version": version,
             "timestamp": time.time(),
@@ -215,15 +328,9 @@ class VersionedParquetTable:
             "schema": schema.json(),
             "partition_cols": partition_cols,
             "constraints": constraints or {},
-            "files": [
-                {
-                    "path": e.path,
-                    "partition": e.partition,
-                    "stats": e.stats,
-                    "rows": e.rows,
-                }
-                for e in files
-            ],
+            "add": [r for r in new_records if r["path"] not in prev],
+            "remove": sorted(p for p in prev if p not in new_paths),
+            "num_files": len(new_records),
             "metrics": (metrics() if callable(metrics) else metrics) or {},
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -244,6 +351,11 @@ class VersionedParquetTable:
             ) from None
         finally:
             os.remove(tmp)
+        if len(self._snap_cache) >= self._snap_cache_max:
+            self._snap_cache.pop(next(iter(self._snap_cache)))
+        self._snap_cache[version] = new_records
+        if version > 0 and version % CHECKPOINT_INTERVAL == 0:
+            self._write_checkpoint(version, new_records)
 
     # -- data-file staging ---------------------------------------------------
 
@@ -790,10 +902,17 @@ class VersionedParquetTable:
         keep_versions = max(1, keep_versions)
         vs = self.versions()
         kept_vs, dropped_vs = vs[-keep_versions:], vs[:-keep_versions]
+        # The oldest kept version must stay reconstructible once the
+        # commits below it are gone: materialize it as a checkpoint
+        # first (idempotent if one already exists).
+        if dropped_vs:
+            self._write_checkpoint(
+                kept_vs[0], self._snapshot_files(kept_vs[0])
+            )
         live = {
             f["path"]
             for v in kept_vs
-            for f in self._load_manifest(v)["files"]
+            for f in self._snapshot_files(v)
         }
         data_root = os.path.join(self.path, DATA_DIR)
         n_deleted = 0
@@ -806,6 +925,10 @@ class VersionedParquetTable:
                         n_deleted += 1
         for v in dropped_vs:
             os.remove(self._manifest_path(v))
+            self._snap_cache.pop(v, None)
+        for v in self._checkpoint_versions():
+            if v < kept_vs[0]:
+                os.remove(self._ckpt_path(v))
         # prune emptied partition dirs so listings stay honest
         for root, dirs, files in os.walk(data_root, topdown=False):
             if root != data_root and not dirs and not files:

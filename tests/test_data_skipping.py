@@ -35,7 +35,7 @@ def _ids(spark, n, files):
 def test_footer_stats_recorded_and_carried(spark, tmp_path):
     path = str(tmp_path / "t")
     t = VersionedParquetTable.create(spark, _ids(spark, 1000, 4), path)
-    m = json.load(open(t._manifest_path(0)))
+    m = t._load_manifest(0)
     assert len(m["files"]) == 4
     for f in m["files"]:
         assert f["rows"] > 0
@@ -43,8 +43,14 @@ def test_footer_stats_recorded_and_carried(spark, tmp_path):
         assert f["stats"]["id"]["min"] <= f["stats"]["id"]["max"]
     # append: the old files' entries must keep their stats
     t.append(_ids(spark, 10, 1))
-    m1 = json.load(open(t._manifest_path(1)))
+    m1 = t._load_manifest(1)
     assert sum(1 for f in m1["files"] if f["stats"]) == len(m1["files"]) == 5
+    # and on disk the append commit is a DELTA record: only the new
+    # file is listed, the carried-over entries are not re-serialized
+    raw1 = json.load(open(t._manifest_path(1)))
+    assert "files" not in raw1
+    assert len(raw1["add"]) == 1 and raw1["remove"] == []
+    assert raw1["num_files"] == 5
 
 
 def test_files_pruned_and_result_exact(spark, tmp_path):

@@ -28,10 +28,10 @@ def test_delete_rewrites_only_matching_files(spark, tmp_path):
         "id", (F.col("id") % 7).alias("v")
     ).repartitionByRange(8, "id")
     t = VersionedParquetTable.create(spark, df, path)
-    before = {f["path"] for f in json.load(open(t._manifest_path(0)))["files"]}
+    before = {f["path"] for f in t._load_manifest(0)["files"]}
     out = t.delete([("id", ">=", 875)])
     assert out == {"n_deleted": 125, "n_files_rewritten": 1}
-    after = {f["path"] for f in json.load(open(t._manifest_path(1)))["files"]}
+    after = {f["path"] for f in t._load_manifest(1)["files"]}
     # 7 of 8 range files carried by reference, 1 rewritten
     assert len(before & after) == 7
     assert t.read().count() == 875
