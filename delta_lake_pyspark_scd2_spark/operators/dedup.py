@@ -32,9 +32,18 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     upstream (one parquet row-group, a coalesced scan) would otherwise
     pin the whole shingle/hash pipeline to a couple of cores. No-op cost
     relative to the compute it unblocks; at 100 TB the scan is already
-    wide and AQE coalesces right back."""
+    wide and AQE coalesces right back.
+
+    Width scales with the INPUT's partition count (4× fan-out, floor 4)
+    up to the shuffle setting: a one-file table doesn't fan out to 32
+    near-empty partitions — each would spin its own Python worker for
+    the Arrow-batched UDFs downstream, and at small inputs that worker
+    spin-up dwarfs the compute (measured 2× on the LSH path). A wide
+    scan still hits the shuffle-partition cap, so cluster-scale
+    behavior is unchanged."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartition(n, key)
+    width = min(n, max(4, df.rdd.getNumPartitions() * 4))
+    return df.repartition(width, key)
 
 #: SimHash width (60 bits: the per-word hash is 60 bits, so every bit
 #: position carries signal while staying inside a signed 64-bit long).
