@@ -62,6 +62,15 @@ class SCD2Spec:
     #: schema, pre-existing rows read NULL, and a *tracked* new column
     #: null-safely change-detects against that NULL.
     evolve_schema: bool = False
+    #: Phase-A close strategy. "rewrite": partition-scoped copy-on-write
+    #: (rewrites every file of a touched partition). "dv": deletion
+    #: vectors — mark the closed rows dead in place and append their
+    #: closed copies; write cost drops from O(touched partitions) to
+    #: O(closed rows), at the price of a broadcast anti-join on reads
+    #: until ``compact()`` clears the DVs. At 100 TB, closing a handful
+    #: of keys inside a 1 TB day-partition is exactly the case "dv"
+    #: exists for.
+    close_mode: str = "rewrite"
 
     @property
     def partition_cols(self) -> list[str]:
@@ -399,7 +408,40 @@ def _merge_batch(
         {k: str(r[k]) for k in spec.partition_cols}
         for r in close_parts.select(*spec.partition_cols).distinct().collect()
     ]
-    if touched:
+    if touched and spec.close_mode == "dv":
+        # Deletion-vector close: mark the (few) current rows of changed
+        # keys dead at their (file, position) and append their closed
+        # copies — no partition rewrite at all. The positional read
+        # applies existing DVs, so an already-closed row can't close
+        # twice. Write amplification: O(closed rows), not O(partition).
+        to_close = changed.drop("__cur_from")
+        part_df = table.read_partitions(touched, with_position=True)
+        closing = (
+            part_df.join(to_close, on=keys, how="inner")
+            .filter(
+                F.col("is_current")
+                & F.col("first_change_ts").isNotNull()
+                & (F.col("first_change_ts") > F.col("valid_from"))
+            )
+            .persist()
+        )
+        dead = closing.select("__file", "__pos")
+        closed = dead.count()
+        if closed:
+            closed_copies = (
+                closing.withColumn("valid_to", F.col("first_change_ts"))
+                .withColumn("is_current", F.lit(False))
+                .withColumn("closed_by_batch", F.lit(batch_id))
+                .drop("first_change_ts", "__file", "__pos")
+            )
+            table.remove_rows(
+                dead,
+                adds=closed_copies,
+                operation="SCD2_CLOSE_DV",
+                metrics={"batch_id": batch_id, "n_closed": closed},
+            )
+        closing.unpersist()
+    elif touched:
         to_close = changed.drop("__cur_from")
         part_df = table.read_partitions(touched)
         updated = (

@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
+DV_DIR = "_dv"
 #: Full-snapshot checkpoint cadence: reconstruction replays at most
 #: this many delta commits. Delta Lake's default is 10 as well.
 CHECKPOINT_INTERVAL = 10
@@ -72,12 +73,19 @@ class ManifestEntry:
     statistics — row count plus per-column min/max/null-count read from
     the parquet footer at commit time (the Delta ``add``-action ``stats``
     analogue). ``stats`` maps column name → ``{"min", "max", "nulls"}``;
-    columns without usable footer stats are simply absent."""
+    columns without usable footer stats are simply absent.
+
+    ``dv`` (Delta deletion-vector analogue): ``{"paths": [...],
+    "count": n}`` — parquet sidecars under ``_dv/`` listing dead
+    ``(__file, __pos)`` row positions of THIS file; readers anti-join
+    them out. None for files with no dead rows (the common case, which
+    keeps the plain fast scan path)."""
 
     path: str
     partition: dict[str, str]
     stats: dict | None = None
     rows: int | None = None
+    dv: dict | None = None
 
 
 def _stat_key(v):
@@ -150,11 +158,19 @@ def _file_stats(path: str) -> tuple[dict, int]:
     return out, md.num_rows
 
 
+def _same_record(a: dict, b: dict) -> bool:
+    """Record equality for the commit diff, tolerant of absent keys in
+    old-format records (no ``dv`` field == ``dv`` None)."""
+    return all(
+        a.get(k) == b.get(k) for k in ("partition", "stats", "rows", "dv")
+    )
+
+
 def _entry(f: dict) -> ManifestEntry:
     """Rehydrate a manifest file record, carrying stats forward so
     unrewritten files never lose their skipping metadata."""
     return ManifestEntry(
-        f["path"], f["partition"], f.get("stats"), f.get("rows")
+        f["path"], f["partition"], f.get("stats"), f.get("rows"), f.get("dv")
     )
 
 
@@ -271,9 +287,12 @@ class VersionedParquetTable:
             v -= 1
         files = list(base)
         for m in reversed(chain):
-            removed = set(m.get("remove", []))
-            files = [f for f in files if f["path"] not in removed]
-            files.extend(m.get("add", []))
+            adds = m.get("add", [])
+            # an ``add`` for an already-live path is a metadata
+            # replacement (deletion-vector update) — drop the old record
+            gone = set(m.get("remove", [])) | {a["path"] for a in adds}
+            files = [f for f in files if f["path"] not in gone]
+            files.extend(adds)
         if len(self._snap_cache) >= self._snap_cache_max:
             self._snap_cache.pop(next(iter(self._snap_cache)))
         self._snap_cache[version] = files
@@ -312,12 +331,15 @@ class VersionedParquetTable:
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         # Delta record: diff the desired file set against the parent
-        # snapshot — commit size ∝ files this operation touched. Paths
-        # identify files (written-once, never mutated), so path-set
-        # difference is exact.
+        # snapshot — commit size ∝ files this operation touched. Data
+        # files are written-once, but an entry's METADATA can change
+        # (deletion vectors), so the diff compares full records: a
+        # same-path entry whose dv changed is re-emitted in ``add`` and
+        # replayed as a replacement.
         prev = {f["path"]: f for f in self._snapshot_files(version - 1)} if version > 0 else {}
         new_records = [
-            {"path": e.path, "partition": e.partition, "stats": e.stats, "rows": e.rows}
+            {"path": e.path, "partition": e.partition, "stats": e.stats,
+             "rows": e.rows, "dv": e.dv}
             for e in files
         ]
         new_paths = {r["path"] for r in new_records}
@@ -328,7 +350,11 @@ class VersionedParquetTable:
             "schema": schema.json(),
             "partition_cols": partition_cols,
             "constraints": constraints or {},
-            "add": [r for r in new_records if r["path"] not in prev],
+            "add": [
+                r
+                for r in new_records
+                if r["path"] not in prev or not _same_record(r, prev[r["path"]])
+            ],
             "remove": sorted(p for p in prev if p not in new_paths),
             "num_files": len(new_records),
             "metrics": (metrics() if callable(metrics) else metrics) or {},
@@ -661,7 +687,9 @@ class VersionedParquetTable:
             keep_pred = e_ if keep_pred is None else (keep_pred & e_)
         survivors = cand_df.filter(~F.coalesce(keep_pred, F.lit(False)))
         n_before = sum(
-            f.get("rows") or 0 for f in m["files"] if f["path"] in candidates
+            (f.get("rows") or 0) - (f.get("dv") or {}).get("count", 0)
+            for f in m["files"]
+            if f["path"] in candidates
         )
         cons = m.get("constraints") or {}
         new_files = self._write_files(_align(survivors, schema), pc)
@@ -673,6 +701,84 @@ class VersionedParquetTable:
         }
         self._commit(v, kept + new_files, schema, pc, "DELETE", metrics or out, cons)
         return out
+
+    def remove_rows(
+        self,
+        dead: DataFrame,
+        *,
+        adds: DataFrame | None = None,
+        operation: str = "DELETE_ROWS",
+        metrics: "dict | Callable[[], dict] | None" = None,
+    ) -> int:
+        """Row-level delete WITHOUT rewriting files (Delta deletion
+        vectors): ``dead`` is a ``(__file, __pos)`` frame — typically
+        built from a ``with_position=True`` read — whose rows are
+        marked dead via a parquet DV sidecar; affected manifest entries
+        get (or extend) their ``dv`` reference, every file's bytes stay
+        untouched. ``adds`` appends new files in the same commit — the
+        UPDATE pattern (DV the old row + append its replacement), which
+        is what turns an O(partition) copy-on-write rewrite into an
+        O(changed rows) commit. At 100 TB closing 10 keys in a 1 TB
+        day-partition writes 10 rows + a KB-sized sidecar, not the day.
+
+        Read cost until compaction: scans of DV'd files pay a broadcast
+        anti-join against the (tiny) sidecars; ``compact()`` rewrites
+        DV'd partitions and clears them.
+        """
+        m = self._current()
+        pc = list(m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        cons = m.get("constraints") or {}
+        # per-file dead counts: bounded by files touched, driver-safe
+        per_file = {
+            r["__file"]: r["n"]
+            for r in dead.groupBy("__file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        live = {f["path"] for f in m["files"]}
+        unknown = sorted(set(per_file) - live)
+        if unknown:
+            raise ValueError(
+                f"deletion vector targets unknown files: {unknown[:3]}"
+            )
+        dv_rel = None
+        if per_file:
+            # distributed sidecar write (no driver collect of positions)
+            dv_rel = f"dv-{uuid.uuid4().hex}"
+            dead.select("__file", "__pos").write.parquet(
+                os.path.join(self.path, DV_DIR, dv_rel)
+            )
+        entries: list[ManifestEntry] = []
+        for f in m["files"]:
+            e = _entry(f)
+            if e.path in per_file:
+                old = e.dv or {"paths": [], "count": 0}
+                e = ManifestEntry(
+                    e.path,
+                    e.partition,
+                    e.stats,
+                    e.rows,
+                    {
+                        "paths": old["paths"] + [dv_rel],
+                        "count": old["count"] + per_file[e.path],
+                    },
+                )
+            entries.append(e)
+        if adds is not None:
+            entries.extend(self._write_files(_align(adds, schema), pc, cons))
+        n_dead = sum(per_file.values())
+        v = m["version"] + 1
+        self._commit(
+            v,
+            entries,
+            schema,
+            pc,
+            operation,
+            metrics or {"n_deleted": n_dead, "n_files_dv": len(per_file)},
+            cons,
+        )
+        return v
 
     def compact(
         self,
@@ -722,11 +828,18 @@ class VersionedParquetTable:
                 metrics={"n_partitions": len(crowded), "zorder_by": list(zorder_by)},
             )
         per_part: dict[tuple, int] = {}
+        dv_parts: set[tuple] = set()
         for f in m["files"]:
             k = tuple(sorted(f["partition"].items()))
             per_part[k] = per_part.get(k, 0) + 1
+            if f.get("dv"):
+                # deletion-vector'd files always qualify: compaction is
+                # what materializes the deletes and clears the DVs
+                dv_parts.add(k)
         crowded = [
-            dict(k) for k, n in per_part.items() if n > max_files_per_partition
+            dict(k)
+            for k, n in per_part.items()
+            if n > max_files_per_partition or k in dv_parts
         ]
         if not crowded:
             return m["version"]
@@ -755,6 +868,11 @@ class VersionedParquetTable:
             f["path"]
             for f in m["files"]
             if not os.path.exists(os.path.join(data_root, f["path"]))
+        ] + [
+            p
+            for f in m["files"]
+            for p in ((f.get("dv") or {}).get("paths", []))
+            if not os.path.exists(os.path.join(self.path, DV_DIR, p))
         ]
         if missing:
             raise FileNotFoundError(
@@ -848,6 +966,17 @@ class VersionedParquetTable:
                 os.link(src, dst)
             except OSError:  # cross-device: fall back to a real copy
                 shutil.copy2(src, dst)
+        for p in sorted(
+            {
+                p
+                for f in m["files"]
+                for p in ((f.get("dv") or {}).get("paths", []))
+            }
+        ):
+            shutil.copytree(
+                os.path.join(self.path, DV_DIR, p),
+                os.path.join(dest_path, DV_DIR, p),
+            )
         t = VersionedParquetTable(self.spark, dest_path)
         t._commit(
             0,
@@ -877,14 +1006,16 @@ class VersionedParquetTable:
             if os.path.exists(p):
                 size += os.path.getsize(p)
         rows = [f.get("rows") for f in m["files"]]
+        n_dead = sum((f.get("dv") or {}).get("count", 0) for f in m["files"])
         return {
             "location": self.path,
             "version": m["version"],
             "num_files": len(m["files"]),
             "size_bytes": size,
-            "num_rows": sum(r for r in rows if r is not None)
+            "num_rows": sum(r for r in rows if r is not None) - n_dead
             if all(r is not None for r in rows)
             else None,
+            "num_dead_rows": n_dead,
             "partition_cols": list(m["partition_cols"]),
             "num_versions": len(self.versions()),
             "constraints": dict(m.get("constraints") or {}),
@@ -929,6 +1060,20 @@ class VersionedParquetTable:
         for v in self._checkpoint_versions():
             if v < kept_vs[0]:
                 os.remove(self._ckpt_path(v))
+        # deletion-vector sidecars referenced only by dropped versions
+        live_dv = {
+            p
+            for v in kept_vs
+            for f in self._snapshot_files(v)
+            for p in ((f.get("dv") or {}).get("paths", []))
+        }
+        dv_root = os.path.join(self.path, DV_DIR)
+        n_dv_deleted = 0
+        if os.path.isdir(dv_root):
+            for name in os.listdir(dv_root):
+                if name not in live_dv:
+                    shutil.rmtree(os.path.join(dv_root, name))
+                    n_dv_deleted += 1
         # prune emptied partition dirs so listings stay honest
         for root, dirs, files in os.walk(data_root, topdown=False):
             if root != data_root and not dirs and not files:
@@ -936,10 +1081,68 @@ class VersionedParquetTable:
         return {
             "n_files_deleted": n_deleted,
             "n_versions_dropped": len(dropped_vs),
+            "n_dv_deleted": n_dv_deleted,
             "oldest_kept_version": kept_vs[0],
         }
 
     # -- read API ------------------------------------------------------------
+
+    def _scan(
+        self,
+        files: list[dict],
+        schema: T.StructType,
+        *,
+        with_position: bool = False,
+    ) -> DataFrame:
+        """One scan over ``files`` with deletion vectors applied.
+
+        Files carrying a ``dv`` get their dead ``(__file, __pos)`` rows
+        anti-joined out (the DV sidecars are tiny — AQE broadcasts
+        them); files without DVs — the common case — take the plain
+        path with zero overhead. ``with_position`` keeps the computed
+        ``__file`` (path relative to ``data/``) and ``__pos``
+        (``_metadata.row_index``) columns so callers can build NEW
+        deletion vectors from what they read."""
+        data_root = os.path.abspath(os.path.join(self.path, DATA_DIR))
+        dv_paths = sorted(
+            {p for f in files for p in ((f.get("dv") or {}).get("paths", []))}
+        )
+        if not files:
+            out_schema = schema
+            if with_position:
+                out_schema = T.StructType(
+                    schema.fields
+                    + [
+                        T.StructField("__file", T.StringType()),
+                        T.StructField("__pos", T.LongType()),
+                    ]
+                )
+            return self.spark.createDataFrame([], out_schema)
+        reader = self.spark.read.option("basePath", data_root).schema(schema)
+        df = reader.parquet(
+            *[os.path.join(data_root, f["path"]) for f in files]
+        )
+        if dv_paths or with_position:
+            # _metadata.file_path is a URI (file:///...); strip scheme
+            # and the data-root prefix to recover the manifest-relative
+            # path DVs are keyed on.
+            rel = F.expr(
+                f"substring(regexp_replace(_metadata.file_path, "
+                f"'^[a-zA-Z0-9+.-]+:/+', '/'), {len(data_root) + 2})"
+            )
+            df = df.select(
+                "*",
+                rel.alias("__file"),
+                F.col("_metadata.row_index").alias("__pos"),
+            )
+        if dv_paths:
+            dead = self.spark.read.parquet(
+                *[os.path.join(self.path, DV_DIR, p) for p in dv_paths]
+            ).select("__file", "__pos")
+            df = df.join(dead, on=["__file", "__pos"], how="left_anti")
+            if not with_position:
+                df = df.drop("__file", "__pos")
+        return df
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (S3) / time travel (S4, ``versionAsOf``)."""
@@ -947,15 +1150,14 @@ class VersionedParquetTable:
             self.latest_version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        data_root = os.path.join(self.path, DATA_DIR)
-        paths = [os.path.join(data_root, f["path"]) for f in m["files"]]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.option("basePath", data_root).schema(schema)
-        return reader.parquet(*paths)
+        return self._scan(m["files"], schema)
 
     def read_partitions(
-        self, partitions: list[dict[str, str]], version: int | None = None
+        self,
+        partitions: list[dict[str, str]],
+        version: int | None = None,
+        *,
+        with_position: bool = False,
     ) -> DataFrame:
         """Manifest-level partition pruning: only the named partitions'
         files are even listed — the scan never sees the rest."""
@@ -964,15 +1166,12 @@ class VersionedParquetTable:
         )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         wanted = {tuple(sorted(p.items())) for p in partitions}
-        data_root = os.path.join(self.path, DATA_DIR)
-        paths = [
-            os.path.join(data_root, f["path"])
+        files = [
+            f
             for f in m["files"]
             if tuple(sorted(f["partition"].items())) in wanted
         ]
-        if not paths:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.option("basePath", data_root).schema(schema).parquet(*paths)
+        return self._scan(files, schema, with_position=with_position)
 
     # -- data skipping -------------------------------------------------------
 
@@ -1023,19 +1222,10 @@ class VersionedParquetTable:
             self.latest_version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        data_root = os.path.join(self.path, DATA_DIR)
-        paths = [
-            os.path.join(data_root, e.path)
-            for e in self.files_for(filters, version)
-        ]
-        if not paths:
-            df = self.spark.createDataFrame([], schema)
-        else:
-            df = (
-                self.spark.read.option("basePath", data_root)
-                .schema(schema)
-                .parquet(*paths)
-            )
+        keep = {e.path for e in self.files_for(filters, version)}
+        df = self._scan(
+            [f for f in m["files"] if f["path"] in keep], schema
+        )
         for c, op, v in filters:
             df = df.filter(_filter_expr(c, op, v))
         return df
@@ -1068,12 +1258,21 @@ class VersionedParquetTable:
         m_from = self._load_manifest(version_from)
         m_to = self._load_manifest(v_to)
         schema = T.StructType.fromJson(json.loads(m_to["schema"]))
-        fa = {f["path"] for f in m_from["files"]}
-        fb = {f["path"] for f in m_to["files"]}
+
+        # Identity = (path, deletion-vector state): a DV update changes
+        # a file's VISIBLE rows without changing its path, so such a
+        # file must enter the diff on both sides (read with each
+        # version's own DVs — only the rows the DV killed differ).
+        def ident(f: dict) -> tuple:
+            dv = f.get("dv") or {}
+            return (f["path"], tuple(dv.get("paths", [])))
+
+        fa = {ident(f) for f in m_from["files"]}
+        fb = {ident(f) for f in m_to["files"]}
         pre_df = _align(
-            self._read_paths(m_from, sorted(fa - fb)), schema
+            self._read_paths(m_from, sorted(p for p, _ in fa - fb)), schema
         )
-        post_df = self._read_paths(m_to, sorted(fb - fa))
+        post_df = self._read_paths(m_to, sorted(p for p, _ in fb - fa))
         cols = [f.name for f in schema.fields]
         nonkey = [c for c in cols if c not in keys]
         payload = (
@@ -1115,14 +1314,12 @@ class VersionedParquetTable:
         )
 
     def _read_paths(self, manifest: dict, rel_paths: list[str]) -> DataFrame:
+        """Read a path-subset of ``manifest`` with THAT version's
+        deletion vectors applied — time-travel-correct row content."""
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        data_root = os.path.join(self.path, DATA_DIR)
-        if not rel_paths:
-            return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.option("basePath", data_root)
-            .schema(schema)
-            .parquet(*[os.path.join(data_root, p) for p in rel_paths])
+        wanted = set(rel_paths)
+        return self._scan(
+            [f for f in manifest["files"] if f["path"] in wanted], schema
         )
 
     def partitions_of(self, version: int | None = None) -> list[dict[str, str]]:

@@ -9,7 +9,11 @@ the evidence.
 
 Usage::
 
-    python tools/daily_bench.py [days] [rows_per_day]
+    python tools/daily_bench.py [days] [rows_per_day] [close_mode]
+
+``close_mode`` (default ``rewrite``): ``dv`` switches Phase A to
+deletion-vector closes — write cost O(closed rows) instead of
+O(touched partitions).
 
 Measured (local[32], 8 × 500k rows, 50k keys): per-day total ≈ 6-7 s
 flat from day 2 onward while the table grows 0.5M → 4M version rows.
@@ -45,6 +49,10 @@ SPEC = SCD2Spec(
 def main() -> None:
     days = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
+    close_mode = sys.argv[3] if len(sys.argv) > 3 else "rewrite"
+    import dataclasses
+
+    spec = dataclasses.replace(SPEC, close_mode=close_mode)
     spark = get_spark("daily_bench")
     with tempfile.TemporaryDirectory() as d:
         for day in range(days):
@@ -57,7 +65,7 @@ def main() -> None:
                 .withColumn("event_id", F.col("event_id") + day * 10_000_000)
             )
             t0 = time.time()
-            m = run_scd2_batch(spark, SPEC, batch, f"{d}/t", batch_id=f"day{day}")
+            m = run_scd2_batch(spark, spec, batch, f"{d}/t", batch_id=f"day{day}")
             print(
                 json.dumps(
                     {
