@@ -288,3 +288,48 @@ def s8_generic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(updates, ["o_orderkey"])
     return t.read().select("o_orderkey", "o_orderstatus", "price")
+
+
+@register(
+    "dv_delete_update",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 5 < 4
+    )
+    SELECT o_orderkey, o_orderstatus, price FROM base
+    WHERE o_orderkey % 7 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'R' AS o_orderstatus, CAST(0 AS DOUBLE) AS price
+    FROM base WHERE o_orderkey % 21 = 0
+    """,
+    doc="Deletion-vector row delete + replace (Delta DV analogue): "
+    "remove_rows marks matched rows dead by (file, position) via a "
+    "parquet sidecar — zero data files rewritten — and appends the "
+    "replacement rows in the same commit; the read applies the DV as "
+    "a broadcast anti-join. Oracle is the equivalent filter+union.",
+)
+def dv_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 5 < 4).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_dv_{uuid.uuid4().hex}"
+    t = VersionedParquetTable.create(
+        spark, base, path, partition_cols=["o_orderstatus"]
+    )
+    pos = t.read_partitions(t.partitions_of(), with_position=True)
+    dead = pos.filter(F.col("o_orderkey") % 7 == 0).select("__file", "__pos")
+    repl = base.filter(F.col("o_orderkey") % 21 == 0).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        F.lit(0.0).alias("price"),
+    )
+    t.remove_rows(dead, adds=repl, operation="UPDATE_DV")
+    return t.read().select("o_orderkey", "o_orderstatus", "price")
