@@ -907,7 +907,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select("id_a", "id_b")
+    # Prefix-filtered emitter: identical pair set to the naive ground
+    # truth (oracle-proven), candidate-bounded — the 100 TB path.
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
     return graph.cluster_documents(docs, pairs)
 
 
