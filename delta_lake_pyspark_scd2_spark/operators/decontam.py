@@ -1,0 +1,98 @@
+"""Eval-set decontamination: drop training documents that overlap a
+held-out benchmark.
+
+The standard LLM-corpus hygiene step (GPT-3 App. C / PaLM / Llama data
+cards): a training document is *contaminated* if it shares at least one
+word-``n``-gram with any evaluation document; contaminated docs are
+removed (or flagged) before training so benchmark numbers measure
+generalization, not memorization. Goes beyond the reference's surface
+(SURVEY.md §2.10 — no text operators there); part of this engine's
+LLM-pipeline extension alongside ``operators.dedup``.
+
+Scale story (100 TB corpus, small eval set): eval benchmarks are
+thousands of documents — their distinct n-gram set is MBs, so it rides
+a **broadcast** semi-join. The corpus side is a narrow explode (1→~L
+rows per doc, no shuffle) followed by the broadcast-hash probe; the
+only shuffle is the per-doc count aggregation keyed on ``doc_id``
+(map-side partial combine applies). Nothing all-pairs, nothing driver
+side. If the eval side ever outgrows broadcast, the same plan degrades
+gracefully to a shuffled semi-join on the gram key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators.dedup import word_shingles
+
+
+def eval_ngrams(
+    eval_docs: DataFrame, n: int = 13, text_col: str = "text"
+) -> DataFrame:
+    """Distinct word-``n``-grams of the evaluation set, one per row
+    (column ``gram``). Texts shorter than ``n`` words contribute their
+    whole normalized text (exact short-text match)."""
+    return (
+        eval_docs.select(
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Label every corpus doc with its eval-set n-gram overlap.
+
+    Returns ``(id_col, shared_grams, contaminated)`` covering every row
+    of ``docs``: ``shared_grams`` = number of distinct n-grams the doc
+    shares with the eval set, ``contaminated`` = shared_grams > 0.
+    """
+    grams = F.broadcast(eval_ngrams(eval_docs, n, text_col))
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+        (F.coalesce("shared_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus rows that share NO word-``n``-gram with the eval set.
+
+    Implemented as a broadcast **anti**-join of exploded doc grams —
+    the survivors keep all their original columns. Equivalent to
+    ``contamination(...).filter(~contaminated)`` but skips the count
+    aggregation (no shuffle at all when the eval side broadcasts:
+    explode → broadcast probe → semi-distinct on the already
+    doc-partitioned id)."""
+    grams = F.broadcast(eval_ngrams(eval_docs, n, text_col))
+    contaminated_ids = (
+        docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .join(grams, "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(contaminated_ids, id_col, "left_anti")

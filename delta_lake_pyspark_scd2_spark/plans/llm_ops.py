@@ -916,6 +916,91 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Eval-set decontamination (benchmark n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 13  # the customary 13-gram window (GPT-3 App. C)
+
+#: Distinct word-13-grams per doc, with the same short-text whole-text
+#: fallback as operators.dedup.word_shingles. `source = 'src0'` plays
+#: the held-out benchmark; the rest of the corpus is training data.
+_DECON_CTE = f"""
+    dwords AS (
+      SELECT doc_id, source, n_chars, {_NORM} AS nt, string_split({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    dgrams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM dwords, UNNEST(range(1, greatest(len(w) - {_DECON_N} + 2, 1))) AS t(i)
+      WHERE len(w) >= {_DECON_N}
+      UNION
+      SELECT DISTINCT doc_id, source, nt FROM dwords WHERE len(w) < {_DECON_N}
+    ),
+    egrams AS (SELECT DISTINCT gram FROM dgrams WHERE source = 'src0')
+"""
+
+
+@register(
+    "decontam_report",
+    oracle=f"""
+    WITH {_DECON_CTE},
+    hits AS (
+      SELECT g.doc_id, COUNT(*) AS shared_grams
+      FROM dgrams g JOIN egrams USING (gram)
+      WHERE g.source <> 'src0'
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.shared_grams, 0) AS shared_grams,
+           COALESCE(h.shared_grams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="Eval-set contamination report: per training doc, how many "
+    "distinct 13-grams it shares with the benchmark slice (src0). "
+    "Eval n-gram set rides a broadcast; corpus side is a narrow "
+    "explode — the only shuffle is the per-doc count.",
+)
+def decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=_DECON_N,
+    )
+
+
+@register(
+    "decontam_survivors",
+    oracle=f"""
+    WITH {_DECON_CTE},
+    bad AS (
+      SELECT DISTINCT g.doc_id
+      FROM dgrams g JOIN egrams USING (gram)
+      WHERE g.source <> 'src0'
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.source <> 'src0' AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    doc="Decontaminated corpus: training docs sharing no 13-gram with "
+    "the benchmark slice. Broadcast semi-join marks contaminated ids; "
+    "survivors keep all columns via anti-join.",
+)
+def decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=_DECON_N,
+    ).select("doc_id", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
 # Document chunking (fixed-size overlapping token windows)
 # ---------------------------------------------------------------------------
 
