@@ -164,6 +164,128 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, Table A1):
+    per-document fractions of repeated content, used to drop
+    low-quality boilerplate/spam before training.
+
+      * ``dup_word_frac`` — 1 − |distinct words| / |words|;
+      * ``top_bigram_share`` — occurrences of the most frequent word
+        bigram as a fraction of all bigrams;
+      * ``dup_3gram_char_frac`` — characters covered by word trigrams
+        that occur more than once, over all trigram characters.
+
+    Scale story: every metric is a higher-order expression over the
+    per-row token array (``transform``/``filter``/``aggregate``) — all
+    inside whole-stage codegen, zero shuffles, zero Python. Per-row
+    cost is O(L log L): grams are sorted once, then occurrence stats
+    come from ONE linear run-length aggregate pass — never the naive
+    count-each-distinct-via-filter form, which is O(L²) and (worse)
+    re-inlines the gram-construction expression inside each lambda
+    comparison. At 100 TB the operator is embarrassingly parallel map
+    work whose cost stays linearithmic even for 100k-token documents.
+    Degenerate docs (under 2/3 words) report 0.0 shares, not NULL, so
+    downstream threshold filters need no null handling.
+    """
+
+    def grams(words: Column, n: int) -> Column:
+        k = F.size(words) - (n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.array_join(F.slice(words, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # Per-gram occurrence stats WITHOUT the naive O(|distinct|·|grams|)
+    # transform-inside-filter (which also defeats common-subexpression
+    # elimination inside lambdas — the gram-construction expression gets
+    # re-inlined per comparison, going accidentally cubic): sort once,
+    # then one linear aggregate pass over the run-length structure.
+    # acc = (prev gram, current run length, max run, chars under runs>1).
+    _ACC = "struct<prev:string,run:int,top:int,dup:bigint>"
+
+    def run_stats(sorted_g: Column) -> Column:
+        def step(acc, x):
+            same = acc.prev.isNotNull() & (x == acc.prev)
+            run_done = acc.prev.isNotNull() & (x != acc.prev)
+            return F.struct(
+                x.alias("prev"),
+                F.when(same, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+                F.greatest(
+                    acc.top, F.when(same, acc.run + 1).otherwise(F.lit(1))
+                ).alias("top"),
+                (
+                    acc.dup
+                    + F.when(
+                        run_done & (acc.run > 1),
+                        acc.run.cast("bigint") * F.length(acc.prev),
+                    ).otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+
+        def finish(acc):
+            return F.struct(
+                acc.top.alias("top"),
+                (
+                    acc.dup
+                    + F.when(
+                        acc.run > 1, acc.run.cast("bigint") * F.length(acc.prev)
+                    ).otherwise(F.lit(0))
+                ).alias("dup"),
+            )
+
+        init = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("top"),
+            F.lit(0).cast("bigint").alias("dup"),
+        ).cast(_ACC)
+        return F.aggregate(sorted_g, init, step, finish)
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    # Higher-order expressions are interpreted (not codegen'd) per
+    # element — real CPU per row — so don't let a one-file scan pin the
+    # whole pass to one core. Unlike the Arrow-UDF paths (dedup._spread
+    # caps fan-out to bound Python-worker spin-up), this is pure JVM
+    # work: full shuffle-width fan-out costs only the row exchange.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n, "doc_id")
+    base = df.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(grams(words, 2)).alias("n_bigrams"),
+        run_stats(F.array_sort(grams(words, 2))).alias("s2"),
+        run_stats(F.array_sort(grams(words, 3))).alias("s3"),
+        F.aggregate(
+            grams(words, 3),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(x),
+        ).alias("g3_chars"),
+    )
+    nz = lambda c: F.nullif(c, F.lit(0))  # noqa: E731
+    return base.select(
+        "doc_id",
+        "n_words",
+        F.coalesce(
+            F.round(
+                (F.col("n_words") - F.col("n_distinct_words")) / nz(F.col("n_words")),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("dup_word_frac"),
+        F.coalesce(
+            F.round(F.col("s2.top") / nz(F.col("n_bigrams")), 6), F.lit(0.0)
+        ).alias("top_bigram_share"),
+        F.coalesce(
+            F.round(F.col("s3.dup") / nz(F.col("g3_chars")), 6), F.lit(0.0)
+        ).alias("dup_3gram_char_frac"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub email addresses and phone-number-shaped digit runs — the
     standard pre-training hygiene pass. Pure JVM regexp expressions

@@ -511,6 +511,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT doc_id, ws,
+             CASE WHEN len(ws) >= 2 THEN
+               [array_to_string(ws[i:i+1], ' ') FOR i IN range(1, len(ws))]
+             ELSE [] END AS g2,
+             CASE WHEN len(ws) >= 3 THEN
+               [array_to_string(ws[i:i+2], ' ') FOR i IN range(1, len(ws) - 1)]
+             ELSE [] END AS g3
+      FROM w
+    )
+    SELECT doc_id,
+           len(ws) AS n_words,
+           COALESCE(round((len(ws) - len(list_distinct(ws))) / nullif(len(ws), 0), 6), 0.0)
+             AS dup_word_frac,
+           COALESCE(round(
+             list_max(list_transform(list_distinct(g2),
+                                     d -> len(list_filter(g2, x -> x = d))))
+             / nullif(len(g2), 0), 6), 0.0) AS top_bigram_share,
+           COALESCE(round(
+             list_sum(list_transform(list_distinct(g3),
+               d -> CASE WHEN len(list_filter(g3, x -> x = d)) > 1
+                         THEN len(list_filter(g3, x -> x = d)) * length(d)
+                         ELSE 0 END))
+             / nullif(list_sum(list_transform(g3, x -> length(x))), 0), 6), 0.0)
+             AS dup_3gram_char_frac
+    FROM g
+    """,
+    doc="Gopher repetition filters (dup-word fraction, top-bigram "
+    "share, duplicate-trigram char fraction): pure higher-order "
+    "expressions over the per-row token array — codegen'd map work, "
+    "zero shuffles.",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_features(docs)
+
+
 def _lang_oracle() -> str:
     score_exprs = []
     for lang, markers in text.LANG_MARKERS.items():
