@@ -1,0 +1,72 @@
+"""Domain-mixture resampling: hit a target source distribution.
+
+Pretraining corpora are mixed to target shares (e.g. The Pile's /
+Llama's per-source weights): given per-domain target weights, keep a
+deterministic subsample of each domain so the output matches the
+target mixture at the largest size the data supports (no domain is
+oversampled — this operator downsamples only).
+
+Plan shape (100 TB story): per-domain counts are one map-side-combined
+aggregation over the group column; the handful of (domain, keep
+threshold) rows then ride a **broadcast** back onto the corpus, and
+row selection is a narrow deterministic hash filter — same rows kept
+on any cluster size, any partitioning, any run. No driver-side
+``collect``, no ``ORDER BY rand()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Modulus for the deterministic keep-hash (md5-derived, engine-portable).
+_MOD = 1_000_000
+
+
+def _keep_hash(id_col: str):
+    # first 8 md5 hex chars of the string id == DuckDB
+    # ('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT
+    return (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % _MOD
+    )
+
+
+def sample_to_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministically subsample ``df`` so the kept rows follow the
+    ``weights`` mixture over ``group_col``.
+
+    The output size is the largest N with ``share_g * N <= n_g`` for
+    every weighted domain g (domains not in ``weights`` are dropped).
+    Expected kept rows per domain = ``share_g * N``; membership is the
+    stable md5 threshold test, so resampling is reproducible and
+    monotone (a smaller target keeps a subset of a larger one).
+    """
+    spark = df.sparkSession
+    tot = float(sum(weights.values()))
+    w = spark.createDataFrame(
+        [(g, float(wt) / tot) for g, wt in weights.items()],
+        f"{group_col} string, share double",
+    )
+    counts = (
+        df.join(F.broadcast(w), group_col)
+        .groupBy(group_col, "share")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # capacity: the largest mixture size the scarcest domain supports
+    cap = counts.select(F.min(F.col("n") / F.col("share")).alias("cap"))
+    thr = counts.crossJoin(F.broadcast(cap)).select(
+        group_col,
+        (F.col("share") * F.col("cap") / F.col("n") * _MOD).alias("keep_thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(_keep_hash(id_col) < F.col("keep_thr"))
+        .drop("keep_thr")
+    )

@@ -554,6 +554,72 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_features(docs)
 
 
+@register(
+    "vocab_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    )
+    SELECT word, COUNT(*) AS n
+    FROM words WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+    doc="Corpus vocabulary heavy hitters: explode words -> count -> "
+    "top-k with a total-order tiebreak. One shuffle with map-side "
+    "partial aggregation; the top-k is a TakeOrdered over |vocab| "
+    "rows, not |corpus|.",
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+_MIX_WEIGHTS = {"src1": 3.0, "src2": 1.0, "src3": 1.0}
+
+
+@register(
+    "mixture_resample",
+    oracle="""
+    WITH w(source, share) AS (VALUES ('src1', 0.6), ('src2', 0.2), ('src3', 0.2)),
+    counts AS (
+      SELECT d.source, share, COUNT(*) AS n
+      FROM documents d JOIN w USING (source) GROUP BY 1, 2
+    ),
+    cap AS (SELECT MIN(n / share) AS cap FROM counts),
+    thr AS (
+      SELECT source, share * cap / n * 1000000 AS keep_thr
+      FROM counts CROSS JOIN cap
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < keep_thr
+    """,
+    doc="Domain-mixture resampling (60/20/20 over src1/src2/src3): "
+    "per-domain counts -> broadcast keep-thresholds -> deterministic "
+    "md5 keep-hash filter. Reproducible on any cluster shape; no "
+    "ORDER BY rand().",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture.sample_to_mixture(docs, _MIX_WEIGHTS).select(
+        "doc_id", "source"
+    )
+
+
 def _lang_oracle() -> str:
     score_exprs = []
     for lang, markers in text.LANG_MARKERS.items():
