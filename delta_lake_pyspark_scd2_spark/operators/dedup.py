@@ -184,22 +184,19 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def lsh_band_buckets(
     signatures: DataFrame,
     id_col: str = "doc_id",
     *,
     bands: int = 4,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Banded-LSH candidate pairs: split each signature into ``bands``
-    bands of ``rows_per_band`` hashes, bucket by md5(band slice),
-    self-join within (band, bucket) only.
-
-    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``. The join key
-    includes the band index so distinct bands never collide; skewed
-    buckets (boilerplate-heavy corpora) are split by AQE's skew-join.
-    """
-    banded = signatures.select(
+    """(id, band, bucket) rows: each signature split into ``bands``
+    slices of ``rows_per_band`` hashes, bucketed by md5 of the slice.
+    The shareable half of banded LSH — the incremental ingest pipeline
+    joins NEW docs' buckets against STORED ones instead of
+    self-joining a full corpus."""
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -223,6 +220,26 @@ def lsh_candidate_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded-LSH candidate pairs: split each signature into ``bands``
+    bands of ``rows_per_band`` hashes, bucket by md5(band slice),
+    self-join within (band, bucket) only.
+
+    Output: distinct ``(id_a, id_b)`` with ``id_a < id_b``. The join key
+    includes the band index so distinct bands never collide; skewed
+    buckets (boilerplate-heavy corpora) are split by AQE's skew-join.
+    """
+    banded = lsh_band_buckets(
+        signatures, id_col, bands=bands, rows_per_band=rows_per_band
+    )
     # The self-join would otherwise recompute the whole shingle→hash→min
     # pipeline for both sides; persist the (small: 1 row per doc per
     # band) bucket table — tracked, so the harness releases it at the

@@ -1,0 +1,232 @@
+"""Incremental corpus ingestion: dedup each new batch against
+EVERYTHING already accepted, without ever re-scanning corpus text.
+
+The production shape of training-data collection: crawls arrive in
+batches; a document is accepted only if it is neither an exact nor a
+near duplicate of (a) an earlier doc in its own batch nor (b) any doc
+accepted in ANY previous batch. One-shot dedup operators
+(``operators.dedup``) can't express (b) without reprocessing the whole
+corpus per batch — this pipeline keeps a *fingerprint store* beside
+the corpus so cross-batch checks touch only compact signatures:
+
+  * ``corpus/``        — accepted documents (VersionedParquetTable)
+  * ``fingerprints/``  — one row per accepted doc:
+      ``(doc_id, fp md5, minhash array<long>)``
+
+Batch cost (the 100 TB argument): exact check is a semi-join of the
+batch's md5s against the store's ``fp`` column (columnar scan of ONE
+string column — no text); the near-dup check joins the batch's LSH
+band buckets against buckets derived from the store's stored
+signatures (transform over an array column — the shingling/hashing
+pipeline never reruns for old docs). Both joins are candidate-bounded;
+both sides prune to the joined columns. Per-batch work is
+O(batch + store-signature-scan), never O(corpus text).
+
+Near-dup verification is signature agreement: candidates from a
+shared band are confirmed when ≥ ``verify_frac`` of their minhashes
+agree (an unbiased Jaccard estimate — banding alone over-fires on
+single-band collisions).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import dedup
+from delta_lake_pyspark_scd2_spark.operators.text import fingerprint
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS = 4
+
+
+@dataclass
+class IngestMetrics:
+    n_in: int = 0
+    exact_in_batch: int = 0
+    exact_vs_store: int = 0
+    near_in_batch: int = 0
+    near_vs_store: int = 0
+    accepted: int = 0
+
+
+class CorpusIngest:
+    """Batch-ingest endpoint over a corpus + fingerprint-store pair."""
+
+    def __init__(self, spark: SparkSession, base_path: str, *, verify_frac: float = 0.5):
+        self.spark = spark
+        self.corpus_path = os.path.join(base_path, "corpus")
+        self.fp_path = os.path.join(base_path, "fingerprints")
+        self.verify_frac = verify_frac
+
+    # -- store access -----------------------------------------------------
+
+    def corpus(self) -> DataFrame:
+        return VersionedParquetTable(self.spark, self.corpus_path).read()
+
+    def _fingerprints(self) -> DataFrame | None:
+        if not VersionedParquetTable.is_table(self.fp_path):
+            return None
+        return VersionedParquetTable(self.spark, self.fp_path).read()
+
+    # -- ingest -----------------------------------------------------------
+
+    def ingest(
+        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    ) -> IngestMetrics:
+        """Accept the non-duplicate subset of ``batch``; returns counts.
+
+        Counts ride ``Observation``-free aggregate actions on compact
+        frames (ids only); the accepted rows and their fingerprints are
+        committed to the two tables in that order (a crash between the
+        two commits leaves extra corpus rows whose fingerprints are
+        missing — re-ingesting the same batch re-detects them as exact
+        dups against the corpus only after fingerprints exist, so the
+        fingerprint append is the commit point for dedup purposes).
+        """
+        m = IngestMetrics(n_in=batch.count())
+
+        sigs = dedup.minhash_signatures(
+            batch, text_col, id_col, num_hashes=_NUM_HASHES
+        )
+        fps = batch.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        ).join(sigs, id_col)
+        # the shingle→hash→min pipeline is referenced by every later
+        # stage (counts, band buckets twice, final joins) — materialize
+        # it once; unpersisted after the commits (clear job boundary)
+        cached = fps.persist()
+        try:
+            return self._ingest_deduped(cached, batch, m, id_col)
+        finally:
+            cached.unpersist()
+
+    def _ingest_deduped(
+        self, fps: DataFrame, batch: DataFrame, m: IngestMetrics, id_col: str
+    ) -> IngestMetrics:
+        # in-batch exact: keep the lowest id per fingerprint
+        w = Window.partitionBy("fp").orderBy(id_col)
+        fps = fps.withColumn("__rn", F.row_number().over(w))
+        in_batch_exact = fps.filter(F.col("__rn") > 1).select(id_col)
+        fps = fps.filter(F.col("__rn") == 1).drop("__rn")
+
+        store = self._fingerprints()
+        if store is not None:
+            cross_exact = (
+                fps.join(
+                    store.select(F.col("fp")).distinct(), "fp", "left_semi"
+                ).select(id_col)
+            )
+        else:
+            cross_exact = fps.limit(0).select(id_col)
+        fps = fps.join(cross_exact, id_col, "left_anti")
+
+        # near-dup candidates via shared LSH band buckets, verified by
+        # minhash agreement
+        batch_bb = dedup.lsh_band_buckets(
+            fps.select(id_col, "minhash"), id_col, bands=_BANDS, rows_per_band=_ROWS
+        )
+
+        def _verified(cands: DataFrame, left_sig, right_sig) -> DataFrame:
+            agree = F.size(
+                F.filter(
+                    F.zip_with(left_sig, right_sig, lambda a, b: a == b),
+                    lambda x: x,
+                )
+            ) / F.lit(_NUM_HASHES)
+            return cands.filter(agree >= F.lit(self.verify_frac))
+
+        # (a) within the batch: drop the higher id of each verified pair
+        a, b = batch_bb.alias("a"), batch_bb.alias("b")
+        in_pairs = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("keep_id"),
+                F.col(f"b.{id_col}").alias("drop_id"),
+            )
+            .distinct()
+        )
+        sig_by_id = fps.select(F.col(id_col), F.col("minhash"))
+        in_pairs = in_pairs.join(
+            sig_by_id.select(
+                F.col(id_col).alias("keep_id"), F.col("minhash").alias("sig_a")
+            ),
+            "keep_id",
+        ).join(
+            sig_by_id.select(
+                F.col(id_col).alias("drop_id"), F.col("minhash").alias("sig_b")
+            ),
+            "drop_id",
+        )
+        near_in_batch = (
+            _verified(in_pairs, F.col("sig_a"), F.col("sig_b"))
+            .select(F.col("drop_id").alias(id_col))
+            .distinct()
+        )
+        fps = fps.join(near_in_batch, id_col, "left_anti")
+
+        # (b) against the store: bucket the STORED signatures (array
+        # transform only — no text, no shingling) and join
+        if store is not None:
+            store_bb = dedup.lsh_band_buckets(
+                store.select(F.col(id_col), "minhash"),
+                id_col,
+                bands=_BANDS,
+                rows_per_band=_ROWS,
+            ).select(
+                F.col(id_col).alias("store_id"), "band", "bucket"
+            )
+            store_sig = store.select(
+                F.col(id_col).alias("store_id"), F.col("minhash").alias("sig_b")
+            )
+            cand = (
+                dedup.lsh_band_buckets(
+                    fps.select(id_col, "minhash"),
+                    id_col,
+                    bands=_BANDS,
+                    rows_per_band=_ROWS,
+                )
+                .join(store_bb, ["band", "bucket"])
+                .select(id_col, "store_id")
+                .distinct()
+                .join(sig_by_id.select(F.col(id_col), F.col("minhash").alias("sig_a")), id_col)
+                .join(store_sig, "store_id")
+            )
+            near_cross = (
+                _verified(cand, F.col("sig_a"), F.col("sig_b"))
+                .select(id_col)
+                .distinct()
+            )
+        else:
+            near_cross = fps.limit(0).select(id_col)
+        fps = fps.join(near_cross, id_col, "left_anti")
+
+        m.exact_in_batch = in_batch_exact.count()
+        m.exact_vs_store = cross_exact.count()
+        m.near_in_batch = near_in_batch.count()
+        m.near_vs_store = near_cross.count()
+
+        accepted_ids = fps.select(id_col)
+        accepted = batch.join(accepted_ids, id_col, "left_semi")
+        new_fps = fps.select(id_col, "fp", "minhash")
+
+        if VersionedParquetTable.is_table(self.corpus_path):
+            VersionedParquetTable(self.spark, self.corpus_path).append(accepted)
+        else:
+            VersionedParquetTable.create(self.spark, accepted, self.corpus_path)
+        if VersionedParquetTable.is_table(self.fp_path):
+            VersionedParquetTable(self.spark, self.fp_path).append(new_fps)
+        else:
+            VersionedParquetTable.create(self.spark, new_fps, self.fp_path)
+        m.accepted = m.n_in - m.exact_in_batch - m.exact_vs_store - m.near_in_batch - m.near_vs_store
+        return m

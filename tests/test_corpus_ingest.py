@@ -1,0 +1,74 @@
+"""Incremental corpus ingestion (pipeline/corpus_ingest.py): batch
+dedup against the fingerprint store, never against corpus text."""
+
+from __future__ import annotations
+
+import pytest
+
+from delta_lake_pyspark_scd2_spark.pipeline.corpus_ingest import CorpusIngest
+
+_B1 = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten"),
+    (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # exact dup of 1
+    (4, "totally different content about spark query planning and shuffles"),
+]
+_B2 = [
+    (10, "one two three four five six seven eight nine ten"),  # exact dup of 2
+    (11, "alpha beta gamma delta epsilon zeta eta theta iota KAPPA EDITED"),  # near-dup of 1
+    (12, "fresh unseen text with brand new words entirely unrelated here"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CorpusIngest(spark, str(tmp_path / "corpus_store"))
+
+
+def test_first_batch_dedups_in_batch_only(spark, store):
+    m = store.ingest(_df(spark, _B1))
+    assert m.n_in == 4
+    assert m.exact_in_batch == 1  # doc 3
+    assert m.exact_vs_store == 0 and m.near_vs_store == 0
+    assert m.accepted == 3
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == [1, 2, 4]
+
+
+def test_second_batch_dedups_against_store(spark, store):
+    store.ingest(_df(spark, _B1))
+    m = store.ingest(_df(spark, _B2))
+    assert m.exact_vs_store == 1  # doc 10 == doc 2
+    assert m.near_vs_store == 1  # doc 11 ~ doc 1
+    assert m.accepted == 1
+    assert sorted(r["doc_id"] for r in store.corpus().collect()) == [1, 2, 4, 12]
+
+
+def test_reingesting_same_batch_accepts_nothing(spark, store):
+    store.ingest(_df(spark, _B1))
+    m = store.ingest(_df(spark, _B1))
+    assert m.accepted == 0
+    assert m.exact_vs_store == 3  # the 3 accepted docs all match the store
+    assert store.corpus().count() == 3
+
+
+def test_in_batch_near_dup_keeps_lowest_id(spark, store):
+    rows = [
+        (20, "the quick brown fox jumps over the lazy dog today friends"),
+        (21, "the quick brown fox jumps over the lazy dog today FRIENDS!!"),
+    ]
+    m = store.ingest(_df(spark, rows))
+    assert m.near_in_batch == 1
+    assert [r["doc_id"] for r in store.corpus().collect()] == [20]
+
+
+def test_store_check_reads_no_text_column(spark, store):
+    # the cross-batch plan must touch only fp/minhash of the store —
+    # ingest a batch, then assert the fingerprint table has exactly the
+    # compact columns (no text ever stored there)
+    store.ingest(_df(spark, _B1))
+    fp_df = store._fingerprints()
+    assert set(fp_df.columns) == {"doc_id", "fp", "minhash"}
