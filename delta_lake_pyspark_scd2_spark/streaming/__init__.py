@@ -1,7 +1,13 @@
 from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
+    corpus_ingest_stream,
     run_stream_once,
     scd2_stream,
     windowed_event_agg,
 )
 
-__all__ = ["run_stream_once", "scd2_stream", "windowed_event_agg"]
+__all__ = [
+    "corpus_ingest_stream",
+    "run_stream_once",
+    "scd2_stream",
+    "windowed_event_agg",
+]

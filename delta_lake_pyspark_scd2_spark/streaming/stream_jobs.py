@@ -295,6 +295,49 @@ def sessionize_stream(
     )
 
 
+def corpus_ingest_stream(
+    spark: SparkSession,
+    source_dir: str,
+    store_base: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    on_batch: Callable[[int, object], None] | None = None,
+) -> StreamingQuery:
+    """Streaming corpus ingestion: new document files under
+    ``source_dir`` flow through the incremental dedup pipeline
+    (``pipeline.corpus_ingest.CorpusIngest``) per micro-batch.
+
+    The continuous twin of batch ingestion: each micro-batch is deduped
+    exactly (in-batch + against the fingerprint store) before landing
+    in the corpus table, so a crawler can stream its output straight
+    into a training-ready corpus. Exactly-once story: checkpointed file
+    discovery makes batch delivery replay-safe, and a replayed batch is
+    a no-op because every one of its docs now hits the exact-fp check
+    against the store.
+    """
+    from delta_lake_pyspark_scd2_spark.pipeline.corpus_ingest import CorpusIngest
+
+    ingest = CorpusIngest(spark, store_base)
+
+    def _process(batch_df: DataFrame, batch_no: int) -> None:
+        if not batch_df.isEmpty():
+            m = ingest.ingest(batch_df)
+            if on_batch is not None:
+                on_batch(batch_no, m)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def scd2_stream(
     spark: SparkSession,
     spec: SCD2Spec,

@@ -72,3 +72,37 @@ def test_store_check_reads_no_text_column(spark, store):
     store.ingest(_df(spark, _B1))
     fp_df = store._fingerprints()
     assert set(fp_df.columns) == {"doc_id", "fp", "minhash"}
+
+
+def test_streaming_ingest_matches_batch(spark, tmp_path):
+    # two micro-batches delivered as files; the second one's dups (vs
+    # batch 1 and the store) must be dropped exactly as in batch mode
+    import json
+
+    from delta_lake_pyspark_scd2_spark.streaming import corpus_ingest_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "b1.json", "w") as f:
+        for i, t in _B1:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    base, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    seen = []
+    corpus_ingest_stream(
+        spark, str(src), base, ck, on_batch=lambda n, m: seen.append(m)
+    )
+    assert sum(m.accepted for m in seen) == 3
+
+    with open(src / "b2.json", "w") as f:
+        for i, t in _B2:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    seen.clear()
+    corpus_ingest_stream(
+        spark, str(src), base, ck, on_batch=lambda n, m: seen.append(m)
+    )
+    assert sum(m.accepted for m in seen) == 1  # only the fresh doc
+    got = sorted(
+        r["doc_id"]
+        for r in CorpusIngest(spark, base).corpus().collect()
+    )
+    assert got == [1, 2, 4, 12]
