@@ -620,6 +620,52 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "approx_sketches",
+    # No SQL oracle BY DESIGN: HLL++ / KLL sketch outputs are
+    # implementation-defined (DuckDB's approx_count_distinct is a
+    # different sketch, so values can't value-hash match). Error bounds
+    # vs exact answers are pinned in tests/test_approx_sketches.py.
+    oracle=None,
+    doc="Approximate sketches over the corpus: HLL++ distinct words "
+    "(approx_count_distinct, rsd=0.02) and KLL-style token-count "
+    "quantiles (approx_percentile) per source. The 100 TB substitute "
+    "for exact DISTINCT/median: both sketches partial-aggregate "
+    "map-side, so the shuffle carries one sketch per partition per "
+    "group instead of the value stream exact answers need.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    vocab = words.groupBy("source").agg(
+        F.approx_count_distinct("word", rsd=0.02).alias("approx_vocab")
+    )
+    # per-DOC token counts (aggregating after explode would weight each
+    # document by its own length)
+    quants = (
+        docs.select(
+            "source",
+            F.size(F.split(text.normalize_text(F.col("text")), " ")).alias(
+                "n_toks"
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.percentile_approx("n_toks", [0.5, 0.9, 0.99], 10_000).alias("q")
+        )
+    )
+    return vocab.join(quants, "source").select(
+        "source",
+        "approx_vocab",
+        F.col("q")[0].alias("p50_toks"),
+        F.col("q")[1].alias("p90_toks"),
+        F.col("q")[2].alias("p99_toks"),
+    )
+
+
 def _lang_oracle() -> str:
     score_exprs = []
     for lang, markers in text.LANG_MARKERS.items():
