@@ -1237,6 +1237,65 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_pretrain_recipe",
+    oracle=f"""
+    WITH {_DECON_CTE},
+    gated AS (
+      SELECT doc_id, source, n_chars, {_NORM} AS nt,
+             string_split({_NORM}, ' ') AS ws
+      FROM documents
+      WHERE source <> 'src0' AND lang = 'en'
+    ),
+    quality AS (
+      SELECT doc_id, source, n_chars, nt FROM gated
+      WHERE len(ws) >= 20
+        AND (len(ws) - len(list_distinct(ws))) / nullif(len(ws), 0) <= 0.5
+    ),
+    clean AS (
+      SELECT q.* FROM quality q
+      WHERE q.doc_id NOT IN (
+        SELECT g.doc_id FROM dgrams g JOIN egrams USING (gram)
+        WHERE g.source <> 'src0'
+      )
+    ),
+    keep AS (SELECT MIN(doc_id) AS doc_id FROM clean GROUP BY md5(nt))
+    SELECT c.doc_id, c.source, c.n_chars
+    FROM clean c JOIN keep USING (doc_id)
+    """,
+    doc="The full pretraining data recipe as ONE declarative plan: "
+    "benchmark split-off -> language gate -> length gate -> "
+    "repetition gate (dup-word fraction <= 0.5) -> 13-gram eval-set "
+    "decontamination -> exact dedup keeping the canonical copy. "
+    "Catalyst fuses every per-row gate into the scan; the broadcast "
+    "decontamination semi-join and the dedup hash-agg are the only "
+    "exchanges, and both run on already-gated survivors — at 100 TB "
+    "each stage drops data before the next pays for it.",
+)
+def pipeline_pretrain_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_docs = docs.filter(F.col("source") == "src0")
+    words = F.split(text.normalize_text(F.col("text")), " ")
+    n_words = F.size(words)
+    gated = train.filter(
+        (F.col("lang") == "en")
+        & (n_words >= 20)
+        & (
+            (n_words - F.size(F.array_distinct(words)))
+            / F.nullif(n_words, F.lit(0))
+            <= 0.5
+        )
+    )
+    clean = decontam.decontaminate(gated, eval_docs, n=_DECON_N)
+    keep = dedup.exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
+    return clean.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@register(
     "dedup_levenshtein",
     oracle=f"""
     WITH n AS (
