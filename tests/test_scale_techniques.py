@@ -144,3 +144,38 @@ def test_runtime_bloom_filter_join_injection(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """DPP: joining a partitioned fact on its partition column with a
+    selectively-filtered dim prunes fact partitions at RUNTIME from the
+    dim's build side — at 100 TB this is the difference between
+    scanning every date partition and only the ones the dim admits."""
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    load_table(spark, SF, "orders").write.partitionBy("o_orderpriority").parquet(
+        fact_path
+    )
+    spark.createDataFrame(
+        [("1-URGENT", "keep")], "prio string, tag string"
+    ).write.parquet(dim_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "keep")
+    j = fact.join(dim, fact.o_orderpriority == dim.prio)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    n = j.count()
+    expected = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .count()
+    )
+    assert n == expected
+    # the files actually read from the fact are only the pruned
+    # partition's (input_file_name can't span a join's two sources, so
+    # project it on the fact side before the join)
+    tagged = fact.withColumn("f", F.input_file_name()).join(
+        dim, F.col("o_orderpriority") == dim.prio
+    )
+    files = {r["f"] for r in tagged.select("f").distinct().collect()}
+    assert files and all("o_orderpriority=1-URGENT" in f for f in files)
