@@ -1,0 +1,144 @@
+"""Differential fuzzing of SCALAR expression trees vs DuckDB.
+
+The query-shape fuzzers (test_differential_fuzz.py) compose operators;
+this one composes *expressions* — arithmetic, conditional, string —
+depth-2 trees over lineitem columns, used both as a projection and as
+a filter, checked value-exact against DuckDB on the same parquet.
+Catches dialect/codegen divergences (rounding modes, null propagation,
+three-valued logic) that fixed-query oracles only sample.
+
+Pool discipline: only expressions with verified cross-engine IEEE /
+semantics parity — integer and double + - *, abs/floor/ceil,
+greatest/least (null-safe variants differ, so arguments are non-null
+columns), coalesce/nullif, CASE WHEN, and byte-pure string ops
+(upper/lower/substr/length/concat/trim). No division (inf formatting
+differs), no round() inside the tree (HALF_UP vs HALF_EVEN on
+doubles), no timezone-dependent functions.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+# Each atom/op: (sql_fragment_fn, doc). Spark side runs the SAME SQL
+# fragment through selectExpr/filter — Spark SQL and DuckDB share this
+# surface, so one string drives both engines and the comparison is
+# engine-vs-engine, not construction-vs-construction.
+NUM_ATOMS = [
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "CAST(l_linenumber AS DOUBLE)",
+    "7.5",
+    "-3.0",
+]
+NUM_UNARY = ["abs({a})", "floor({a})", "ceil({a})", "-({a})"]
+NUM_BINARY = [
+    "({a} + {b})",
+    "({a} - {b})",
+    "({a} * {b})",
+    "greatest({a}, {b})",
+    "least({a}, {b})",
+    "coalesce(nullif({a}, {b}), {b})",
+    "CASE WHEN {a} > {b} THEN {a} ELSE {b} END",
+]
+STR_ATOMS = ["l_returnflag", "l_linestatus", "'xy'"]
+STR_OPS = [
+    "upper({a})",
+    "lower({a})",
+    "substr({a}, 1, 1)",
+    "concat({a}, '-', {b})",
+    "trim(concat(' ', {a}, ' '))",
+]
+PREDS = [
+    "{a} > {b}",
+    "{a} <= {b}",
+    "{a} = {a}",
+    "{a} BETWEEN {b} AND {b} + 20.0",
+]
+
+
+@st.composite
+def num_expr(draw, depth: int = 2) -> str:
+    if depth == 0 or draw(st.booleans()):
+        return draw(st.sampled_from(NUM_ATOMS))
+    if draw(st.booleans()):
+        op = draw(st.sampled_from(NUM_UNARY))
+        return op.format(a=draw(num_expr(depth=depth - 1)))
+    op = draw(st.sampled_from(NUM_BINARY))
+    return op.format(
+        a=draw(num_expr(depth=depth - 1)), b=draw(num_expr(depth=depth - 1))
+    )
+
+
+@st.composite
+def str_expr(draw) -> str:
+    op = draw(st.sampled_from(STR_OPS))
+    return op.format(
+        a=draw(st.sampled_from(STR_ATOMS)), b=draw(st.sampled_from(STR_ATOMS))
+    )
+
+
+@st.composite
+def fuzz_case(draw) -> dict:
+    return {
+        "num": draw(num_expr()),
+        "s": draw(str_expr()),
+        "pred": draw(st.sampled_from(PREDS)).format(
+            a=draw(num_expr(depth=1)), b=draw(num_expr(depth=1))
+        ),
+    }
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS FROM '{SF}/lineitem.parquet'")
+    return con
+
+
+def _norm(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    return str(v)
+
+
+@given(q=fuzz_case())
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_scalar_expressions_match_duckdb(q, spark, ddb):
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, {q['num']} AS e, {q['s']} AS s "
+        f"FROM lineitem WHERE {q['pred']}"
+    )
+    li = load_table(spark, SF, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    got = [
+        tuple(_norm(v) for v in r)
+        for r in spark.sql(sql).collect()
+    ]
+    want = [
+        tuple(_norm(v) for v in r)
+        for r in ddb.sql(sql).fetchall()
+    ]
+    assert sorted(got) == sorted(want), sql
