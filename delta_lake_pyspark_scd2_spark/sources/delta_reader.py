@@ -195,7 +195,12 @@ class DeltaTableReader:
         snap = self.snapshot(version)
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
-        paths = [os.path.join(self.path, p) for p in snap.files]
+        # PROTOCOL.md: add.path is the RELATIVE path, URL-encoded —
+        # decode before touching the filesystem (a partition value with
+        # a space yields %20 in the log but a literal space on disk)
+        from urllib.parse import unquote
+
+        paths = [os.path.join(self.path, unquote(p)) for p in snap.files]
         df = self.spark.read.option("basePath", self.path).schema(
             _physical_schema(snap)
         ).parquet(*paths)

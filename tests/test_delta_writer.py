@@ -1,0 +1,110 @@
+"""Delta write-side interop (sources/delta_writer.py): tables we write
+must replay correctly through the independent log reader."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.sources.delta_reader import DeltaTableReader
+from delta_lake_pyspark_scd2_spark.sources.delta_writer import (
+    export_vtable_as_delta,
+    write_delta,
+)
+from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_create_roundtrip_partitioned(spark, tmp_path):
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "d")
+    v = write_delta(orders, path, partition_cols=["o_orderpriority"])
+    assert v == 0
+    r = DeltaTableReader(spark, path)
+    back = r.read()
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # value-exact: anti-joins empty both ways
+    assert back.exceptAll(orders).count() == 0
+    assert orders.exceptAll(back).count() == 0
+    # partition pruning works through the log's partitionValues
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    assert one.count() == orders.filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).count()
+
+
+def test_append_and_overwrite_time_travel(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    assert write_delta(df1, path) == 0
+    assert write_delta(df2, path, mode="append") == 1
+    r = DeltaTableReader(spark, path)
+    assert r.read().count() == 3
+    assert r.read(version=0).count() == 2
+    df3 = spark.createDataFrame([(9, "z")], "id long, s string")
+    assert write_delta(df3, path, mode="overwrite") == 2
+    assert [x["id"] for x in r.read().collect()] == [9]
+    assert r.read(version=1).count() == 3  # history intact
+
+
+def test_create_refuses_existing_and_schema_mismatch(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    write_delta(df, path)
+    with pytest.raises(FileExistsError):
+        write_delta(df, path)
+    bad = spark.createDataFrame([(1,)], "other long")
+    with pytest.raises(ValueError):
+        write_delta(bad, path, mode="append")
+
+
+def test_commit_stats_carry_numrecords(spark, tmp_path):
+    path = str(tmp_path / "d")
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "id long, s string")
+    write_delta(df, path)
+    commit = os.path.join(path, "_delta_log", f"{0:020d}.json")
+    adds = [
+        json.loads(line)["add"]
+        for line in open(commit)
+        if '"add"' in line
+    ]
+    assert adds
+    assert sum(json.loads(a["stats"])["numRecords"] for a in adds) == 10
+
+
+def test_export_vtable_snapshot(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    t = VersionedParquetTable.create(
+        spark, docs, str(tmp_path / "vt")
+    )
+    # mutate: delete some rows so the export is a non-trivial snapshot
+    t.delete([("doc_id", "<", 5)])
+    dest = str(tmp_path / "exported")
+    export_vtable_as_delta(t, dest)
+    back = DeltaTableReader(spark, dest).read()
+    want = t.read()
+    assert back.count() == want.count()
+    assert back.exceptAll(want).count() == 0
+
+
+def test_roundtrip_reference_shaped_table(spark, tmp_path):
+    # write -> read -> write again -> read: stability under our own
+    # reader/writer pair (catches asymmetric encodings)
+    li = load_table(spark, SF, "lineitem").limit(200)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    write_delta(li, p1, partition_cols=["l_returnflag"])
+    mid = DeltaTableReader(spark, p1).read()
+    write_delta(mid.select(*li.columns), p2, partition_cols=["l_returnflag"])
+    final = DeltaTableReader(spark, p2).read()
+    assert final.count() == 200
+    assert final.select(*li.columns).exceptAll(li).count() == 0
