@@ -286,6 +286,61 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_groups: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-budget training sequences (the
+    trainer-side packing step: concatenate docs until ``seq_len``
+    tokens, start the next sequence).
+
+    Exact greedy packing is inherently sequential, so this is the
+    scalable deterministic variant: docs are hash-salted into
+    ``n_groups`` independent streams, and within each stream packed
+    first-fit in id order via ONE windowed prefix sum — a doc's bin is
+    ``floor(exclusive_prefix_tokens / seq_len)``. A doc that would
+    straddle a boundary starts its bin at its ``start_offset`` and may
+    overflow it (overflow is carried, never split) — the standard
+    approximate-packing trade; per-bin overflow is bounded by one doc.
+
+    Scale: one shuffle on the group key; each group's window is an
+    independent linear pass, so parallelism = ``n_groups`` (set it to
+    your partition count). Deterministic on any cluster shape — same
+    doc, same bin, every run.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count_ws(F.col(text_col))
+    group = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_groups
+    ).cast("int")
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("n_toks"), group.alias("pack_group")
+    )
+    return base.select(
+        id_col,
+        "n_toks",
+        "pack_group",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("__start"),
+    ).select(
+        id_col,
+        "n_toks",
+        "pack_group",
+        F.floor(F.col("__start") / seq_len).cast("int").alias("bin_ix"),
+        (F.col("__start") % seq_len).cast("int").alias("start_offset"),
+    )
+
+
 def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Scrub email addresses and phone-number-shaped digit runs — the
     standard pre-training hygiene pass. Pure JVM regexp expressions

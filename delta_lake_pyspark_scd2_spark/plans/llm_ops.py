@@ -621,6 +621,38 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 32
+                  AS INT) AS pack_group
+      FROM documents
+    ),
+    pref AS (
+      SELECT doc_id, n_toks, pack_group,
+             SUM(n_toks) OVER (PARTITION BY pack_group ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_toks AS s
+      FROM base
+    )
+    SELECT doc_id, n_toks, pack_group,
+           CAST(s // 512 AS INT) AS bin_ix,
+           CAST(s % 512 AS INT) AS start_offset
+    FROM pref
+    """,
+    doc="Deterministic sequence packing for trainer prep: docs hash-"
+    "salted into 32 independent streams, first-fit packed in id order "
+    "via one windowed prefix sum (bin = floor(prefix/512)); overflow "
+    "carried, never split. One shuffle; parallelism = stream count; "
+    "same doc -> same bin on any cluster shape.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(docs, seq_len=512, n_groups=32)
+
+
+@register(
     "approx_sketches",
     # No SQL oracle BY DESIGN: HLL++ / KLL sketch outputs are
     # implementation-defined (DuckDB's approx_count_distinct is a

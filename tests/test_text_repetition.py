@@ -46,3 +46,28 @@ def test_whitespace_normalized_before_counting(spark):
     a = _feat(spark, "Spam  SPAM   spam")
     assert a["n_words"] == 3
     assert a["dup_word_frac"] == pytest.approx(2 / 3)
+
+
+def test_pack_sequences_invariants(spark):
+    # packing invariants: bins fill in order, offsets consistent with
+    # running token totals, no doc split across bins
+    rows = [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 400, 300, 50, 512, 20])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        text.pack_sequences(df, seq_len=512, n_groups=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    # single group: exclusive prefix sums drive bins deterministically
+    run = 0
+    for r in out:
+        assert r["bin_ix"] == run // 512
+        assert r["start_offset"] == run % 512
+        run += r["n_toks"]
+    # determinism across partitionings
+    again = (
+        text.pack_sequences(df.repartition(5), seq_len=512, n_groups=1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
