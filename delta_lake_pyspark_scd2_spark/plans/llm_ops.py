@@ -621,6 +621,40 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_phash_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, ('0x' || substr(md5({_NORM}), 1, 15))::BIGINT AS ph
+      FROM documents
+    ),
+    banded AS (
+      SELECT doc_id, ph, b.band, (ph >> (b.band * 15)) & 32767 AS bucket
+      FROM h, (VALUES (0), (1), (2), (3)) b(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+           CAST(bit_count(xor(a.ph, c.ph)) AS INT) AS hamming
+    FROM banded a
+    JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+                 AND a.doc_id < c.doc_id
+    WHERE bit_count(xor(a.ph, c.ph)) <= 6
+    """,
+    doc="Near-duplicate media pairs by banded pHash hamming (4x15-bit "
+    "bands block, bit_count(xor) verifies — all JVM bit arithmetic, "
+    "one band-keyed shuffle). The hash is md5-derived while decoding "
+    "is stubbed, so exact-dup media detection is real and the banded "
+    "plan is exactly what a DCT pHash rides at 100 TB.",
+)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # media ingestion canonicalizes bytes before hashing (here: the
+    # normalized text as the deterministic payload stand-in), so the
+    # exact-dup pairs the corpus genuinely contains surface at every SF
+    canon = docs.withColumn("text", text.normalize_text(F.col("text")))
+    payloads = multimodal.attach_binary_payload(canon)
+    return multimodal.media_phash_pairs(payloads)
+
+
+@register(
     "pack_sequences",
     oracle="""
     WITH base AS (

@@ -318,3 +318,34 @@ def test_ivf_persisted_index_matches_inflight(spark, tmp_path):
 
     # index versions like any table: rebuild commits a new version
     assert index.history()[0]["operation"] == "CREATE"
+
+
+def test_media_phash_pairs_hamming_semantics(spark):
+    from delta_lake_pyspark_scd2_spark.operators import multimodal
+
+    # hand-built 60-bit hashes: b = a with 2 bits flipped (caught),
+    # c = a with 20 bits flipped (rejected), d isolated
+    a = 0b101010101010101010101010101010101010101010101010101010101010
+    b = a ^ 0b11  # hamming 2
+    c = a ^ ((1 << 20) - 1)  # hamming 20
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, 12345)], "doc_id long, phash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.media_phash_pairs(df, max_hamming=6).collect()
+    }
+    assert pairs == {(1, 2): 2}
+
+
+def test_media_phash_identical_payloads_pair_at_zero(spark):
+    from delta_lake_pyspark_scd2_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes"), (2, "same bytes"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = multimodal.media_phash_pairs(
+        multimodal.attach_binary_payload(docs)
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
