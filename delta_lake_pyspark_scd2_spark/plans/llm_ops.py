@@ -920,6 +920,50 @@ def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Spark's NATIVE session_window aggregation, oracle'd against "
+    "the manual lag+running-sum construction — pinning that the "
+    "built-in gap-merge semantics (new session at gap >= 30 min, "
+    "window end = last event + gap) match the classical SQL form. One "
+    "shuffle; the native operator also powers the streaming variant "
+    "with state eviction for free.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "stream_window_agg",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
