@@ -1,0 +1,79 @@
+"""Streaming CDC source over the versioned table
+(sources/vtable_stream.py, Spark 4 Python DataSource API)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+from delta_lake_pyspark_scd2_spark.sources.vtable_stream import (
+    VTableChangesDataSource,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(VTableChangesDataSource)
+
+
+def _drain(spark, path, ck, batches, keycols="id"):
+    q = (
+        spark.readStream.format("vtable_changes")
+        .option("path", path)
+        .option("keycols", keycols)
+        .load()
+        .writeStream.foreachBatch(lambda df, n: batches.append(df.collect()))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_stream_delivers_versions_incrementally(spark, tmp_path):
+    path, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    t = VersionedParquetTable.create(spark, df1, path)
+
+    batches: list = []
+    _drain(spark, path, ck, batches)
+    rows = [r for b in batches for r in b]
+    # initial snapshot arrives as inserts of version 0
+    assert sorted((r["id"], r["_change_type"]) for r in rows) == [
+        (1, "insert"),
+        (2, "insert"),
+    ]
+
+    # new commits: an append and an upsert -> only deltas arrive
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.upsert(spark.createDataFrame([(2, "B!")], "id long, s string"), ["id"])
+    batches.clear()
+    _drain(spark, path, ck, batches)
+    rows = [r for b in batches for r in b]
+    kinds = sorted((r["id"], r["_change_type"]) for r in rows)
+    assert (3, "insert") in kinds
+    assert (2, "update_preimage") in kinds and (2, "update_postimage") in kinds
+    assert all(r["_commit_version"] in (1, 2) for r in rows)
+
+    # nothing new -> empty drain (exactly-once, no replay)
+    batches.clear()
+    _drain(spark, path, ck, batches)
+    assert [r for b in batches for r in b] == []
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    path, ck = str(tmp_path / "t"), str(tmp_path / "ck")
+    t = VersionedParquetTable.create(
+        spark, spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    batches: list = []
+    _drain(spark, path, ck, batches)
+    assert len([r for b in batches for r in b]) == 1
+
+    t.append(spark.createDataFrame([(2, "b")], "id long, s string"))
+    batches.clear()
+    _drain(spark, path, ck, batches)  # fresh query object, same checkpoint
+    rows = [r for b in batches for r in b]
+    assert [(r["id"], r["_change_type"]) for r in rows] == [(2, "insert")]
