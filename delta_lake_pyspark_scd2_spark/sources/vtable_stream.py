@@ -134,3 +134,71 @@ class VTableChangesDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType):
         return _VTableChangesReader(schema, self.options)
+
+
+def replicate_stream(
+    spark,
+    src_path: str,
+    dst_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+):
+    """Continuously replicate a versioned table via its CDC stream —
+    the cross-region-replica / disaster-recovery consumer.
+
+    Each micro-batch applies its change rows to the replica in commit
+    order: inserts/update-postimages MERGE in, deletes drop their
+    keys. Exactly-once end to end: the stream checkpoint dedups
+    deliveries and the replica's MERGE is idempotent per key, so a
+    replayed batch converges instead of double-applying. The replica
+    is a normal table (readable, time-travelable) whose history is the
+    APPLIED sequence — version numbers differ from the source, row
+    content converges.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    def _apply(batch, _n: int) -> None:
+        if batch.isEmpty():
+            return
+        meta = list(_META_COLS)
+        versions = sorted(
+            r["_commit_version"]
+            for r in batch.select("_commit_version").distinct().collect()
+        )
+        for v in versions:
+            b = batch.filter(F.col("_commit_version") == v)
+            ups = b.filter(
+                F.col("_change_type").isin("insert", "update_postimage")
+            ).drop(*meta)
+            dels = (
+                b.filter(F.col("_change_type") == "delete")
+                .drop(*meta)
+                .select(*key_cols)
+            )
+            if not VersionedParquetTable.is_table(dst_path):
+                VersionedParquetTable.create(spark, ups, dst_path)
+                continue
+            t = VersionedParquetTable(spark, dst_path)
+            t.upsert(
+                ups,
+                key_cols,
+                deletes=dels if dels.limit(1).count() else None,
+                operation="REPLICATE",
+            )
+
+    q = (
+        spark.readStream.format("vtable_changes")
+        .option("path", src_path)
+        .option("keycols", ",".join(key_cols))
+        .load()
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -77,3 +77,31 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     _drain(spark, path, ck, batches)  # fresh query object, same checkpoint
     rows = [r for b in batches for r in b]
     assert [(r["id"], r["_change_type"]) for r in rows] == [(2, "insert")]
+
+
+def test_replication_converges_to_source(spark, tmp_path):
+    from delta_lake_pyspark_scd2_spark.sources.vtable_stream import (
+        replicate_stream,
+    )
+
+    src, dst, ck = (
+        str(tmp_path / "src"),
+        str(tmp_path / "dst"),
+        str(tmp_path / "ck"),
+    )
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"),
+        src,
+    )
+    replicate_stream(spark, src, dst, ck, key_cols=["id"])
+    # mutate source: append, update, delete
+    t.append(spark.createDataFrame([(3, "c")], "id long, s string"))
+    t.upsert(spark.createDataFrame([(1, "A!")], "id long, s string"), ["id"])
+    t.delete([("id", "=", 2)])
+    replicate_stream(spark, src, dst, ck, key_cols=["id"])
+    got = VersionedParquetTable(spark, dst).read()
+    want = t.read()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
