@@ -232,3 +232,123 @@ def export_vtable_as_delta(table, dest: str) -> int:
     return write_delta(
         df, dest, partition_cols=table.partition_columns(), mode="create"
     )
+
+
+def write_checkpoint(path: str) -> int:
+    """Write a Delta parquet checkpoint of the latest version (+
+    ``_last_checkpoint`` pointer); returns the checkpointed version.
+
+    The checkpoint carries the RAW latest ``protocol`` / ``metaData``
+    actions and the latest ``add`` action of every live file, verbatim
+    from the log (sizes/stats preserved — spec-faithful, not a lossy
+    re-derivation), one action per row with null other columns, as
+    readers expect. After a checkpoint, older JSON commits are
+    replay-redundant and can be dropped with :func:`clean_log`.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log = os.path.join(path, LOG_DIR)
+    versions = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".json") and f[:20].isdigit()
+    )
+    if not versions:
+        raise FileNotFoundError(f"no delta log at {path}")
+    latest = versions[-1]
+    protocol = metadata = None
+    live: dict[str, dict] = {}
+    # replay from an existing checkpoint if the early commits are gone
+    cps = sorted(
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+    )
+    start = 0
+    if cps and (versions[0] > 0 or cps[-1] >= versions[0]):
+        cp_rows = pq.read_table(
+            os.path.join(log, f"{cps[-1]:020d}.checkpoint.parquet")
+        ).to_pylist()
+        for row in cp_rows:
+            a = {k: v for k, v in row.items() if v is not None}
+            if "protocol" in a:
+                protocol = a["protocol"]
+            elif "metaData" in a:
+                metadata = a["metaData"]
+            elif "add" in a:
+                add = dict(a["add"])
+                if not isinstance(add.get("partitionValues"), dict):
+                    add["partitionValues"] = dict(add.get("partitionValues") or {})
+                live[add["path"]] = add
+        start = cps[-1] + 1
+    for v in range(start, latest + 1):
+        with open(_commit_path(path, v)) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    protocol = a["protocol"]
+                elif "metaData" in a:
+                    metadata = a["metaData"]
+                elif "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"]["path"], None)
+    if protocol is None or metadata is None:
+        raise ValueError(f"log at {path} has no protocol/metaData action")
+    def _scrub(obj):
+        # empty dicts infer as zero-field structs, which parquet cannot
+        # write; readers treat absent and empty alike, so drop them
+        if isinstance(obj, dict):
+            return {
+                k: _scrub(v)
+                for k, v in obj.items()
+                if not (isinstance(v, dict) and not v)
+            }
+        return obj
+
+    protocol, metadata = _scrub(protocol), _scrub(metadata)
+    live = {p: _scrub(a) for p, a in live.items()}
+    # one action per row, ALL columns present (pyarrow infers the
+    # unified schema across rows only when every row carries every key)
+    rows = (
+        [
+            {"protocol": protocol, "metaData": None, "add": None},
+            {"protocol": None, "metaData": metadata, "add": None},
+        ]
+        + [
+            {"protocol": None, "metaData": None, "add": add}
+            for add in live.values()
+        ]
+    )
+    tbl = pa.Table.from_pylist(rows)
+    pq.write_table(tbl, os.path.join(log, f"{latest:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
+        json.dump({"version": latest, "size": len(rows)}, f)
+    return latest
+
+
+def clean_log(path: str, *, keep_from: int | None = None) -> int:
+    """Delete JSON commits made redundant by the newest checkpoint
+    (Delta's metadata log cleanup); returns how many were removed.
+    Commits AT or AFTER the checkpoint (or ``keep_from``) are kept —
+    time travel to older versions becomes unavailable, exactly as in
+    Delta after ``delta.logRetentionDuration`` expiry."""
+    log = os.path.join(path, LOG_DIR)
+    cps = [
+        int(f[:20])
+        for f in os.listdir(log)
+        if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+    ]
+    if not cps:
+        return 0
+    cutoff = max(cps) if keep_from is None else keep_from
+    n = 0
+    for f in sorted(os.listdir(log)):
+        if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) < cutoff:
+            os.unlink(os.path.join(log, f))
+            n += 1
+    return n

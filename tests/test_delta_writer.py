@@ -108,3 +108,36 @@ def test_roundtrip_reference_shaped_table(spark, tmp_path):
     final = DeltaTableReader(spark, p2).read()
     assert final.count() == 200
     assert final.select(*li.columns).exceptAll(li).count() == 0
+
+
+def test_checkpoint_and_log_cleanup(spark, tmp_path):
+    from delta_lake_pyspark_scd2_spark.sources.delta_writer import (
+        clean_log,
+        write_checkpoint,
+    )
+
+    path = str(tmp_path / "d")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    for i in range(2, 6):
+        write_delta(
+            spark.createDataFrame([(i, "x")], "id long, s string"),
+            path,
+            mode="append",
+        )
+    assert write_checkpoint(path) == 4
+    assert clean_log(path) == 4  # commits 0-3 now redundant
+    r = DeltaTableReader(spark, path)
+    assert r.read().count() == 5  # replay = checkpoint + tail
+    # a further append after cleanup still reads correctly
+    write_delta(
+        spark.createDataFrame([(9, "z")], "id long, s string"),
+        path,
+        mode="append",
+    )
+    assert DeltaTableReader(spark, path).read().count() == 6
+    # and a SECOND checkpoint built on top of the first (early json gone)
+    assert write_checkpoint(path) == 5
+    assert clean_log(path) == 1
+    assert DeltaTableReader(spark, path).read().count() == 6
