@@ -399,3 +399,59 @@ def chunk_tokens(
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-``k`` documents for a bag-of-words
+    query, the classic lexical ranker (Robertson & Spärck Jones; the
+    scoring function behind Lucene/Elasticsearch defaults).
+
+    score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape (corpus = 100 TB, |query| tiny):
+      * doc lengths: one map-side-combined groupBy on ``id_col``;
+      * tf/df touch only rows whose term ∈ query — the isin filter
+        drops everything else BEFORE any shuffle, so the tf aggregate
+        is |docs containing a query term| × |query| at most;
+      * df and the (N, avgdl) scalars are |query|-row / 1-row frames —
+        broadcast joins, never a shuffle of the corpus side;
+      * final top-k is one ORDER BY ... LIMIT k (TakeOrdered, no full
+        sort materialization).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
+    )
+    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    qwords = words.filter(F.col("term").isin(query_terms))
+    tf = qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = qwords.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scalars = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(scalars))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)

@@ -77,17 +77,24 @@ class CorpusIngest:
     # -- ingest -----------------------------------------------------------
 
     def ingest(
-        self, batch: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+        self,
+        batch: DataFrame,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        txn: tuple[str, int] | None = None,
     ) -> IngestMetrics:
         """Accept the non-duplicate subset of ``batch``; returns counts.
 
         Counts ride ``Observation``-free aggregate actions on compact
         frames (ids only); the accepted rows and their fingerprints are
-        committed to the two tables in that order (a crash between the
-        two commits leaves extra corpus rows whose fingerprints are
-        missing — re-ingesting the same batch re-detects them as exact
-        dups against the corpus only after fingerprints exist, so the
-        fingerprint append is the commit point for dedup purposes).
+        committed to the two tables in that order. ``txn`` (an
+        ``(app_id, batch_version)`` writer transaction) makes a replayed
+        batch exactly-once PER TABLE: without it, a crash between the
+        corpus commit and the fingerprint commit would let a replay
+        re-append the same docs to the corpus (their fingerprints are
+        not in the store yet, so dedup cannot catch them). With it, the
+        corpus append is skipped at the committed watermark and only
+        the missing fingerprint commit is healed.
         """
         m = IngestMetrics(n_in=batch.count())
 
@@ -102,12 +109,17 @@ class CorpusIngest:
         # it once; unpersisted after the commits (clear job boundary)
         cached = fps.persist()
         try:
-            return self._ingest_deduped(cached, batch, m, id_col)
+            return self._ingest_deduped(cached, batch, m, id_col, txn)
         finally:
             cached.unpersist()
 
     def _ingest_deduped(
-        self, fps: DataFrame, batch: DataFrame, m: IngestMetrics, id_col: str
+        self,
+        fps: DataFrame,
+        batch: DataFrame,
+        m: IngestMetrics,
+        id_col: str,
+        txn: tuple[str, int] | None = None,
     ) -> IngestMetrics:
         # in-batch exact: keep the lowest id per fingerprint
         w = Window.partitionBy("fp").orderBy(id_col)
@@ -221,12 +233,20 @@ class CorpusIngest:
         new_fps = fps.select(id_col, "fp", "minhash")
 
         if VersionedParquetTable.is_table(self.corpus_path):
-            VersionedParquetTable(self.spark, self.corpus_path).append(accepted)
+            VersionedParquetTable(self.spark, self.corpus_path).append(
+                accepted, txn=txn
+            )
         else:
-            VersionedParquetTable.create(self.spark, accepted, self.corpus_path)
+            VersionedParquetTable.create(
+                self.spark, accepted, self.corpus_path, txn=txn
+            )
         if VersionedParquetTable.is_table(self.fp_path):
-            VersionedParquetTable(self.spark, self.fp_path).append(new_fps)
+            VersionedParquetTable(self.spark, self.fp_path).append(
+                new_fps, txn=txn
+            )
         else:
-            VersionedParquetTable.create(self.spark, new_fps, self.fp_path)
+            VersionedParquetTable.create(
+                self.spark, new_fps, self.fp_path, txn=txn
+            )
         m.accepted = m.n_in - m.exact_in_batch - m.exact_vs_store - m.near_in_batch - m.near_vs_store
         return m

@@ -188,10 +188,47 @@ class DeltaTableReader:
 
     # -- reads ---------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def _commit_timestamp_ms(self, version: int) -> int:
+        """Commit timestamp in epoch ms: the ``commitInfo.timestamp``
+        when present, else the commit file's mtime — the same fallback
+        order delta-spark uses for ``timestampAsOf`` resolution."""
+        p = os.path.join(self._log, f"{version:020d}.json")
+        with open(p) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "commitInfo" in a and "timestamp" in a["commitInfo"]:
+                    return int(a["commitInfo"]["timestamp"])
+        return int(os.path.getmtime(p) * 1000)
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Largest version committed at or before ``ts_ms`` (epoch ms) —
+        ``timestampAsOf``. Raises if the timestamp predates the table."""
+        best = None
+        for v in self._commit_versions():
+            if self._commit_timestamp_ms(v) <= ts_ms:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts_ms} predates the first commit of {self.path}"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
         """Snapshot DataFrame in the table schema's column order, with
         partition columns typed per the schema (Delta stores them as
-        strings in the log / directory names)."""
+        strings in the log / directory names). ``version`` is
+        ``versionAsOf``; ``timestamp_ms`` is ``timestampAsOf``."""
+        if version is not None and timestamp_ms is not None:
+            raise ValueError("pass version or timestamp_ms, not both")
+        if timestamp_ms is not None:
+            version = self.version_at_timestamp(timestamp_ms)
         snap = self.snapshot(version)
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)

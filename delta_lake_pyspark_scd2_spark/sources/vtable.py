@@ -328,8 +328,19 @@ class VersionedParquetTable:
         operation: str,
         metrics: "dict | Callable[[], dict] | None" = None,
         constraints: dict[str, str] | None = None,
+        txns: dict[str, int] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
+        if txns is None:
+            # Inherit the writer-transaction watermarks (Delta ``txn``
+            # actions): every commit carries the full app→version map so
+            # a reader needs one commit record, not a log scan. The map
+            # is bounded by the number of distinct writer apps — small.
+            txns = (
+                self._load_commit(version - 1).get("txns", {})
+                if version > 0
+                else {}
+            )
         # Delta record: diff the desired file set against the parent
         # snapshot — commit size ∝ files this operation touched. Data
         # files are written-once, but an entry's METADATA can change
@@ -358,6 +369,7 @@ class VersionedParquetTable:
             "remove": sorted(p for p in prev if p not in new_paths),
             "num_files": len(new_records),
             "metrics": (metrics() if callable(metrics) else metrics) or {},
+            "txns": txns,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -468,22 +480,42 @@ class VersionedParquetTable:
         *,
         partition_cols: list[str] | None = None,
         metrics: "dict | Callable[[], dict] | None" = None,
+        txn: tuple[str, int] | None = None,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
-        ``src/header_etl.py:159-162``)."""
+        ``src/header_etl.py:159-162``). ``txn`` records a writer
+        transaction in the first commit, so a sink whose very first
+        micro-batch creates the table is still replay-idempotent."""
         t = cls(spark, path)
         if cls.is_table(path):
             raise FileExistsError(path)
         pc = partition_cols or []
         files = t._write_files(df, pc)
-        t._commit(0, files, df.schema, pc, "CREATE", metrics)
+        t._commit(
+            0, files, df.schema, pc, "CREATE", metrics,
+            txns={txn[0]: txn[1]} if txn else {},
+        )
         return t
 
     def _current(self) -> dict:
         return self._load_manifest(self.latest_version())
 
+    def txn_versions(self) -> dict[str, int]:
+        """Writer-transaction watermarks at the head: app_id → the
+        highest transaction version that app has committed (Delta's
+        ``txn`` action / ``txnAppId``+``txnVersion`` analogue)."""
+        return dict(self._load_commit(self.latest_version()).get("txns", {}))
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed transaction version for ``app_id``, or
+        None if that app never wrote. The exactly-once handshake for
+        streaming ``foreachBatch`` sinks: the writer asks this before
+        replaying a micro-batch after a crash."""
+        return self.txn_versions().get(app_id)
+
     def append(self, df: DataFrame, *, merge_schema: bool = False,
-               metrics: "dict | Callable[[], dict] | None" = None) -> int:
+               metrics: "dict | Callable[[], dict] | None" = None,
+               txn: tuple[str, int] | None = None) -> int:
         """Append-only commit (reference S9 ``mergeSchema`` append,
         ``schema_evolution_step1.py:144``): adds files, never rewrites.
         With ``merge_schema`` the committed schema is the union; old
@@ -493,8 +525,20 @@ class VersionedParquetTable:
         files), so a version collision with another writer is resolved
         optimistically — re-read the head manifest, merge the new files
         on top, retry (Delta's blind-append semantics). The data files
-        are written once; only the manifest commit retries."""
+        are written once; only the manifest commit retries.
+
+        ``txn=(app_id, txn_version)`` makes the append **idempotent**
+        (Delta's ``txnAppId``/``txnVersion``): if the table has already
+        recorded a transaction >= ``txn_version`` for ``app_id``, the
+        append is a no-op returning the current version — so a
+        micro-batch replayed after a sink crash lands exactly once.
+        The check re-runs after every commit-race rebase, closing the
+        window where two replicas replay the same batch concurrently."""
         m = self._current()
+        if txn is not None:
+            applied = m.get("txns", {}).get(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return m["version"]
         pc = list(m["partition_cols"])
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
@@ -509,11 +553,24 @@ class VersionedParquetTable:
         for attempt in range(10):
             files = [_entry(f) for f in m["files"]] + new_files
             v = m["version"] + 1
+            txns = None
+            if txn is not None:
+                txns = {**m.get("txns", {}), txn[0]: txn[1]}
             try:
-                self._commit(v, files, schema, pc, "APPEND", metrics, cons)
+                self._commit(
+                    v, files, schema, pc, "APPEND", metrics, cons, txns
+                )
                 return v
             except RuntimeError:  # version collision: rebase on new head
                 m = self._current()
+                if txn is not None:
+                    applied = m.get("txns", {}).get(txn[0])
+                    if applied is not None and applied >= txn[1]:
+                        # the racing writer WAS this same logical
+                        # transaction (replica replay): our staged files
+                        # stay unreferenced (vacuum sweeps them) and the
+                        # batch still lands exactly once.
+                        return m["version"]
                 # a blind append rebases only onto metadata-identical
                 # heads: if the winner changed the schema or the
                 # constraint set, this append's files were written and
@@ -1144,8 +1201,37 @@ class VersionedParquetTable:
                 df = df.drop("__file", "__pos")
         return df
 
-    def read(self, version: int | None = None) -> DataFrame:
-        """Snapshot read (S3) / time travel (S4, ``versionAsOf``)."""
+    def version_at_timestamp(self, ts: float) -> int:
+        """Largest committed version whose commit timestamp is <= ``ts``
+        (epoch seconds) — Delta's ``timestampAsOf`` resolution rule.
+        Raises if ``ts`` predates the table. Commit timestamps are
+        monotone here (single log, atomic commits), so this is a scan
+        of commit records only — no snapshot reconstruction."""
+        best = None
+        for v in self.versions():
+            if self._load_commit(v)["timestamp"] <= ts:
+                best = v
+            else:
+                break
+        if best is None:
+            raise ValueError(
+                f"timestamp {ts} predates the first commit of {self.path}"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        *,
+        timestamp: float | None = None,
+    ) -> DataFrame:
+        """Snapshot read (S3) / time travel (S4): ``version`` is
+        Delta's ``versionAsOf``, ``timestamp`` (epoch seconds) is
+        ``timestampAsOf`` — mutually exclusive."""
+        if version is not None and timestamp is not None:
+            raise ValueError("pass version or timestamp, not both")
+        if timestamp is not None:
+            version = self.version_at_timestamp(timestamp)
         m = self._load_manifest(
             self.latest_version() if version is None else version
         )

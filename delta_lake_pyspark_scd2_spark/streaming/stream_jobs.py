@@ -303,6 +303,7 @@ def corpus_ingest_stream(
     *,
     schema: str = "doc_id long, text string",
     on_batch: Callable[[int, object], None] | None = None,
+    app_id: str = "corpus_ingest",
 ) -> StreamingQuery:
     """Streaming corpus ingestion: new document files under
     ``source_dir`` flow through the incremental dedup pipeline
@@ -312,9 +313,12 @@ def corpus_ingest_stream(
     exactly (in-batch + against the fingerprint store) before landing
     in the corpus table, so a crawler can stream its output straight
     into a training-ready corpus. Exactly-once story: checkpointed file
-    discovery makes batch delivery replay-safe, and a replayed batch is
-    a no-op because every one of its docs now hits the exact-fp check
-    against the store.
+    discovery makes batch delivery replay-safe, and each table commit
+    carries the ``(app_id, batch_no)`` writer transaction — a replayed
+    micro-batch's append is skipped at the committed watermark (the
+    Delta ``txnAppId``/``txnVersion`` handshake), even in the crash
+    window where the corpus commit landed but the fingerprint commit
+    did not.
     """
     from delta_lake_pyspark_scd2_spark.pipeline.corpus_ingest import CorpusIngest
 
@@ -322,7 +326,7 @@ def corpus_ingest_stream(
 
     def _process(batch_df: DataFrame, batch_no: int) -> None:
         if not batch_df.isEmpty():
-            m = ingest.ingest(batch_df)
+            m = ingest.ingest(batch_df, txn=(app_id, batch_no))
             if on_batch is not None:
                 on_batch(batch_no, m)
 

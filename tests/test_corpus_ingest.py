@@ -106,3 +106,45 @@ def test_streaming_ingest_matches_batch(spark, tmp_path):
         for r in CorpusIngest(spark, base).corpus().collect()
     )
     assert got == [1, 2, 4, 12]
+
+
+def test_txn_heals_corpus_committed_fp_crashed_window(spark, store):
+    """Crash between the corpus commit and the fingerprint commit, then
+    replay the same micro-batch with the same (app, batch) txn: the
+    corpus append is skipped at the committed watermark (no duplicate
+    rows) and the missing fingerprint commit is healed."""
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    store.ingest(_df(spark, _B1), txn=("ing", 0))
+    n_corpus = CorpusIngest(spark, store.corpus_path.rsplit("/corpus", 1)[0]).corpus().count()
+
+    # batch 1: crash the fingerprint append AFTER the corpus append
+    orig_append = VersionedParquetTable.append
+    def crashing_append(self, df, **kw):
+        if self.path == store.fp_path:
+            raise RuntimeError("simulated crash before fp commit")
+        return orig_append(self, df, **kw)
+
+    VersionedParquetTable.append = crashing_append
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            store.ingest(_df(spark, _B2), txn=("ing", 1))
+    finally:
+        VersionedParquetTable.append = orig_append
+
+    corpus_mid = store.corpus().count()
+    assert corpus_mid > n_corpus  # batch-1 survivors landed pre-crash
+    fp_t = VersionedParquetTable(spark, store.fp_path)
+    assert fp_t.last_txn_version("ing") == 0  # fp commit did NOT land
+
+    # replay of batch 1 (what the checkpointed stream would do)
+    m = store.ingest(_df(spark, _B2), txn=("ing", 1))
+    assert store.corpus().count() == corpus_mid  # no duplicate corpus rows
+    assert fp_t.last_txn_version("ing") == 1  # fingerprints healed
+    # a third replay is a full no-op on both tables
+    c_v = VersionedParquetTable(spark, store.corpus_path).latest_version()
+    store.ingest(_df(spark, _B2), txn=("ing", 1))
+    assert VersionedParquetTable(spark, store.corpus_path).latest_version() == c_v
+    assert fp_t.last_txn_version("ing") == 1

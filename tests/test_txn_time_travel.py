@@ -1,0 +1,154 @@
+"""Idempotent writer transactions (Delta txnAppId/txnVersion analogue)
+and timestamp-based time travel (timestampAsOf) — on both the native
+VersionedParquetTable and the interop Delta log reader."""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.sources.delta_reader import DeltaTableReader
+from delta_lake_pyspark_scd2_spark.sources.delta_writer import write_delta
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+
+def _batch(spark, lo, n=10):
+    return spark.range(lo, lo + n).select(
+        F.col("id"), (F.col("id") * 2).alias("val")
+    ).coalesce(1)
+
+
+# ---------------------------------------------------------------------------
+# txn append idempotency
+# ---------------------------------------------------------------------------
+
+
+def test_txn_append_replay_is_noop(spark, tmp_path):
+    """Replaying the same (app, txn_version) append lands exactly once:
+    the second call commits nothing and the row count is unchanged."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    v1 = t.append(_batch(spark, 10), txn=("ingest", 1))
+    assert t.read().count() == 20
+    v_replay = t.append(_batch(spark, 10), txn=("ingest", 1))
+    assert v_replay == v1  # no new commit
+    assert t.latest_version() == v1
+    assert t.read().count() == 20
+    # an older txn version is also skipped (watermark semantics)
+    assert t.append(_batch(spark, 10), txn=("ingest", 0)) == v1
+    assert t.read().count() == 20
+
+
+def test_txn_watermark_advances_and_is_per_app(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    t.append(_batch(spark, 10), txn=("ingest", 1))
+    t.append(_batch(spark, 20), txn=("ingest", 2))
+    t.append(_batch(spark, 30), txn=("backfill", 7))
+    assert t.last_txn_version("ingest") == 2
+    assert t.last_txn_version("backfill") == 7
+    assert t.last_txn_version("unknown") is None
+    assert t.read().count() == 40
+    # the map survives unrelated commits (inherited by _commit)
+    t.append(_batch(spark, 40))
+    assert t.txn_versions() == {"ingest": 2, "backfill": 7}
+
+
+def test_txn_map_survives_checkpoint_replay(spark, tmp_path):
+    """txns live in each commit record, so reconstruction after many
+    commits (across a checkpoint boundary) still sees the watermark."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    for i in range(1, 13):
+        t.append(_batch(spark, i * 10), txn=("app", i))
+    t2 = VersionedParquetTable(spark, path)  # fresh handle, no cache
+    assert t2.last_txn_version("app") == 12
+    assert t2.append(_batch(spark, 999), txn=("app", 12)) == t2.latest_version()
+    assert t2.read().count() == 130
+
+
+def test_txn_race_lost_commit_still_exactly_once(spark, tmp_path):
+    """If the commit race is lost to the SAME logical transaction (two
+    replicas replaying one micro-batch), the loser detects the applied
+    watermark on rebase and backs off without double-writing."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+
+    orig_commit = t._commit
+    calls = {"n": 0}
+
+    def racing_commit(version, files, schema, pc, op, *a, **kw):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # another replica lands the same (app, 1) txn first
+            other = VersionedParquetTable(spark, path)
+            other.append(_batch(spark, 10), txn=("app", 1))
+        return orig_commit(version, files, schema, pc, op, *a, **kw)
+
+    t._commit = racing_commit
+    v = t.append(_batch(spark, 10), txn=("app", 1))
+    t._commit = orig_commit
+    assert v == t.latest_version()
+    assert t.read().count() == 20  # the batch landed exactly once
+    assert t.last_txn_version("app") == 1
+
+
+# ---------------------------------------------------------------------------
+# timestampAsOf
+# ---------------------------------------------------------------------------
+
+
+def _set_commit_ts(t: VersionedParquetTable, version: int, ts: float):
+    p = t._manifest_path(version)
+    m = json.load(open(p))
+    m["timestamp"] = ts
+    os.chmod(p, 0o644)
+    with open(p, "w") as fh:
+        json.dump(m, fh)
+
+
+def test_vtable_timestamp_as_of(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    t.append(_batch(spark, 10))
+    t.append(_batch(spark, 20))
+    # pin deterministic commit timestamps 1000 / 2000 / 3000
+    for v, ts in [(0, 1000.0), (1, 2000.0), (2, 3000.0)]:
+        _set_commit_ts(t, v, ts)
+    t = VersionedParquetTable(spark, path)  # drop caches
+    assert t.version_at_timestamp(1000.0) == 0
+    assert t.version_at_timestamp(2500.0) == 1
+    assert t.version_at_timestamp(time.time()) == 2
+    assert t.read(timestamp=2500.0).count() == 20
+    assert t.read(timestamp=999.0 + 1).count() == 10
+    with pytest.raises(ValueError):
+        t.version_at_timestamp(500.0)
+    with pytest.raises(ValueError):
+        t.read(0, timestamp=1000.0)
+
+
+def test_delta_reader_timestamp_as_of(spark, tmp_path):
+    """timestampAsOf over a real _delta_log written by our own protocol
+    writer: resolution uses commitInfo.timestamp per commit."""
+    path = str(tmp_path / "d")
+    write_delta(_batch(spark, 0), path, mode="create")
+    write_delta(_batch(spark, 10), path, mode="append")
+    # rewrite commitInfo timestamps to known values (v0=10_000ms, v1=20_000ms)
+    log = os.path.join(path, "_delta_log")
+    for v, ts in [(0, 10_000), (1, 20_000)]:
+        p = os.path.join(log, f"{v:020d}.json")
+        lines = [json.loads(line) for line in open(p)]
+        for a in lines:
+            if "commitInfo" in a:
+                a["commitInfo"]["timestamp"] = ts
+        with open(p, "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in lines) + "\n")
+    r = DeltaTableReader(spark, path)
+    assert r.version_at_timestamp(15_000) == 0
+    assert r.version_at_timestamp(20_000) == 1
+    assert r.read(timestamp_ms=15_000).count() == 10
+    assert r.read(timestamp_ms=25_000).count() == 20
+    with pytest.raises(ValueError):
+        r.version_at_timestamp(5_000)
