@@ -1427,3 +1427,47 @@ def pipeline_pretrain_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.levenshtein_pairs(docs, max_dist=30, block_prefix=12)
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+    qw AS (
+      SELECT doc_id, term FROM words
+      WHERE term IN ('merge', 'join', 'window', 'vector')
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN s
+      GROUP BY 1
+    )
+    SELECT doc_id, bm25 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Okapi BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene idf) for a "
+    "4-term query: the isin(term) filter drops non-query tokens before "
+    "any shuffle, df and the (N, avgdl) scalars broadcast, and the "
+    "final ranking is a TakeOrdered top-k — never a full sort. The "
+    "lexical complement to ann_cosine_topk's dense retrieval.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_topk(docs, ["merge", "join", "window", "vector"], k=10)
