@@ -455,3 +455,57 @@ def bm25_topk(
         .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
     )
     return scored.orderBy(F.col("bm25").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document pseudo-perplexity under an add-one-smoothed bigram
+    LM trained on the corpus itself — the classic KenLM-style quality
+    signal (outlier docs score high) without any external model.
+
+    p(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V); per doc the score is
+    the mean bigram log-prob and ppl = exp(-mean).
+
+    Scale shape: bigrams are built ARRAY-SIDE (slice+zip on the token
+    array — a narrow op, no window shuffle over corpus positions), then
+    immediately count-compressed per (doc, w1, w2), so the only
+    corpus-sized shuffles are the two count aggregations and the join
+    against the global bigram table (itself Zipf-bounded far below
+    corpus size; the context table c(w1,·) and V broadcast). Docs with
+    fewer than 2 tokens carry no bigram and are dropped.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    pairs = F.arrays_zip(
+        F.slice(F.col("_t"), 1, F.size("_t") - 1).alias("w1"),
+        F.slice(F.col("_t"), 2, F.size("_t") - 1).alias("w2"),
+    )
+    big = d.select(id_col, F.explode(pairs).alias("p")).select(
+        id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    # per-doc bigram multiplicities first: the expensive joins below see
+    # |distinct (doc, bigram)| rows, not |corpus tokens|
+    m = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = d.select(F.explode("_t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    return (
+        m.join(c2, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum(F.col("m") * logp) / F.sum("m"), 6).alias("avg_logp"),
+            F.round(F.exp(-F.sum(F.col("m") * logp) / F.sum("m")), 4).alias("ppl"),
+        )
+    )

@@ -1471,3 +1471,42 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bm25_topk(docs, ["merge", "join", "window", "vector"], k=10)
+
+
+@register(
+    "text_bigram_ppl",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 2
+    ),
+    words AS (
+      SELECT doc_id, UNNEST(t) AS w FROM toks
+    ),
+    big AS (
+      SELECT doc_id,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM words)
+    SELECT m.doc_id,
+           CAST(SUM(m.m) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v))) / SUM(m.m), 6)
+             AS avg_logp,
+           ROUND(EXP(-SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v))) / SUM(m.m)), 4)
+             AS ppl
+    FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    GROUP BY 1
+    """,
+    doc="Per-doc pseudo-perplexity under a corpus-trained add-one "
+    "bigram LM (the KenLM-style quality filter signal). Bigrams built "
+    "array-side (slice+zip, no positional window shuffle), then "
+    "count-compressed before any join; c(w1,.) and V broadcast.",
+)
+def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bigram_lm_scores(docs)
