@@ -27,7 +27,7 @@ from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
 MERSENNE_61 = (1 << 61) - 1
 
 
-def _spread(df: DataFrame, key: str) -> DataFrame:
+def _spread(df: DataFrame, key: str, *, jvm_only: bool = False) -> DataFrame:
     """Hash-repartition before expensive per-row compute: a small/compact
     upstream (one parquet row-group, a coalesced scan) would otherwise
     pin the whole shingle/hash pipeline to a couple of cores. No-op cost
@@ -40,8 +40,17 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     the Arrow-batched UDFs downstream, and at small inputs that worker
     spin-up dwarfs the compute (measured 2× on the LSH path). A wide
     scan still hits the shuffle-partition cap, so cluster-scale
-    behavior is unchanged."""
+    behavior is unchanged.
+
+    ``jvm_only=True`` (paths with no Arrow/pandas UDF downstream —
+    the shingle/codegen pipelines) skips that restraint and uses the
+    full shuffle width: higher-order expressions are interpreted
+    per-element, so they are exactly the compute worth spreading, and
+    JVM task startup is negligible (measured: the shingle explode at
+    sf0.1 drops ~4× going from 4 to 32 partitions)."""
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    if jvm_only:
+        return df.repartition(n, key)
     width = min(n, max(4, df.rdd.getNumPartitions() * 4))
     return df.repartition(width, key)
 
@@ -163,7 +172,7 @@ def minhash_signatures(
     (Catalyst does not CSE across array branches): measured 120s vs 3s
     at sf0.1.
     """
-    sh = _spread(df, id_col).select(
+    sh = _spread(df, id_col, jvm_only=True).select(
         F.col(id_col),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__shingle"),
     ).withColumn("__h", _md5_32(F.col("__shingle")))
@@ -288,7 +297,7 @@ def ngram_jaccard_pairs(
     locally; earlier at 100 TB where df² explodes).
     """
     sh = persist_tracked(  # released at the query boundary
-        _spread(df, id_col).select(
+        _spread(df, id_col, jvm_only=True).select(
             F.col(id_col),
             # already (doc, shingle)-unique: word_shingles applies
             # array_distinct per document
@@ -346,26 +355,30 @@ def ngram_jaccard_pairs_prefix(
     makes the surviving join keys precisely the low-df shingles, so the
     blocking join is skew-free by construction.
     """
-    # Persisted (tracked — released at the query boundary): the
-    # doc→shingle index feeds the df-counts, the prefix selection and
-    # the full-set arrays; at production scale this is a materialized
-    # table.
-    sh = persist_tracked(
-        _spread(df, id_col).select(
-            F.col(id_col),
-            # already (doc, shingle)-unique: word_shingles applies
-            # array_distinct per document — no dedup shuffle
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
-        )
+    sh = _spread(df, id_col, jvm_only=True).select(
+        F.col(id_col),
+        # already (doc, shingle)-unique: word_shingles applies
+        # array_distinct per document — no dedup shuffle
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.col("__df").asc(), F.col("shingle").asc()
-    )
-    ranked = (
+    # ONE per-doc aggregation produces the df-ranked set: sorting the
+    # (df, shingle) structs array-side replaces two window passes
+    # (row_number + count over the doc partition) AND the separate
+    # full-set collect_list the verification step would need — the
+    # exchange on id_col happens once. Persisted (tracked — released
+    # at the query boundary): feeds both the prefix explode and the
+    # two verification joins; at production scale this is a
+    # materialized table.
+    docs = persist_tracked(
         sh.join(doc_freq, "shingle")
-        .withColumn("__rank", F.row_number().over(w_doc))
-        .withColumn("__size", F.count(F.lit(1)).over(Window.partitionBy(id_col)))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("__set")
+        )
     )
     # Prefix length = n - ceil(t*n) + 1. NOT floor((1-t)*n)+1: 1-t is
     # inexact in binary (1-0.8 = 0.19999...), so for n divisible by 5
@@ -375,10 +388,14 @@ def ngram_jaccard_pairs_prefix(
     # guards ceil against t*n floating one ulp ABOVE an exact integer;
     # when in doubt the prefix gets longer, and the exact verification
     # step makes longer always safe (cost, never correctness).
-    required = F.ceil(F.col("__size") * threshold - F.lit(1e-9))
-    prefix = ranked.filter(
-        F.col("__rank") <= F.col("__size") - required + 1
-    ).select(id_col, "shingle")
+    size = F.size("__set")
+    required = F.ceil(size * threshold - F.lit(1e-9))
+    prefix = docs.select(
+        F.col(id_col),
+        F.explode(F.slice("__set", 1, (size - required + 1).cast("int"))).alias(
+            "shingle"
+        ),
+    )
     candidates = (
         prefix.alias("a")
         .join(prefix.alias("b"), on="shingle")
@@ -389,9 +406,8 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    sets = sh.groupBy(id_col).agg(F.collect_list("shingle").alias("__set"))
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__sa"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__sb"))
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
         candidates.join(sa, "id_a")
@@ -431,6 +447,7 @@ def embedding_cosine_pairs(
     a = _spread(
         df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")),
         "id_a",
+        jvm_only=True,
     ).withColumn("__na", norm(F.col("__va")))
     b = df.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
