@@ -857,8 +857,11 @@ def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TF-IDF document keywords (top-3 terms per doc): explode terms "
     "-> tf groupBy -> df groupBy -> weight join -> per-doc top-k window. "
-    "Three shuffles total (term stats reuse the term partitioning); the "
-    "df table is corpus-vocabulary-sized and broadcastable.",
+    "The word explode happens ONCE: df(t) = COUNT(*) over the tf table "
+    "(its rows are exactly the distinct (doc, term) pairs), so the df "
+    "aggregation reads tf-compressed rows, not corpus tokens — no "
+    "countDistinct, no second explode. The df table is "
+    "corpus-vocabulary-sized and broadcastable.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
@@ -870,9 +873,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("term"),
     )
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = words.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     weighted = tf.join(df_t, "term").select(
         "doc_id",
         "term",
