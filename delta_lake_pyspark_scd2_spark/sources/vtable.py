@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -329,8 +330,17 @@ class VersionedParquetTable:
         metrics: "dict | Callable[[], dict] | None" = None,
         constraints: dict[str, str] | None = None,
         txns: dict[str, int] | None = None,
+        column_mapping: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
+        if column_mapping is None:
+            # Inherit the logical→physical column mapping (Delta column
+            # mapping analogue); only RENAME_COLUMN commits change it.
+            column_mapping = (
+                self._load_commit(version - 1).get("column_mapping", {})
+                if version > 0
+                else {}
+            )
         if txns is None:
             # Inherit the writer-transaction watermarks (Delta ``txn``
             # actions): every commit carries the full app→version map so
@@ -370,6 +380,7 @@ class VersionedParquetTable:
             "num_files": len(new_records),
             "metrics": (metrics() if callable(metrics) else metrics) or {},
             "txns": txns,
+            "column_mapping": column_mapping,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -413,7 +424,13 @@ class VersionedParquetTable:
         the written rows via an Observation riding the write job itself
         (no second scan); any violation deletes the staged files and
         raises before a manifest commit, so the table is untouched.
-        SQL-standard semantics: NULL evaluations satisfy the check."""
+        SQL-standard semantics: NULL evaluations satisfy the check.
+
+        Under a column mapping (post-rename), data files are written
+        with PHYSICAL column names — the name each column was born
+        with — so every live file agrees on parquet schema regardless
+        of how many renames happened; constraints (logical names)
+        observe BEFORE the physical rename."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         obs = None
         if constraints:
@@ -426,6 +443,11 @@ class VersionedParquetTable:
                     ).alias(n)
                     for n, e in constraints.items()
                 ],
+            )
+        mapping = self.column_mapping() if self.is_table(self.path) else {}
+        if any(log != phys for log, phys in mapping.items()):
+            df = df.select(
+                *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
             )
         writer = df.write.mode("overwrite")
         if partition_cols:
@@ -512,6 +534,71 @@ class VersionedParquetTable:
         streaming ``foreachBatch`` sinks: the writer asks this before
         replaying a micro-batch after a crash."""
         return self.txn_versions().get(app_id)
+
+    def column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """Logical → physical column-name mapping at ``version`` (Delta
+        column-mapping analogue). Physical = the name a column was born
+        with; identity for never-renamed columns (absent from the map)."""
+        v = self.latest_version() if version is None else version
+        return dict(self._load_commit(v).get("column_mapping", {}))
+
+    def rename_column(self, old: str, new: str) -> int:
+        """``ALTER TABLE RENAME COLUMN`` without rewriting a single
+        data file (Delta column mapping): a metadata-only commit that
+        renames the schema field and records logical→physical
+        indirection — existing files keep their on-disk (physical)
+        name, readers alias it back, and future writes keep emitting
+        the physical name so all live files agree on parquet schema.
+
+        Restrictions (hard conflicts, raised): partition columns (their
+        name is baked into directory layout and manifest partition
+        keys) and columns referenced by a CHECK constraint (the stored
+        SQL text would silently stop binding)."""
+        m = self._current()
+        pc = list(m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        if old in pc:
+            raise ValueError(
+                f"cannot rename partition column {old}: partition values "
+                "are keyed by name in the directory layout and manifest"
+            )
+        cons = m.get("constraints") or {}
+        referenced = [
+            n for n, e in cons.items()
+            if re.search(rf"\b{re.escape(old)}\b", e)
+        ]
+        if referenced:
+            raise ValueError(
+                f"cannot rename {old}: referenced by CHECK constraint(s) "
+                f"{referenced} — drop them first"
+            )
+        mapping = dict(m.get("column_mapping") or {})
+        mapping[new] = mapping.pop(old, old)
+        new_schema = T.StructType(
+            [
+                T.StructField(
+                    new if f.name == old else f.name, f.dataType, f.nullable
+                )
+                for f in schema.fields
+            ]
+        )
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            new_schema,
+            pc,
+            "RENAME_COLUMN",
+            {"renamed": f"{old} -> {new}"},
+            cons,
+            column_mapping=mapping,
+        )
+        return v
 
     def append(self, df: DataFrame, *, merge_schema: bool = False,
                metrics: "dict | Callable[[], dict] | None" = None,
@@ -946,6 +1033,7 @@ class VersionedParquetTable:
             "RESTORE",
             {"restored_version": version},
             m.get("constraints") or {},
+            column_mapping=m.get("column_mapping", {}),
         )
         return v
 
@@ -1150,6 +1238,7 @@ class VersionedParquetTable:
         schema: T.StructType,
         *,
         with_position: bool = False,
+        mapping: dict[str, str] | None = None,
     ) -> DataFrame:
         """One scan over ``files`` with deletion vectors applied.
 
@@ -1159,8 +1248,17 @@ class VersionedParquetTable:
         path with zero overhead. ``with_position`` keeps the computed
         ``__file`` (path relative to ``data/``) and ``__pos``
         (``_metadata.row_index``) columns so callers can build NEW
-        deletion vectors from what they read."""
+        deletion vectors from what they read.
+
+        ``mapping`` (logical → physical): files are read under their
+        on-disk physical names and aliased back to the logical schema —
+        how a rename costs zero data I/O."""
         data_root = os.path.abspath(os.path.join(self.path, DATA_DIR))
+        mapping = {
+            log: phys
+            for log, phys in (mapping or {}).items()
+            if log != phys
+        }
         dv_paths = sorted(
             {p for f in files for p in ((f.get("dv") or {}).get("paths", []))}
         )
@@ -1175,7 +1273,19 @@ class VersionedParquetTable:
                     ]
                 )
             return self.spark.createDataFrame([], out_schema)
-        reader = self.spark.read.option("basePath", data_root).schema(schema)
+        phys_schema = (
+            T.StructType(
+                [
+                    T.StructField(
+                        mapping.get(f.name, f.name), f.dataType, f.nullable
+                    )
+                    for f in schema.fields
+                ]
+            )
+            if mapping
+            else schema
+        )
+        reader = self.spark.read.option("basePath", data_root).schema(phys_schema)
         df = reader.parquet(
             *[os.path.join(data_root, f["path"]) for f in files]
         )
@@ -1199,6 +1309,18 @@ class VersionedParquetTable:
             df = df.join(dead, on=["__file", "__pos"], how="left_anti")
             if not with_position:
                 df = df.drop("__file", "__pos")
+        if mapping:
+            # physical → logical, AFTER the _metadata-derived columns
+            # (a projection would sever access to the scan's _metadata);
+            # emitted in logical-schema order, extras (__file/__pos) last
+            extras = [c for c in df.columns if c in ("__file", "__pos")]
+            df = df.select(
+                *[
+                    F.col(mapping.get(f.name, f.name)).alias(f.name)
+                    for f in schema.fields
+                ],
+                *extras,
+            )
         return df
 
     def version_at_timestamp(self, ts: float) -> int:
@@ -1236,7 +1358,9 @@ class VersionedParquetTable:
             self.latest_version() if version is None else version
         )
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        return self._scan(m["files"], schema)
+        return self._scan(
+            m["files"], schema, mapping=m.get("column_mapping")
+        )
 
     def read_partitions(
         self,
@@ -1257,7 +1381,12 @@ class VersionedParquetTable:
             for f in m["files"]
             if tuple(sorted(f["partition"].items())) in wanted
         ]
-        return self._scan(files, schema, with_position=with_position)
+        return self._scan(
+            files,
+            schema,
+            with_position=with_position,
+            mapping=m.get("column_mapping"),
+        )
 
     # -- data skipping -------------------------------------------------------
 
@@ -1285,11 +1414,16 @@ class VersionedParquetTable:
             self.latest_version() if version is None else version
         )
         pc = set(m["partition_cols"])
+        # file stats are keyed by PHYSICAL column names (renames never
+        # touch data files); partition columns cannot be renamed, so
+        # partition-value matching stays on the logical name
+        mapping = m.get("column_mapping") or {}
         out = []
         for f in m["files"]:
             e = _entry(f)
             if all(
-                _file_may_match(e, c, op, v, c in pc) for c, op, v in filters
+                _file_may_match(e, mapping.get(c, c), op, v, c in pc)
+                for c, op, v in filters
             ):
                 out.append(e)
         return out
@@ -1310,7 +1444,9 @@ class VersionedParquetTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         keep = {e.path for e in self.files_for(filters, version)}
         df = self._scan(
-            [f for f in m["files"] if f["path"] in keep], schema
+            [f for f in m["files"] if f["path"] in keep],
+            schema,
+            mapping=m.get("column_mapping"),
         )
         for c, op, v in filters:
             df = df.filter(_filter_expr(c, op, v))
@@ -1356,7 +1492,10 @@ class VersionedParquetTable:
         fa = {ident(f) for f in m_from["files"]}
         fb = {ident(f) for f in m_to["files"]}
         pre_df = _align(
-            self._read_paths(m_from, sorted(p for p, _ in fa - fb)), schema
+            self._read_paths(
+                m_from, sorted(p for p, _ in fa - fb), naming=m_to
+            ),
+            schema,
         )
         post_df = self._read_paths(m_to, sorted(p for p, _ in fb - fa))
         cols = [f.name for f in schema.fields]
@@ -1399,13 +1538,25 @@ class VersionedParquetTable:
             .unionByName(rows(updated, "_post", "update_postimage"))
         )
 
-    def _read_paths(self, manifest: dict, rel_paths: list[str]) -> DataFrame:
+    def _read_paths(
+        self,
+        manifest: dict,
+        rel_paths: list[str],
+        naming: dict | None = None,
+    ) -> DataFrame:
         """Read a path-subset of ``manifest`` with THAT version's
-        deletion vectors applied — time-travel-correct row content."""
-        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        deletion vectors applied — time-travel-correct row content.
+        ``naming`` (a manifest) overrides which version's schema and
+        column mapping label the result: physical names are stable, so
+        CDF can read an old snapshot's files under the new version's
+        logical names after a rename."""
+        nm = naming or manifest
+        schema = T.StructType.fromJson(json.loads(nm["schema"]))
         wanted = set(rel_paths)
         return self._scan(
-            [f for f in manifest["files"] if f["path"] in wanted], schema
+            [f for f in manifest["files"] if f["path"] in wanted],
+            schema,
+            mapping=nm.get("column_mapping"),
         )
 
     def partitions_of(self, version: int | None = None) -> list[dict[str, str]]:

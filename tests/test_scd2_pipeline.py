@@ -653,7 +653,7 @@ def test_vtable_concurrent_append_retries(spark, tmp_path):
     orig_commit = t._commit
     rival_done = {"done": False}
 
-    def racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+    def racing_commit(version, files, sch, pc, op, *args, **kwargs):
         if not rival_done["done"]:
             rival_done["done"] = True
             m0 = t._load_manifest(t.latest_version())
@@ -662,7 +662,7 @@ def test_vtable_concurrent_append_retries(spark, tmp_path):
             rival["operation"] = "APPEND"  # the rival's own append
             with open(t._manifest_path(version), "w") as fh:
                 _json.dump(rival, fh)
-        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+        return orig_commit(version, files, sch, pc, op, *args, **kwargs)
 
     t._commit = racing_commit
     v = t.append(spark.createDataFrame([Row(k="mine", v=1)], schema))
@@ -675,7 +675,7 @@ def test_vtable_concurrent_append_retries(spark, tmp_path):
     # concurrent CONSTRAINT change during the race → hard conflict
     rival_done["done"] = False
 
-    def constraint_racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+    def constraint_racing_commit(version, files, sch, pc, op, *args, **kwargs):
         if not rival_done["done"]:
             rival_done["done"] = True
             m0 = t._load_manifest(t.latest_version())
@@ -684,7 +684,7 @@ def test_vtable_concurrent_append_retries(spark, tmp_path):
             rival["constraints"] = {"v_pos": "v > 0"}
             with open(t._manifest_path(version), "w") as fh:
                 _json.dump(rival, fh)
-        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+        return orig_commit(version, files, sch, pc, op, *args, **kwargs)
 
     t._commit = constraint_racing_commit
     with pytest.raises(RuntimeError, match="concurrent schema/constraint"):
@@ -707,7 +707,7 @@ def test_vtable_merge_schema_rebase_keeps_winner_columns(spark, tmp_path):
     orig_commit = t._commit
     rival_done = {"done": False}
 
-    def racing_commit(version, files, sch, pc, op, metrics=None, constraints=None):
+    def racing_commit(version, files, sch, pc, op, *args, **kwargs):
         if not rival_done["done"]:
             rival_done["done"] = True
             # a REAL rival append through a second handle: adds column w
@@ -716,7 +716,7 @@ def test_vtable_merge_schema_rebase_keeps_winner_columns(spark, tmp_path):
                 spark.createDataFrame([Row(k="rival", w=7)], "k string, w int"),
                 merge_schema=True,
             )
-        return orig_commit(version, files, sch, pc, op, metrics, constraints)
+        return orig_commit(version, files, sch, pc, op, *args, **kwargs)
 
     t._commit = racing_commit
     t.append(
