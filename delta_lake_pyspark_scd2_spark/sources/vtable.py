@@ -331,16 +331,18 @@ class VersionedParquetTable:
         constraints: dict[str, str] | None = None,
         txns: dict[str, int] | None = None,
         column_mapping: dict[str, str] | None = None,
+        retired_physical: list[str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
+        parent = (
+            self._load_commit(version - 1) if version > 0 else {}
+        )
         if column_mapping is None:
             # Inherit the logical→physical column mapping (Delta column
             # mapping analogue); only RENAME_COLUMN commits change it.
-            column_mapping = (
-                self._load_commit(version - 1).get("column_mapping", {})
-                if version > 0
-                else {}
-            )
+            column_mapping = parent.get("column_mapping", {})
+        if retired_physical is None:
+            retired_physical = parent.get("retired_physical", [])
         if txns is None:
             # Inherit the writer-transaction watermarks (Delta ``txn``
             # actions): every commit carries the full app→version map so
@@ -381,6 +383,7 @@ class VersionedParquetTable:
             "metrics": (metrics() if callable(metrics) else metrics) or {},
             "txns": txns,
             "column_mapping": column_mapping,
+            "retired_physical": retired_physical,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -600,6 +603,59 @@ class VersionedParquetTable:
         )
         return v
 
+    def drop_column(self, name: str) -> int:
+        """``ALTER TABLE DROP COLUMN`` without rewriting data files
+        (Delta column-mapping drop): a metadata-only commit removing
+        the field from the schema — readers simply never project the
+        on-disk column again, and time travel below the commit still
+        sees it. Same restrictions as rename: partition columns and
+        constraint-referenced columns are hard conflicts; dropping the
+        last column is refused."""
+        m = self._current()
+        pc = list(m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"no such column: {name}")
+        if name in pc:
+            raise ValueError(f"cannot drop partition column {name}")
+        if len(names) == 1:
+            raise ValueError("cannot drop the only column")
+        cons = m.get("constraints") or {}
+        referenced = [
+            n for n, e in cons.items()
+            if re.search(rf"\b{re.escape(name)}\b", e)
+        ]
+        if referenced:
+            raise ValueError(
+                f"cannot drop {name}: referenced by CHECK constraint(s) "
+                f"{referenced} — drop them first"
+            )
+        mapping = dict(m.get("column_mapping") or {})
+        physical = mapping.pop(name, name)
+        new_schema = T.StructType(
+            [f for f in schema.fields if f.name != name]
+        )
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            new_schema,
+            pc,
+            "DROP_COLUMN",
+            {"dropped": name},
+            cons,
+            column_mapping=mapping,
+            # tombstone the physical name: live files still hold its
+            # data, so a later schema-evolving add of the same name
+            # would silently resurrect old values — refused instead
+            # (Delta avoids this with GUID physical names)
+            retired_physical=sorted(
+                set(m.get("retired_physical", [])) | {physical}
+            ),
+        )
+        return v
+
     def append(self, df: DataFrame, *, merge_schema: bool = False,
                metrics: "dict | Callable[[], dict] | None" = None,
                txn: tuple[str, int] | None = None) -> int:
@@ -630,8 +686,15 @@ class VersionedParquetTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
             new_fields = {f.name for f in schema.fields}
+            retired = set(m.get("retired_physical", []))
             for f in df.schema.fields:
                 if f.name not in new_fields:
+                    if f.name in retired:
+                        raise ValueError(
+                            f"cannot re-add dropped column {f.name}: live "
+                            "files still hold its old data under that "
+                            "physical name — rewrite the table first"
+                        )
                     schema = schema.add(f.name, f.dataType, True)
         df = _align(df, schema)
         cons = m.get("constraints") or {}
@@ -718,8 +781,15 @@ class VersionedParquetTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
             have = {f.name for f in schema.fields}
+            retired = set(m.get("retired_physical", []))
             for f in df.schema.fields:
                 if f.name not in have:
+                    if f.name in retired:
+                        raise ValueError(
+                            f"cannot re-add dropped column {f.name}: live "
+                            "files still hold its old data under that "
+                            "physical name — rewrite the table first"
+                        )
                     schema = schema.add(f.name, f.dataType, True)
         touched = {tuple(sorted(p.items())) for p in partitions}
         kept = [
@@ -1034,6 +1104,7 @@ class VersionedParquetTable:
             {"restored_version": version},
             m.get("constraints") or {},
             column_mapping=m.get("column_mapping", {}),
+            retired_physical=m.get("retired_physical", []),
         )
         return v
 

@@ -129,3 +129,68 @@ def test_constraint_added_after_rename_enforces_on_write(spark, tmp_path):
             spark.createDataFrame([(99, -5)], "id long, value long")
         )
     assert t.read().count() == 10
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    files_before = {f["path"] for f in t._current()["files"]}
+    v = t.drop_column("val")
+    assert {f["path"] for f in t._current()["files"]} == files_before
+    assert t.read().columns == ["id"]
+    assert t.read(v - 1).columns == ["id", "val"]  # time travel intact
+    # appends keep working with the narrowed schema
+    t.append(spark.range(10, 15).select("id").coalesce(1))
+    assert t.read().count() == 15
+
+
+def test_drop_then_readd_same_name_is_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    t.drop_column("val")
+    readd = spark.range(20, 25).select(
+        F.col("id"), (F.col("id") * 7).alias("val")
+    )
+    with pytest.raises(ValueError, match="re-add dropped column"):
+        t.append(readd, merge_schema=True)
+    # a DIFFERENT new column is fine
+    t.append(
+        spark.range(20, 25).select(F.col("id"), (F.col("id") * 7).alias("val2")),
+        merge_schema=True,
+    )
+    assert t.read().columns == ["id", "val2"]
+
+
+def test_drop_renamed_column_tombstones_physical_name(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    t.rename_column("val", "value")
+    t.drop_column("value")
+    assert t.column_mapping() == {}
+    # the PHYSICAL name (val) is the tombstone, not the logical one
+    with pytest.raises(ValueError, match="re-add dropped column"):
+        t.append(
+            spark.range(0, 3).select(F.col("id"), F.lit(1).alias("val")),
+            merge_schema=True,
+        )
+    # restore to the pre-drop version revives the column and clears it
+    t.restore(1)
+    assert t.read().columns == ["id", "value"]
+    assert t.read().agg(F.sum("value")).collect()[0][0] == 90
+
+
+def test_drop_rejections(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 6).select(
+        F.col("id"), (F.col("id") % 2).alias("part"), (F.col("id") * 2).alias("val")
+    )
+    t = VersionedParquetTable.create(spark, df, path, partition_cols=["part"])
+    with pytest.raises(ValueError, match="partition column"):
+        t.drop_column("part")
+    t.add_constraint("val_ok", "val >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column("val")
+    t.drop_constraint("val_ok")
+    t.drop_column("val")
+    with pytest.raises(ValueError, match="no such column"):
+        t.drop_column("val")
