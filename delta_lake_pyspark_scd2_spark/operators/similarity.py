@@ -341,3 +341,53 @@ def ivf_search_index(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
     )
+
+
+def linear_probe_scores(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    good_label: int = 0,
+) -> DataFrame:
+    """Quality-classifier scoring, fasttext/linear-probe style: train a
+    linear separator on the corpus itself (weight vector = difference
+    of the good-class and rest centroids — the LDA direction under
+    isotropic covariance), then score every row with
+    ``sigmoid(w · x)``. The standard shape for pretraining-data quality
+    filters: a tiny trained model applied corpus-wide.
+
+    Scale shape: training is ONE map-side-combined aggregation over
+    (dim, value) pairs (posexplode is narrow; the groupBy carries
+    |dims| groups); the learned ``w`` is a bounded driver collect
+    (|dims| floats — the model), re-broadcast as a literal so scoring
+    is a pure JVM zip_with/aggregate over each partition — no join, no
+    shuffle, model-parallel exactly like a broadcast fasttext model.
+    Weights round to 6 decimals so scores are reproducible bit-for-bit
+    across engines and summation orders.
+    """
+    dims = df.select(
+        F.col(label_col).alias("__l"),
+        F.posexplode(F.col(vec_col)).alias("__d", "__x"),
+    )
+    w_rows = (
+        dims.groupBy("__d")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("__l") == good_label, F.col("__x")))
+                - F.avg(F.when(F.col("__l") != good_label, F.col("__x"))),
+                6,
+            ).alias("__w")
+        )
+        .orderBy("__d")
+        .collect()
+    )
+    w = F.array(*[F.lit(float(r["__w"])) for r in w_rows])
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(F.col(vec_col), w)))
+    return df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("predicted_good"),
+    )

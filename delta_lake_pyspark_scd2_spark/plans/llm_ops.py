@@ -1511,3 +1511,40 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.bigram_lm_scores(docs)
+
+
+@register(
+    "embed_quality_probe",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label,
+             UNNEST(embedding)::DOUBLE AS x,
+             generate_subscripts(embedding, 1) AS d
+      FROM embeddings
+    ),
+    w AS (
+      SELECT d,
+             ROUND(AVG(x) FILTER (label = 0)
+                   - AVG(x) FILTER (label <> 0), 6) AS w
+      FROM dims GROUP BY d
+    ),
+    scored AS (
+      SELECT dims.vec_id,
+             1.0 / (1.0 + EXP(-SUM(dims.x * w.w))) AS s
+      FROM dims JOIN w USING (d)
+      GROUP BY dims.vec_id
+    )
+    SELECT e.vec_id, e.label, ROUND(s.s, 6) AS score,
+           s.s >= 0.5 AS predicted_good
+    FROM embeddings e JOIN scored s USING (vec_id)
+    """,
+    doc="Linear-probe quality classifier (fasttext-style): weight "
+    "vector trained ON the corpus as the good-vs-rest centroid "
+    "difference (one map-side-combined aggregation), collected as the "
+    "bounded model, re-broadcast as a literal, scored with a pure JVM "
+    "zip_with sigmoid — no join or shuffle in the scoring pass. "
+    "Weights rounded to 6dp for cross-engine bit-stability.",
+)
+def embed_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.linear_probe_scores(emb)
