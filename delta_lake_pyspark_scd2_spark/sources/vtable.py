@@ -332,11 +332,14 @@ class VersionedParquetTable:
         txns: dict[str, int] | None = None,
         column_mapping: dict[str, str] | None = None,
         retired_physical: list[str] | None = None,
+        generated_cols: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         parent = (
             self._load_commit(version - 1) if version > 0 else {}
         )
+        if generated_cols is None:
+            generated_cols = parent.get("generated_cols", {})
         if column_mapping is None:
             # Inherit the logical→physical column mapping (Delta column
             # mapping analogue); only RENAME_COLUMN commits change it.
@@ -384,6 +387,7 @@ class VersionedParquetTable:
             "txns": txns,
             "column_mapping": column_mapping,
             "retired_physical": retired_physical,
+            "generated_cols": generated_cols,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -416,6 +420,7 @@ class VersionedParquetTable:
         df: DataFrame,
         partition_cols: list[str],
         constraints: dict[str, str] | None = None,
+        generated: dict[str, str] | None = None,
     ) -> list[ManifestEntry]:
         """Write df once via Spark (partitioned layout), then move the
         produced parquet files into ``data/`` under their partition
@@ -435,6 +440,18 @@ class VersionedParquetTable:
         of how many renames happened; constraints (logical names)
         observe BEFORE the physical rename."""
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        if generated is None:
+            generated = (
+                self.generated_columns() if self.is_table(self.path) else {}
+            )
+        checks = dict(constraints or {})
+        for c, e in generated.items():
+            # writer-supplied generated columns must equal their
+            # expression — validated on the same write job (null-safe,
+            # so a derivable-to-NULL expression matches a NULL value)
+            if c in df.columns:
+                checks[f"__generated_{c}"] = f"{c} <=> ({e})"
+        constraints = checks or None
         obs = None
         if constraints:
             obs = Observation(f"check-{uuid.uuid4().hex[:8]}")
@@ -506,19 +523,29 @@ class VersionedParquetTable:
         partition_cols: list[str] | None = None,
         metrics: "dict | Callable[[], dict] | None" = None,
         txn: tuple[str, int] | None = None,
+        generated_cols: dict[str, str] | None = None,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
         ``src/header_etl.py:159-162``). ``txn`` records a writer
         transaction in the first commit, so a sink whose very first
-        micro-batch creates the table is still replay-idempotent."""
+        micro-batch creates the table is still replay-idempotent.
+
+        ``generated_cols`` (col → SQL expr) declares ``GENERATED
+        ALWAYS AS`` columns: derived automatically when a writer omits
+        them, validated on the write job when supplied — the Delta
+        pattern that keeps partition-derivation columns (year/month/day
+        of an event time) consistent table-wide by construction."""
         t = cls(spark, path)
         if cls.is_table(path):
             raise FileExistsError(path)
         pc = partition_cols or []
-        files = t._write_files(df, pc)
+        gen = generated_cols or {}
+        df = t._apply_generated(df, gen)
+        files = t._write_files(df, pc, generated=gen)
         t._commit(
             0, files, df.schema, pc, "CREATE", metrics,
             txns={txn[0]: txn[1]} if txn else {},
+            generated_cols=gen,
         )
         return t
 
@@ -537,6 +564,28 @@ class VersionedParquetTable:
         streaming ``foreachBatch`` sinks: the writer asks this before
         replaying a micro-batch after a crash."""
         return self.txn_versions().get(app_id)
+
+    def generated_columns(self, version: int | None = None) -> dict[str, str]:
+        """col → SQL expression for ``GENERATED ALWAYS AS`` columns
+        (Delta generated-columns analogue)."""
+        v = self.latest_version() if version is None else version
+        return dict(self._load_commit(v).get("generated_cols", {}))
+
+    def _apply_generated(
+        self, df: DataFrame, gen: dict[str, str] | None = None
+    ) -> DataFrame:
+        """Derive any generated column ABSENT from ``df`` (writers may
+        omit them, like Delta); columns the writer did supply are
+        validated against their expression at write time instead
+        (see ``_write_files``)."""
+        if gen is None:
+            gen = (
+                self.generated_columns() if self.is_table(self.path) else {}
+            )
+        for c, e in gen.items():
+            if c not in df.columns:
+                df = df.withColumn(c, F.expr(e))
+        return df
 
     def column_mapping(self, version: int | None = None) -> dict[str, str]:
         """Logical → physical column-name mapping at ``version`` (Delta
@@ -579,6 +628,16 @@ class VersionedParquetTable:
             raise ValueError(
                 f"cannot rename {old}: referenced by CHECK constraint(s) "
                 f"{referenced} — drop them first"
+            )
+        gen = m.get("generated_cols") or {}
+        gen_hits = [
+            c for c, e in gen.items()
+            if c == old or re.search(rf"\b{re.escape(old)}\b", e)
+        ]
+        if gen_hits:
+            raise ValueError(
+                f"cannot rename {old}: involved in generated column(s) "
+                f"{gen_hits}"
             )
         mapping = dict(m.get("column_mapping") or {})
         mapping[new] = mapping.pop(old, old)
@@ -630,6 +689,16 @@ class VersionedParquetTable:
             raise ValueError(
                 f"cannot drop {name}: referenced by CHECK constraint(s) "
                 f"{referenced} — drop them first"
+            )
+        gen = m.get("generated_cols") or {}
+        gen_hits = [
+            c for c, e in gen.items()
+            if c == name or re.search(rf"\b{re.escape(name)}\b", e)
+        ]
+        if gen_hits:
+            raise ValueError(
+                f"cannot drop {name}: involved in generated column(s) "
+                f"{gen_hits}"
             )
         mapping = dict(m.get("column_mapping") or {})
         physical = mapping.pop(name, name)
@@ -696,9 +765,11 @@ class VersionedParquetTable:
                             "physical name — rewrite the table first"
                         )
                     schema = schema.add(f.name, f.dataType, True)
-        df = _align(df, schema)
+        df = _align(self._apply_generated(df, m.get("generated_cols")), schema)
         cons = m.get("constraints") or {}
-        new_files = self._write_files(df, pc, cons)
+        new_files = self._write_files(
+            df, pc, cons, generated=m.get("generated_cols")
+        )
         base_schema_json, base_cons = m["schema"], cons
         for attempt in range(10):
             files = [_entry(f) for f in m["files"]] + new_files
@@ -755,7 +826,8 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         cons = m.get("constraints") or {}
-        files = self._write_files(df, pc, cons)
+        df = self._apply_generated(df, m.get("generated_cols"))
+        files = self._write_files(df, pc, cons, generated=m.get("generated_cols"))
         v = m["version"] + 1
         self._commit(v, files, df.schema, pc, "OVERWRITE", metrics, cons)
         return v
@@ -798,7 +870,12 @@ class VersionedParquetTable:
             if tuple(sorted(f["partition"].items())) not in touched
         ]
         cons = m.get("constraints") or {}
-        new_files = self._write_files(_align(df, schema), pc, cons)
+        new_files = self._write_files(
+            _align(self._apply_generated(df, m.get("generated_cols")), schema),
+            pc,
+            cons,
+            generated=m.get("generated_cols"),
+        )
         stray = [
             e for e in new_files if tuple(sorted(e.partition.items())) not in touched
         ]
@@ -836,6 +913,9 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         cur = self.read()
+        # derive omitted generated columns up front: the partition
+        # derivation below and the union with survivors need them
+        updates = self._apply_generated(updates, m.get("generated_cols"))
         upd_keys = updates.select(*keys).distinct()
         del_keys = deletes.select(*keys).distinct() if deletes is not None else None
         gone_keys = (
@@ -1105,6 +1185,7 @@ class VersionedParquetTable:
             m.get("constraints") or {},
             column_mapping=m.get("column_mapping", {}),
             retired_physical=m.get("retired_physical", []),
+            generated_cols=m.get("generated_cols", {}),
         )
         return v
 
@@ -1235,6 +1316,7 @@ class VersionedParquetTable:
             "partition_cols": list(m["partition_cols"]),
             "num_versions": len(self.versions()),
             "constraints": dict(m.get("constraints") or {}),
+            "generated_cols": dict(m.get("generated_cols") or {}),
         }
 
     def vacuum(self, *, keep_versions: int = 1) -> dict:
