@@ -333,6 +333,7 @@ class VersionedParquetTable:
         column_mapping: dict[str, str] | None = None,
         retired_physical: list[str] | None = None,
         generated_cols: dict[str, str] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         parent = (
@@ -340,6 +341,8 @@ class VersionedParquetTable:
         )
         if generated_cols is None:
             generated_cols = parent.get("generated_cols", {})
+        if properties is None:
+            properties = parent.get("properties", {})
         if column_mapping is None:
             # Inherit the logical→physical column mapping (Delta column
             # mapping analogue); only RENAME_COLUMN commits change it.
@@ -388,6 +391,7 @@ class VersionedParquetTable:
             "column_mapping": column_mapping,
             "retired_physical": retired_physical,
             "generated_cols": generated_cols,
+            "properties": properties,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -564,6 +568,52 @@ class VersionedParquetTable:
         streaming ``foreachBatch`` sinks: the writer asks this before
         replaying a micro-batch after a crash."""
         return self.txn_versions().get(app_id)
+
+    def properties(self, version: int | None = None) -> dict[str, str]:
+        """Table properties (``TBLPROPERTIES`` analogue), carried per
+        commit. Recognized keys: ``autoCompact`` (``"true"`` → every
+        append checks its touched partitions and compacts any that
+        crossed ``autoCompact.minFiles``, default 16 — Delta's
+        auto-compaction trade: small steady write tax for never letting
+        streaming appends accumulate a small-file problem)."""
+        v = self.latest_version() if version is None else version
+        return dict(self._load_commit(v).get("properties", {}))
+
+    def set_property(self, key: str, value: str) -> int:
+        m = self._current()
+        props = dict(m.get("properties") or {})
+        props[key] = str(value)
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "SET_PROPERTY",
+            {"key": key, "value": str(value)},
+            m.get("constraints") or {},
+            properties=props,
+        )
+        return v
+
+    def unset_property(self, key: str) -> int:
+        m = self._current()
+        props = dict(m.get("properties") or {})
+        if key not in props:
+            raise KeyError(key)
+        props.pop(key)
+        v = m["version"] + 1
+        self._commit(
+            v,
+            [_entry(f) for f in m["files"]],
+            T.StructType.fromJson(json.loads(m["schema"])),
+            list(m["partition_cols"]),
+            "UNSET_PROPERTY",
+            {"key": key},
+            m.get("constraints") or {},
+            properties=props,
+        )
+        return v
 
     def generated_columns(self, version: int | None = None) -> dict[str, str]:
         """col → SQL expression for ``GENERATED ALWAYS AS`` columns
@@ -781,6 +831,7 @@ class VersionedParquetTable:
                 self._commit(
                     v, files, schema, pc, "APPEND", metrics, cons, txns
                 )
+                self._maybe_auto_compact(new_files)
                 return v
             except RuntimeError:  # version collision: rebase on new head
                 m = self._current()
@@ -821,6 +872,33 @@ class VersionedParquetTable:
         raise RuntimeError(
             f"append to {self.path} lost {attempt + 1} optimistic commit races"
         )
+
+    def _maybe_auto_compact(self, new_files: list[ManifestEntry]) -> None:
+        """Post-append auto-compaction (Delta ``autoCompact``): when
+        the table property is set, check only THIS append's touched
+        partitions (cost ∝ the write, never the table) and compact any
+        whose live file count crossed ``autoCompact.minFiles``.
+        Best-effort: a commit-race loss skips the compaction — the
+        next crossing append retries it."""
+        props = self.properties()
+        if props.get("autoCompact", "").lower() != "true":
+            return
+        thr = max(2, int(props.get("autoCompact.minFiles", "16")))
+        touched = {tuple(sorted(e.partition.items())) for e in new_files}
+        per: dict[tuple, int] = {}
+        for f in self._current()["files"]:
+            k = tuple(sorted(f["partition"].items()))
+            if k in touched:
+                per[k] = per.get(k, 0) + 1
+        crowded = [dict(k) for k, n in per.items() if n >= thr]
+        if not crowded:
+            return
+        try:
+            self.compact(
+                max_files_per_partition=thr - 1, only_partitions=crowded
+            )
+        except RuntimeError:
+            pass  # lost a race to a concurrent writer; best-effort
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
         m = self._current()
@@ -1080,6 +1158,7 @@ class VersionedParquetTable:
         max_files_per_partition: int = 1,
         zorder_by: "Sequence[str] | None" = None,
         output_files: int = 1,
+        only_partitions: "list[dict[str, str]] | None" = None,
     ) -> int:
         """Small-file compaction (Delta ``OPTIMIZE`` analogue — the
         reference flags small files as the partitioning hazard,
@@ -1121,10 +1200,17 @@ class VersionedParquetTable:
                 df, crowded, operation="ZORDER",
                 metrics={"n_partitions": len(crowded), "zorder_by": list(zorder_by)},
             )
+        scope = (
+            {tuple(sorted(p.items())) for p in only_partitions}
+            if only_partitions is not None
+            else None
+        )
         per_part: dict[tuple, int] = {}
         dv_parts: set[tuple] = set()
         for f in m["files"]:
             k = tuple(sorted(f["partition"].items()))
+            if scope is not None and k not in scope:
+                continue
             per_part[k] = per_part.get(k, 0) + 1
             if f.get("dv"):
                 # deletion-vector'd files always qualify: compaction is
@@ -1317,6 +1403,7 @@ class VersionedParquetTable:
             "num_versions": len(self.versions()),
             "constraints": dict(m.get("constraints") or {}),
             "generated_cols": dict(m.get("generated_cols") or {}),
+            "properties": dict(m.get("properties") or {}),
         }
 
     def vacuum(self, *, keep_versions: int = 1) -> dict:

@@ -1,0 +1,83 @@
+"""Table properties (TBLPROPERTIES analogue) and autoCompact: streaming
+appends never accumulate a small-file problem; compaction cost scales
+with the append's touched partitions, not the table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+
+
+def _batch(spark, lo, part, n=5):
+    return spark.createDataFrame(
+        [(lo + i, part, (lo + i) * 2) for i in range(n)],
+        "id long, part string, val long",
+    ).coalesce(1)
+
+
+def test_set_unset_property_roundtrip(spark, tmp_path):
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t")
+    )
+    t.set_property("autoCompact", "true")
+    t.set_property("autoCompact.minFiles", "4")
+    assert t.properties() == {"autoCompact": "true", "autoCompact.minFiles": "4"}
+    assert t.detail()["properties"]["autoCompact"] == "true"
+    t.unset_property("autoCompact.minFiles")
+    assert t.properties() == {"autoCompact": "true"}
+    with pytest.raises(KeyError):
+        t.unset_property("nope")
+    # properties survive unrelated commits
+    t.append(_batch(spark, 100, "a"))
+    assert t.properties(version=None).get("autoCompact") == "true"
+
+
+def test_auto_compact_bounds_file_count(spark, tmp_path):
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t"),
+        partition_cols=["part"],
+    )
+    t.set_property("autoCompact", "true")
+    t.set_property("autoCompact.minFiles", "4")
+    for i in range(1, 10):
+        t.append(_batch(spark, i * 10, "a"))
+        n_files = len(t._current()["files"])
+        assert n_files < 4, f"append {i}: {n_files} files accumulated"
+    assert t.read().count() == 50
+    assert "COMPACT" in [h["operation"] for h in t.history()]
+
+
+def test_auto_compact_only_touches_appended_partition(spark, tmp_path):
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t"),
+        partition_cols=["part"],
+    )
+    # partition b accumulates 5 small files BEFORE autoCompact is on
+    for i in range(5):
+        t.append(_batch(spark, 100 + i * 10, "b"))
+    b_files = {
+        f["path"] for f in t._current()["files"] if f["partition"]["part"] == "b"
+    }
+    assert len(b_files) == 5
+    t.set_property("autoCompact", "true")
+    t.set_property("autoCompact.minFiles", "4")
+    # appends to partition a never trigger a rewrite of partition b
+    for i in range(1, 6):
+        t.append(_batch(spark, i * 10, "a"))
+    after = {
+        f["path"] for f in t._current()["files"] if f["partition"]["part"] == "b"
+    }
+    assert after == b_files  # untouched partition carried by reference
+    a_files = [
+        f for f in t._current()["files"] if f["partition"]["part"] == "a"
+    ]
+    assert len(a_files) < 4
+
+
+def test_auto_compact_off_accumulates(spark, tmp_path):
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t")
+    )
+    for i in range(1, 6):
+        t.append(_batch(spark, i * 10, "a"))
+    assert len(t._current()["files"]) == 6  # no property, no compaction
