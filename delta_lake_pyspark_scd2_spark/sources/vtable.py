@@ -971,6 +971,7 @@ class VersionedParquetTable:
         key_cols: "Sequence[str]",
         *,
         deletes: DataFrame | None = None,
+        sync_deletes: bool = False,
         operation: str = "UPSERT",
         metrics: "dict | Callable[[], dict] | None" = None,
     ) -> dict:
@@ -981,6 +982,15 @@ class VersionedParquetTable:
         MERGE multiple-source-rows-match error, left to the caller).
         ``deletes`` (key rows; the ``whenMatchedDelete`` clause) drops
         those keys in the same commit.
+
+        ``sync_deletes=True`` is the ``WHEN NOT MATCHED BY SOURCE THEN
+        DELETE`` clause: target keys absent from ``updates`` are
+        dropped, making the table an exact mirror of the source — the
+        dimension-snapshot-sync shape. Inherently a full-key
+        comparison: the key anti-join scans the target's key columns
+        (column-pruned), and every partition holding a vanished key is
+        rewritten; partition scoping still skips partitions whose rows
+        all survive.
 
         Partition-scoped: only partitions holding a matched/deleted
         key's old row or receiving a new row are rewritten — including
@@ -995,6 +1005,12 @@ class VersionedParquetTable:
         # derivation below and the union with survivors need them
         updates = self._apply_generated(updates, m.get("generated_cols"))
         upd_keys = updates.select(*keys).distinct()
+        if sync_deletes:
+            if deletes is not None:
+                raise ValueError("pass deletes or sync_deletes, not both")
+            deletes = cur.select(*keys).distinct().join(
+                upd_keys, on=keys, how="left_anti"
+            )
         del_keys = deletes.select(*keys).distinct() if deletes is not None else None
         gone_keys = (
             upd_keys if del_keys is None else upd_keys.unionByName(del_keys).distinct()

@@ -81,3 +81,27 @@ def test_auto_compact_off_accumulates(spark, tmp_path):
     for i in range(1, 6):
         t.append(_batch(spark, i * 10, "a"))
     assert len(t._current()["files"]) == 6  # no property, no compaction
+
+
+def test_upsert_sync_deletes_mirrors_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE THEN DELETE: the table becomes an
+    exact mirror of the source snapshot."""
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+            "id long, part string, val long",
+        ),
+        str(tmp_path / "t"),
+        partition_cols=["part"],
+    )
+    src = spark.createDataFrame(
+        [(1, "a", 11), (4, "b", 40)], "id long, part string, val long"
+    )
+    out = t.upsert(src, ["id"], sync_deletes=True)
+    got = {(r["id"], r["val"]) for r in t.read().collect()}
+    assert got == {(1, 11), (4, 40)}
+    assert out["n_deleted"] == 2  # ids 2 and 3 vanished from source
+    assert out["n_updated"] == 1 and out["n_inserted"] == 1
+    with pytest.raises(ValueError, match="not both"):
+        t.upsert(src, ["id"], deletes=src.select("id"), sync_deletes=True)
