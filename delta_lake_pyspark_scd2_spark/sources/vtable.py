@@ -334,6 +334,7 @@ class VersionedParquetTable:
         retired_physical: list[str] | None = None,
         generated_cols: dict[str, str] | None = None,
         properties: dict[str, str] | None = None,
+        identity_cols: dict[str, dict] | None = None,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         parent = (
@@ -341,6 +342,8 @@ class VersionedParquetTable:
         )
         if generated_cols is None:
             generated_cols = parent.get("generated_cols", {})
+        if identity_cols is None:
+            identity_cols = parent.get("identity_cols", {})
         if properties is None:
             properties = parent.get("properties", {})
         if column_mapping is None:
@@ -392,6 +395,7 @@ class VersionedParquetTable:
             "retired_physical": retired_physical,
             "generated_cols": generated_cols,
             "properties": properties,
+            "identity_cols": identity_cols,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as fh:
@@ -528,6 +532,7 @@ class VersionedParquetTable:
         metrics: "dict | Callable[[], dict] | None" = None,
         txn: tuple[str, int] | None = None,
         generated_cols: dict[str, str] | None = None,
+        identity_cols: dict[str, dict] | None = None,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
         ``src/header_etl.py:159-162``). ``txn`` records a writer
@@ -544,12 +549,22 @@ class VersionedParquetTable:
             raise FileExistsError(path)
         pc = partition_cols or []
         gen = generated_cols or {}
-        df = t._apply_generated(df, gen)
+        ident = {
+            c: {
+                "start": int(s.get("start", 1)),
+                "step": int(s.get("step", 1)),
+                "next": int(s.get("start", 1)),
+            }
+            for c, s in (identity_cols or {}).items()
+        }
+        df = t._apply_identity(t._apply_generated(df, gen), ident)
         files = t._write_files(df, pc, generated=gen)
         t._commit(
             0, files, df.schema, pc, "CREATE", metrics,
             txns={txn[0]: txn[1]} if txn else {},
             generated_cols=gen,
+            identity_cols=t._identity_bump({"identity_cols": ident}, files)
+            or {},
         )
         return t
 
@@ -621,6 +636,70 @@ class VersionedParquetTable:
         v = self.latest_version() if version is None else version
         return dict(self._load_commit(v).get("generated_cols", {}))
 
+    def identity_columns(self, version: int | None = None) -> dict[str, dict]:
+        """col → ``{"start", "step", "next"}`` identity state (Delta
+        ``GENERATED BY DEFAULT AS IDENTITY``): ids are unique and move
+        in ``step``'s direction, NOT consecutive — exactly Delta's
+        contract. ``next`` is the per-commit high watermark."""
+        v = self.latest_version() if version is None else version
+        return {
+            k: dict(s)
+            for k, s in self._load_commit(v).get("identity_cols", {}).items()
+        }
+
+    def _apply_identity(
+        self, df: DataFrame, ident: dict[str, dict] | None
+    ) -> DataFrame:
+        """Assign identity values to rows of ``df`` lacking the column
+        (BY DEFAULT semantics: caller-supplied values pass through).
+        ``next + step * monotonically_increasing_id()`` is unique
+        within the write with no global window (the single-partition
+        hazard Delta also avoids by allocating per-partition ranges);
+        gaps are allowed by contract."""
+        for c, spec in (ident or {}).items():
+            if c not in df.columns:
+                df = df.withColumn(
+                    c,
+                    (
+                        F.lit(int(spec["next"]))
+                        + F.lit(int(spec["step"]))
+                        * F.monotonically_increasing_id()
+                    ).cast("long"),
+                )
+        return df
+
+    def _identity_bump(
+        self, m: dict, new_files: list[ManifestEntry]
+    ) -> dict[str, dict] | None:
+        """Advance each identity column's ``next`` watermark past the
+        values just written — read from the new files' FOOTER stats,
+        zero extra data I/O."""
+        ident = {k: dict(s) for k, s in (m.get("identity_cols") or {}).items()}
+        if not ident:
+            return None
+        for c, spec in ident.items():
+            step = int(spec["step"])
+            vals = []
+            for e in new_files:
+                st = (e.stats or {}).get(c)
+                if st is None or st.get("max") is None:
+                    if e.rows:
+                        raise RuntimeError(
+                            f"identity column {c}: footer stats missing in "
+                            f"{e.path}; cannot advance the watermark safely"
+                        )
+                    continue
+                vals.append(st["max"] if step > 0 else st["min"])
+            if vals:
+                edge = max(vals) if step > 0 else min(vals)
+                cand = int(edge) + step
+                spec["next"] = (
+                    max(int(spec["next"]), cand)
+                    if step > 0
+                    else min(int(spec["next"]), cand)
+                )
+        return ident
+
     def _apply_generated(
         self, df: DataFrame, gen: dict[str, str] | None = None
     ) -> DataFrame:
@@ -689,6 +768,8 @@ class VersionedParquetTable:
                 f"cannot rename {old}: involved in generated column(s) "
                 f"{gen_hits}"
             )
+        if old in (m.get("identity_cols") or {}):
+            raise ValueError(f"cannot rename identity column {old}")
         mapping = dict(m.get("column_mapping") or {})
         mapping[new] = mapping.pop(old, old)
         new_schema = T.StructType(
@@ -750,6 +831,8 @@ class VersionedParquetTable:
                 f"cannot drop {name}: involved in generated column(s) "
                 f"{gen_hits}"
             )
+        if name in (m.get("identity_cols") or {}):
+            raise ValueError(f"cannot drop identity column {name}")
         mapping = dict(m.get("column_mapping") or {})
         physical = mapping.pop(name, name)
         new_schema = T.StructType(
@@ -815,11 +898,19 @@ class VersionedParquetTable:
                             "physical name — rewrite the table first"
                         )
                     schema = schema.add(f.name, f.dataType, True)
-        df = _align(self._apply_generated(df, m.get("generated_cols")), schema)
+        ident_assigned = any(
+            c not in df.columns for c in (m.get("identity_cols") or {})
+        )
+        df = self._apply_identity(
+            self._apply_generated(df, m.get("generated_cols")),
+            m.get("identity_cols"),
+        )
+        df = _align(df, schema)
         cons = m.get("constraints") or {}
         new_files = self._write_files(
             df, pc, cons, generated=m.get("generated_cols")
         )
+        ident = self._identity_bump(m, new_files)
         base_schema_json, base_cons = m["schema"], cons
         for attempt in range(10):
             files = [_entry(f) for f in m["files"]] + new_files
@@ -829,12 +920,25 @@ class VersionedParquetTable:
                 txns = {**m.get("txns", {}), txn[0]: txn[1]}
             try:
                 self._commit(
-                    v, files, schema, pc, "APPEND", metrics, cons, txns
+                    v, files, schema, pc, "APPEND", metrics, cons, txns,
+                    identity_cols=ident,
                 )
                 self._maybe_auto_compact(new_files)
                 return v
             except RuntimeError:  # version collision: rebase on new head
                 m = self._current()
+                if ident_assigned:
+                    # identity values were allocated against the LOST
+                    # head's watermark — the rival may hold overlapping
+                    # ids. Hard conflict; a retry re-derives fresh ids.
+                    raise RuntimeError(
+                        f"append to {self.path} lost a commit race while "
+                        "assigning identity values — retry the operation"
+                    ) from None
+                # caller-supplied identity values: rebase the watermark
+                # on the NEW head so the retried commit never regresses
+                # a rival's advance
+                ident = self._identity_bump(m, new_files)
                 if txn is not None:
                     applied = m.get("txns", {}).get(txn[0])
                     if applied is not None and applied >= txn[1]:
@@ -904,10 +1008,16 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         cons = m.get("constraints") or {}
-        df = self._apply_generated(df, m.get("generated_cols"))
+        df = self._apply_identity(
+            self._apply_generated(df, m.get("generated_cols")),
+            m.get("identity_cols"),
+        )
         files = self._write_files(df, pc, cons, generated=m.get("generated_cols"))
         v = m["version"] + 1
-        self._commit(v, files, df.schema, pc, "OVERWRITE", metrics, cons)
+        self._commit(
+            v, files, df.schema, pc, "OVERWRITE", metrics, cons,
+            identity_cols=self._identity_bump(m, files),
+        )
         return v
 
     def replace_partitions(
@@ -949,7 +1059,13 @@ class VersionedParquetTable:
         ]
         cons = m.get("constraints") or {}
         new_files = self._write_files(
-            _align(self._apply_generated(df, m.get("generated_cols")), schema),
+            _align(
+                self._apply_identity(
+                    self._apply_generated(df, m.get("generated_cols")),
+                    m.get("identity_cols"),
+                ),
+                schema,
+            ),
             pc,
             cons,
             generated=m.get("generated_cols"),
@@ -962,7 +1078,10 @@ class VersionedParquetTable:
                 f"replacement data writes outside the declared partitions: {stray[:3]}"
             )
         v = m["version"] + 1
-        self._commit(v, kept + new_files, schema, pc, operation, metrics, cons)
+        self._commit(
+            v, kept + new_files, schema, pc, operation, metrics, cons,
+            identity_cols=self._identity_bump(m, new_files),
+        )
         return v
 
     def upsert(
@@ -1001,9 +1120,13 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         cur = self.read()
-        # derive omitted generated columns up front: the partition
-        # derivation below and the union with survivors need them
-        updates = self._apply_generated(updates, m.get("generated_cols"))
+        # derive omitted generated/identity columns up front: the
+        # partition derivation below and the union with survivors need
+        # them (identity rows here are NEW keys getting fresh ids)
+        updates = self._apply_identity(
+            self._apply_generated(updates, m.get("generated_cols")),
+            m.get("identity_cols"),
+        )
         upd_keys = updates.select(*keys).distinct()
         if sync_deletes:
             if deletes is not None:
