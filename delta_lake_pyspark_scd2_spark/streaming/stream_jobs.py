@@ -380,3 +380,60 @@ def scd2_stream(
     )
     q.awaitTermination()
     return q
+
+
+def vtable_sink_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    *,
+    partition_cols: Sequence[str] | None = None,
+    app_id: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Generic exactly-once streaming sink into a
+    :class:`VersionedParquetTable` — the ``.writeStream.format
+    ("delta")`` analogue, built from ``foreachBatch`` + writer
+    transactions.
+
+    Exactly-once: Spark's checkpoint replays a failed micro-batch with
+    the SAME batch id, and the append carries ``(app_id, batch_id)``
+    as a writer transaction — the table skips any batch at or below
+    its committed watermark, so replays land nothing twice even if the
+    sink crashed between Spark's commit log and the table commit (the
+    textbook foreachBatch double-write window).
+
+    Scale: each micro-batch is one blind append (no read-modify-write);
+    auto-compaction (table property ``autoCompact``) keeps the
+    small-file accumulation of high-frequency triggers bounded.
+    """
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    app = app_id or f"vtable_sink:{table_path}"
+    spark = stream_df.sparkSession
+    pc = list(partition_cols or [])
+
+    def _process(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if VersionedParquetTable.is_table(table_path):
+            VersionedParquetTable(spark, table_path).append(
+                batch_df, txn=(app, batch_no)
+            )
+        else:
+            VersionedParquetTable.create(
+                spark, batch_df, table_path,
+                partition_cols=pc, txn=(app, batch_no),
+            )
+
+    w = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if trigger_available_now:
+        q.awaitTermination()
+    return q

@@ -105,3 +105,53 @@ def test_replication_converges_to_source(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+
+def test_vtable_sink_stream_exactly_once(spark, tmp_path):
+    """Generic streaming sink: file-source rows land in the table
+    exactly once across triggers, and re-running the stream with the
+    same checkpoint (no new files) appends nothing."""
+    import json as _json
+    import os
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+    from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
+        vtable_sink_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "table")
+
+    def write_file(name, rows):
+        with open(src / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
+    write_file("a.json", [{"k": 1, "v": "x"}, {"k": 2, "v": "y"}])
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    vtable_sink_stream(stream, table, ckpt)
+    t = VersionedParquetTable(spark, table)
+    assert t.read().count() == 2
+
+    write_file("b.json", [{"k": 3, "v": "z"}])
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    vtable_sink_stream(stream, table, ckpt)
+    assert VersionedParquetTable(spark, table).read().count() == 3
+
+    # no new files: the re-run discovers nothing and the table is unchanged
+    v_before = VersionedParquetTable(spark, table).latest_version()
+    stream = spark.readStream.schema("k long, v string").json(str(src))
+    vtable_sink_stream(stream, table, ckpt)
+    assert VersionedParquetTable(spark, table).latest_version() == v_before
+
+    # direct replay of an already-committed batch id is skipped (the
+    # crash-between-commit-log-and-table window)
+    t2 = VersionedParquetTable(spark, table)
+    replay = spark.createDataFrame([(9, "dup")], "k long, v string")
+    assert t2.last_txn_version(f"vtable_sink:{table}") is not None
+    t2.append(replay, txn=(f"vtable_sink:{table}", 0))
+    assert t2.read().count() == 3  # batch 0 already applied; nothing lands
