@@ -267,6 +267,15 @@ def run_scd2_batch(
             table_path,
             partition_cols=spec.partition_cols,
             metrics={"batch_id": batch_id},
+            # partition layout as GENERATED columns: the table itself
+            # re-derives/validates y/m/d from valid_from on every write
+            # path, so no future writer can land a version row in the
+            # wrong partition (the pruning in Phases A/B relies on it)
+            generated_cols={
+                f"{spec.partition_prefix}_year": "year(valid_from)",
+                f"{spec.partition_prefix}_month": "month(valid_from)",
+                f"{spec.partition_prefix}_day": "dayofmonth(valid_from)",
+            },
         )
         metrics["n_inserted"] = int(obs.get["n_inserted"] or 0)
         metrics["n_closed"] = 0

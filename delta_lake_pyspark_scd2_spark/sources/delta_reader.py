@@ -271,3 +271,40 @@ def _physical_schema(snap: DeltaSnapshot) -> T.StructType:
         else:
             fields.append(f)
     return T.StructType(fields)
+
+
+def import_delta_as_vtable(
+    spark: SparkSession,
+    delta_path: str,
+    dest_path: str,
+    *,
+    version: int | None = None,
+):
+    """Migration path: materialize a real Delta table's snapshot as a
+    :class:`VersionedParquetTable` at ``dest_path``, preserving the
+    partition layout — so a user with existing Delta tables can adopt
+    this engine's storage (and its merge/CDC/maintenance surface)
+    with one call. The inverse of
+    ``delta_writer.export_vtable_as_delta``.
+
+    One distributed read → one partitioned write; cost ∝ snapshot
+    size. History does NOT carry over (the import is a fresh v0 —
+    the same contract as Delta's own SHALLOW CLONE across formats).
+    """
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    reader = DeltaTableReader(spark, delta_path)
+    snap = reader.snapshot(version)
+    df = reader.read(version)
+    return VersionedParquetTable.create(
+        spark,
+        df,
+        dest_path,
+        partition_cols=list(snap.partition_columns),
+        metrics={
+            "imported_from": delta_path,
+            "source_version": snap.version,
+        },
+    )
