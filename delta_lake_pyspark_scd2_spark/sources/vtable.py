@@ -1319,8 +1319,16 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         if zorder_by:
-            crowded = self.partitions_of() or [{}]
-            df = self.read()
+            crowded = (
+                only_partitions
+                if only_partitions is not None
+                else self.partitions_of()
+            ) or [{}]
+            df = (
+                self.read_partitions(crowded)
+                if only_partitions is not None
+                else self.read()
+            )
             bounds = df.agg(
                 *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
                 *[F.max(c).alias(f"mx_{c}") for c in zorder_by],

@@ -105,3 +105,24 @@ def test_upsert_sync_deletes_mirrors_source(spark, tmp_path):
     assert out["n_updated"] == 1 and out["n_inserted"] == 1
     with pytest.raises(ValueError, match="not both"):
         t.upsert(src, ["id"], deletes=src.select("id"), sync_deletes=True)
+
+
+def test_zorder_scoped_to_partitions(spark, tmp_path):
+    """OPTIMIZE ... WHERE analogue: z-order rewrite of only the named
+    partitions; the rest are carried by reference."""
+    rows = [(i, "a" if i < 50 else "b", i % 10, i // 10) for i in range(100)]
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame(rows, "id long, part string, x long, y long"),
+        str(tmp_path / "t"),
+        partition_cols=["part"],
+    )
+    b_files = {
+        f["path"] for f in t._current()["files"] if f["partition"]["part"] == "b"
+    }
+    t.compact(zorder_by=["x", "y"], only_partitions=[{"part": "a"}])
+    m = t._current()
+    after_b = {f["path"] for f in m["files"] if f["partition"]["part"] == "b"}
+    assert after_b == b_files  # partition b untouched
+    assert t.read().count() == 100
+    assert [h["operation"] for h in t.history()][0] == "ZORDER"
