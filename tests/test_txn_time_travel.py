@@ -152,3 +152,34 @@ def test_delta_reader_timestamp_as_of(spark, tmp_path):
     assert r.read(timestamp_ms=25_000).count() == 20
     with pytest.raises(ValueError):
         r.version_at_timestamp(5_000)
+
+
+def test_real_concurrent_appends_all_land(spark, tmp_path):
+    """4 real threads x 3 blind appends each, racing on the SAME table:
+    the atomic os.link commit + rebase loop must land every batch
+    exactly once with a contiguous version chain."""
+    import threading
+
+    path = str(tmp_path / "cc")
+    VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    errors = []
+
+    def writer(tid: int):
+        try:
+            t = VersionedParquetTable(spark, path)
+            for j in range(3):
+                lo = 1000 * (tid + 1) + 100 * j
+                t.append(_batch(spark, lo))
+        except Exception as e:  # noqa: BLE001
+            errors.append((tid, e))
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = VersionedParquetTable(spark, path)
+    assert t.read().count() == 10 + 12 * 10  # every batch landed once
+    vs = t.versions()
+    assert vs == list(range(13))  # contiguous chain, no clobbered commit
