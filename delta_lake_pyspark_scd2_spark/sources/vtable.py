@@ -1035,6 +1035,15 @@ class VersionedParquetTable:
         primitive — cost proportional to touched data, not table size.
         ``merge_schema`` widens the committed schema with ``df``'s new
         nullable columns (untouched partitions read them as NULL).
+
+        Concurrency (Delta's logical conflict rules at partition
+        granularity): on a version collision the commit REBASES when
+        the winning commit (a) changed no table metadata and (b)
+        touched only partitions disjoint from this rewrite — e.g. two
+        SCD2 merges for different days, or an unrelated append, land
+        concurrently. Any overlap or metadata change is a hard
+        conflict (the replacement was computed from a stale read of
+        exactly those partitions).
         """
         m = self._current()
         pc = list(m["partition_cols"])
@@ -1052,12 +1061,10 @@ class VersionedParquetTable:
                         )
                     schema = schema.add(f.name, f.dataType, True)
         touched = {tuple(sorted(p.items())) for p in partitions}
-        kept = [
-            _entry(f)
-            for f in m["files"]
-            if tuple(sorted(f["partition"].items())) not in touched
-        ]
         cons = m.get("constraints") or {}
+        ident_assigned = any(
+            c not in df.columns for c in (m.get("identity_cols") or {})
+        )
         new_files = self._write_files(
             _align(
                 self._apply_identity(
@@ -1077,12 +1084,74 @@ class VersionedParquetTable:
             raise ValueError(
                 f"replacement data writes outside the declared partitions: {stray[:3]}"
             )
-        v = m["version"] + 1
-        self._commit(
-            v, kept + new_files, schema, pc, operation, metrics, cons,
-            identity_cols=self._identity_bump(m, new_files),
+
+        def _meta_key(man: dict) -> tuple:
+            return (
+                man["schema"],
+                man.get("constraints") or {},
+                man.get("column_mapping") or {},
+                man.get("generated_cols") or {},
+                man.get("properties") or {},
+                sorted(man.get("retired_physical") or []),
+            )
+
+        for _attempt in range(10):
+            kept = [
+                _entry(f)
+                for f in m["files"]
+                if tuple(sorted(f["partition"].items())) not in touched
+            ]
+            v = m["version"] + 1
+            try:
+                self._commit(
+                    v, kept + new_files, schema, pc, operation, metrics, cons,
+                    identity_cols=self._identity_bump(m, new_files),
+                )
+                return v
+            except RuntimeError:  # lost the version race — try to rebase
+                m2 = self._current()
+                if ident_assigned:
+                    raise RuntimeError(
+                        f"partition rewrite of {self.path} lost a commit "
+                        "race while assigning identity values — retry the "
+                        "operation"
+                    ) from None
+                if _meta_key(m2) != _meta_key(m) and not (
+                    merge_schema and _meta_key(m2)[1:] == _meta_key(m)[1:]
+                ):
+                    raise RuntimeError(
+                        f"partition rewrite of {self.path} conflicts with a "
+                        "concurrent metadata change — retry the operation"
+                    ) from None
+                base_files = {f["path"]: f for f in m["files"]}
+                head_files = {f["path"]: f for f in m2["files"]}
+                winner_parts = {
+                    tuple(sorted(f["partition"].items()))
+                    for p, f in head_files.items()
+                    if p not in base_files or not _same_record(f, base_files[p])
+                } | {
+                    tuple(sorted(f["partition"].items()))
+                    for p, f in base_files.items()
+                    if p not in head_files
+                }
+                if winner_parts & touched:
+                    raise RuntimeError(
+                        f"partition rewrite of {self.path} conflicts with a "
+                        "concurrent commit touching the same partition(s) "
+                        f"{[dict(t) for t in sorted(winner_parts & touched)][:3]}"
+                        " — re-read and retry"
+                    ) from None
+                if m2["schema"] != m["schema"]:
+                    # merge_schema rebase: re-union onto the winner's schema
+                    schema = T.StructType.fromJson(json.loads(m2["schema"]))
+                    have = {f.name for f in schema.fields}
+                    for f in df.schema.fields:
+                        if f.name not in have:
+                            schema = schema.add(f.name, f.dataType, True)
+                m = m2
+        raise RuntimeError(
+            f"partition rewrite of {self.path} lost 10 optimistic commit races"
         )
-        return v
 
     def upsert(
         self,

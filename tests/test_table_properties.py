@@ -126,3 +126,118 @@ def test_zorder_scoped_to_partitions(spark, tmp_path):
     assert after_b == b_files  # partition b untouched
     assert t.read().count() == 100
     assert [h["operation"] for h in t.history()][0] == "ZORDER"
+
+
+def _race_once(t, rival_fn):
+    """Make t's next _commit lose one version race to rival_fn()."""
+    orig = t._commit
+    state = {"done": False}
+
+    def racing(version, files, schema, pc, op, *a, **kw):
+        if not state["done"]:
+            state["done"] = True
+            rival_fn()
+        return orig(version, files, schema, pc, op, *a, **kw)
+
+    t._commit = racing
+    return orig
+
+
+def test_replace_partitions_rebases_over_disjoint_commit(spark, tmp_path):
+    """Two writers rewriting DIFFERENT partitions both land (Delta's
+    partition-level logical conflict rule)."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a").unionByName(_batch(spark, 100, "b")),
+        path, partition_cols=["part"],
+    )
+
+    def rival():
+        VersionedParquetTable(spark, path).replace_partitions(
+            _batch(spark, 500, "b"), [{"part": "b"}]
+        )
+
+    orig = _race_once(t, rival)
+    t.replace_partitions(_batch(spark, 900, "a"), [{"part": "a"}])
+    t._commit = orig
+    got = {r["id"] for r in t.read().collect()}
+    assert got == set(range(900, 905)) | set(range(500, 505))
+    assert t.latest_version() == 2  # both rewrites committed
+
+
+def test_replace_partitions_conflicts_on_overlap(spark, tmp_path):
+    """Two writers rewriting the SAME partition: the loser gets a hard
+    conflict instead of silently clobbering the winner's result."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), path, partition_cols=["part"]
+    )
+
+    def rival():
+        VersionedParquetTable(spark, path).replace_partitions(
+            _batch(spark, 500, "a"), [{"part": "a"}]
+        )
+
+    orig = _race_once(t, rival)
+    with pytest.raises(RuntimeError, match="same partition"):
+        t.replace_partitions(_batch(spark, 900, "a"), [{"part": "a"}])
+    t._commit = orig
+    # the winner's rewrite survives intact
+    assert {r["id"] for r in t.read().collect()} == set(range(500, 505))
+
+
+def test_concurrent_scd2_merges_different_days_both_land(spark, tmp_path):
+    """The end-to-end payoff: two SCD2 merges whose version rows live in
+    different day partitions commit concurrently — backfill one day
+    while ingesting another."""
+    import datetime
+
+    from delta_lake_pyspark_scd2_spark.pipeline.scd2_pipeline import (
+        SCD2Spec,
+        run_scd2_batch,
+    )
+
+    spec = SCD2Spec(
+        key_cols=("k",), event_ts_col="ts", tracked_cols=("v",),
+        tiebreak_cols=("k",),
+    )
+    path = str(tmp_path / "scd2")
+
+    def ev(k, ts, v):
+        return (k, datetime.datetime.fromisoformat(ts), v)
+
+    schema = "k string, ts timestamp, v string"
+    run_scd2_batch(
+        spark, spec,
+        spark.createDataFrame([ev("A", "2023-01-21T10:00:00", "a1"),
+                               ev("B", "2023-02-05T10:00:00", "b1")], schema),
+        path, batch_id="seed",
+    )
+    t = VersionedParquetTable(spark, path)
+    # rival: merge for key B (February partition) wins the race against
+    # our merge for key A (January partition)
+    day2 = spark.createDataFrame([ev("B", "2023-02-06T09:00:00", "b2")], schema)
+
+    def rival():
+        run_scd2_batch(spark, spec, day2, path, batch_id="feb")
+
+    # race the January merge's Phase-A close commit against the whole
+    # February merge; the rebase logic must let both land
+    day1 = spark.createDataFrame([ev("A", "2023-01-22T09:00:00", "a2")], schema)
+    raced = {"done": False}
+    orig_commit = VersionedParquetTable._commit
+
+    def racing(self, version, files, schema_, pc, op, *a, **kw):
+        if not raced["done"] and op in ("SCD2_CLOSE", "APPEND") and self.path == path:
+            raced["done"] = True
+            rival()
+        return orig_commit(self, version, files, schema_, pc, op, *a, **kw)
+
+    VersionedParquetTable._commit = racing
+    try:
+        run_scd2_batch(spark, spec, day1, path, batch_id="jan")
+    finally:
+        VersionedParquetTable._commit = orig_commit
+    rows = {(r["k"], r["v"], r["is_current"]) for r in t.read().collect()}
+    assert ("A", "a2", True) in rows and ("B", "b2", True) in rows
+    assert ("A", "a1", False) in rows and ("B", "b1", False) in rows
