@@ -238,7 +238,11 @@ class CorpusIngest:
             )
         else:
             VersionedParquetTable.create(
-                self.spark, accepted, self.corpus_path, txn=txn
+                self.spark, accepted, self.corpus_path, txn=txn,
+                # high-frequency micro-batch appends: bound the
+                # small-file accumulation at the storage layer
+                properties={"autoCompact": "true",
+                            "autoCompact.minFiles": "16"},
             )
         if VersionedParquetTable.is_table(self.fp_path):
             VersionedParquetTable(self.spark, self.fp_path).append(
@@ -246,7 +250,9 @@ class CorpusIngest:
             )
         else:
             VersionedParquetTable.create(
-                self.spark, new_fps, self.fp_path, txn=txn
+                self.spark, new_fps, self.fp_path, txn=txn,
+                properties={"autoCompact": "true",
+                            "autoCompact.minFiles": "16"},
             )
         m.accepted = m.n_in - m.exact_in_batch - m.exact_vs_store - m.near_in_batch - m.near_vs_store
         return m

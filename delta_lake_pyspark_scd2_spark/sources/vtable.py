@@ -533,6 +533,7 @@ class VersionedParquetTable:
         txn: tuple[str, int] | None = None,
         generated_cols: dict[str, str] | None = None,
         identity_cols: dict[str, dict] | None = None,
+        properties: dict[str, str] | None = None,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
         ``src/header_etl.py:159-162``). ``txn`` records a writer
@@ -565,8 +566,19 @@ class VersionedParquetTable:
             generated_cols=gen,
             identity_cols=t._identity_bump({"identity_cols": ident}, files)
             or {},
+            properties={k: str(v) for k, v in (properties or {}).items()},
         )
         return t
+
+    def register_view(
+        self, name: str, version: int | None = None
+    ) -> DataFrame:
+        """``createOrReplaceTempView`` over a snapshot — the
+        ``spark.sql`` surface (reference §2.9) for versioned tables;
+        pass ``version`` for a time-travel view."""
+        df = self.read(version)
+        df.createOrReplaceTempView(name)
+        return df
 
     def _current(self) -> dict:
         return self._load_manifest(self.latest_version())

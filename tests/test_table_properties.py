@@ -241,3 +241,18 @@ def test_concurrent_scd2_merges_different_days_both_land(spark, tmp_path):
     rows = {(r["k"], r["v"], r["is_current"]) for r in t.read().collect()}
     assert ("A", "a2", True) in rows and ("B", "b2", True) in rows
     assert ("A", "a1", False) in rows and ("B", "b1", False) in rows
+
+
+def test_create_with_properties_and_register_view(spark, tmp_path):
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t"),
+        properties={"autoCompact": "true", "autoCompact.minFiles": 4},
+    )
+    assert t.properties() == {"autoCompact": "true", "autoCompact.minFiles": "4"}
+    for i in range(1, 8):
+        t.append(_batch(spark, i * 10, "a"))
+    assert len(t._current()["files"]) < 4  # property active from creation
+    t.register_view("props_t")
+    assert spark.sql("SELECT COUNT(*) AS n FROM props_t").collect()[0]["n"] == 40
+    t.register_view("props_t0", version=0)
+    assert spark.sql("SELECT COUNT(*) AS n FROM props_t0").collect()[0]["n"] == 5
