@@ -1634,7 +1634,7 @@ class VersionedParquetTable:
             "properties": dict(m.get("properties") or {}),
         }
 
-    def vacuum(self, *, keep_versions: int = 1) -> dict:
+    def vacuum(self, *, keep_versions: int = 1, dry_run: bool = False) -> dict:
         """Retention sweep (Delta ``VACUUM`` analogue): delete data
         files referenced ONLY by manifests older than the newest
         ``keep_versions``, then drop those manifests. Time travel is
@@ -1642,10 +1642,35 @@ class VersionedParquetTable:
         unreadable — the same trade Delta makes. Never touches files
         the live manifests still reference, so concurrent readers of
         kept versions are safe.
+
+        ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report what
+        WOULD be deleted — counts and the candidate paths — without
+        touching anything.
         """
         keep_versions = max(1, keep_versions)
         vs = self.versions()
         kept_vs, dropped_vs = vs[-keep_versions:], vs[:-keep_versions]
+        if dry_run:
+            live = {
+                f["path"]
+                for v in kept_vs
+                for f in self._snapshot_files(v)
+            }
+            doomed = sorted(
+                {
+                    f["path"]
+                    for v in dropped_vs
+                    for f in self._load_manifest(v)["files"]
+                    if f["path"] not in live
+                }
+            )
+            return {
+                "dry_run": True,
+                "n_data_files": len(doomed),
+                "n_versions": len(dropped_vs),
+                "paths": doomed,
+                "oldest_kept_version": kept_vs[0],
+            }
         # The oldest kept version must stay reconstructible once the
         # commits below it are gone: materialize it as a checkpoint
         # first (idempotent if one already exists).

@@ -256,3 +256,21 @@ def test_create_with_properties_and_register_view(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS n FROM props_t").collect()[0]["n"] == 40
     t.register_view("props_t0", version=0)
     assert spark.sql("SELECT COUNT(*) AS n FROM props_t0").collect()[0]["n"] == 5
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
+    import os
+
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t")
+    )
+    t.overwrite(_batch(spark, 10, "a"))  # v0's file becomes retirable
+    report = t.vacuum(keep_versions=1, dry_run=True)
+    assert report["dry_run"] and report["n_data_files"] >= 1
+    data_root = os.path.join(t.path, "data")
+    for p in report["paths"]:
+        assert os.path.exists(os.path.join(data_root, p))  # nothing deleted
+    assert t.read(0).count() == 5  # old version still readable
+    real = t.vacuum(keep_versions=1)
+    for p in report["paths"]:
+        assert not os.path.exists(os.path.join(data_root, p))
