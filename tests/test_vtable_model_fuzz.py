@@ -10,17 +10,21 @@ from __future__ import annotations
 import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
 
 # ops: ("append", [ids]) ("upsert", [ids]) ("delete", threshold)
-#      ("compact",) ("restore", back_k)
+#      ("compact",) ("restore", back_k) ("dv_remove", [ids])
 _OP = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("upsert"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("delete"), st.integers(0, 300)),
     st.tuples(st.just("compact")),
     st.tuples(st.just("restore"), st.integers(1, 3)),
+    st.tuples(
+        st.just("dv_remove"), st.lists(st.integers(0, 30), min_size=1, max_size=3)
+    ),
 )
 
 
@@ -85,6 +89,19 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, data):
             # compact may be a no-op (no crowded partition -> same version)
             for _ in range(v_after - v_before):
                 history.append(snap())
+        elif op[0] == "dv_remove":
+            # deletion-vector removal of every row of the chosen ids:
+            # zero rewrite, must be indistinguishable from a real delete
+            # in every snapshot read
+            ids = sorted(set(op[1]))
+            cur = t.read_partitions(t.partitions_of(), with_position=True)
+            dead = cur.filter(F.col("id").isin(ids)).select("__file", "__pos")
+            if dead.isEmpty():
+                continue  # no commit happens for an empty DV
+            t.remove_rows(dead)
+            for mk in [mk for mk, mv in model.items() if mv[0] in ids]:
+                model.pop(mk)
+            history.append(snap())
         elif op[0] == "restore":
             back = min(op[1], t.latest_version())
             target = t.latest_version() - back
