@@ -1410,19 +1410,42 @@ class VersionedParquetTable:
                 if only_partitions is not None
                 else self.read()
             )
-            bounds = df.agg(
-                *[F.min(c).alias(f"mn_{c}") for c in zorder_by],
-                *[F.max(c).alias(f"mx_{c}") for c in zorder_by],
+            # String columns get an ORDER-PRESERVING numeric surrogate:
+            # the first 7 bytes, NUL-padded to fixed width, read as a
+            # big-endian integer (fits a signed long) — lexicographic
+            # byte order == numeric order, so width_bucket ranges and
+            # the interleaved bits cluster strings correctly and the
+            # files' footer min/max stay tight on the STRING column
+            # itself (which is what read_where prunes on).
+            surrogate: dict[str, str] = {}
+            work = df
+            for c in zorder_by:
+                if isinstance(df.schema[c].dataType, T.StringType):
+                    s = f"__zsrc_{c}"
+                    surrogate[c] = s
+                    work = work.withColumn(
+                        s,
+                        F.coalesce(
+                            F.conv(
+                                F.hex(F.rpad(F.col(c), 7, "\x00")), 16, 10
+                            ).cast("long"),
+                            F.lit(0),
+                        ),
+                    )
+            zcols = [surrogate.get(c, c) for c in zorder_by]
+            bounds = work.agg(
+                *[F.min(c).alias(f"mn_{c}") for c in zcols],
+                *[F.max(c).alias(f"mx_{c}") for c in zcols],
             ).first()
             z = zorder_column(
-                {c: (bounds[f"mn_{c}"], bounds[f"mx_{c}"]) for c in zorder_by}
+                {c: (bounds[f"mn_{c}"], bounds[f"mx_{c}"]) for c in zcols}
             )
-            df = df.withColumn("__z", z)
+            work = work.withColumn("__z", z)
             n = max(1, output_files) * max(1, len(crowded))
             df = (
-                df.repartitionByRange(n, *[F.col(c) for c in pc], F.col("__z"))
+                work.repartitionByRange(n, *[F.col(c) for c in pc], F.col("__z"))
                 .sortWithinPartitions(*pc, "__z")
-                .drop("__z")
+                .drop("__z", *surrogate.values())
             )
             return self.replace_partitions(
                 df, crowded, operation="ZORDER",

@@ -171,3 +171,31 @@ def test_table_changes_reads_only_touched_partitions(spark, tmp_path):
     }
     # the untouched partition's files appear in neither read side
     assert all("p=0" in p for p in cdf.inputFiles())
+
+
+def test_zorder_on_string_column_prunes(spark, tmp_path):
+    """ZORDER BY (string, numeric): the order-preserving byte-prefix
+    surrogate clusters string values, so footer min/max on the string
+    column itself become tight and equality reads prune files."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    langs = ["de", "en", "fr", "ja", "zh"]
+    rows = [(i, rng.choice(langs), rng.randrange(1000)) for i in range(4000)]
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame(rows, "id long, lang string, n long").repartition(8),
+        str(tmp_path / "t"),
+    )
+    t.compact(zorder_by=["lang", "n"], output_files=10)
+    m = t._current()
+    assert len(m["files"]) >= 8
+    pruned = t.files_for([("lang", "=", "zh")])
+    assert len(pruned) < len(m["files"])  # skipping fires on the string col
+    got = t.read_where([("lang", "=", "zh")])
+    expect = sum(1 for _, l, _n in rows if l == "zh")
+    assert got.count() == expect
+    # and the numeric dimension still prunes too
+    assert len(t.files_for([("n", ">=", 900)])) < len(m["files"])
