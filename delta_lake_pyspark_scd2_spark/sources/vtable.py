@@ -1172,6 +1172,7 @@ class VersionedParquetTable:
         *,
         deletes: DataFrame | None = None,
         sync_deletes: bool = False,
+        mode: str = "rewrite",
         operation: str = "UPSERT",
         metrics: "dict | Callable[[], dict] | None" = None,
     ) -> dict:
@@ -1196,6 +1197,14 @@ class VersionedParquetTable:
         key's old row or receiving a new row are rewritten — including
         the move case where an update changes its own partition values.
         Cost ∝ touched partitions, never table size.
+
+        ``mode="dv"`` is **merge-on-read**: old rows of matched/deleted
+        keys are marked dead via deletion-vector sidecars and the
+        updates append in the SAME commit — write amplification
+        O(changed rows) instead of O(touched partitions). The trade is
+        Delta's: reads of DV'd files pay a tiny anti-join until
+        ``compact()`` materializes the deletes. Same result as
+        ``rewrite`` in every snapshot read.
         """
         keys = list(key_cols)
         m = self._current()
@@ -1226,6 +1235,45 @@ class VersionedParquetTable:
             if del_keys is not None
             else 0
         )
+        out = {
+            "n_updated": n_matched,
+            "n_inserted": n_updates - n_matched,
+            "n_deleted": n_deleted,
+        }
+        if mode == "dv":
+            # merge-on-read: DV the old rows of every matched/deleted
+            # key (positional read scoped to the partitions that hold
+            # them), append the updates in the same commit
+            if pc:
+                old_parts = (
+                    cur.join(gone_keys, on=keys, how="left_semi")
+                    .select(*pc)
+                    .distinct()
+                )
+                touched = [
+                    {k: str(r[k]) for k in pc} for r in old_parts.collect()
+                ]
+            else:
+                touched = [{}]
+            dead = (
+                self.read_partitions(touched, with_position=True)
+                .join(gone_keys, on=keys, how="left_semi")
+                .select("__file", "__pos")
+                if touched
+                else None
+            )
+            if dead is not None and not dead.isEmpty():
+                self.remove_rows(
+                    dead,
+                    adds=updates.select(*cur.columns),
+                    operation=operation,
+                    metrics=metrics or out,
+                )
+            else:
+                self.append(updates.select(*cur.columns), metrics=metrics or out)
+            return out
+        if mode != "rewrite":
+            raise ValueError(f"unknown upsert mode: {mode!r}")
         if pc:
             old_parts = (
                 cur.join(gone_keys, on=keys, how="left_semi").select(*pc).distinct()
@@ -1238,11 +1286,6 @@ class VersionedParquetTable:
             base = cur
         survivors = base.join(gone_keys, on=keys, how="left_anti")
         merged = survivors.unionByName(updates.select(*base.columns))
-        out = {
-            "n_updated": n_matched,
-            "n_inserted": n_updates - n_matched,
-            "n_deleted": n_deleted,
-        }
         self.replace_partitions(
             merged, touched, operation=operation, metrics=metrics or out
         )
