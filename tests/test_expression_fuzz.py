@@ -18,6 +18,7 @@ doubles), no timezone-dependent functions.
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -113,6 +114,12 @@ def ddb():
 def _norm(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, decimal.Decimal):
+        # DuckDB types numeric literals with a '.' as DECIMAL where
+        # Spark uses DOUBLE; fold both to the same float rendering so
+        # only VALUE divergences fail (found by the fuzzer itself:
+        # abs(-3.0)+floor(x) → Decimal('39.0') vs float 39.0)
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
