@@ -29,14 +29,16 @@ Log layout (Delta's checkpoint + incremental-log split): each commit
 ``remove`` (dropped paths) against version N-1 — so commit size is
 O(files touched by the operation), never O(table). Every
 ``CHECKPOINT_INTERVAL`` commits a full-snapshot checkpoint
-``v{N}.ckpt.json`` is also written (derived, idempotent, outside the
+``v{N}.ckpt.parquet`` is also written (derived, idempotent, outside the
 atomic-commit path), so snapshot reconstruction replays at most
 ``CHECKPOINT_INTERVAL`` deltas from the nearest checkpoint at or
 below the requested version. At 100 TB a merge touching one day
 commits one day's file entries; the million-file live set lives only
-in the periodic checkpoint (which at that scale would graduate from
-JSON to parquet — same trade Delta makes). Old-format manifests that
-carry a full ``files`` list are read as self-checkpoints.
+in the periodic checkpoint — written as PARQUET (zstd, one row per
+file record), so at millions of files it stays columnar and
+compressed instead of one giant JSON parse (the same graduation
+Delta's checkpoints made). Legacy ``.ckpt.json`` checkpoints and
+old-format manifests carrying a full ``files`` list still read.
 
 Object-store portability caveat (local-FS assumption, by design in
 this environment): the commit primitive needs a conditional PUT
@@ -211,11 +213,14 @@ class VersionedParquetTable:
         d = os.path.join(self.path, MANIFEST_DIR)
         if not os.path.isdir(d):
             return []
-        return sorted(
-            int(f[1:-10])
-            for f in os.listdir(d)
-            if f.startswith("v") and f.endswith(".ckpt.json") and f[1:-10].isdigit()
-        )
+        out = set()
+        for f in os.listdir(d):
+            if not f.startswith("v"):
+                continue
+            for suffix in (".ckpt.parquet", ".ckpt.json"):
+                if f.endswith(suffix) and f[1 : -len(suffix)].isdigit():
+                    out.add(int(f[1 : -len(suffix)]))
+        return sorted(out)
 
     def latest_version(self) -> int:
         vs = self.versions()
@@ -249,7 +254,43 @@ class VersionedParquetTable:
         return os.path.join(self.path, MANIFEST_DIR, f"v{version:010d}.json")
 
     def _ckpt_path(self, version: int) -> str:
-        return os.path.join(self.path, MANIFEST_DIR, f"v{version:010d}.ckpt.json")
+        """Canonical (current-format) checkpoint path: PARQUET — at
+        millions of files a JSON checkpoint is a single giant parse;
+        parquet keeps it columnar, compressed, and row-group-scannable
+        (the same graduation Delta's checkpoints made)."""
+        return os.path.join(
+            self.path, MANIFEST_DIR, f"v{version:010d}.ckpt.parquet"
+        )
+
+    def _ckpt_file(self, version: int) -> str | None:
+        """Existing checkpoint file for ``version`` in any format
+        (parquet preferred, legacy JSON accepted), or None."""
+        p = self._ckpt_path(version)
+        if os.path.exists(p):
+            return p
+        legacy = os.path.join(
+            self.path, MANIFEST_DIR, f"v{version:010d}.ckpt.json"
+        )
+        return legacy if os.path.exists(legacy) else None
+
+    @staticmethod
+    def _read_ckpt_file(path: str) -> list[dict]:
+        if path.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            rows = pq.read_table(path).to_pylist()
+            return [
+                {
+                    "path": r["path"],
+                    "partition": json.loads(r["partition"]),
+                    "stats": json.loads(r["stats"]) if r["stats"] else None,
+                    "rows": r["rows"],
+                    "dv": json.loads(r["dv"]) if r["dv"] else None,
+                }
+                for r in rows
+            ]
+        with open(path) as fh:
+            return json.load(fh)["files"]
 
     def _load_commit(self, version: int) -> dict:
         """Raw commit record: metadata + either delta actions
@@ -275,8 +316,7 @@ class VersionedParquetTable:
                 base = self._snap_cache[v]
                 break
             if v in ckpts:
-                with open(self._ckpt_path(v)) as fh:
-                    base = json.load(fh)["files"]
+                base = self._read_ckpt_file(self._ckpt_file(v))
                 break
             m = self._load_commit(v)
             if "files" in m:  # old-format full snapshot
@@ -315,9 +355,28 @@ class VersionedParquetTable:
         replay). ``os.replace`` is fine here: content for a given
         version is deterministic, so concurrent writers racing on the
         same checkpoint write identical bytes."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         tmp = self._ckpt_path(version) + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+        table = pa.table(
+            {
+                "path": [f["path"] for f in files],
+                "partition": [json.dumps(f["partition"]) for f in files],
+                "stats": [
+                    json.dumps(f["stats"]) if f.get("stats") is not None else None
+                    for f in files
+                ],
+                "rows": pa.array(
+                    [f.get("rows") for f in files], type=pa.int64()
+                ),
+                "dv": [
+                    json.dumps(f["dv"]) if f.get("dv") is not None else None
+                    for f in files
+                ],
+            }
+        )
+        pq.write_table(table, tmp, compression="zstd")
         os.replace(tmp, self._ckpt_path(version))
 
     def _commit(
@@ -1763,7 +1822,9 @@ class VersionedParquetTable:
             self._snap_cache.pop(v, None)
         for v in self._checkpoint_versions():
             if v < kept_vs[0]:
-                os.remove(self._ckpt_path(v))
+                p = self._ckpt_file(v)
+                if p:
+                    os.remove(p)
         # deletion-vector sidecars referenced only by dropped versions
         live_dv = {
             p

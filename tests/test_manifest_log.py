@@ -119,3 +119,32 @@ def test_restore_and_history_over_delta_log(spark, tmp_path):
     assert t.read().count() == 40
     h = t.history()
     assert h[0]["operation"] == "RESTORE" and h[0]["num_files"] == 4
+
+
+def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_path):
+    """Checkpoints are parquet (columnar, zstd — no giant JSON parse at
+    millions of files); legacy .ckpt.json checkpoints still replay."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    for i in range(1, CHECKPOINT_INTERVAL + 2):
+        t.append(_batch(spark, i * 10))
+    ck = t._ckpt_file(CHECKPOINT_INTERVAL)
+    assert ck is not None and ck.endswith(".ckpt.parquet")
+    # fresh handle reconstructs through the parquet checkpoint
+    t2 = VersionedParquetTable(spark, path)
+    assert t2.read(CHECKPOINT_INTERVAL).count() == 10 * (CHECKPOINT_INTERVAL + 1)
+    assert t2.read().count() == 10 * (CHECKPOINT_INTERVAL + 2)
+
+    # legacy JSON checkpoint: replace the parquet one with old format
+    files = t2._snapshot_files(CHECKPOINT_INTERVAL)
+    os.remove(ck)
+    legacy = os.path.join(
+        path, "_manifest", f"v{CHECKPOINT_INTERVAL:010d}.ckpt.json"
+    )
+    with open(legacy, "w") as fh:
+        _json.dump({"version": CHECKPOINT_INTERVAL, "files": files}, fh)
+    t3 = VersionedParquetTable(spark, path)
+    assert t3.read(CHECKPOINT_INTERVAL).count() == 10 * (CHECKPOINT_INTERVAL + 1)
+    assert t3.read().count() == 10 * (CHECKPOINT_INTERVAL + 2)
