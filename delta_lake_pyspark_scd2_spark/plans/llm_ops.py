@@ -1548,3 +1548,51 @@ def text_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.linear_probe_scores(emb)
+
+
+@register(
+    "text_boilerplate_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             md5(lower(array_to_string(t[s + 1 : s + 50], ' '))) AS chunk_fp
+      FROM toks, UNNEST(range(0, len(t), 50)) AS u(s)
+      WHERE least(50, len(t) - s) >= 20
+    )
+    SELECT chunk_fp,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS example_doc
+    FROM chunks
+    GROUP BY chunk_fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="Boilerplate detection: non-overlapping 50-token chunks "
+    "(runts under 20 tokens skipped) fingerprinted with md5-of-"
+    "lowercased-text, grouped corpus-wide; a chunk shared by >= 2 "
+    "distinct documents is repeated boilerplate (headers, footers, "
+    "license blocks) — the paragraph-granularity complement of "
+    "document-level dedup. One narrow explode + one hash groupBy with "
+    "map-side combine; fingerprints (16 bytes) shuffle, never text.",
+)
+def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = text.chunk_tokens(docs, window=50, step=50).filter(
+        F.col("n_tokens") >= 20
+    )
+    fp = F.md5(F.lower(F.col("chunk")).cast("binary"))
+    return (
+        chunks.select("doc_id", fp.alias("chunk_fp"))
+        .groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
