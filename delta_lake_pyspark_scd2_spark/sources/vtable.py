@@ -1762,7 +1762,13 @@ class VersionedParquetTable:
             "properties": dict(m.get("properties") or {}),
         }
 
-    def vacuum(self, *, keep_versions: int = 1, dry_run: bool = False) -> dict:
+    def vacuum(
+        self,
+        *,
+        keep_versions: int = 1,
+        dry_run: bool = False,
+        orphan_grace_s: float = 3600.0,
+    ) -> dict:
         """Retention sweep (Delta ``VACUUM`` analogue): delete data
         files referenced ONLY by manifests older than the newest
         ``keep_versions``, then drop those manifests. Time travel is
@@ -1770,6 +1776,13 @@ class VersionedParquetTable:
         unreadable — the same trade Delta makes. Never touches files
         the live manifests still reference, so concurrent readers of
         kept versions are safe.
+
+        Also sweeps **orphans** — files under ``data/`` referenced by
+        NO retained manifest, and stale ``_staging-*`` dirs — which
+        crashed writes and lost commit races legitimately leave behind
+        (the write-once design's garbage, exactly like Delta's).
+        Orphans younger than ``orphan_grace_s`` are spared so an
+        in-flight concurrent write is never swept mid-commit.
 
         ``dry_run=True`` (Delta ``VACUUM ... DRY RUN``): report what
         WOULD be deleted — counts and the candidate paths — without
@@ -1842,6 +1855,25 @@ class VersionedParquetTable:
                 if name not in live_dv:
                     shutil.rmtree(os.path.join(dv_root, name))
                     n_dv_deleted += 1
+        # orphan sweep: files no retained manifest references — crashed
+        # writes, lost txn/commit races. A grace window (mtime) spares
+        # files a concurrent writer staged but hasn't committed yet.
+        n_orphans = 0
+        cutoff = time.time() - max(0.0, orphan_grace_s)
+        if os.path.isdir(data_root):
+            for root, _dirs, fnames in os.walk(data_root):
+                for fname in fnames:
+                    p = os.path.join(root, fname)
+                    rel = os.path.relpath(p, data_root)
+                    if rel not in live and os.path.getmtime(p) < cutoff:
+                        os.remove(p)
+                        n_orphans += 1
+        for name in os.listdir(self.path):
+            if name.startswith("_staging-"):
+                p = os.path.join(self.path, name)
+                if os.path.getmtime(p) < cutoff:
+                    shutil.rmtree(p, ignore_errors=True)
+                    n_orphans += 1
         # prune emptied partition dirs so listings stay honest
         for root, dirs, files in os.walk(data_root, topdown=False):
             if root != data_root and not dirs and not files:
@@ -1850,6 +1882,7 @@ class VersionedParquetTable:
             "n_files_deleted": n_deleted,
             "n_versions_dropped": len(dropped_vs),
             "n_dv_deleted": n_dv_deleted,
+            "n_orphans_deleted": n_orphans,
             "oldest_kept_version": kept_vs[0],
         }
 

@@ -274,3 +274,29 @@ def test_vacuum_dry_run_reports_without_deleting(spark, tmp_path):
     real = t.vacuum(keep_versions=1)
     for p in report["paths"]:
         assert not os.path.exists(os.path.join(data_root, p))
+
+
+def test_vacuum_sweeps_orphans_with_grace(spark, tmp_path):
+    """Files no manifest references (crashed writes, lost txn races)
+    are swept — but only past the grace window, so in-flight writes
+    are safe."""
+    import os
+    import time as _time
+
+    t = VersionedParquetTable.create(
+        spark, _batch(spark, 0, "a"), str(tmp_path / "t")
+    )
+    data_root = os.path.join(t.path, "data")
+    orphan = os.path.join(data_root, "part-orphan-deadbeef.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"junk")
+    staging = os.path.join(t.path, "_staging-deadbeef")
+    os.makedirs(staging)
+    # young orphan survives the default grace
+    out = t.vacuum(keep_versions=1)
+    assert out["n_orphans_deleted"] == 0 and os.path.exists(orphan)
+    # aged orphan is swept with grace 0
+    out = t.vacuum(keep_versions=1, orphan_grace_s=0)
+    assert out["n_orphans_deleted"] == 2
+    assert not os.path.exists(orphan) and not os.path.exists(staging)
+    assert t.read().count() == 5  # live data untouched
