@@ -1596,3 +1596,77 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "pipeline_quality_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 2
+    ),
+    words AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    big AS (
+      SELECT doc_id,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    lm AS (
+      SELECT m.doc_id,
+             ROUND(EXP(-SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                       / SUM(m.m)), 4) AS ppl
+      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(regexp_extract_all(text,
+                       '(?i)\\b(the|and|of|with|a|to|in|is)\\b'))
+                   / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                   4) AS stopword_ratio
+      FROM documents
+    )
+    SELECT q.doc_id, q.n_tokens, q.stopword_ratio, lm.ppl
+    FROM q JOIN lm USING (doc_id)
+    WHERE q.n_tokens BETWEEN 30 AND 5000
+      AND q.stopword_ratio >= 0.02
+      AND lm.ppl <= 31.0
+    """,
+    doc="Composed quality gate — the filter stage a pretraining "
+    "pipeline runs before dedup: heuristic features (token count, "
+    "stopword ratio) AND the corpus-trained bigram-LM perplexity, one "
+    "declarative plan. The heuristics are narrow per-row expressions; "
+    "the LM join reuses bigram_lm_scores' count-compressed shape, so "
+    "the gate's only corpus-wide shuffles are the LM count "
+    "aggregations.",
+)
+def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = text.token_count_ws(c)
+    stop_re = r"(?i)\b(the|and|of|with|a|to|in|is)\b"
+    heur = docs.select(
+        "doc_id",
+        toks.alias("n_tokens"),
+        F.round(
+            F.size(F.regexp_extract_all(c, F.lit(stop_re)))
+            / F.greatest(toks, F.lit(1)),
+            4,
+        ).alias("stopword_ratio"),
+    )
+    lm = text.bigram_lm_scores(docs).select("doc_id", "ppl")
+    return (
+        heur.join(lm, "doc_id")
+        .filter(
+            F.col("n_tokens").between(30, 5000)
+            & (F.col("stopword_ratio") >= 0.02)
+            & (F.col("ppl") <= 31.0)
+        )
+        .select("doc_id", "n_tokens", "stopword_ratio", "ppl")
+    )
