@@ -222,3 +222,23 @@ def test_merge_phase_b_anti_join_is_partition_scoped(spark, tmp_path):
     assert calls and seen_days <= {"1", "28"}, (calls, seen_days)
     # phase B's scope is exactly the incoming version's partition
     assert [{"valid_from_year": "2023", "valid_from_month": "1", "valid_from_day": "28"}] in calls
+
+
+def test_bm25_topk_plan_shape(spark):
+    """BM25: final ranking is a TakeOrdered (never a full global sort),
+    the |query|-row df table broadcasts, and no cartesian product."""
+    plan = _simple(REGISTRY["text_bm25_topk"].builder(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_gate_single_corpus_explode(spark):
+    """The composed quality gate evaluates its heuristics as narrow
+    row expressions: only the LM's bigram pipeline explodes the corpus
+    (generate_explode appears for bigrams/words, not per heuristic)."""
+    plan = _simple(REGISTRY["pipeline_quality_gate"].builder(spark, SF))
+    assert "CartesianProduct" not in plan
+    # heuristics must not add corpus-wide exchanges beyond the LM's
+    # count aggregations + the final doc_id join
+    assert plan.count("Exchange") <= 14
