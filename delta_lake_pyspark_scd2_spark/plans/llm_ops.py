@@ -1648,17 +1648,10 @@ def text_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    c = F.col("text")
-    toks = text.token_count_ws(c)
-    stop_re = r"(?i)\b(the|and|of|with|a|to|in|is)\b"
-    heur = docs.select(
-        "doc_id",
-        toks.alias("n_tokens"),
-        F.round(
-            F.size(F.regexp_extract_all(c, F.lit(stop_re)))
-            / F.greatest(toks, F.lit(1)),
-            4,
-        ).alias("stopword_ratio"),
+    # the heuristics are text.quality_features' — one definition of the
+    # stopword list / counting rule, shared with text_quality
+    heur = text.quality_features(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
     )
     lm = text.bigram_lm_scores(docs).select("doc_id", "ppl")
     return (

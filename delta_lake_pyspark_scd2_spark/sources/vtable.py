@@ -1176,10 +1176,14 @@ class VersionedParquetTable:
                 if tuple(sorted(f["partition"].items())) not in touched
             ]
             v = m["version"] + 1
+            # computed OUTSIDE the try: its own RuntimeError (missing
+            # identity footer stats) must surface as itself, not be
+            # misread as a lost commit race
+            ident_state = self._identity_bump(m, new_files)
             try:
                 self._commit(
                     v, kept + new_files, schema, pc, operation, metrics, cons,
-                    identity_cols=self._identity_bump(m, new_files),
+                    identity_cols=ident_state,
                 )
                 return v
             except RuntimeError:  # lost the version race — try to rebase
@@ -1317,22 +1321,32 @@ class VersionedParquetTable:
                 ]
             else:
                 touched = [{}]
-            dead = (
-                self.read_partitions(touched, with_position=True)
-                .join(gone_keys, on=keys, how="left_semi")
-                .select("__file", "__pos")
-                if touched
-                else None
-            )
-            if dead is not None and not dead.isEmpty():
-                self.remove_rows(
-                    dead,
-                    adds=updates.select(*cur.columns),
-                    operation=operation,
-                    metrics=metrics or out,
+            dead = None
+            if touched:
+                # persisted: the positional scan + semi-join feeds the
+                # emptiness gate, remove_rows' per-file counts, AND the
+                # sidecar write — without it the dominant I/O runs 3x
+                dead = (
+                    self.read_partitions(touched, with_position=True)
+                    .join(gone_keys, on=keys, how="left_semi")
+                    .select("__file", "__pos")
+                    .persist()
                 )
-            else:
-                self.append(updates.select(*cur.columns), metrics=metrics or out)
+            try:
+                if dead is not None and not dead.isEmpty():
+                    self.remove_rows(
+                        dead,
+                        adds=updates.select(*cur.columns),
+                        operation=operation,
+                        metrics=metrics or out,
+                    )
+                else:
+                    self.append(
+                        updates.select(*cur.columns), metrics=metrics or out
+                    )
+            finally:
+                if dead is not None:
+                    dead.unpersist()
             return out
         if mode != "rewrite":
             raise ValueError(f"unknown upsert mode: {mode!r}")
@@ -1462,8 +1476,10 @@ class VersionedParquetTable:
                     },
                 )
             entries.append(e)
+        new_files: list[ManifestEntry] = []
         if adds is not None:
-            entries.extend(self._write_files(_align(adds, schema), pc, cons))
+            new_files = self._write_files(_align(adds, schema), pc, cons)
+            entries.extend(new_files)
         n_dead = sum(per_file.values())
         v = m["version"] + 1
         self._commit(
@@ -1474,6 +1490,10 @@ class VersionedParquetTable:
             operation,
             metrics or {"n_deleted": n_dead, "n_files_dv": len(per_file)},
             cons,
+            # the appended replacements may carry identity values
+            # (dv-mode upsert): advance the watermark past them, or a
+            # later assignment would reuse their ids
+            identity_cols=self._identity_bump(m, new_files),
         )
         return v
 
@@ -1505,16 +1525,16 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         if zorder_by:
-            crowded = (
-                only_partitions
-                if only_partitions is not None
-                else self.partitions_of()
-            ) or [{}]
-            df = (
-                self.read_partitions(crowded)
-                if only_partitions is not None
-                else self.read()
-            )
+            if only_partitions is not None:
+                crowded = only_partitions
+                if not crowded:  # empty scope = nothing to rewrite
+                    return m["version"]
+                df = self.read_partitions(crowded)
+            else:
+                # partitions_of() is [] only for an EMPTY unpartitioned
+                # table; [{}] then targets the (empty) root partition
+                crowded = self.partitions_of() or [{}]
+                df = self.read()
             # String columns get an ORDER-PRESERVING numeric surrogate:
             # the first 7 bytes, NUL-padded to fixed width, read as a
             # big-endian integer (fits a signed long) — lexicographic
@@ -1528,11 +1548,26 @@ class VersionedParquetTable:
                 if isinstance(df.schema[c].dataType, T.StringType):
                     s = f"__zsrc_{c}"
                     surrogate[c] = s
+                    # BYTE-accurate: substring on binary slices UTF-8
+                    # bytes (rpad on the string would count CHARS — 7
+                    # multibyte chars hex to >16 digits and overflow
+                    # conv); hex is zero-right-padded to 14 digits, so
+                    # short values stay order-consistent with long ones
                     work = work.withColumn(
                         s,
                         F.coalesce(
                             F.conv(
-                                F.hex(F.rpad(F.col(c), 7, "\x00")), 16, 10
+                                F.rpad(
+                                    F.hex(
+                                        F.substring(
+                                            F.col(c).cast("binary"), 1, 7
+                                        )
+                                    ),
+                                    14,
+                                    "0",
+                                ),
+                                16,
+                                10,
                             ).cast("long"),
                             F.lit(0),
                         ),
@@ -1805,11 +1840,54 @@ class VersionedParquetTable:
                     if f["path"] not in live
                 }
             )
+            # a faithful preview includes everything the real run
+            # removes: orphans past grace, stale staging dirs, and
+            # DV sidecars no kept version references
+            cutoff = time.time() - max(0.0, orphan_grace_s)
+            data_root = os.path.join(self.path, DATA_DIR)
+            orphans = []
+            if os.path.isdir(data_root):
+                for root, _dirs, fnames in os.walk(data_root):
+                    for fname in fnames:
+                        p = os.path.join(root, fname)
+                        rel = os.path.relpath(p, data_root)
+                        try:
+                            if (
+                                rel not in live
+                                and rel not in doomed
+                                and os.path.getmtime(p) < cutoff
+                            ):
+                                orphans.append(rel)
+                        except FileNotFoundError:
+                            pass  # concurrent writer cleaned it up
+            staging = []
+            for name in os.listdir(self.path):
+                if name.startswith("_staging-"):
+                    try:
+                        if os.path.getmtime(os.path.join(self.path, name)) < cutoff:
+                            staging.append(name)
+                    except FileNotFoundError:
+                        pass
+            live_dv = {
+                p
+                for v in kept_vs
+                for f in self._snapshot_files(v)
+                for p in ((f.get("dv") or {}).get("paths", []))
+            }
+            dv_root = os.path.join(self.path, DV_DIR)
+            dead_dv = (
+                sorted(set(os.listdir(dv_root)) - live_dv)
+                if os.path.isdir(dv_root)
+                else []
+            )
             return {
                 "dry_run": True,
                 "n_data_files": len(doomed),
                 "n_versions": len(dropped_vs),
                 "paths": doomed,
+                "n_orphans": len(orphans) + len(staging),
+                "orphan_paths": sorted(orphans) + staging,
+                "n_dv": len(dead_dv),
                 "oldest_kept_version": kept_vs[0],
             }
         # The oldest kept version must stay reconstructible once the
@@ -1865,15 +1943,23 @@ class VersionedParquetTable:
                 for fname in fnames:
                     p = os.path.join(root, fname)
                     rel = os.path.relpath(p, data_root)
-                    if rel not in live and os.path.getmtime(p) < cutoff:
-                        os.remove(p)
-                        n_orphans += 1
+                    # a concurrent writer can remove its staging debris
+                    # between the listing and the stat — skip, don't die
+                    try:
+                        if rel not in live and os.path.getmtime(p) < cutoff:
+                            os.remove(p)
+                            n_orphans += 1
+                    except FileNotFoundError:
+                        pass
         for name in os.listdir(self.path):
             if name.startswith("_staging-"):
                 p = os.path.join(self.path, name)
-                if os.path.getmtime(p) < cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
-                    n_orphans += 1
+                try:
+                    if os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                        n_orphans += 1
+                except FileNotFoundError:
+                    pass
         # prune emptied partition dirs so listings stay honest
         for root, dirs, files in os.walk(data_root, topdown=False):
             if root != data_root and not dirs and not files:
