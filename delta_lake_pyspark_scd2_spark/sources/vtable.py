@@ -2199,15 +2199,19 @@ class VersionedParquetTable:
     def table_changes(
         self,
         key_cols: "Sequence[str]",
-        version_from: int,
+        version_from: int | None = None,
         version_to: int | None = None,
+        *,
+        timestamp_from: float | None = None,
     ) -> DataFrame:
         """Row-level diff between two snapshots — the Delta change data
         feed (``table_changes``) analogue the reference's consumers
         would use for downstream incremental loads. Output = the
         ``version_to`` schema plus ``_change_type`` (``insert`` /
         ``delete`` / ``update_preimage`` / ``update_postimage``) and
-        ``_commit_version``.
+        ``_commit_version``. ``timestamp_from`` (epoch seconds) is the
+        ``startingTimestamp`` form: changes since the newest commit at
+        or before that time.
 
         Scale: the two manifests are diffed FIRST — data files are
         immutable, so any row whose file is referenced by both versions
@@ -2218,6 +2222,10 @@ class VersionedParquetTable:
         just that changed slice.
         """
         keys = list(key_cols)
+        if (version_from is None) == (timestamp_from is None):
+            raise ValueError("pass exactly one of version_from / timestamp_from")
+        if timestamp_from is not None:
+            version_from = self.version_at_timestamp(timestamp_from)
         v_to = self.latest_version() if version_to is None else version_to
         m_from = self._load_manifest(version_from)
         m_to = self._load_manifest(v_to)

@@ -183,3 +183,21 @@ def test_real_concurrent_appends_all_land(spark, tmp_path):
     assert t.read().count() == 10 + 12 * 10  # every batch landed once
     vs = t.versions()
     assert vs == list(range(13))  # contiguous chain, no clobbered commit
+
+
+def test_table_changes_by_timestamp(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
+    t.append(_batch(spark, 10))
+    t.append(_batch(spark, 20))
+    for v, ts in [(0, 1000.0), (1, 2000.0), (2, 3000.0)]:
+        _set_commit_ts(t, v, ts)
+    t = VersionedParquetTable(spark, path)
+    ch = t.table_changes(["id"], timestamp_from=2000.0)
+    got = {r["id"] for r in ch.collect()}
+    assert got == set(range(20, 30))  # only the post-v1 insert batch
+    assert ch.filter(F.col("_change_type") != "insert").count() == 0
+    with pytest.raises(ValueError, match="exactly one"):
+        t.table_changes(["id"], 0, timestamp_from=1000.0)
+    with pytest.raises(ValueError, match="exactly one"):
+        t.table_changes(["id"])
