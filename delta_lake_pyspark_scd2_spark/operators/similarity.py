@@ -383,6 +383,12 @@ def linear_probe_scores(
         .orderBy("__d")
         .collect()
     )
+    if any(r["__w"] is None for r in w_rows):
+        raise ValueError(
+            "linear_probe_scores needs BOTH classes present: every row "
+            f"has label {'==' if w_rows else '!='} good_label, so one "
+            "class centroid is undefined"
+        )
     w = F.array(*[F.lit(float(r["__w"])) for r in w_rows])
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-dot(F.col(vec_col), w)))
     return df.select(

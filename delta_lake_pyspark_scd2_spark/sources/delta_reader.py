@@ -220,16 +220,19 @@ class DeltaTableReader:
         version: int | None = None,
         *,
         timestamp_ms: int | None = None,
+        snapshot: "DeltaSnapshot | None" = None,
     ) -> DataFrame:
         """Snapshot DataFrame in the table schema's column order, with
         partition columns typed per the schema (Delta stores them as
         strings in the log / directory names). ``version`` is
-        ``versionAsOf``; ``timestamp_ms`` is ``timestampAsOf``."""
+        ``versionAsOf``; ``timestamp_ms`` is ``timestampAsOf``; a
+        caller that already built a ``snapshot`` passes it to skip a
+        second log replay."""
         if version is not None and timestamp_ms is not None:
             raise ValueError("pass version or timestamp_ms, not both")
         if timestamp_ms is not None:
             version = self.version_at_timestamp(timestamp_ms)
-        snap = self.snapshot(version)
+        snap = snapshot if snapshot is not None else self.snapshot(version)
         if not snap.files:
             return self.spark.createDataFrame([], snap.schema)
         # PROTOCOL.md: add.path is the RELATIVE path, URL-encoded —
@@ -297,7 +300,7 @@ def import_delta_as_vtable(
 
     reader = DeltaTableReader(spark, delta_path)
     snap = reader.snapshot(version)
-    df = reader.read(version)
+    df = reader.read(snapshot=snap)  # one log replay, not two
     return VersionedParquetTable.create(
         spark,
         df,

@@ -419,11 +419,7 @@ class VersionedParquetTable:
             # actions): every commit carries the full app→version map so
             # a reader needs one commit record, not a log scan. The map
             # is bounded by the number of distinct writer apps — small.
-            txns = (
-                self._load_commit(version - 1).get("txns", {})
-                if version > 0
-                else {}
-            )
+            txns = parent.get("txns", {})
         # Delta record: diff the desired file set against the parent
         # snapshot — commit size ∝ files this operation touched. Data
         # files are written-once, but an entry's METADATA can change
@@ -491,6 +487,7 @@ class VersionedParquetTable:
         partition_cols: list[str],
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
+        mapping: dict[str, str] | None = None,
     ) -> list[ManifestEntry]:
         """Write df once via Spark (partitioned layout), then move the
         produced parquet files into ``data/`` under their partition
@@ -514,6 +511,10 @@ class VersionedParquetTable:
             generated = (
                 self.generated_columns() if self.is_table(self.path) else {}
             )
+        if mapping is None:
+            mapping = (
+                self.column_mapping() if self.is_table(self.path) else {}
+            )
         checks = dict(constraints or {})
         for c, e in generated.items():
             # writer-supplied generated columns must equal their
@@ -534,7 +535,6 @@ class VersionedParquetTable:
                     for n, e in constraints.items()
                 ],
             )
-        mapping = self.column_mapping() if self.is_table(self.path) else {}
         if any(log != phys for log, phys in mapping.items()):
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
@@ -962,14 +962,19 @@ class VersionedParquetTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
             new_fields = {f.name for f in schema.fields}
-            retired = set(m.get("retired_physical", []))
+            # blocked names: dropped-column tombstones AND the live
+            # physical slots of renamed columns — a new logical column
+            # with either name would collide with on-disk data
+            retired = set(m.get("retired_physical", [])) | set(
+                (m.get("column_mapping") or {}).values()
+            )
             for f in df.schema.fields:
                 if f.name not in new_fields:
                     if f.name in retired:
                         raise ValueError(
-                            f"cannot re-add dropped column {f.name}: live "
-                            "files still hold its old data under that "
-                            "physical name — rewrite the table first"
+                            f"cannot add column {f.name}: live files hold "
+                            "data under that physical name (dropped or "
+                            "renamed-away column) — rewrite the table first"
                         )
                     schema = schema.add(f.name, f.dataType, True)
         ident_assigned = any(
@@ -982,7 +987,9 @@ class VersionedParquetTable:
         df = _align(df, schema)
         cons = m.get("constraints") or {}
         new_files = self._write_files(
-            df, pc, cons, generated=m.get("generated_cols")
+            df, pc, cons,
+            generated=m.get("generated_cols"),
+            mapping=m.get("column_mapping"),
         )
         ident = self._identity_bump(m, new_files)
         base_schema_json, base_cons = m["schema"], cons
@@ -1058,25 +1065,31 @@ class VersionedParquetTable:
         whose live file count crossed ``autoCompact.minFiles``.
         Best-effort: a commit-race loss skips the compaction — the
         next crossing append retries it."""
-        props = self.properties()
-        if props.get("autoCompact", "").lower() != "true":
-            return
-        thr = max(2, int(props.get("autoCompact.minFiles", "16")))
-        touched = {tuple(sorted(e.partition.items())) for e in new_files}
-        per: dict[tuple, int] = {}
-        for f in self._current()["files"]:
-            k = tuple(sorted(f["partition"].items()))
-            if k in touched:
-                per[k] = per.get(k, 0) + 1
-        crowded = [dict(k) for k, n in per.items() if n >= thr]
-        if not crowded:
-            return
+        # ENTIRELY best-effort, and it runs AFTER the append's commit
+        # has durably succeeded: no exception may escape, or a caller
+        # would retry an append that actually landed (double-write).
         try:
+            props = self.properties()
+            if props.get("autoCompact", "").lower() != "true":
+                return
+            try:
+                thr = max(2, int(props.get("autoCompact.minFiles", "16")))
+            except ValueError:
+                thr = 16  # malformed property: fall back, don't fail
+            touched = {tuple(sorted(e.partition.items())) for e in new_files}
+            per: dict[tuple, int] = {}
+            for f in self._current()["files"]:
+                k = tuple(sorted(f["partition"].items()))
+                if k in touched:
+                    per[k] = per.get(k, 0) + 1
+            crowded = [dict(k) for k, n in per.items() if n >= thr]
+            if not crowded:
+                return
             self.compact(
                 max_files_per_partition=thr - 1, only_partitions=crowded
             )
-        except RuntimeError:
-            pass  # lost a race to a concurrent writer; best-effort
+        except Exception:  # noqa: BLE001 — commit-race loss, transient FS…
+            pass
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
         m = self._current()
@@ -1086,7 +1099,11 @@ class VersionedParquetTable:
             self._apply_generated(df, m.get("generated_cols")),
             m.get("identity_cols"),
         )
-        files = self._write_files(df, pc, cons, generated=m.get("generated_cols"))
+        files = self._write_files(
+            df, pc, cons,
+            generated=m.get("generated_cols"),
+            mapping=m.get("column_mapping"),
+        )
         v = m["version"] + 1
         self._commit(
             v, files, df.schema, pc, "OVERWRITE", metrics, cons,
@@ -1124,14 +1141,16 @@ class VersionedParquetTable:
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
             have = {f.name for f in schema.fields}
-            retired = set(m.get("retired_physical", []))
+            retired = set(m.get("retired_physical", [])) | set(
+                (m.get("column_mapping") or {}).values()
+            )
             for f in df.schema.fields:
                 if f.name not in have:
                     if f.name in retired:
                         raise ValueError(
-                            f"cannot re-add dropped column {f.name}: live "
-                            "files still hold its old data under that "
-                            "physical name — rewrite the table first"
+                            f"cannot add column {f.name}: live files hold "
+                            "data under that physical name (dropped or "
+                            "renamed-away column) — rewrite the table first"
                         )
                     schema = schema.add(f.name, f.dataType, True)
         touched = {tuple(sorted(p.items())) for p in partitions}
@@ -1150,6 +1169,7 @@ class VersionedParquetTable:
             pc,
             cons,
             generated=m.get("generated_cols"),
+            mapping=m.get("column_mapping"),
         )
         stray = [
             e for e in new_files if tuple(sorted(e.partition.items())) not in touched
@@ -1276,13 +1296,26 @@ class VersionedParquetTable:
         m = self._current()
         pc = list(m["partition_cols"])
         cur = self.read()
-        # derive omitted generated/identity columns up front: the
-        # partition derivation below and the union with survivors need
-        # them (identity rows here are NEW keys getting fresh ids)
-        updates = self._apply_identity(
-            self._apply_generated(updates, m.get("generated_cols")),
-            m.get("identity_cols"),
-        )
+        updates = self._apply_generated(updates, m.get("generated_cols"))
+        # Identity semantics match Delta MERGE with BY DEFAULT columns:
+        # only NOT-MATCHED (insert) rows get fresh ids; a matched row
+        # whose update omits the identity column KEEPS its existing id
+        # (carried from the old row — reassigning would silently break
+        # every downstream reference to the surrogate key).
+        ident = m.get("identity_cols") or {}
+        omitted = [c for c in ident if c not in updates.columns]
+        if omitted:
+            old_ids = cur.groupBy(*keys).agg(
+                *[F.min(c).alias(c) for c in omitted]
+            )
+            matched_upd = updates.join(old_ids, on=keys, how="inner")
+            new_upd = self._apply_identity(
+                updates.join(old_ids.select(*keys), on=keys, how="left_anti"),
+                ident,
+            )
+            updates = matched_upd.unionByName(
+                new_upd.select(*matched_upd.columns)
+            )
         upd_keys = updates.select(*keys).distinct()
         if sync_deletes:
             if deletes is not None:
@@ -1403,7 +1436,10 @@ class VersionedParquetTable:
             if f["path"] in candidates
         )
         cons = m.get("constraints") or {}
-        new_files = self._write_files(_align(survivors, schema), pc)
+        new_files = self._write_files(
+            _align(survivors, schema), pc,
+            mapping=m.get("column_mapping"),
+        )
         n_after = sum(e.rows or 0 for e in new_files)
         v = m["version"] + 1
         out = {
@@ -1478,7 +1514,15 @@ class VersionedParquetTable:
             entries.append(e)
         new_files: list[ManifestEntry] = []
         if adds is not None:
-            new_files = self._write_files(_align(adds, schema), pc, cons)
+            adds = self._apply_identity(
+                self._apply_generated(adds, m.get("generated_cols")),
+                m.get("identity_cols"),
+            )
+            new_files = self._write_files(
+                _align(adds, schema), pc, cons,
+                generated=m.get("generated_cols"),
+                mapping=m.get("column_mapping"),
+            )
             entries.extend(new_files)
         n_dead = sum(per_file.values())
         v = m["version"] + 1
