@@ -1082,6 +1082,75 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "arrow_group_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_bucket,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Arrow-native custom-function pair (Spark 4 `mapInArrow` + "
+    "grouped `applyInArrow`): a narrow per-batch RecordBatch transform "
+    "derives an int64 bucket column without ever materializing pandas "
+    "objects, then a grouped Arrow table function computes per-group "
+    "stats. Completes the custom-operator matrix alongside pandas_udf / "
+    "applyInPandas / UDTF / applyInPandasWithState: mapInArrow is the "
+    "zero-copy batch surface for libraries that speak Arrow directly "
+    "(no pandas conversion tax). Outputs are exact (count, int64 sum, "
+    "min/max — no float summation), so the Arrow path value-hashes "
+    "against the SQL aggregate. Scale: the grouped stage shuffles once "
+    "on the group key; per-group state is O(1).",
+)
+def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_bucket(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            bucket = pc.cast(pc.floor(t.column("value")), pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column("event_type").combine_chunks(),
+                    t.column("value").combine_chunks(),
+                    bucket.combine_chunks(),
+                ],
+                names=["event_type", "value", "vbucket"],
+            )
+
+    def grp_stats(table: pa.Table) -> pa.Table:
+        et = table.column("event_type")[0].as_py() if table.num_rows else None
+        return pa.table(
+            {
+                "event_type": pa.array([et], pa.string()),
+                "n": pa.array([table.num_rows], pa.int64()),
+                "sum_bucket": pa.array(
+                    [pc.sum(table.column("vbucket")).as_py()], pa.int64()
+                ),
+                "min_value": pa.array(
+                    [pc.min(table.column("value")).as_py()], pa.float64()
+                ),
+                "max_value": pa.array(
+                    [pc.max(table.column("value")).as_py()], pa.float64()
+                ),
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    mapped = ev.select("event_type", "value").mapInArrow(
+        add_bucket, "event_type string, value double, vbucket bigint"
+    )
+    return mapped.groupBy("event_type").applyInArrow(
+        grp_stats,
+        "event_type string, n bigint, sum_bucket bigint, "
+        "min_value double, max_value double",
+    )
+
+
+@register(
     "sample_stratified",
     oracle="""
     SELECT event_id, event_type

@@ -753,6 +753,53 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "f_variant_semi",
+    oracle="""
+    SELECT event_id,
+           COALESCE(CASE WHEN event_id % 97 = 0 THEN NULL
+                         ELSE CAST(json_extract(props, '$.k') AS INT) END,
+                    -1) AS vk,
+           event_id % 97 = 0 AS malformed,
+           CAST(json_extract('{"outer": ' || props || ', "tags": ["alpha","beta"]}',
+                             '$.outer.k') AS BIGINT) AS nested_k,
+           json_extract_string('{"outer": ' || props || ', "tags": ["alpha","beta"]}',
+                               '$.tags[1]') AS tag1
+    FROM events
+    """,
+    doc="VARIANT semi-structured pipeline (Spark 4): parse_json once into "
+    "the binary Variant encoding, then typed `variant_get` path access — "
+    "object field, nested object, array index — plus `try_parse_json` "
+    "null-on-malformed semantics (1 in 97 rows is truncated to invalid "
+    "JSON). This is the log-ingestion shape at 100 TB: parse each props "
+    "blob ONCE at scan time and do all downstream extraction against the "
+    "pre-parsed binary (no re-tokenizing per path, unlike repeated "
+    "get_json_object calls); typed extraction avoids string round-trips. "
+    "Narrow per-row expressions, no shuffle. Missing-path int is "
+    "COALESCE'd to -1 on both engines so the output column stays "
+    "non-null int32 (nullable-int becomes float64 in pandas — the "
+    "canonicalizer hazard class).",
+)
+def f_variant_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    corrupt = F.when(
+        F.col("event_id") % 97 == 0,
+        F.expr("substring(props, 1, length(props) - 1)"),
+    ).otherwise(F.col("props"))
+    nested_js = F.concat(
+        F.lit('{"outer": '), F.col("props"), F.lit(', "tags": ["alpha","beta"]}')
+    )
+    v = F.try_parse_json(corrupt)
+    nested = F.parse_json(nested_js)
+    return ev.select(
+        "event_id",
+        F.coalesce(F.variant_get(v, "$.k", "int"), F.lit(-1)).alias("vk"),
+        v.isNull().alias("malformed"),
+        F.variant_get(nested, "$.outer.k", "bigint").alias("nested_k"),
+        F.variant_get(nested, "$.tags[1]", "string").alias("tag1"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multi-join analytical queries (SQL surface §2.9, bench headliners).
 # ---------------------------------------------------------------------------
