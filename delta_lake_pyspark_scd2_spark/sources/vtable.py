@@ -488,6 +488,7 @@ class VersionedParquetTable:
         constraints: dict[str, str] | None = None,
         generated: dict[str, str] | None = None,
         mapping: dict[str, str] | None = None,
+        layout_ready: bool = False,
     ) -> list[ManifestEntry]:
         """Write df once via Spark (partitioned layout), then move the
         produced parquet files into ``data/`` under their partition
@@ -539,6 +540,18 @@ class VersionedParquetTable:
             df = df.select(
                 *[F.col(c).alias(mapping.get(c, c)) for c in df.columns]
             )
+        if partition_cols and not layout_ready:
+            # One shuffle keyed on the partition columns ahead of the
+            # partitioned write. Without it every upstream task emits a
+            # file into every partition it touches — tasks × partitions
+            # small files per commit (measured: a 50k-row SCD2 append
+            # across 15 day-partitions wrote ~470 files from 32 shuffle
+            # tasks). AQE rebalance lands ~one right-sized file per
+            # partition and still splits partitions past the advisory
+            # size, so hot days keep write parallelism. Callers that
+            # pre-arrange the physical layout (ZORDER's range-sorted
+            # files) pass layout_ready=True to skip it.
+            df = df.hint("rebalance", *partition_cols)
         writer = df.write.mode("overwrite")
         if partition_cols:
             writer = writer.partitionBy(*partition_cols)
@@ -1119,6 +1132,7 @@ class VersionedParquetTable:
         operation: str = "REPLACE_PARTITIONS",
         merge_schema: bool = False,
         metrics: "dict | Callable[[], dict] | None" = None,
+        layout_ready: bool = False,
     ) -> int:
         """Partition-scoped copy-on-write: swap the files of exactly
         ``partitions`` for ``df``'s files; every other partition is
@@ -1170,6 +1184,7 @@ class VersionedParquetTable:
             cons,
             generated=m.get("generated_cols"),
             mapping=m.get("column_mapping"),
+            layout_ready=layout_ready,
         )
         stray = [
             e for e in new_files if tuple(sorted(e.partition.items())) not in touched
@@ -1634,6 +1649,8 @@ class VersionedParquetTable:
             return self.replace_partitions(
                 df, crowded, operation="ZORDER",
                 metrics={"n_partitions": len(crowded), "zorder_by": list(zorder_by)},
+                # the range-sorted layout IS the point — no rebalance
+                layout_ready=True,
             )
         scope = (
             {tuple(sorted(p.items())) for p in only_partitions}
@@ -1659,13 +1676,14 @@ class VersionedParquetTable:
         if not crowded:
             return m["version"]
         df = self.read_partitions(crowded)
-        if pc:
-            df = df.repartition(*[F.col(c) for c in pc])
-        else:
+        if not pc:
             df = df.coalesce(1)
+        # partitioned case: _write_files' rebalance-on-partition-cols
+        # provides the coalescing (and splits oversized partitions)
         return self.replace_partitions(
             df, crowded, operation="COMPACT",
             metrics={"n_partitions": len(crowded)},
+            layout_ready=not pc,
         )
 
     def restore(self, version: int) -> int:
