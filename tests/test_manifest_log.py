@@ -148,3 +148,26 @@ def test_parquet_checkpoint_roundtrip_and_legacy_json(spark, tmp_path):
     t3 = VersionedParquetTable(spark, path)
     assert t3.read(CHECKPOINT_INTERVAL).count() == 10 * (CHECKPOINT_INTERVAL + 1)
     assert t3.read().count() == 10 * (CHECKPOINT_INTERVAL + 2)
+
+
+def test_partitioned_append_writes_one_file_per_partition(spark, tmp_path):
+    """A many-task append into a partitioned table lands ~one file per
+    touched partition, not tasks x partitions: _write_files rebalances
+    on the partition columns ahead of the partitionBy write (the
+    small-file hazard the reference's partitioning_strategies.md:27
+    flags). Source df is forced to 8 upstream partitions; without the
+    rebalance each of the 8 tasks would emit a file into each of the 4
+    value-partitions (up to 32 files)."""
+    path = str(tmp_path / "t")
+    base = (
+        spark.range(0, 4000)
+        .repartition(8)
+        .select(F.col("id"), (F.col("id") % 4).cast("string").alias("p"))
+    )
+    t = VersionedParquetTable.create(spark, base, path, partition_cols=["p"])
+    raw = json.load(open(t._manifest_path(0)))
+    assert len(raw["add"]) == 4, [f["path"] for f in raw["add"]]
+    t.append(base)
+    raw1 = json.load(open(t._manifest_path(1)))
+    assert len(raw1["add"]) == 4
+    assert t.read().count() == 8000
