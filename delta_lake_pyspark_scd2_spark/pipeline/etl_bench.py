@@ -80,9 +80,13 @@ def run_synthetic_volume_bench(
 
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
-    1M        13.2       16.8        ~60k          54.73 s
-    10M       28.1       39.6        253k          226.76 s
+    1M        9.0        12.2        ~82k          54.73 s
+    10M       16.4       31.2        321k          226.76 s
     ========  =========  ==========  ============  ================
+
+    (Post rebalance-on-partition-columns write layout: the load path
+    dropped ~40% — one right-sized file per partition instead of
+    tasks × partitions small files.)
 
     (Warm-session numbers; a cold first run pays one-time JIT/codegen.
     Every synthetic event carries distinct tracked values, so versions
