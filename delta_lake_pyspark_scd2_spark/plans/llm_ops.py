@@ -1110,13 +1110,13 @@ def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def add_bucket(batches):
         for batch in batches:
-            t = pa.Table.from_batches([batch])
-            bucket = pc.cast(pc.floor(t.column("value")), pa.int64())
+            # RecordBatch columns are contiguous Arrays — compute and
+            # re-wrap directly, no Table/combine_chunks copies
             yield pa.RecordBatch.from_arrays(
                 [
-                    t.column("event_type").combine_chunks(),
-                    t.column("value").combine_chunks(),
-                    bucket.combine_chunks(),
+                    batch.column("event_type"),
+                    batch.column("value"),
+                    pc.cast(pc.floor(batch.column("value")), pa.int64()),
                 ],
                 names=["event_type", "value", "vbucket"],
             )

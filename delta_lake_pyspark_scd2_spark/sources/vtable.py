@@ -609,6 +609,7 @@ class VersionedParquetTable:
         generated_cols: dict[str, str] | None = None,
         identity_cols: dict[str, dict] | None = None,
         properties: dict[str, str] | None = None,
+        layout_ready: bool = False,
     ) -> "VersionedParquetTable":
         """Initial partitioned write (reference S7,
         ``src/header_etl.py:159-162``). ``txn`` records a writer
@@ -634,7 +635,7 @@ class VersionedParquetTable:
             for c, s in (identity_cols or {}).items()
         }
         df = t._apply_identity(t._apply_generated(df, gen), ident)
-        files = t._write_files(df, pc, generated=gen)
+        files = t._write_files(df, pc, generated=gen, layout_ready=layout_ready)
         t._commit(
             0, files, df.schema, pc, "CREATE", metrics,
             txns={txn[0]: txn[1]} if txn else {},
@@ -947,7 +948,8 @@ class VersionedParquetTable:
 
     def append(self, df: DataFrame, *, merge_schema: bool = False,
                metrics: "dict | Callable[[], dict] | None" = None,
-               txn: tuple[str, int] | None = None) -> int:
+               txn: tuple[str, int] | None = None,
+               layout_ready: bool = False) -> int:
         """Append-only commit (reference S9 ``mergeSchema`` append,
         ``schema_evolution_step1.py:144``): adds files, never rewrites.
         With ``merge_schema`` the committed schema is the union; old
@@ -965,7 +967,12 @@ class VersionedParquetTable:
         append is a no-op returning the current version — so a
         micro-batch replayed after a sink crash lands exactly once.
         The check re-runs after every commit-race rebase, closing the
-        window where two replicas replay the same batch concurrently."""
+        window where two replicas replay the same batch concurrently.
+
+        ``layout_ready=True`` skips the pre-write rebalance on the
+        partition columns — for writers that pre-arranged the physical
+        layout themselves (e.g. range-sorted batches for data
+        skipping) and accept the small-file trade."""
         m = self._current()
         if txn is not None:
             applied = m.get("txns", {}).get(txn[0])
@@ -1003,6 +1010,7 @@ class VersionedParquetTable:
             df, pc, cons,
             generated=m.get("generated_cols"),
             mapping=m.get("column_mapping"),
+            layout_ready=layout_ready,
         )
         ident = self._identity_bump(m, new_files)
         base_schema_json, base_cons = m["schema"], cons
@@ -1104,7 +1112,8 @@ class VersionedParquetTable:
         except Exception:  # noqa: BLE001 — commit-race loss, transient FS…
             pass
 
-    def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None) -> int:
+    def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None,
+                  layout_ready: bool = False) -> int:
         m = self._current()
         pc = list(m["partition_cols"])
         cons = m.get("constraints") or {}
@@ -1116,6 +1125,7 @@ class VersionedParquetTable:
             df, pc, cons,
             generated=m.get("generated_cols"),
             mapping=m.get("column_mapping"),
+            layout_ready=layout_ready,
         )
         v = m["version"] + 1
         self._commit(
@@ -1454,6 +1464,11 @@ class VersionedParquetTable:
         new_files = self._write_files(
             _align(survivors, schema), pc,
             mapping=m.get("column_mapping"),
+            # narrow per-file rewrite: survivors keep their source
+            # files' (possibly z-ordered) row order and tight stats;
+            # a rebalance here would merge-shuffle them and widen
+            # every rewritten file's min/max
+            layout_ready=True,
         )
         n_after = sum(e.rows or 0 for e in new_files)
         v = m["version"] + 1
@@ -1676,14 +1691,16 @@ class VersionedParquetTable:
         if not crowded:
             return m["version"]
         df = self.read_partitions(crowded)
-        if not pc:
-            df = df.coalesce(1)
-        # partitioned case: _write_files' rebalance-on-partition-cols
-        # provides the coalescing (and splits oversized partitions)
+        # Deterministic post-compact layout: exactly one file per
+        # partition (the max_files_per_partition<=1 contract the
+        # auto-compact trigger sizes its threshold against — an AQE
+        # rebalance could re-split an oversized partition above the
+        # threshold and turn auto-compact into a rewrite treadmill).
+        df = df.repartition(*[F.col(c) for c in pc]) if pc else df.coalesce(1)
         return self.replace_partitions(
             df, crowded, operation="COMPACT",
             metrics={"n_partitions": len(crowded)},
-            layout_ready=not pc,
+            layout_ready=True,
         )
 
     def restore(self, version: int) -> int:
