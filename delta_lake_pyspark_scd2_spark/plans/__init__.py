@@ -7,11 +7,89 @@ derives its ``queries()`` / ``oracle_sql()`` contract from it.
 
 from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY, QuerySpec, register
 
-# Populate the registry (import order == presentation order).
+# Populate the registry (import order fills it; _PRIORITY below sets the
+# final presentation order).
 from delta_lake_pyspark_scd2_spark.plans import relational  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import tpch_shapes  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import scd2_queries  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import llm_ops  # noqa: E402,F401
 from delta_lake_pyspark_scd2_spark.plans import generator_queries  # noqa: E402,F401
+
+# Presentation order for the registry. External consumers sample the
+# HEAD of this ordering (the driver's correctness gate checks the first
+# 50 entries), so the head is one representative per SURVEY.md §2
+# family PLUS every SCD2 pipeline query and the LLM-data-pipeline
+# flagships. Everything not named keeps its import order after these.
+_PRIORITY: list[str] = [
+    # flagship
+    "q1_pricing_summary",
+    # SCD2 engine queries — the reference's core capability
+    "scd2_intervalize",
+    "scd2_point_in_time",
+    "scd2_variation_count",
+    "scd2_detect_changes",
+    "scd2_asof_join",
+    "scd2_late_rebuild",
+    "scd2_invariants_clean",
+    "s8_generic_upsert",
+    "dv_delete_update",
+    # LLM-data-pipeline flagships
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard_prefix",
+    "dedup_cluster_canonical",
+    "dedup_embedding_lsh",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "text_quality",
+    "text_bm25_topk",
+    "decontam_survivors",
+    "mixture_resample",
+    "sessionize",
+    "stream_window_agg",
+    "pipeline_corpus_prep",
+    "pipeline_pretrain_recipe",
+    "pipeline_quality_gate",
+    # one representative per relational §2 family
+    "s1_csv_roundtrip",
+    "p1_projection_filter",
+    "p6_null_safe_compare",
+    "p9_conditional_bucket",
+    "j1_join_agg",
+    "j2_theta_residual",
+    "j4_anti_join",
+    "j5_multikey_join",
+    "j7_semi_join",
+    "j8_salted_join",
+    "j9_range_join",
+    "a1_groupby_min",
+    "a2_single_pass_metrics",
+    "a5_sql_count",
+    "a6_distinct",
+    "w2_rownum_latest",
+    "w3_count_over_singletons",
+    "o1_top10_orders",
+    "o2_scalar_bounds",
+    "u1_union_all",
+    "u2_union_by_name",
+    "f_string_suite",
+    "f_timestamp_fallback",
+    "f_date_parts",
+]
+
+
+def _apply_priority_order() -> None:
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:  # fail loudly at import: a rename must update _PRIORITY
+        raise KeyError(f"_PRIORITY names absent from REGISTRY: {missing}")
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_apply_priority_order()
 
 __all__ = ["REGISTRY", "QuerySpec", "register"]
