@@ -57,6 +57,7 @@ import re
 import shutil
 import time
 import uuid
+import warnings
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
@@ -839,7 +840,7 @@ class VersionedParquetTable:
         cons = m.get("constraints") or {}
         referenced = [
             n for n, e in cons.items()
-            if re.search(rf"\b{re.escape(old)}\b", e)
+            if re.search(rf"\b{re.escape(old)}\b", e, re.IGNORECASE)
         ]
         if referenced:
             raise ValueError(
@@ -849,7 +850,7 @@ class VersionedParquetTable:
         gen = m.get("generated_cols") or {}
         gen_hits = [
             c for c, e in gen.items()
-            if c == old or re.search(rf"\b{re.escape(old)}\b", e)
+            if c == old or re.search(rf"\b{re.escape(old)}\b", e, re.IGNORECASE)
         ]
         if gen_hits:
             raise ValueError(
@@ -902,7 +903,7 @@ class VersionedParquetTable:
         cons = m.get("constraints") or {}
         referenced = [
             n for n, e in cons.items()
-            if re.search(rf"\b{re.escape(name)}\b", e)
+            if re.search(rf"\b{re.escape(name)}\b", e, re.IGNORECASE)
         ]
         if referenced:
             raise ValueError(
@@ -912,7 +913,7 @@ class VersionedParquetTable:
         gen = m.get("generated_cols") or {}
         gen_hits = [
             c for c, e in gen.items()
-            if c == name or re.search(rf"\b{re.escape(name)}\b", e)
+            if c == name or re.search(rf"\b{re.escape(name)}\b", e, re.IGNORECASE)
         ]
         if gen_hits:
             raise ValueError(
@@ -1109,8 +1110,15 @@ class VersionedParquetTable:
             self.compact(
                 max_files_per_partition=thr - 1, only_partitions=crowded
             )
-        except Exception:  # noqa: BLE001 — commit-race loss, transient FS…
-            pass
+        except Exception as e:  # noqa: BLE001 — commit-race loss, transient FS…
+            # keep the no-raise contract, but a PERSISTENTLY failing
+            # auto-compaction (corrupt partition, permissions) must not
+            # be invisible while small files pile up
+            warnings.warn(
+                f"auto-compaction skipped on {self.path}: {e!r}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None,
                   layout_ready: bool = False) -> int:
@@ -1954,11 +1962,18 @@ class VersionedParquetTable:
                 for p in ((f.get("dv") or {}).get("paths", []))
             }
             dv_root = os.path.join(self.path, DV_DIR)
-            dead_dv = (
-                sorted(set(os.listdir(dv_root)) - live_dv)
-                if os.path.isdir(dv_root)
-                else []
-            )
+            dead_dv = []
+            if os.path.isdir(dv_root):
+                for name in sorted(set(os.listdir(dv_root)) - live_dv):
+                    # same grace window as data-file orphans: a dv-mode
+                    # upsert writes its sidecar BEFORE its manifest
+                    # commit, so a young unreferenced sidecar may belong
+                    # to an in-flight writer
+                    try:
+                        if os.path.getmtime(os.path.join(dv_root, name)) < cutoff:
+                            dead_dv.append(name)
+                    except FileNotFoundError:
+                        pass
             return {
                 "dry_run": True,
                 "n_data_files": len(doomed),
@@ -2007,16 +2022,24 @@ class VersionedParquetTable:
         }
         dv_root = os.path.join(self.path, DV_DIR)
         n_dv_deleted = 0
+        cutoff = time.time() - max(0.0, orphan_grace_s)
         if os.path.isdir(dv_root):
             for name in os.listdir(dv_root):
                 if name not in live_dv:
+                    # grace window: a dv-mode upsert writes its sidecar
+                    # before its manifest commit, so a young
+                    # unreferenced sidecar may be an in-flight write
+                    try:
+                        if os.path.getmtime(os.path.join(dv_root, name)) >= cutoff:
+                            continue
+                    except FileNotFoundError:
+                        continue
                     shutil.rmtree(os.path.join(dv_root, name))
                     n_dv_deleted += 1
         # orphan sweep: files no retained manifest references — crashed
         # writes, lost txn/commit races. A grace window (mtime) spares
         # files a concurrent writer staged but hasn't committed yet.
         n_orphans = 0
-        cutoff = time.time() - max(0.0, orphan_grace_s)
         if os.path.isdir(data_root):
             for root, _dirs, fnames in os.walk(data_root):
                 for fname in fnames:
@@ -2289,8 +2312,11 @@ class VersionedParquetTable:
         ``version_to`` schema plus ``_change_type`` (``insert`` /
         ``delete`` / ``update_preimage`` / ``update_postimage``) and
         ``_commit_version``. ``timestamp_from`` (epoch seconds) is the
-        ``startingTimestamp`` form: changes since the newest commit at
-        or before that time.
+        ``startingTimestamp`` form and follows Delta CDF's resolution
+        rule: the earliest commit at or after the timestamp is the
+        first INCLUDED commit (a commit landing exactly at the
+        timestamp is part of the feed). Raises if every commit
+        precedes the timestamp, as Delta does.
 
         Scale: the two manifests are diffed FIRST — data files are
         immutable, so any row whose file is referenced by both versions
@@ -2304,7 +2330,27 @@ class VersionedParquetTable:
         if (version_from is None) == (timestamp_from is None):
             raise ValueError("pass exactly one of version_from / timestamp_from")
         if timestamp_from is not None:
-            version_from = self.version_at_timestamp(timestamp_from)
+            # Delta CDF startingTimestamp: first INCLUDED commit is the
+            # earliest one at-or-after ts, so the diff base (excluded)
+            # is the version just below it.
+            vs = self.versions()
+            idx = None
+            for i, v in enumerate(vs):
+                if self._load_commit(v)["timestamp"] >= timestamp_from:
+                    idx = i
+                    break
+            if idx is None:
+                raise ValueError(
+                    f"timestamp {timestamp_from} is after the last commit of "
+                    f"{self.path}: no changes to feed (Delta CDF raises here)"
+                )
+            if idx == 0:
+                raise ValueError(
+                    f"timestamp {timestamp_from} predates the first retained "
+                    f"commit of {self.path}: changes since table creation are "
+                    "a full snapshot read, not a change feed — use read()"
+                )
+            version_from = vs[idx - 1]
         v_to = self.latest_version() if version_to is None else version_to
         m_from = self._load_manifest(version_from)
         m_to = self._load_manifest(v_to)

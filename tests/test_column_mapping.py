@@ -115,6 +115,14 @@ def test_rename_rejections(spark, tmp_path):
     with pytest.raises(ValueError, match="CHECK constraint"):
         t.rename_column("val", "value")
     t.drop_constraint("val_nonneg")
+    # Spark SQL identifiers are case-insensitive: a constraint written
+    # as VAL still binds to the column, so the guard must catch it too
+    t.add_constraint("val_upper", "VAL >= 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.rename_column("val", "value")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column("val")
+    t.drop_constraint("val_upper")
     t.rename_column("val", "value")
     assert t.read().columns == ["id", "part", "value"]
 

@@ -115,8 +115,40 @@ def test_vacuum_drops_orphaned_sidecars_restore_and_clone(spark, tmp_path):
         "id", (F.col("id") % 4).alias("p"), F.col("id").alias("val")
     ))
     out = t.vacuum(keep_versions=1)
+    assert out["n_dv_deleted"] == 0                     # orphaned but young: grace spares it
+    out = t.vacuum(keep_versions=1, orphan_grace_s=0.0)
     assert out["n_dv_deleted"] == 1                     # dv A now orphaned
     assert clone.read().count() == 90                   # clone unaffected
+
+
+def test_vacuum_grace_spares_inflight_dv_sidecars(spark, tmp_path):
+    """A dv-mode writer stages its sidecar BEFORE its manifest commit;
+    a racing vacuum must not delete a young unreferenced sidecar (in
+    the real sweep or the dry-run preview) or the just-landed commit
+    would reference a missing DV file."""
+    import os
+
+    t = _table(spark, tmp_path)
+    t.remove_rows(_dead_for(t, F.col("id") < 10))       # v1, dv A (referenced)
+    dv_root = os.path.join(t.path, "_dv")
+    live = set(os.listdir(dv_root))
+    # simulate a sidecar staged by an in-flight concurrent writer
+    staged = os.path.join(dv_root, "zz-inflight")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "dv.parquet"), "w") as f:
+        f.write("x")
+    preview = t.vacuum(keep_versions=1, dry_run=True)
+    assert preview["n_dv"] == 0                          # young: not previewed
+    out = t.vacuum(keep_versions=1)
+    assert out["n_dv_deleted"] == 0
+    assert os.path.isdir(staged)                         # spared
+    assert set(os.listdir(dv_root)) >= live
+    preview = t.vacuum(keep_versions=1, dry_run=True, orphan_grace_s=0.0)
+    assert preview["n_dv"] == 1                          # past grace: previewed
+    out = t.vacuum(keep_versions=1, orphan_grace_s=0.0)
+    assert out["n_dv_deleted"] == 1                      # past grace: swept
+    assert not os.path.isdir(staged)
+    assert t.read().count() == 90                        # live DV intact
 
 
 def test_remove_rows_unknown_file_rejected(spark, tmp_path):

@@ -193,10 +193,22 @@ def test_table_changes_by_timestamp(spark, tmp_path):
     for v, ts in [(0, 1000.0), (1, 2000.0), (2, 3000.0)]:
         _set_commit_ts(t, v, ts)
     t = VersionedParquetTable(spark, path)
+    # Delta CDF startingTimestamp rule: the earliest commit at-or-after
+    # the timestamp is INCLUDED — a commit landing exactly at ts=2000
+    # (v1) is part of the feed, so v1+v2 batches both appear.
     ch = t.table_changes(["id"], timestamp_from=2000.0)
     got = {r["id"] for r in ch.collect()}
-    assert got == set(range(20, 30))  # only the post-v1 insert batch
+    assert got == set(range(10, 30))
     assert ch.filter(F.col("_change_type") != "insert").count() == 0
+    # strictly between two commits → only the later one
+    ch2 = t.table_changes(["id"], timestamp_from=2500.0)
+    assert {r["id"] for r in ch2.collect()} == set(range(20, 30))
+    # after the last commit → error, matching Delta
+    with pytest.raises(ValueError, match="after the last commit"):
+        t.table_changes(["id"], timestamp_from=9000.0)
+    # at/before the first commit → full-snapshot territory, refused
+    with pytest.raises(ValueError, match="predates the first"):
+        t.table_changes(["id"], timestamp_from=1000.0)
     with pytest.raises(ValueError, match="exactly one"):
         t.table_changes(["id"], 0, timestamp_from=1000.0)
     with pytest.raises(ValueError, match="exactly one"):
