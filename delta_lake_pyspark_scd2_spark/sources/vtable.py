@@ -68,6 +68,14 @@ from pyspark.sql import types as T
 MANIFEST_DIR = "_manifest"
 DATA_DIR = "data"
 DV_DIR = "_dv"
+#: Change-data files (Delta ``_change_data`` analogue): row-level
+#: change records written AT COMMIT TIME by upsert/delete/remove_rows
+#: when the table property ``enableChangeDataFeed`` is true. The CDC
+#: streaming source reads these parquet files directly on executors —
+#: no driver-side row materialization, no re-deriving changes by join.
+CDC_DIR = "_cdc"
+#: ``_change_type`` column values, Delta CDF's vocabulary.
+CDC_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
 #: Full-snapshot checkpoint cadence: reconstruction replays at most
 #: this many delta commits. Delta Lake's default is 10 as well.
 CHECKPOINT_INTERVAL = 10
@@ -398,6 +406,8 @@ class VersionedParquetTable:
         generated_cols: dict[str, str] | None = None,
         properties: dict[str, str] | None = None,
         identity_cols: dict[str, dict] | None = None,
+        cdc_files: list[str] | None = None,
+        data_change: bool = True,
     ) -> None:
         os.makedirs(os.path.join(self.path, MANIFEST_DIR), exist_ok=True)
         parent = (
@@ -448,6 +458,12 @@ class VersionedParquetTable:
             ],
             "remove": sorted(p for p in prev if p not in new_paths),
             "num_files": len(new_records),
+            # Row-level change records for this commit (paths under
+            # _cdc/) and Delta's dataChange flag: data_change=False
+            # marks pure re-layout commits (COMPACT/ZORDER) the change
+            # feed must skip.
+            "cdc_files": cdc_files or [],
+            "data_change": data_change,
             "metrics": (metrics() if callable(metrics) else metrics) or {},
             "txns": txns,
             "column_mapping": column_mapping,
@@ -479,6 +495,38 @@ class VersionedParquetTable:
         self._snap_cache[version] = new_records
         if version > 0 and version % CHECKPOINT_INTERVAL == 0:
             self._write_checkpoint(version, new_records)
+
+    # -- change-data files (CDF) ---------------------------------------------
+
+    @staticmethod
+    def _cdc_enabled(m: dict) -> bool:
+        """Delta's ``delta.enableChangeDataFeed`` analogue: row-level
+        change files are written only when the table opted in."""
+        return (
+            (m.get("properties") or {})
+            .get("enableChangeDataFeed", "")
+            .lower()
+            == "true"
+        )
+
+    def _write_cdc(self, change_df: DataFrame) -> list[str]:
+        """Stage this commit's row-level change records (data columns
+        under their LOGICAL names plus ``_change_type``) as parquet
+        under ``_cdc/``; returns the relative paths for the commit
+        record. Files are uuid-named, never version-named, so an OCC
+        rebase (final version unknown until the manifest link wins)
+        keeps them valid; files from lost races stay unreferenced and
+        are vacuum's garbage. ``_commit_version`` is NOT stored — the
+        stream reader stamps it from the commit that references the
+        file."""
+        rel = f"cdc-{uuid.uuid4().hex}"
+        out_dir = os.path.join(self.path, CDC_DIR, rel)
+        change_df.write.parquet(out_dir)
+        return [
+            os.path.join(rel, f)
+            for f in sorted(os.listdir(out_dir))
+            if f.endswith(".parquet")
+        ]
 
     # -- data-file staging ---------------------------------------------------
 
@@ -950,7 +998,8 @@ class VersionedParquetTable:
     def append(self, df: DataFrame, *, merge_schema: bool = False,
                metrics: "dict | Callable[[], dict] | None" = None,
                txn: tuple[str, int] | None = None,
-               layout_ready: bool = False) -> int:
+               layout_ready: bool = False,
+               cdc_files: list[str] | None = None) -> int:
         """Append-only commit (reference S9 ``mergeSchema`` append,
         ``schema_evolution_step1.py:144``): adds files, never rewrites.
         With ``merge_schema`` the committed schema is the union; old
@@ -1024,7 +1073,7 @@ class VersionedParquetTable:
             try:
                 self._commit(
                     v, files, schema, pc, "APPEND", metrics, cons, txns,
-                    identity_cols=ident,
+                    identity_cols=ident, cdc_files=cdc_files,
                 )
                 self._maybe_auto_compact(new_files)
                 return v
@@ -1151,6 +1200,7 @@ class VersionedParquetTable:
         merge_schema: bool = False,
         metrics: "dict | Callable[[], dict] | None" = None,
         layout_ready: bool = False,
+        cdc_files: list[str] | None = None,
     ) -> int:
         """Partition-scoped copy-on-write: swap the files of exactly
         ``partitions`` for ``df``'s files; every other partition is
@@ -1236,7 +1286,11 @@ class VersionedParquetTable:
             try:
                 self._commit(
                     v, kept + new_files, schema, pc, operation, metrics, cons,
-                    identity_cols=ident_state,
+                    identity_cols=ident_state, cdc_files=cdc_files,
+                    # pure re-layout commits rewrite the same visible
+                    # rows — Delta's dataChange=false; the change feed
+                    # skips them
+                    data_change=operation not in ("COMPACT", "ZORDER"),
                 )
                 return v
             except RuntimeError:  # lost the version race — try to rebase
@@ -1372,6 +1426,38 @@ class VersionedParquetTable:
             "n_inserted": n_updates - n_matched,
             "n_deleted": n_deleted,
         }
+        cdc_files = None
+        if self._cdc_enabled(m):
+            # Row-level change records, written WITH the commit (Delta
+            # CDF's _change_data): full update pre/post-image pairing,
+            # so the streaming source reads changes from these files on
+            # executors instead of re-deriving them by join.
+            upd = updates.select(*cur.columns)
+            cur_keys = cur.select(*keys).distinct()
+            change = (
+                cur.join(upd_keys, on=keys, how="left_semi")
+                .withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    upd.join(cur_keys, on=keys, how="left_semi")
+                    .withColumn("_change_type", F.lit("update_postimage"))
+                )
+                .unionByName(
+                    upd.join(cur_keys, on=keys, how="left_anti")
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+            )
+            if del_keys is not None:
+                # a key in BOTH updates and deletes ends up present
+                # (updates win in the merged output), so it must not
+                # also emit a delete record
+                change = change.unionByName(
+                    cur.join(
+                        del_keys.join(upd_keys, on=keys, how="left_anti"),
+                        on=keys,
+                        how="left_semi",
+                    ).withColumn("_change_type", F.lit("delete"))
+                )
+            cdc_files = self._write_cdc(change)
         if mode == "dv":
             # merge-on-read: DV the old rows of every matched/deleted
             # key (positional read scoped to the partitions that hold
@@ -1405,10 +1491,12 @@ class VersionedParquetTable:
                         adds=updates.select(*cur.columns),
                         operation=operation,
                         metrics=metrics or out,
+                        cdc_files=cdc_files,
                     )
                 else:
                     self.append(
-                        updates.select(*cur.columns), metrics=metrics or out
+                        updates.select(*cur.columns), metrics=metrics or out,
+                        cdc_files=cdc_files,
                     )
             finally:
                 if dead is not None:
@@ -1429,7 +1517,8 @@ class VersionedParquetTable:
         survivors = base.join(gone_keys, on=keys, how="left_anti")
         merged = survivors.unionByName(updates.select(*base.columns))
         self.replace_partitions(
-            merged, touched, operation=operation, metrics=metrics or out
+            merged, touched, operation=operation, metrics=metrics or out,
+            cdc_files=cdc_files,
         )
         return out
 
@@ -1463,6 +1552,12 @@ class VersionedParquetTable:
             e_ = _filter_expr(c, op, v_)
             keep_pred = e_ if keep_pred is None else (keep_pred & e_)
         survivors = cand_df.filter(~F.coalesce(keep_pred, F.lit(False)))
+        cdc_files = None
+        if self._cdc_enabled(m):
+            cdc_files = self._write_cdc(
+                cand_df.filter(F.coalesce(keep_pred, F.lit(False)))
+                .withColumn("_change_type", F.lit("delete"))
+            )
         n_before = sum(
             (f.get("rows") or 0) - (f.get("dv") or {}).get("count", 0)
             for f in m["files"]
@@ -1484,7 +1579,10 @@ class VersionedParquetTable:
             "n_deleted": n_before - n_after,
             "n_files_rewritten": len(candidates),
         }
-        self._commit(v, kept + new_files, schema, pc, "DELETE", metrics or out, cons)
+        self._commit(
+            v, kept + new_files, schema, pc, "DELETE", metrics or out, cons,
+            cdc_files=cdc_files,
+        )
         return out
 
     def remove_rows(
@@ -1494,6 +1592,7 @@ class VersionedParquetTable:
         adds: DataFrame | None = None,
         operation: str = "DELETE_ROWS",
         metrics: "dict | Callable[[], dict] | None" = None,
+        cdc_files: list[str] | None = None,
     ) -> int:
         """Row-level delete WITHOUT rewriting files (Delta deletion
         vectors): ``dead`` is a ``(__file, __pos)`` frame — typically
@@ -1562,6 +1661,38 @@ class VersionedParquetTable:
                 mapping=m.get("column_mapping"),
             )
             entries.extend(new_files)
+        if cdc_files is None and self._cdc_enabled(m) and (
+            per_file or adds is not None
+        ):
+            # Standalone CDF fallback (the dv-mode upsert passes its
+            # richer pre/post-image records instead): the newly-dead
+            # positions re-read as delete records, adds as inserts.
+            parts = []
+            if per_file:
+                affected = [f for f in m["files"] if f["path"] in per_file]
+                pre = (
+                    self._scan(
+                        affected, schema, with_position=True,
+                        mapping=m.get("column_mapping"),
+                    )
+                    .join(
+                        dead.select("__file", "__pos"),
+                        on=["__file", "__pos"],
+                        how="left_semi",
+                    )
+                    .drop("__file", "__pos")
+                )
+                parts.append(pre.withColumn("_change_type", F.lit("delete")))
+            if adds is not None:
+                parts.append(
+                    _align(adds, schema).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                )
+            change = parts[0]
+            for p in parts[1:]:
+                change = change.unionByName(p)
+            cdc_files = self._write_cdc(change)
         n_dead = sum(per_file.values())
         v = m["version"] + 1
         self._commit(
@@ -1572,6 +1703,7 @@ class VersionedParquetTable:
             operation,
             metrics or {"n_deleted": n_dead, "n_files_dv": len(per_file)},
             cons,
+            cdc_files=cdc_files,
             # the appended replacements may carry identity values
             # (dv-mode upsert): advance the watermark past them, or a
             # later assignment would reuse their ids
@@ -1974,6 +2106,7 @@ class VersionedParquetTable:
                             dead_dv.append(name)
                     except FileNotFoundError:
                         pass
+            dead_cdc = self._dead_cdc_dirs(kept_vs, cutoff)
             return {
                 "dry_run": True,
                 "n_data_files": len(doomed),
@@ -1982,6 +2115,7 @@ class VersionedParquetTable:
                 "n_orphans": len(orphans) + len(staging),
                 "orphan_paths": sorted(orphans) + staging,
                 "n_dv": len(dead_dv),
+                "n_cdc": len(dead_cdc),
                 "oldest_kept_version": kept_vs[0],
             }
         # The oldest kept version must stay reconstructible once the
@@ -2062,6 +2196,14 @@ class VersionedParquetTable:
                         n_orphans += 1
                 except FileNotFoundError:
                     pass
+        # change-data files referenced only by dropped versions (or by
+        # no retained commit at all — lost OCC races); same grace
+        # window, cdc files are staged before their manifest commit
+        n_cdc_deleted = 0
+        cdc_root = os.path.join(self.path, CDC_DIR)
+        for name in self._dead_cdc_dirs(kept_vs, cutoff):
+            shutil.rmtree(os.path.join(cdc_root, name), ignore_errors=True)
+            n_cdc_deleted += 1
         # prune emptied partition dirs so listings stay honest
         for root, dirs, files in os.walk(data_root, topdown=False):
             if root != data_root and not dirs and not files:
@@ -2070,9 +2212,30 @@ class VersionedParquetTable:
             "n_files_deleted": n_deleted,
             "n_versions_dropped": len(dropped_vs),
             "n_dv_deleted": n_dv_deleted,
+            "n_cdc_deleted": n_cdc_deleted,
             "n_orphans_deleted": n_orphans,
             "oldest_kept_version": kept_vs[0],
         }
+
+    def _dead_cdc_dirs(self, kept_vs: list[int], cutoff: float) -> list[str]:
+        """Top-level ``_cdc/`` dirs referenced by NO retained commit and
+        older than the grace cutoff."""
+        cdc_root = os.path.join(self.path, CDC_DIR)
+        if not os.path.isdir(cdc_root):
+            return []
+        live = {
+            p.split(os.sep, 1)[0]
+            for v in kept_vs
+            for p in (self._load_commit(v).get("cdc_files") or [])
+        }
+        out = []
+        for name in sorted(set(os.listdir(cdc_root)) - live):
+            try:
+                if os.path.getmtime(os.path.join(cdc_root, name)) < cutoff:
+                    out.append(name)
+            except FileNotFoundError:
+                pass
+        return out
 
     # -- read API ------------------------------------------------------------
 
