@@ -16,26 +16,32 @@ protocol (readers re-type them from ``schemaString``); per-file
 ``stats`` carry ``numRecords`` so downstream readers can answer
 metadata-only counts.
 
+All filesystem access goes through the Hadoop FileSystem shim
+(``sources/fsio.py``): staging, listing, the commit publish — so the
+writer targets ``file:``/HDFS/``s3a://``/``abfss://`` paths alike.
+Commits are atomically published with ``fsio.put_if_absent``: the
+``os.link`` pattern on local filesystems, namenode-arbitrated
+``create(overwrite=false)`` on HDFS, and on object stores the
+documented conditional-PUT story (see ``fsio.py`` module docstring) —
+the same storage-layer contract Delta proper requires.
+
 Scale: the commit is O(files touched) driver-side JSON — identical to
 the vtable manifest trade; the data write is a normal distributed
-partitioned-parquet job. Commits are atomically published with the
-same ``os.link`` rename-free pattern the vtable uses, so two writers
-cannot silently clobber a version (the loser gets a clean collision
-error; Delta proper gets this from the storage layer's
-put-if-absent).
+partitioned-parquet job.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
-import shutil
 import tempfile
 import uuid
 from urllib.parse import quote, unquote
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 
+from delta_lake_pyspark_scd2_spark.sources import fsio
 from delta_lake_pyspark_scd2_spark.sources.delta_reader import (
     LOG_DIR,
     DeltaTableReader,
@@ -45,99 +51,91 @@ _PROTOCOL = {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
 
 
 def _commit_path(table_path: str, version: int) -> str:
-    return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
+    return fsio.join(table_path, LOG_DIR, f"{version:020d}.json")
 
 
-def _write_commit(table_path: str, version: int, actions: list[dict]) -> None:
-    os.makedirs(os.path.join(table_path, LOG_DIR), exist_ok=True)
-    target = _commit_path(table_path, version)
-    fd, tmp = tempfile.mkstemp(dir=os.path.join(table_path, LOG_DIR), suffix=".tmp")
-    with os.fdopen(fd, "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
+def _write_commit(
+    fs, table_path: str, version: int, actions: list[dict]
+) -> None:
+    fs.mkdirs(fsio.join(table_path, LOG_DIR))
+    payload = "".join(json.dumps(a) + "\n" for a in actions).encode("utf-8")
     try:
-        os.link(tmp, target)  # atomic put-if-absent: EEXIST on collision
+        fs.put_if_absent(_commit_path(table_path, version), payload)
     except FileExistsError:
         raise RuntimeError(
             f"delta commit collision at version {version} of {table_path}"
         ) from None
-    finally:
-        os.unlink(tmp)
+
+
+def _num_records(fs, path: str) -> int:
+    """numRecords from the parquet footer. Local files use pyarrow's
+    footer-only read; remote files are fetched through the shim (one
+    extra read of a file this writer just produced — acceptable for a
+    commit-time stat; a connector-native footer range-read is the
+    optimization if it ever shows up in a profile)."""
+    import pyarrow.parquet as pq
+
+    lp = fsio.local_path(path)
+    if lp is not None:
+        return pq.ParquetFile(lp).metadata.num_rows
+    return pq.ParquetFile(io.BytesIO(fs.read_bytes(path))).metadata.num_rows
 
 
 def _stage_files(
-    df: DataFrame, table_path: str, partition_cols: list[str]
+    df: DataFrame, table_path: str, partition_cols: list[str], fs
 ) -> list[dict]:
     """Write ``df``'s parquet files into the table root (partition
     subdirs per the Delta layout) and return their add-action facts."""
-    import pyarrow.parquet as pq
-
-    stage = tempfile.mkdtemp(prefix="_delta_stage_", dir=table_path)
+    stage = fsio.join(table_path, f"_delta_stage_{uuid.uuid4().hex}")
     try:
         w = df.write.mode("overwrite")
         if partition_cols:
             w = w.partitionBy(*partition_cols)
-        w.parquet(os.path.join(stage, "out"))
+        root = fsio.join(stage, "out")
+        w.parquet(root)
         adds: list[dict] = []
-        root = os.path.join(stage, "out")
-        for dirpath, _dirs, files in os.walk(root):
-            for name in files:
-                if not name.endswith(".parquet"):
-                    continue
-                src = os.path.join(dirpath, name)
-                rel_dir = os.path.relpath(dirpath, root)
-                # partitionValues from the hive-style path (Spark
-                # URL-encodes special chars; __HIVE_DEFAULT_PARTITION__
-                # encodes NULL per the shared convention)
-                pvals: dict[str, str | None] = {}
-                if rel_dir != ".":
-                    for part in rel_dir.split(os.sep):
-                        k, _, v = part.partition("=")
-                        # Spark Hive-escapes special chars in dir names
-                        # with %xx — partitionValues carry the LOGICAL
-                        # value, so unescape here
-                        pvals[k] = (
-                            None
-                            if v == "__HIVE_DEFAULT_PARTITION__"
-                            else unquote(v)
-                        )
-                dest_dir = (
-                    os.path.join(table_path, rel_dir)
-                    if rel_dir != "."
-                    else table_path
+        for rel in fs.walk_files(root):
+            name = rel.rsplit("/", 1)[-1]
+            if not name.endswith(".parquet"):
+                continue
+            rel_dir = rel.rsplit("/", 1)[0] if "/" in rel else ""
+            # partitionValues from the hive-style path (Spark
+            # URL-encodes special chars; __HIVE_DEFAULT_PARTITION__
+            # encodes NULL per the shared convention)
+            pvals: dict[str, str | None] = {}
+            for part in rel_dir.split("/") if rel_dir else []:
+                k, _, v = part.partition("=")
+                # Spark Hive-escapes special chars in dir names with
+                # %xx — partitionValues carry the LOGICAL value, so
+                # unescape here
+                pvals[k] = (
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
                 )
-                os.makedirs(dest_dir, exist_ok=True)
-                fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
-                dest = os.path.join(dest_dir, fname)
-                os.link(src, dest)
-                rel_path = (
-                    "/".join([*rel_dir.split(os.sep), fname])
-                    if rel_dir != "."
-                    else fname
-                )
-                adds.append(
-                    {
-                        "add": {
-                            "path": quote(rel_path, safe="/=-"),
-                            "partitionValues": pvals,
-                            "size": os.path.getsize(dest),
-                            "modificationTime": int(
-                                os.path.getmtime(dest) * 1000
-                            ),
-                            "dataChange": True,
-                            "stats": json.dumps(
-                                {
-                                    "numRecords": pq.ParquetFile(
-                                        dest
-                                    ).metadata.num_rows
-                                }
-                            ),
-                        }
+            dest_dir = (
+                fsio.join(table_path, rel_dir) if rel_dir else table_path
+            )
+            fs.mkdirs(dest_dir)
+            fname = f"part-{uuid.uuid4().hex}.snappy.parquet"
+            dest = fsio.join(dest_dir, fname)
+            fs.rename(fsio.join(root, rel), dest)
+            rel_path = f"{rel_dir}/{fname}" if rel_dir else fname
+            adds.append(
+                {
+                    "add": {
+                        "path": quote(rel_path, safe="/=-"),
+                        "partitionValues": pvals,
+                        "size": fs.size(dest),
+                        "modificationTime": fs.mtime_ms(dest),
+                        "dataChange": True,
+                        "stats": json.dumps(
+                            {"numRecords": _num_records(fs, dest)}
+                        ),
                     }
-                )
+                }
+            )
         return adds
     finally:
-        shutil.rmtree(stage, ignore_errors=True)
+        fs.delete(stage, recursive=True)
 
 
 def _metadata_action(
@@ -181,13 +179,15 @@ def write_delta(
     still works).
     """
     pc = list(partition_cols or [])
-    os.makedirs(path, exist_ok=True)
+    fs = fsio.get_fs(path, frame.sparkSession)
+    fs.mkdirs(path)
     exists = DeltaTableReader.is_delta_table(path)
     if mode == "create":
         if exists:
             raise FileExistsError(f"delta table already exists at {path}")
-        adds = _stage_files(frame, path, pc)
+        adds = _stage_files(frame, path, pc, fs)
         _write_commit(
+            fs,
             path,
             0,
             [
@@ -209,16 +209,16 @@ def write_delta(
         )
     version = snap.version + 1
     if mode == "append":
-        adds = _stage_files(frame, path, pc or snap.partition_columns)
-        _write_commit(path, version, [_commit_info("WRITE"), *adds])
+        adds = _stage_files(frame, path, pc or snap.partition_columns, fs)
+        _write_commit(fs, path, version, [_commit_info("WRITE"), *adds])
         return version
     if mode == "overwrite":
         removes = [
             {"remove": {"path": p, "dataChange": True}} for p in snap.files
         ]
-        adds = _stage_files(frame, path, pc or snap.partition_columns)
+        adds = _stage_files(frame, path, pc or snap.partition_columns, fs)
         _write_commit(
-            path, version, [_commit_info("OVERWRITE"), *removes, *adds]
+            fs, path, version, [_commit_info("OVERWRITE"), *removes, *adds]
         )
         return version
     raise ValueError(f"unknown mode {mode!r}")
@@ -248,11 +248,11 @@ def write_checkpoint(path: str) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    log = os.path.join(path, LOG_DIR)
+    fs = fsio.get_fs(path)
+    log = fsio.join(path, LOG_DIR)
+    names = fs.list_names(log)
     versions = sorted(
-        int(f[:20])
-        for f in os.listdir(log)
-        if f.endswith(".json") and f[:20].isdigit()
+        int(f[:20]) for f in names if f.endswith(".json") and f[:20].isdigit()
     )
     if not versions:
         raise FileNotFoundError(f"no delta log at {path}")
@@ -262,13 +262,17 @@ def write_checkpoint(path: str) -> int:
     # replay from an existing checkpoint if the early commits are gone
     cps = sorted(
         int(f[:20])
-        for f in os.listdir(log)
+        for f in names
         if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
     )
     start = 0
     if cps and (versions[0] > 0 or cps[-1] >= versions[0]):
         cp_rows = pq.read_table(
-            os.path.join(log, f"{cps[-1]:020d}.checkpoint.parquet")
+            io.BytesIO(
+                fs.read_bytes(
+                    fsio.join(log, f"{cps[-1]:020d}.checkpoint.parquet")
+                )
+            )
         ).to_pylist()
         for row in cp_rows:
             a = {k: v for k, v in row.items() if v is not None}
@@ -283,22 +287,22 @@ def write_checkpoint(path: str) -> int:
                 live[add["path"]] = add
         start = cps[-1] + 1
     for v in range(start, latest + 1):
-        with open(_commit_path(path, v)) as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                a = json.loads(line)
-                if "protocol" in a:
-                    protocol = a["protocol"]
-                elif "metaData" in a:
-                    metadata = a["metaData"]
-                elif "add" in a:
-                    live[a["add"]["path"]] = a["add"]
-                elif "remove" in a:
-                    live.pop(a["remove"]["path"], None)
+        for line in fs.read_text(_commit_path(path, v)).splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            a = json.loads(line)
+            if "protocol" in a:
+                protocol = a["protocol"]
+            elif "metaData" in a:
+                metadata = a["metaData"]
+            elif "add" in a:
+                live[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                live.pop(a["remove"]["path"], None)
     if protocol is None or metadata is None:
         raise ValueError(f"log at {path} has no protocol/metaData action")
+
     def _scrub(obj):
         # empty dicts infer as zero-field structs, which parquet cannot
         # write; readers treat absent and empty alike, so drop them
@@ -325,9 +329,17 @@ def write_checkpoint(path: str) -> int:
         ]
     )
     tbl = pa.Table.from_pylist(rows)
-    pq.write_table(tbl, os.path.join(log, f"{latest:020d}.checkpoint.parquet"))
-    with open(os.path.join(log, "_last_checkpoint"), "w") as f:
-        json.dump({"version": latest, "size": len(rows)}, f)
+    fd, tmp = tempfile.mkstemp(suffix=".checkpoint.parquet")
+    os.close(fd)
+    try:
+        pq.write_table(tbl, tmp)
+        fs.put_file(tmp, fsio.join(log, f"{latest:020d}.checkpoint.parquet"))
+    finally:
+        os.unlink(tmp)
+    fs.write_text(
+        fsio.join(log, "_last_checkpoint"),
+        json.dumps({"version": latest, "size": len(rows)}),
+    )
     return latest
 
 
@@ -337,18 +349,20 @@ def clean_log(path: str, *, keep_from: int | None = None) -> int:
     Commits AT or AFTER the checkpoint (or ``keep_from``) are kept —
     time travel to older versions becomes unavailable, exactly as in
     Delta after ``delta.logRetentionDuration`` expiry."""
-    log = os.path.join(path, LOG_DIR)
+    fs = fsio.get_fs(path)
+    log = fsio.join(path, LOG_DIR)
+    names = fs.list_names(log)
     cps = [
         int(f[:20])
-        for f in os.listdir(log)
+        for f in names
         if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
     ]
     if not cps:
         return 0
     cutoff = max(cps) if keep_from is None else keep_from
     n = 0
-    for f in sorted(os.listdir(log)):
+    for f in sorted(names):
         if f.endswith(".json") and f[:20].isdigit() and int(f[:20]) < cutoff:
-            os.unlink(os.path.join(log, f))
+            fs.delete(fsio.join(log, f))
             n += 1
     return n

@@ -205,28 +205,152 @@ def test_synthetic_checkpoint_replay(spark, tmp_path):
         t.read(0)
 
 
-def test_deletion_vectors_rejected(spark, tmp_path):
+def test_deletion_vectors_read_exactly(spark, tmp_path):
+    """Protocol-faithful DV fixtures (Z85 uuid path + roaring-bitmap
+    sidecar, built with delta_dv's own serializer of the public
+    formats) read merge-on-read state exactly: dead positions vanish,
+    survivors keep their values."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    from delta_lake_pyspark_scd2_spark.sources.delta_dv import (
+        serialize_bitmap_array,
+        z85_encode,
+    )
+
     root = _make_table(tmp_path)
     log = os.path.join(root, "_delta_log")
+    # storageType "u": file deletion_vector_<uuid>.bin under the root
+    u = _uuid.uuid4()
+    data = serialize_bitmap_array([0])  # kill f1.parquet's row 0 (k=0)
+    blob = b"\x01" + struct.pack(">I", len(data)) + data + struct.pack(
+        ">I", zlib.crc32(data) & 0xFFFFFFFF
+    )
+    with open(os.path.join(root, f"deletion_vector_{u}.bin"), "wb") as fh:
+        fh.write(blob)
     _write_commit(
         log,
         2,
         [
             {
                 "add": {
-                    "path": "f3.parquet",
+                    "path": "f1.parquet",
                     "partitionValues": {},
                     "dataChange": True,
-                    "deletionVector": {"storageType": "u", "pathOrInlineDv": "x", "sizeInBytes": 1, "cardinality": 1},
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": z85_encode(u.bytes),
+                        "offset": 1,
+                        "sizeInBytes": len(data),
+                        "cardinality": 1,
+                    },
                 }
             }
         ],
     )
-    with pytest.raises(NotImplementedError, match="deletion vector"):
-        DeltaTableReader(spark, root).read()
+    t = DeltaTableReader(spark, root)
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "f1.parquet"), (10, "f2.parquet"), (11, "f2.parquet")}
+    # time travel below the DV commit resurrects the row
+    assert {(r.k) for r in t.read(1).collect()} == {0, 1, 10, 11}
+    # inline DV ("i" storageType) on the other file, in the same commit
+    inline = serialize_bitmap_array([1])
+    _write_commit(
+        log,
+        3,
+        [
+            {
+                "add": {
+                    "path": "f2.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
+                    "deletionVector": {
+                        "storageType": "i",
+                        "pathOrInlineDv": z85_encode(
+                            inline + b"\x00" * (-len(inline) % 4)
+                        ),
+                        "sizeInBytes": len(inline),
+                        "cardinality": 1,
+                    },
+                }
+            }
+        ],
+    )
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {(1, "f1.parquet"), (10, "f2.parquet")}
 
 
-def test_column_mapping_rejected(spark, tmp_path):
+def test_column_mapping_name_mode_reads(spark, tmp_path):
+    """Name-mode column mapping: files hold PHYSICAL names, the log's
+    schemaString maps them to logical ones — a renamed-column table
+    reads under its current logical names."""
+    root = str(tmp_path / "dt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # physical names col-xxx, logical names k / v_renamed
+    pd.DataFrame({"col-aaa": [1, 2], "col-bbb": ["x", "y"]}).to_parquet(
+        os.path.join(root, "f1.parquet")
+    )
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa",
+                    },
+                },
+                {
+                    "name": "v_renamed",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb",
+                    },
+                },
+            ],
+        }
+    )
+    _write_commit(
+        log,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 2,
+                    "minWriterVersion": 5,
+                }
+            },
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "name"},
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    df = DeltaTableReader(spark, root).read()
+    assert df.columns == ["k", "v_renamed"]
+    assert {(r.k, r.v_renamed) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_column_mapping_id_mode_rejected(spark, tmp_path):
     root = _make_table(tmp_path)
     log = os.path.join(root, "_delta_log")
     _write_commit(
@@ -239,13 +363,29 @@ def test_column_mapping_rejected(spark, tmp_path):
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _schema_string(),
                     "partitionColumns": [],
-                    "configuration": {"delta.columnMapping.mode": "name"},
+                    "configuration": {"delta.columnMapping.mode": "id"},
                 }
             }
         ],
     )
     with pytest.raises(NotImplementedError, match="column mapping"):
         DeltaTableReader(spark, root).read()
+
+
+def test_reader_works_through_file_scheme_uri(spark, tmp_path):
+    """Directive: the interop layer must work via the Hadoop FS shim
+    with a ``file:``-scheme path, not just raw local paths."""
+    root = _make_table(tmp_path)
+    t = DeltaTableReader(spark, "file:" + root)
+    assert t.latest_version() == 1
+    got = {(r.k, r.v) for r in t.read().collect()}
+    assert got == {
+        (0, "f1.parquet"),
+        (1, "f1.parquet"),
+        (10, "f2.parquet"),
+        (11, "f2.parquet"),
+    }
+    assert DeltaTableReader.is_delta_table("file:" + root)
 
 
 def test_import_reference_delta_table_as_vtable(spark, tmp_path):

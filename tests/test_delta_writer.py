@@ -42,6 +42,28 @@ def test_create_roundtrip_partitioned(spark, tmp_path):
     ).count()
 
 
+def test_writer_works_through_file_scheme_uri(spark, tmp_path):
+    """Directive: the writer's staging, listing, and commit publish run
+    through the Hadoop FS shim — a ``file:``-scheme table path must
+    behave identically to a raw local one, including checkpoints and
+    log cleanup."""
+    from delta_lake_pyspark_scd2_spark.sources.delta_writer import (
+        clean_log,
+        write_checkpoint,
+    )
+
+    path = "file:" + str(tmp_path / "d")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, s string")
+    assert write_delta(df1, path, partition_cols=["s"]) == 0
+    assert write_delta(df2, path, mode="append") == 1
+    r = DeltaTableReader(spark, path)
+    assert r.read().count() == 3
+    assert write_checkpoint(path) == 1
+    assert clean_log(path) == 1
+    assert DeltaTableReader(spark, path).read().count() == 3
+
+
 def test_append_and_overwrite_time_travel(spark, tmp_path):
     path = str(tmp_path / "d")
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string")
