@@ -163,6 +163,138 @@ def test_reference_items_golden_history(spark, tmp_path):
 
 
 @pytest.mark.skipif(
+    not os.path.isdir(REF_ITEMS), reason="reference fixtures not present"
+)
+def test_reference_items_full_batch_counts(spark, tmp_path):
+    """Items-variant parity across ALL FIVE committed daily batches
+    (the reference's ``test_items_queries`` flow,
+    ``test/items_etl_test.py:127-187``): per-batch history invariants,
+    the variation-count query it asserts after four batches, and the
+    header↔items orphan LEFT JOIN shape on the partition columns."""
+    table = str(tmp_path / "items_scd2")
+    batches = [f"items_2023012{d}.txt" for d in range(1, 6)]
+    seen_keys = None
+
+    def _variations(key2: str) -> int:
+        return (
+            VersionedParquetTable(spark, table)
+            .read()
+            .filter(
+                (F.col("contratto_cod") == "Y06119362")
+                & (F.col("numero_annuncio") == key2)
+                & ~F.col("is_current")
+            )
+            .count()
+        )
+
+    for name in batches:
+        if name == "items_20230125.txt":
+            # the reference's checkpoint after batches 21-24
+            # (test/items_etl_test.py:150-160): exactly ONE closed
+            # variation for (Y06119362, 10)
+            assert _variations("10") == 1
+        b = _load_items(spark, name)
+        bid = name[6:14]
+        run_scd2_batch(spark, ITEMS_SPEC, b, table, batch_id=bid)
+        keys = b.select("contratto_cod", "numero_annuncio").distinct()
+        seen_keys = keys if seen_keys is None else seen_keys.unionByName(keys).distinct()
+        t = VersionedParquetTable(spark, table)
+        cur = t.read().filter(F.col("is_current"))
+        cur_keys = cur.select("contratto_cod", "numero_annuncio")
+        # drop_all dedup (the items-variant contract) may drop keys
+        # whose batch rows conflict — so current keys are a SUBSET of
+        # keys ever seen, never beyond, and at most one open row each
+        assert cur_keys.join(seen_keys, on=list(cur_keys.columns), how="left_anti").count() == 0
+        assert (
+            cur.groupBy("contratto_cod", "numero_annuncio")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+            == 0
+        )
+    full = VersionedParquetTable(spark, table).read()
+    from delta_lake_pyspark_scd2_spark.operators import scd2
+
+    assert (
+        scd2.check_invariants(full, ["contratto_cod", "numero_annuncio"]).count()
+        == 0
+    )
+    # after all 5 batches the 25th's price change adds a second closed
+    # version on top of the one the reference asserted at its checkpoint
+    assert _variations("10") == 2
+    # the change lands with the 2023-01-25 batch, price moves to 500.00
+    cur_row = (
+        full.filter(
+            (F.col("contratto_cod") == "Y06119362")
+            & (F.col("numero_annuncio") == "10")
+            & F.col("is_current")
+        )
+        .collect()[0]
+    )
+    assert str(cur_row.valid_from) == "2023-01-25 00:00:00"
+    assert float(cur_row.contracted_price) == 500.00
+
+    # orphan LEFT JOIN shape (test/items_etl_test.py:175-187): headers
+    # whose (contract, valid_from day) has no items row that day
+    header_table = str(tmp_path / "header_scd2")
+    header_spec = SCD2Spec(
+        key_cols=("contratto_cod",),
+        event_ts_col="batch_ts",
+        tracked_cols=("status_quote", "codice_agente", "codice_ordine_sap"),
+        dedup_mode="drop_all",
+    )
+    for d in range(1, 5):  # the reference runs header batches 21-24
+        name = f"header_2023012{d}.txt"
+        raw = (
+            spark.read.option("header", "true")
+            .option("sep", "|")
+            .csv(os.path.join("/root/reference/crm/header", name))
+            .withColumn(
+                "batch_ts", F.to_timestamp(F.lit(name[7:15]), "yyyyMMdd")
+            )
+        )
+        run_scd2_batch(spark, header_spec, raw, header_table, batch_id=name[7:15])
+    header = VersionedParquetTable(spark, header_table).read()
+    items = full
+    orphans = header.join(
+        items,
+        on=[
+            "contratto_cod",
+            "valid_from_year",
+            "valid_from_month",
+            "valid_from_day",
+        ],
+        how="left_anti",
+    )
+    # anti-join property: no orphan key/day appears in items
+    both = orphans.select(
+        "contratto_cod", "valid_from_year", "valid_from_month", "valid_from_day"
+    ).join(
+        items,
+        on=[
+            "contratto_cod",
+            "valid_from_year",
+            "valid_from_month",
+            "valid_from_day",
+        ],
+        how="left_semi",
+    )
+    assert both.count() == 0
+    # and every non-orphan header day DOES have an items row
+    matched = header.join(
+        items,
+        on=[
+            "contratto_cod",
+            "valid_from_year",
+            "valid_from_month",
+            "valid_from_day",
+        ],
+        how="left_semi",
+    )
+    assert matched.count() + orphans.count() == header.count()
+
+
+@pytest.mark.skipif(
     not os.path.isdir(REF_DATA), reason="reference fixtures not present"
 )
 def test_reference_full_batch_counts(spark, tmp_path):
