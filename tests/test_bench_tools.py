@@ -43,6 +43,16 @@ def test_partitioning_bench_smoke():
     assert len(data_counts) == 1 and data_counts != {0}
 
 
+def test_daily_bench_rebuild_smoke():
+    rows = _run(["tools/daily_bench.py", "3", "5000", "rewrite", "rebuild"])
+    assert len(rows) == 3
+    assert rows[0]["n_inserted"] == 5000 and rows[0]["n_stale"] == 0
+    # late injection fires from day 1: stale events arrive AND rebuild
+    # into the history instead of being dropped
+    assert all(r["n_stale"] > 0 for r in rows[1:])
+    assert all(r["n_rebuilt"] > 0 for r in rows[1:])
+
+
 def test_schema_evolution_bench_smoke():
     rows = _run(["tools/schema_evolution_bench.py", "20000"])
     r = rows[-1]

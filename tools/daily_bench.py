@@ -9,14 +9,24 @@ the evidence.
 
 Usage::
 
-    python tools/daily_bench.py [days] [rows_per_day] [close_mode]
+    python tools/daily_bench.py [days] [rows_per_day] [close_mode] [late_policy]
 
 ``close_mode`` (default ``rewrite``): ``dv`` switches Phase A to
 deletion-vector closes — write cost O(closed rows) instead of
 O(touched partitions).
 
+``late_policy`` (default ``drop``): ``rebuild`` turns on the bronze
+event-log + per-batch watermark sidecars and injects ~1% genuinely
+LATE events per day (timestamps from the previous day), so every batch
+exercises the out-of-order rebuild path: freshness classification
+reads only the compact watermark files, and the interval-splitting
+rebuild is scoped to the affected keys. The claim under test is that
+this path ALSO flat-lines as the table and its event log grow.
+
 Measured (local[32], 8 × 500k rows, 50k keys): per-day total ≈ 6-7 s
 flat from day 2 onward while the table grows 0.5M → 4M version rows.
+With ``late_policy=rebuild`` see README (flat, ~1.5x the drop-policy
+per-day cost at 1% lateness).
 """
 
 from __future__ import annotations
@@ -50,9 +60,12 @@ def main() -> None:
     days = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 500_000
     close_mode = sys.argv[3] if len(sys.argv) > 3 else "rewrite"
+    late_policy = sys.argv[4] if len(sys.argv) > 4 else "drop"
     import dataclasses
 
-    spec = dataclasses.replace(SPEC, close_mode=close_mode)
+    spec = dataclasses.replace(
+        SPEC, close_mode=close_mode, late_policy=late_policy
+    )
     spark = get_spark("daily_bench")
     with tempfile.TemporaryDirectory() as d:
         for day in range(days):
@@ -64,6 +77,16 @@ def main() -> None:
                 .withColumn("ts", F.col("ts") + F.make_interval(days=F.lit(day)))
                 .withColumn("event_id", F.col("event_id") + day * 10_000_000)
             )
+            if late_policy == "rebuild" and day > 0:
+                # ~1% of rows arrive a day late (deterministic pick),
+                # so the rebuild path fires on every batch
+                batch = batch.withColumn(
+                    "ts",
+                    F.when(
+                        F.col("event_id") % 100 == 7,
+                        F.col("ts") - F.make_interval(days=F.lit(1)),
+                    ).otherwise(F.col("ts")),
+                )
             t0 = time.time()
             m = run_scd2_batch(spark, spec, batch, f"{d}/t", batch_id=f"day{day}")
             print(
@@ -74,6 +97,8 @@ def main() -> None:
                         "merge_s": m.get("duration_s_merge"),
                         "n_closed": m.get("n_closed", 0),
                         "n_inserted": m.get("n_inserted", 0),
+                        "n_stale": m.get("n_stale", 0),
+                        "n_rebuilt": m.get("n_rebuilt", 0),
                     }
                 ),
                 flush=True,
