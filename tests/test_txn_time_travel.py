@@ -185,6 +185,92 @@ def test_real_concurrent_appends_all_land(spark, tmp_path):
     assert vs == list(range(13))  # contiguous chain, no clobbered commit
 
 
+def test_mixed_write_storm_no_lost_updates(spark, tmp_path):
+    """Append/merge/compact storm under partition-level OCC: 4 writer
+    threads each own one partition (appends + upserts on their own
+    keys) while a compactor repeatedly rewrites crowded partitions.
+    Every operation must land exactly once (retrying clean conflicts),
+    the version chain must stay contiguous, and no thread's writes may
+    be lost or duplicated — the zero-lost-updates pin."""
+    import threading
+
+    path = str(tmp_path / "storm")
+    base = spark.createDataFrame(
+        [(t * 10_000 + k, t, 0) for t in range(4) for k in range(10)],
+        "id long, p long, val long",
+    )
+    VersionedParquetTable.create(spark, base, path, partition_cols=["p"])
+    errors: list = []
+    landed_rounds: dict[int, list[int]] = {t: [] for t in range(4)}
+    ROUNDS = 3
+
+    def writer(t: int):
+        try:
+            tb = VersionedParquetTable(spark, path)
+            for j in range(1, ROUNDS + 1):
+                lo = t * 10_000 + 1_000 * j
+                tb.append(
+                    spark.createDataFrame(
+                        [(lo + i, t, -1) for i in range(10)],
+                        "id long, p long, val long",
+                    )
+                )
+                ups = spark.createDataFrame(
+                    [(t * 10_000 + k, t, j) for k in range(10)],
+                    "id long, p long, val long",
+                )
+                for attempt in range(30):
+                    try:
+                        tb.upsert(ups, ["id"])
+                        landed_rounds[t].append(j)
+                        break
+                    except RuntimeError:
+                        continue  # lost a race (compactor/suffix) — retry
+                else:
+                    raise RuntimeError(f"thread {t} round {j} never landed")
+        except Exception as e:  # noqa: BLE001
+            errors.append((t, e))
+
+    def compactor():
+        tb = VersionedParquetTable(spark, path)
+        for _ in range(4):
+            try:
+                tb.compact(max_files_per_partition=2)
+            except RuntimeError:
+                pass  # clean conflict with a concurrent rewrite — fine
+            time.sleep(0.2)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in range(4)]
+    threads.append(threading.Thread(target=compactor))
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    tb = VersionedParquetTable(spark, path)
+    df = tb.read()
+    # contiguous version chain — no commit clobbered another
+    assert tb.versions() == list(range(tb.versions()[-1] + 1))
+    # no duplicates anywhere
+    assert df.count() == df.select("id").distinct().count()
+    for t in range(4):
+        # every append landed exactly once
+        appended = df.filter(
+            (F.col("id") >= t * 10_000 + 1_000) & (F.col("p") == t)
+        )
+        assert appended.count() == 10 * ROUNDS, f"thread {t} lost appends"
+        # the base keys carry the LAST landed upsert round's value
+        assert sorted(landed_rounds[t]) == list(range(1, ROUNDS + 1))
+        vals = {
+            r["val"]
+            for r in df.filter(
+                (F.col("id") >= t * 10_000) & (F.col("id") < t * 10_000 + 10)
+            ).collect()
+        }
+        assert vals == {landed_rounds[t][-1]}, f"thread {t} lost an upsert"
+
+
 def test_table_changes_by_timestamp(spark, tmp_path):
     path = str(tmp_path / "t")
     t = VersionedParquetTable.create(spark, _batch(spark, 0), path)
