@@ -58,3 +58,58 @@ def test_schema_evolution_bench_smoke():
     r = rows[-1]
     assert r["rows_latest"] == r["rows_prev"] + 100
     assert r["append_mergeschema_s"] > 0
+
+
+def test_metric_report_sections(tmp_path):
+    """metric_report.py renders all four notebook sections from the
+    artifacts the repo's own tools emit (reference
+    metrics/metric_analysis.ipynb analogue)."""
+    runs = tmp_path / "metrics"
+    runs.mkdir()
+    (runs / "part-0.csv").write_text(
+        "batch_id,n_total,n_kept,n_null_key,duration_s_validation,"
+        "duration_s_merge,duration_s_total,n_inserted,n_closed\n"
+        "b1,100,98,2,0.5,1.5,2.0,98,0\n"
+        "b2,100,99,1,0.4,1.2,1.6,10,8\n"
+    )
+    vol = tmp_path / "vol.jsonl"
+    vol.write_text(
+        '{"n_rows": 100000, "load_s": 2.0, "merge_s": 3.0}\n'
+        '{"n_rows": 1000000, "load_s": 8.0, "merge_s": 12.0}\n'
+    )
+    part = tmp_path / "part.jsonl"
+    part.write_text(
+        '{"query": "q2", "strategy": "none", "rows": 5, "duration_s": 2.0}\n'
+        '{"query": "q2", "strategy": "by_day", "rows": 5, "duration_s": 0.2}\n'
+    )
+    scale = tmp_path / "scale.jsonl"
+    scale.write_text(
+        '{"cpus": 4, "total_s": 40.0}\n{"cpus": 32, "total_s": 10.0}\n'
+    )
+    out = tmp_path / "report.md"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "tools/metric_report.py",
+            "--runs", str(runs),
+            "--volume", str(vol),
+            "--partitioning", str(part),
+            "--scale", str(scale),
+            "--out", str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    md = out.read_text()
+    assert "## Pipeline runs" in md and "Average time per phase" in md
+    # phase means: validation (0.5+0.4)/2 = 0.45
+    assert "0.45" in md
+    # volume diff-ratio: (20-5)s / 900k rows = 16.667 us/row
+    assert "## Volume scaling" in md and "16.667" in md
+    # partitioning pivot keeps both strategies
+    assert "by_day" in md and "none" in md
+    # scaling speedup 40/10 = 4.0 at 32 cpus
+    assert "speedup_vs_min" in md and "4.0" in md
