@@ -619,3 +619,82 @@ def simhash(col: Column) -> Column:
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhashes."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+) -> DataFrame:
+    """Exact duplicate-span detection — per doc, how many of its
+    ``window``-token spans occur elsewhere in the corpus (or repeat
+    inside the doc itself). The substring-dedup signal of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"),
+    reduced to Spark relational shape: the suffix array becomes a
+    sliding-window hash-shuffle.
+
+    Two-pass design for 100 TB:
+      1. tokenize → sliding windows (narrow 1→N ``posexplode``; window
+         text is immediately collapsed to a 32-hex md5, so the shuffle
+         carries (id, hash) — never the span text),
+      2. groupBy hash with map-side partial counts → the duplicate-hash
+         set (total occurrences ``>= 2`` — covers cross-doc and
+         within-doc repeats alike),
+      3. left-semi join the (id, hash) stream against it — Spark plans
+         this as a shuffled semi with partial aggregation; the dup set
+         is corpus-dependent so no broadcast assumption.
+
+    Real pipelines use window≈50 tokens; small default keeps the
+    synthetic corpus (tiny vocab, short docs) producing hits.
+
+    Returns one row per qualifying doc (``n_tokens >= window``):
+    ``n_windows``, ``n_dup_windows``, ``dup_frac``.
+    """
+    w = F.split(normalize_text(F.col(text_col)), " ")
+    d = df.select(F.col(id_col), w.alias("_w")).filter(F.size("_w") >= window)
+    # (id, hash) stream feeds three branches (dup set, per-doc totals,
+    # per-doc dup counts) — tracked-persist it so the corpus text is
+    # tokenized once, not three times; released at the query boundary.
+    wins = persist_tracked(
+        d.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_w") - (window - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("_w"), i, window), " ").cast(
+                            "binary"
+                        )
+                    ),
+                )
+            ).alias("_wh"),
+        )
+    )
+    # occurrences >= 2 covers both cross-doc and within-doc repeats (a
+    # 2-doc window necessarily has 2 occurrences), so a plain count with
+    # map-side partial aggregation suffices — no count_distinct pass.
+    dup_hashes = (
+        wins.groupBy("_wh")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") >= 2)
+        .select("_wh")
+    )
+    totals = wins.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    dups = (
+        wins.join(dup_hashes, "_wh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    return (
+        totals.join(dups, id_col, "left")
+        .fillna(0, ["n_dup_windows"])
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows"), 6
+            ).alias("dup_frac"),
+        )
+    )

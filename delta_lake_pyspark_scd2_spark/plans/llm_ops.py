@@ -1732,3 +1732,105 @@ def pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_tokens", "stopword_ratio", "ppl")
     )
+
+
+_EMAIL_RE = text.EMAIL_RE
+_PHONE_RE = text.PHONE_RE
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 > 0
+                  THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0
+                  THEN ' or call +1 (555) 0100-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE '' END AS pt
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, pt,
+             regexp_replace(pt, '{_EMAIL_RE}', '[EMAIL]', 'g') AS em
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(pt, '{_EMAIL_RE}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(em, '{_PHONE_RE}')) AS INT) AS n_phones,
+           md5(regexp_replace(em, '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM e
+    """,
+    doc="PII scrubbing (emails + phone-shaped digit runs) — the "
+    "standard pretraining hygiene pass. Deterministic synthetic PII is "
+    "seeded from doc_id (the corpus itself is PII-free), then "
+    "operators.text.redact_pii runs: pure JVM regexp expressions, a "
+    "narrow map with zero shuffles at any scale. The md5 of the "
+    "redacted text value-checks the exact replacement positions.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 > 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit(" or call +1 (555) 0100-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    red = text.redact_pii(seeded)
+    return red.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.md5(F.col("redacted").cast("binary")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "dedup_span_exact",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS win
+      FROM w, UNNEST(range(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 4
+    ),
+    dup AS (
+      SELECT win FROM wins GROUP BY win HAVING count(*) >= 2
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN win IN (SELECT win FROM dup)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           round(CAST(sum(CASE WHEN win IN (SELECT win FROM dup)
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_frac
+    FROM wins GROUP BY doc_id
+    """,
+    doc="Exact duplicate-span detection (Lee et al. 2022 substring "
+    "dedup, relational form): sliding 4-token windows hashed to md5, "
+    "one count-aggregation finds spans occurring >= 2 times anywhere, "
+    "a left-semi join scores each doc's duplicated fraction. The "
+    "shuffle carries (id, 32-hex hash) only — never span text.",
+)
+def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, window=4)

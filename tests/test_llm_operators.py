@@ -349,3 +349,26 @@ def test_media_phash_identical_payloads_pair_at_zero(spark):
         multimodal.attach_binary_payload(docs)
     ).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in out] == [(1, 2, 0)]
+
+
+def test_duplicate_spans_hand_case(spark):
+    """Window=2 over three tiny docs with a known shared span."""
+    rows = [
+        # "a b" occurs in docs 1 and 2; "b b" repeats inside doc 3
+        (1, "a b c"),          # windows: "a b", "b c"
+        (2, "x a b"),          # windows: "x a", "a b"
+        (3, "b b b"),          # windows: "b b", "b b"  (self-repeat)
+        (4, "q"),              # shorter than window -> excluded
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from delta_lake_pyspark_scd2_spark.operators.dedup import duplicate_spans
+
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_frac"])
+        for r in duplicate_spans(df, window=2).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (2, 2, 1.0),
+    }
