@@ -1,0 +1,160 @@
+"""``vtable`` — table-maintenance CLI over :class:`VersionedParquetTable`.
+
+The ops surface Delta users get from ``DESCRIBE HISTORY`` / ``OPTIMIZE``
+/ ``VACUUM`` / ``RESTORE``, as one command (the reference drives its
+tables through notebook cells; this is the scriptable equivalent):
+
+    vtable history  <path> [--limit N]
+    vtable describe <path>
+    vtable show     <path> [--version N | --timestamp EPOCH] [--limit N]
+    vtable count    <path> [--version N]
+    vtable changes  <path> --from V [--to V]
+    vtable compact  <path> [--zorder col1,col2] [--max-files N]
+    vtable vacuum   <path> [--keep-versions N] [--dry-run]
+    vtable restore  <path> --version N
+    vtable clone    <path> <dest>
+    vtable export-delta <path> <dest>    # publish as a real _delta_log table
+
+Every subcommand prints one JSON line (machine-parseable, like the ETL
+CLI) and exits nonzero on error. Maintenance commands are thin wrappers
+over the library methods, so OCC/retention semantics are identical to
+programmatic use.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vtable", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def sp(name: str, **kw):
+        s = sub.add_parser(name, **kw)
+        s.add_argument("path")
+        return s
+
+    s = sp("history", help="commit log, newest first")
+    s.add_argument("--limit", type=int, default=20)
+
+    sp("describe", help="schema, partitioning, version, file/row counts")
+
+    s = sp("show", help="print rows (time travel via --version/--timestamp)")
+    s.add_argument("--version", type=int, default=None)
+    s.add_argument("--timestamp", type=float, default=None)
+    s.add_argument("--limit", type=int, default=20)
+
+    s = sp("count", help="row count (manifest stats when exact, else scan)")
+    s.add_argument("--version", type=int, default=None)
+
+    s = sp("changes", help="CDF rows between versions")
+    s.add_argument("--keys", required=True, help="comma-separated key columns")
+    s.add_argument("--from", dest="v_from", type=int, required=True)
+    s.add_argument("--to", dest="v_to", type=int, default=None)
+    s.add_argument("--limit", type=int, default=20)
+
+    s = sp("compact", help="small-file compaction (OPTIMIZE analogue)")
+    s.add_argument("--zorder", default=None, help="comma-separated columns")
+    s.add_argument("--max-files", type=int, default=1)
+
+    s = sp("vacuum", help="retention sweep (VACUUM analogue)")
+    s.add_argument("--keep-versions", type=int, default=1)
+    s.add_argument("--dry-run", action="store_true")
+
+    s = sp("restore", help="roll the table back to a version")
+    s.add_argument("--version", type=int, required=True)
+
+    s = sp("clone", help="zero-copy-read clone to a new path")
+    s.add_argument("dest")
+
+    s = sp("export-delta", help="publish as a Delta Lake table (_delta_log)")
+    s.add_argument("dest")
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+
+    from delta_lake_pyspark_scd2_spark.session import get_spark
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    spark = get_spark("vtable_cli")
+    if not VersionedParquetTable.is_table(args.path):
+        print(json.dumps({"error": f"not a vtable: {args.path}"}))
+        return 2
+    t = VersionedParquetTable(spark, args.path)
+
+    if args.cmd == "history":
+        out = {"path": args.path, "history": t.history()[: args.limit]}
+    elif args.cmd == "describe":
+        df = t.read()
+        hist = t.history()
+        out = {
+            "path": args.path,
+            "version": t.latest_version(),
+            "schema": df.schema.simpleString(),
+            "partition_columns": t.partition_columns(),
+            "n_commits": len(hist),
+            "n_rows": df.count(),
+        }
+    elif args.cmd == "show":
+        df = t.read(version=args.version, timestamp=args.timestamp)
+        out = {
+            "path": args.path,
+            "rows": [r.asDict() for r in df.limit(args.limit).collect()],
+        }
+    elif args.cmd == "count":
+        out = {
+            "path": args.path,
+            "version": (
+                t.latest_version() if args.version is None else args.version
+            ),
+            "n_rows": t.read(version=args.version).count(),
+        }
+    elif args.cmd == "changes":
+        df = t.table_changes(args.keys.split(","), args.v_from, args.v_to)
+        out = {
+            "path": args.path,
+            "n_changes": df.count(),
+            "rows": [r.asDict() for r in df.limit(args.limit).collect()],
+        }
+    elif args.cmd == "compact":
+        zorder = args.zorder.split(",") if args.zorder else None
+        n = t.compact(
+            max_files_per_partition=args.max_files, zorder_by=zorder
+        )
+        out = {"path": args.path, "partitions_compacted": n}
+    elif args.cmd == "vacuum":
+        out = {
+            "path": args.path,
+            **t.vacuum(keep_versions=args.keep_versions, dry_run=args.dry_run),
+        }
+    elif args.cmd == "restore":
+        v = t.restore(args.version)
+        out = {"path": args.path, "restored_to": args.version, "new_version": v}
+    elif args.cmd == "clone":
+        t.clone(args.dest)
+        out = {"path": args.path, "cloned_to": args.dest}
+    elif args.cmd == "export-delta":
+        from delta_lake_pyspark_scd2_spark.sources.delta_writer import (
+            export_vtable_as_delta,
+        )
+
+        export_vtable_as_delta(t, args.dest)
+        out = {"path": args.path, "delta_table": args.dest}
+    else:  # pragma: no cover — argparse enforces choices
+        return 2
+
+    # timestamps/dates in show/changes rows aren't JSON-native
+    print(json.dumps(out, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
