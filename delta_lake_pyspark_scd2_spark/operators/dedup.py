@@ -698,3 +698,72 @@ def duplicate_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 4,
+) -> DataFrame:
+    """Substring-dedup CLEANING (the action to :func:`duplicate_spans`'
+    report): cut every repeated ``window``-token span out of the corpus,
+    keeping the globally-first occurrence — Lee et al. 2022's ExactSubstr
+    policy ("keep one copy") in relational form.
+
+    Plan shape (one corpus-wide shuffle + one narrow rebuild):
+      1. tokenize → sliding windows keyed by md5 (narrow),
+      2. ONE window-function pass partitioned by span hash: an
+         occurrence is removed iff its span occurs >= 2 times and it is
+         not the (doc_id, pos)-first occurrence — deterministic on any
+         cluster shape,
+      3. removed start-positions fold back per doc (groupBy id), and a
+         higher-order filter drops tokens covered by any removed span —
+         per-row array work, no further shuffle.
+
+    Docs shorter than ``window`` (no spans) pass through with
+    normalized text. Returns ``id_col``, ``n_tokens``, ``n_removed``
+    (tokens dropped), ``clean_text``.
+    """
+    norm = normalize_text(F.col(text_col))
+    base = df.select(F.col(id_col), F.split(norm, " ").alias("_w"))
+    wins = base.filter(F.size("_w") >= window).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_w") - (window - 1)),
+                lambda i: F.md5(
+                    F.array_join(F.slice(F.col("_w"), i, window), " ").cast(
+                        "binary"
+                    )
+                ),
+            )
+        ).alias("_p0", "_wh"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_wh")
+    by_span = Window.partitionBy("_wh")
+    ordered = Window.partitionBy("_wh").orderBy(id_col, "pos")
+    removed = (
+        wins.withColumn("_cnt", F.count(F.lit(1)).over(by_span))
+        .withColumn("_rn", F.row_number().over(ordered))
+        .filter((F.col("_cnt") >= 2) & (F.col("_rn") > 1))
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("_rs"))
+    )
+    joined = base.join(removed, id_col, "left").withColumn(
+        "_rs", F.coalesce(F.col("_rs"), F.array().cast("array<int>"))
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.size("_w")),
+        lambda i: ~F.exists(
+            F.col("_rs"),
+            lambda p: (i >= p) & (i <= p + (window - 1)),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.size("_w").alias("n_tokens"),
+        (F.size("_w") - F.size(keep_idx)).alias("n_removed"),
+        F.array_join(
+            F.transform(keep_idx, lambda i: F.element_at("_w", i)), " "
+        ).alias("clean_text"),
+    )

@@ -1834,3 +1834,61 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_span_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup.duplicate_spans(docs, window=4)
+
+
+@register(
+    "dedup_span_clean",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+    ),
+    wins AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[i:i+3], ' ') AS win
+      FROM w, UNNEST(range(1, len(ws) - 2)) AS t(i)
+      WHERE len(ws) >= 4
+    ),
+    marked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY win) AS cnt,
+             row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      FROM wins
+    ),
+    rem AS (
+      SELECT doc_id, list(pos) AS rs FROM marked
+      WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id
+    ),
+    j AS (
+      SELECT w.doc_id, ws, COALESCE(rs, []) AS rs
+      FROM w LEFT JOIN rem ON w.doc_id = rem.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(ws) - len(list_filter(range(1, len(ws) + 1),
+                i -> len(list_filter(rs, p -> i >= p AND i <= p + 3)) = 0))
+                AS BIGINT) AS n_removed,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join([]) is
+           -- '' — an exact-duplicate doc loses every token, so pin ''
+           md5(COALESCE(array_to_string(
+                 list_transform(
+                   list_filter(range(1, len(ws) + 1),
+                     i -> len(list_filter(rs, p -> i >= p AND i <= p + 3)) = 0),
+                   i -> ws[i]),
+                 ' '), '')) AS clean_md5
+    FROM j
+    """,
+    doc="Substring-dedup cleaning (Lee et al. 2022 ExactSubstr keep-"
+    "first policy): repeated 4-token spans are cut from every "
+    "occurrence except the (doc_id, pos)-first. One window-function "
+    "pass over span hashes is the only corpus-wide shuffle; the token "
+    "mask is per-row higher-order array work. md5(clean_text) "
+    "value-checks the exact surviving token sequence per doc.",
+)
+def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, window=4)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )

@@ -372,3 +372,41 @@ def test_duplicate_spans_hand_case(spark):
         2: (2, 1, 0.5),
         3: (2, 2, 1.0),
     }
+
+
+def test_remove_duplicate_spans_keep_first(spark):
+    """ExactSubstr keep-first policy: the (doc_id, pos)-earliest copy
+    of a repeated span survives; all other copies are cut."""
+    rows = [
+        (1, "a b c d"),     # span "a b" (w=2) first occurs here at pos 1
+        (2, "x a b y"),     # its copy at pos 2 is removed -> "x y"
+        (3, "q r"),         # untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from delta_lake_pyspark_scd2_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, window=2).collect()
+    }
+    assert got[1] == (4, 0, "a b c d")
+    assert got[2] == (4, 2, "x y")
+    assert got[3] == (2, 0, "q r")
+
+
+def test_remove_duplicate_spans_full_duplicate_doc(spark):
+    """A verbatim copy of another doc loses every token."""
+    rows = [(1, "a b c d e"), (2, "a b c d e")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from delta_lake_pyspark_scd2_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_removed"], r["clean_text"])
+        for r in remove_duplicate_spans(df, window=2).collect()
+    }
+    assert got[1] == (0, "a b c d e")
+    assert got[2] == (5, "")
