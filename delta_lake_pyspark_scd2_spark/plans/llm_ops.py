@@ -1892,3 +1892,30 @@ def dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_removed",
         F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
     )
+
+
+@register(
+    "bpe_tokenize",
+    oracle=None,  # BPE merge loop: not SQL-expressible (rows-only check;
+    # training determinism, golden merges and round-trip decode are
+    # pinned in tests/test_bpe.py)
+    doc="Corpus-trained BPE tokenizer: training reads only the "
+    "word-frequency table (one explode+groupBy shuffle compresses the "
+    "corpus to <=max_words rows — driver-safe at any corpus size), the "
+    "merge loop runs on that compressed dict, and encoding is a narrow "
+    "Arrow-batched mapInPandas with per-batch word memoization. "
+    "Returns per-doc subword counts and fertility (BPE tokens per "
+    "whitespace word).",
+)
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=100)
+    enc = bpe.bpe_encode(docs, merges)
+    n_words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return enc.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.round(F.col("n_bpe_tokens") / n_words, 4).alias("fertility"),
+    )
