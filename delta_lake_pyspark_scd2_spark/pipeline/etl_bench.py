@@ -80,8 +80,8 @@ def run_synthetic_volume_bench(
 
     ========  =========  ==========  ============  ================
     rows      load (s)   merge (s)   merge rows/s  baseline (6 wrk)
-    1M        9.0        12.2        ~82k          54.73 s
-    10M       16.4       31.2        321k          226.76 s
+    1M        9.5        10.9        ~92k          54.73 s
+    10M       14.4       23.2        431k          226.76 s
     ========  =========  ==========  ============  ================
 
     (Post rebalance-on-partition-columns write layout: the load path
