@@ -509,3 +509,73 @@ def bigram_lm_scores(
             F.round(F.exp(-F.sum(F.col("m") * logp) / F.sum("m")), 4).alias("ppl"),
         )
     )
+
+
+def hashed_tfidf_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+    dense: bool = True,
+) -> DataFrame:
+    """Feature-hashed TF-IDF document embeddings (hashing trick,
+    Weinberger et al. 2009): text → fixed-``dim`` vector with no model
+    artifact, closing the raw-text → ANN-index loop using only corpus
+    statistics.
+
+    ``v[j] = Σ_{word: h(word) mod dim = j} sign(word) · tf · idf`` with
+    md5-derived bucket and sign hashes (engine-reproducible, like every
+    hash in :mod:`operators.dedup`), ``idf = ln(n_docs / df)`` — the
+    same convention as ``text_tfidf_topk``.
+
+    Plan shape: ONE corpus explode → (doc, term) tf aggregation; df is
+    a COUNT(*) over the tf table (vocabulary-sized, broadcastable
+    join); bucket fold is a second doc-keyed aggregation. All weights
+    round to 6 dp before and after summation so bucket sums are
+    cross-engine stable.
+
+    ``dense=False`` returns sparse rows (id, bucket, weight) — the
+    oracle-checkable form; ``dense=True`` folds them into
+    ``embedding: array<double>`` for the similarity operators.
+    """
+    n_docs = df.count()
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("__t"),
+    ).filter(F.col("__t") != "")
+    tf = words.groupBy(id_col, "__t").agg(F.count(F.lit(1)).alias("__tf"))
+    df_t = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    h = F.conv(F.substring(F.md5(F.col("__t").cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    sgn_h = F.conv(
+        F.substring(F.md5(F.concat(F.col("__t"), F.lit("#s")).cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    idf6 = F.round(F.log(F.lit(float(n_docs)) / F.col("__df")), 6)
+    scored = tf.join(df_t, "__t").select(
+        F.col(id_col),
+        (h % dim).cast("int").alias("bucket"),
+        (
+            F.when(sgn_h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+            * F.round(F.col("__tf") * idf6, 6)
+        ).alias("__w"),
+    )
+    sparse = scored.groupBy(id_col, "bucket").agg(
+        F.round(F.sum("__w"), 6).alias("weight")
+    )
+    if not dense:
+        return sparse
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("bucket"), F.col("weight")))
+    )
+    return sparse.groupBy(id_col).agg(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.coalesce(
+                F.element_at(m, j.cast("int")), F.lit(0.0)
+            ),
+        ).alias("embedding")
+    )

@@ -1919,3 +1919,39 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bpe_tokens",
         F.round(F.col("n_bpe_tokens") / n_words, 4).alias("fertility"),
     )
+
+
+@register(
+    "doc_embedding_hash",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM words WHERE t <> '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(('0x' || substr(md5(tf.t), 1, 8))::BIGINT % 64 AS INT)
+               AS bucket,
+             (CASE WHEN ('0x' || substr(md5(tf.t || '#s'), 1, 8))::BIGINT % 2 = 0
+                   THEN 1.0 ELSE -1.0 END)
+             * round(tf.tf * round(ln(n.n_docs / dfq.df), 6), 6) AS w
+      FROM tf JOIN dfq USING (t) CROSS JOIN n
+    )
+    SELECT doc_id, bucket, round(sum(w), 6) AS weight
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="Feature-hashed TF-IDF document embeddings (hashing trick): "
+    "text -> fixed-dim vector from corpus statistics alone, closing "
+    "the raw-text -> ANN loop with no model artifact. One corpus "
+    "explode; df counted over the tf-compressed table; md5 bucket/sign "
+    "hashes reproduce bit-for-bit in the oracle. Sparse (doc, bucket, "
+    "weight) form here; the dense array form feeds "
+    "operators.similarity.",
+)
+def doc_embedding_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.hashed_tfidf_embedding(docs, dense=False, dim=64)

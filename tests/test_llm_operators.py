@@ -410,3 +410,26 @@ def test_remove_duplicate_spans_full_duplicate_doc(spark):
     }
     assert got[1] == (0, "a b c d e")
     assert got[2] == (5, "")
+
+
+def test_hashed_embedding_dense_matches_sparse_and_feeds_ann(spark, sf_dir):
+    from delta_lake_pyspark_scd2_spark.operators.text import (
+        hashed_tfidf_embedding,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sparse = {
+        (r["doc_id"], r["bucket"]): r["weight"]
+        for r in hashed_tfidf_embedding(docs, dense=False, dim=32).collect()
+    }
+    dense = hashed_tfidf_embedding(docs, dense=True, dim=32)
+    for r in dense.collect():
+        for j, v in enumerate(r["embedding"]):
+            assert abs(v - sparse.get((r["doc_id"], j), 0.0)) < 1e-9
+    # the dense form plugs straight into brute-force cosine top-k
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    top = cosine_topk(dense, dense.limit(2), k=3, id_col="doc_id")
+    assert top.count() > 0
