@@ -1955,3 +1955,29 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_embedding_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.hashed_tfidf_embedding(docs, dense=False, dim=64)
+
+
+@register(
+    "shard_plan",
+    oracle=r"""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                % 8 AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                         ELSE len(string_split_regex(trim(text), '\s+'))
+                    END) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+    doc="Training-shard audit: the deterministic md5(id) %% n dealing "
+    "that pipeline.shard_export publishes, as per-shard doc/token "
+    "stats. Pure hash assignment — no global sort, identical on any "
+    "cluster shape; pipeline.shard_export.export_training_shards "
+    "writes the shards (one file each, manifest-last crash contract).",
+)
+def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.pipeline.shard_export import (
+        shard_plan as _plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _plan(docs, n_shards=8)
