@@ -224,14 +224,149 @@ def write_delta(
     raise ValueError(f"unknown mode {mode!r}")
 
 
-def export_vtable_as_delta(table, dest: str) -> int:
+def export_vtable_as_delta(table, dest: str, *, preserve_dvs: bool = False) -> int:
     """Export a ``VersionedParquetTable``'s CURRENT snapshot as a new
-    Delta table (deletion vectors are materialized by the read, so the
-    export is exact)."""
-    df = table.read()
-    return write_delta(
-        df, dest, partition_cols=table.partition_columns(), mode="create"
+    Delta table.
+
+    Default mode re-writes through a read (deletion vectors are
+    materialized by the scan, so the export is exact and stays on the
+    widest-compatibility protocol (1,2)).
+
+    ``preserve_dvs=True`` is the **zero-rewrite** path: data files are
+    byte-copied as-is under their existing relative layout (vtable uses
+    hive-style partition dirs, which IS Delta's layout), and each
+    vtable DV reference is re-serialized as a native Delta deletion
+    vector (z85-uuid ``storageType "u"`` RoaringBitmapArray sidecar,
+    ``delta_dv.write_dv_file``). The commit declares protocol (3,7)
+    with the ``deletionVectors`` reader/writer feature exactly when a
+    DV exists — otherwise it stays (1,2). O(data bytes copied +
+    deleted rows); no Spark job at all.
+    """
+    if not preserve_dvs:
+        df = table.read()
+        return write_delta(
+            df, dest, partition_cols=table.partition_columns(), mode="create"
+        )
+
+    import tempfile as _tf
+
+    from delta_lake_pyspark_scd2_spark.sources import delta_dv
+    from delta_lake_pyspark_scd2_spark.sources.vtable import DATA_DIR, DV_DIR
+
+    m = table._current()
+    if m.get("column_mapping"):
+        raise ValueError(
+            "preserve_dvs export cannot carry a column-mapped table "
+            "(physical file schemas differ from the logical schema); "
+            "use the default materializing export"
+        )
+    fs = fsio.get_fs(dest, table.spark)
+    if fs.exists(fsio.join(dest, LOG_DIR)):
+        raise FileExistsError(f"Delta table already exists at {dest}")
+    src_fs = fsio.get_fs(table.path, table.spark)
+
+    # dead positions per file, read once from the parquet sidecars
+    dv_positions: dict[str, list[int]] = {}
+    dv_paths = sorted(
+        {p for f in m["files"] for p in ((f.get("dv") or {}).get("paths", []))}
     )
+    if dv_paths:
+        from pyspark.sql import functions as F
+
+        dead = table.spark.read.parquet(
+            *[os.path.join(table.path, DV_DIR, p) for p in dv_paths]
+        )
+        for r in (
+            dead.groupBy("__file")
+            .agg(F.collect_set("__pos").alias("ps"))
+            .collect()
+        ):
+            dv_positions[r["__file"]] = sorted(int(p) for p in r["ps"])
+
+    def _copy(src: str, dst: str) -> None:
+        lp = fsio.local_path(src)
+        if lp is not None:
+            fs.put_file(lp, dst)
+            return
+        with _tf.NamedTemporaryFile(delete=False) as tmp:
+            tmp.write(src_fs.read_bytes(src))
+            name = tmp.name
+        try:
+            fs.put_file(name, dst)
+        finally:
+            os.unlink(name)
+
+    adds: list[dict] = []
+    has_dv = False
+    for f in m["files"]:
+        rel = f["path"]
+        src = fsio.join(table.path, DATA_DIR, rel)
+        dst = fsio.join(dest, rel)
+        if "/" in rel:
+            fs.mkdirs(fsio.join(dest, rel.rsplit("/", 1)[0]))
+        else:
+            fs.mkdirs(dest)
+        _copy(src, dst)
+        add = {
+            "path": quote(rel, safe="/=-"),
+            "partitionValues": dict(f.get("partition") or {}),
+            "size": fs.size(dst),
+            "modificationTime": fs.mtime_ms(dst),
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": int(f.get("rows") or 0)}),
+        }
+        positions = dv_positions.get(rel) if f.get("dv") else None
+        if positions:
+            has_dv = True
+            u = uuid.uuid4()
+            with _tf.NamedTemporaryFile(delete=False) as tmp:
+                name = tmp.name
+            desc = delta_dv.write_dv_file(positions, name)
+            try:
+                fs.put_file(name, fsio.join(dest, f"deletion_vector_{u}.bin"))
+            finally:
+                os.unlink(name)
+            add["deletionVector"] = {
+                "storageType": "u",
+                "pathOrInlineDv": delta_dv.z85_encode(u.bytes),
+                "offset": desc["offset"],
+                "sizeInBytes": desc["sizeInBytes"],
+                "cardinality": desc["cardinality"],
+            }
+        adds.append({"add": add})
+
+    schema_json = m["schema"]
+    protocol = (
+        {
+            "protocol": {
+                "minReaderVersion": 3,
+                "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"],
+            }
+        }
+        if has_dv
+        else _PROTOCOL
+    )
+    actions = [
+        _commit_info("EXPORT_VTABLE"),
+        protocol,
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": schema_json,
+                "partitionColumns": list(m["partition_cols"]),
+                "configuration": (
+                    {"delta.enableDeletionVectors": "true"} if has_dv else {}
+                ),
+                "createdTime": 0,
+            }
+        },
+        *adds,
+    ]
+    _write_commit(fs, dest, 0, actions)
+    return 0
 
 
 def write_checkpoint(path: str) -> int:

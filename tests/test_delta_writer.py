@@ -163,3 +163,66 @@ def test_checkpoint_and_log_cleanup(spark, tmp_path):
     assert write_checkpoint(path) == 5
     assert clean_log(path) == 1
     assert DeltaTableReader(spark, path).read().count() == 6
+
+
+def test_export_preserve_dvs_roundtrip(spark, tmp_path):
+    """Zero-rewrite export: byte-copied data files + native Delta
+    deletion vectors, read back identically by the independent reader;
+    protocol gates to (3,7) iff a DV exists."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from delta_lake_pyspark_scd2_spark.sources.delta_reader import (
+        DeltaTableReader,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.delta_writer import (
+        export_vtable_as_delta,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("part"),
+        (F.col("id") * 2).alias("v"),
+    )
+    VersionedParquetTable.create(spark, df, p, partition_cols=["part"])
+    t = VersionedParquetTable(spark, p)
+    m = t._current()
+    full = t._scan(
+        m["files"],
+        T.StructType.fromJson(json.loads(m["schema"])),
+        with_position=True,
+    )
+    t.remove_rows(full.filter(F.col("k") % 4 == 0).select("__file", "__pos"))
+
+    dest = str(tmp_path / "delta_dv")
+    export_vtable_as_delta(t, dest, preserve_dvs=True)
+    got = DeltaTableReader(spark, dest).read()
+    want = sorted(tuple(r) for r in t.read().select("k", "part", "v").collect())
+    assert sorted(tuple(r) for r in got.select("k", "part", "v").collect()) == want
+
+    log = (tmp_path / "delta_dv" / "_delta_log" / f"{0:020d}.json").read_text()
+    prot = next(
+        json.loads(l)["protocol"] for l in log.splitlines() if "protocol" in l
+    )
+    assert prot["minReaderVersion"] == 3
+    assert "deletionVectors" in prot["readerFeatures"]
+
+    # a DV-free table exports on the widest-compat protocol
+    p2 = str(tmp_path / "t2")
+    VersionedParquetTable.create(spark, df, p2, partition_cols=["part"])
+    dest2 = str(tmp_path / "delta_plain")
+    export_vtable_as_delta(
+        VersionedParquetTable(spark, p2), dest2, preserve_dvs=True
+    )
+    log2 = (tmp_path / "delta_plain" / "_delta_log" / f"{0:020d}.json").read_text()
+    prot2 = next(
+        json.loads(l)["protocol"] for l in log2.splitlines() if "protocol" in l
+    )
+    assert (prot2["minReaderVersion"], prot2["minWriterVersion"]) == (1, 2)
+    assert DeltaTableReader(spark, dest2).read().count() == 20
