@@ -1,0 +1,147 @@
+"""Trained quality classifier: distributed logistic regression over
+hashed text features — the fasttext-style quality-filter pattern
+(pretrain pipelines train a cheap linear model on weak labels, then
+score the whole corpus).
+
+Scale design — iterative ML as plain DataFrame aggregations:
+
+* Each gradient-descent iteration is ONE aggregation job over the
+  corpus: the per-row gradient ``(σ(w·x) − y)·x`` is a higher-order
+  array expression (JVM-side, no UDF), and the ``dim+1`` component
+  sums ride a single map-side-combined agg — so an iteration's cost is
+  one scan + one tiny shuffle, and the driver holds only the
+  ``dim+1``-float weight vector between iterations.
+* Weights re-enter the plan as broadcast literals each round
+  (``array(lit(...))``) — nothing driver-side ever scales with rows.
+* Feature vectors come from
+  :func:`operators.text.hashed_tfidf_embedding` (corpus statistics
+  only), so the whole train+score path needs no external model
+  artifact.
+
+Scoring is :func:`predict`: a narrow per-row dot product.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(vec_col: Column, weights: list[float], bias: float) -> Column:
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    return F.aggregate(
+        F.zip_with(vec_col, w, lambda x, wi: x * wi),
+        F.lit(float(bias)),
+        lambda acc, v: acc + v,
+    )
+
+
+def _sigmoid(z: Column) -> Column:
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def train_logreg(
+    df: DataFrame,
+    feature_col: str = "embedding",
+    label_col: str = "label",
+    *,
+    dim: int,
+    iters: int = 15,
+    lr: float = 0.5,
+    l2: float = 1e-4,
+) -> dict:
+    """Batch gradient descent; returns ``{"weights", "bias", "loss"}``
+    (loss = per-iteration mean log-loss history, computed in the SAME
+    aggregation as the gradient — one job per iteration, not two)."""
+    n = df.count()
+    if n == 0:
+        raise ValueError("empty training frame")
+    w = [0.0] * dim
+    b = 0.0
+    losses: list[float] = []
+    x = F.col(feature_col)
+    y = F.col(label_col).cast("double")
+    for _ in range(iters):
+        z = _dot(x, w, b)
+        p = _sigmoid(z)
+        err = p - y
+        row = df.agg(
+            *[
+                F.sum(err * F.element_at(x, j + 1)).alias(f"g{j}")
+                for j in range(dim)
+            ],
+            F.sum(err).alias("gb"),
+            F.sum(
+                -(
+                    y * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - y)
+                    * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
+                )
+            ).alias("loss"),
+        ).collect()[0]
+        losses.append(round(float(row["loss"]) / n, 6))
+        w = [
+            wi - lr * (float(row[f"g{j}"]) / n + l2 * wi)
+            for j, wi in enumerate(w)
+        ]
+        b -= lr * float(row["gb"]) / n
+    return {"weights": w, "bias": b, "loss": losses}
+
+
+def predict(
+    df: DataFrame,
+    model: dict,
+    feature_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Score rows with a trained model — narrow per-row dot product."""
+    z = _dot(F.col(feature_col), model["weights"], model["bias"])
+    return df.withColumn(score_col, F.round(_sigmoid(z), 6))
+
+
+def quality_filter_scores(
+    docs: DataFrame,
+    *,
+    dim: int = 32,
+    iters: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label: Column | None = None,
+) -> DataFrame:
+    """End-to-end weak-label quality classifier: hashed TF-IDF features
+    → logistic regression → per-doc quality score.
+
+    Default weak label: document length above the corpus median — the
+    classic bootstrap where a crude heuristic supervises a model that
+    generalizes beyond it (here: onto token CONTENT via the hashed
+    features). Returns (id, label, score, pred)."""
+    from delta_lake_pyspark_scd2_spark.operators.text import (
+        hashed_tfidf_embedding,
+        token_count_ws,
+    )
+
+    emb = hashed_tfidf_embedding(docs, text_col, id_col, dim=dim, dense=True)
+    if label is None:
+        med = docs.agg(
+            F.expr(f"percentile_approx(length({text_col}), 0.5)")
+        ).collect()[0][0]
+        lab = docs.select(
+            F.col(id_col),
+            (F.length(text_col) > F.lit(int(med))).cast("int").alias("label"),
+        )
+    else:
+        lab = docs.select(F.col(id_col), label.cast("int").alias("label"))
+    train = emb.join(lab, id_col).persist()
+    try:
+        model = train_logreg(train, dim=dim, iters=iters)
+        scored = predict(train, model)
+    finally:
+        train.unpersist()
+    return scored.select(
+        id_col,
+        "label",
+        "score",
+        (F.col("score") > 0.5).cast("int").alias("pred"),
+    )

@@ -1981,3 +1981,24 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _plan(docs, n_shards=8)
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=None,  # iterative gradient descent: not SQL-expressible
+    # (learning dynamics pinned in tests/test_classifier.py: separable-
+    # task accuracy > 0.95, monotone loss, beats-majority on the corpus)
+    doc="TRAINED quality classifier (fasttext-style filter): hashed "
+    "TF-IDF features -> distributed logistic regression where each GD "
+    "iteration is ONE map-side-combined aggregation (per-row gradient "
+    "is a JVM higher-order expression; driver holds only dim+1 "
+    "floats) -> per-doc quality scores. Weak label = length above "
+    "corpus median; the model generalizes onto token content.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.classifier import (
+        quality_filter_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter_scores(docs, dim=32, iters=12)
