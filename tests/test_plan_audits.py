@@ -242,3 +242,41 @@ def test_quality_gate_single_corpus_explode(spark):
     # heuristics must not add corpus-wide exchanges beyond the LM's
     # count aggregations + the final doc_id join
     assert plan.count("Exchange") <= 14
+
+
+def test_hashed_embedding_df_join_is_broadcast(spark):
+    """The document-frequency table is vocabulary-sized: its join back
+    onto the tf table must be a broadcast, never a corpus shuffle."""
+    from delta_lake_pyspark_scd2_spark.operators.text import (
+        hashed_tfidf_embedding,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _simple(hashed_tfidf_embedding(docs, dense=False))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_duplicate_spans_shuffle_carries_hash_not_text(spark):
+    """The span explode collapses to md5 BEFORE any exchange: no plan
+    node may shuffle the window text itself."""
+    from delta_lake_pyspark_scd2_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _formatted(duplicate_spans(docs))
+    # every Exchange's output schema is (id/hash/count)-shaped; the
+    # array_join that builds window text exists only inside the project
+    # that feeds md5
+    for block in plan.split("\n\n"):
+        if "Exchange" in block and "array_join" in block:
+            raise AssertionError(
+                "window text reached an exchange:\n" + block
+            )
+
+
+def test_shard_plan_single_aggregation(spark):
+    """shard_plan is one hash aggregation: exactly one shuffle."""
+    from delta_lake_pyspark_scd2_spark.pipeline.shard_export import shard_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _simple(shard_plan(docs, n_shards=8))
+    assert plan.count("Exchange hashpartitioning") == 1
