@@ -2002,3 +2002,110 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return quality_filter_scores(docs, dim=32, iters=12)
+
+
+_GAPFILL_DENSE_CTE = """
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             round(sum(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT g.event_type, t.bucket_ts
+      FROM (SELECT DISTINCT event_type FROM events) g
+      CROSS JOIN bounds
+      CROSS JOIN UNNEST(generate_series(bounds.lo, bounds.hi,
+                                        INTERVAL 1 HOUR)) AS t(bucket_ts)
+    ),
+    dense AS (
+      SELECT s.event_type, s.bucket_ts, a.v,
+             CASE WHEN a.v IS NULL THEN 1 ELSE 0 END AS filled
+      FROM spine s LEFT JOIN agg a USING (event_type, bucket_ts)
+    )
+"""
+
+
+@register(
+    "ts_gapfill_locf",
+    oracle=f"""
+    WITH {_GAPFILL_DENSE_CTE}
+    SELECT event_type, bucket_ts,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           filled
+    FROM dense
+    """,
+    doc="Hypertable rollup with gap-fill (TimescaleDB "
+    "time_bucket_gapfill + locf): ONE corpus shuffle for the (group, "
+    "hour) rollup; the dense bucket spine is sequence() x distinct "
+    "groups (output-sized); last-observation-carried-forward is a "
+    "single ignoreNulls window over the spine.",
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        events, "ts", "value", ["event_type"], bucket="hour", fill="locf"
+    )
+
+
+@register(
+    "ts_gapfill_linear",
+    oracle=f"""
+    WITH {_GAPFILL_DENSE_CTE}
+    SELECT event_type, bucket_ts,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                  AND next_t <> prev_t
+               THEN prev_v + (next_v - prev_v)
+                    * (CAST(epoch(bucket_ts) AS BIGINT) - prev_t)
+                    / (next_t - prev_t)
+             ELSE NULL
+           END, 6) AS value,
+           filled
+    FROM (
+      SELECT *,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        last_value(CASE WHEN v IS NOT NULL
+                        THEN CAST(epoch(bucket_ts) AS BIGINT) END
+                   IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(v IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+        first_value(CASE WHEN v IS NOT NULL
+                         THEN CAST(epoch(bucket_ts) AS BIGINT) END
+                    IGNORE NULLS) OVER (
+          PARTITION BY event_type ORDER BY bucket_ts
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      FROM dense
+    )
+    """,
+    doc="Hypertable gap-fill with LINEAR interpolation (TimescaleDB "
+    "interpolate()): neighboring observations come from two mirrored "
+    "ignoreNulls window passes over the output-sized spine; "
+    "leading/trailing gaps stay NULL. Same one-shuffle rollup as "
+    "ts_gapfill_locf.",
+)
+def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return time_bucket_gapfill(
+        events, "ts", "value", ["event_type"], bucket="hour", fill="linear"
+    )

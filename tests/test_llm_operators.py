@@ -433,3 +433,46 @@ def test_hashed_embedding_dense_matches_sparse_and_feeds_ann(spark, sf_dir):
 
     top = cosine_topk(dense, dense.limit(2), k=3, id_col="doc_id")
     assert top.count() > 0
+
+
+def test_time_bucket_gapfill_modes(spark):
+    """Hand case across all four fill modes (TimescaleDB semantics:
+    linear leaves leading/trailing gaps NULL, locf carries forward)."""
+    import datetime as dt
+
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        time_bucket_gapfill,
+    )
+
+    rows = [
+        ("a", dt.datetime(2026, 1, 1, 0, 10), 1.0),
+        ("a", dt.datetime(2026, 1, 1, 0, 40), 2.0),  # hour 0 -> 3.0
+        ("a", dt.datetime(2026, 1, 1, 3, 5), 9.0),   # hours 1-2 gap
+        ("b", dt.datetime(2026, 1, 1, 1, 0), 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["g", "ts", "v"])
+
+    def run(mode):
+        return sorted(
+            (r["g"], r["bucket_ts"].hour, r["value"], r["filled"])
+            for r in time_bucket_gapfill(
+                df, "ts", "v", ["g"], bucket="hour", fill=mode
+            ).collect()
+        )
+
+    assert run("none") == [
+        ("a", 0, 3.0, 0), ("a", 1, None, 1), ("a", 2, None, 1),
+        ("a", 3, 9.0, 0), ("b", 0, None, 1), ("b", 1, 5.0, 0),
+        ("b", 2, None, 1), ("b", 3, None, 1),
+    ]
+    assert run("zero")[1] == ("a", 1, 0.0, 1)
+    assert run("locf") == [
+        ("a", 0, 3.0, 0), ("a", 1, 3.0, 1), ("a", 2, 3.0, 1),
+        ("a", 3, 9.0, 0), ("b", 0, None, 1), ("b", 1, 5.0, 0),
+        ("b", 2, 5.0, 1), ("b", 3, 5.0, 1),
+    ]
+    assert run("linear") == [
+        ("a", 0, 3.0, 0), ("a", 1, 5.0, 1), ("a", 2, 7.0, 1),
+        ("a", 3, 9.0, 0), ("b", 0, None, 1), ("b", 1, 5.0, 0),
+        ("b", 2, None, 1), ("b", 3, None, 1),
+    ]
