@@ -2109,3 +2109,70 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_bucket_gapfill(
         events, "ts", "value", ["event_type"], bucket="hour", fill="linear"
     )
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(floor(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    final AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 5 = 0 THEN price * 2 ELSE price END
+               AS price
+      FROM base WHERE o_orderkey % 7 <> 0
+    )
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price) AS BIGINT) AS sum_price
+    FROM final GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance, end to end: a base "
+    "vtable takes an upsert+delete batch, the CDF (manifest diff — "
+    "only changed files read) feeds a signed-delta fold, and ONE "
+    "key-equi upsert refreshes the aggregate table. The oracle is the "
+    "from-scratch aggregate of the final base state: the refreshed MV "
+    "must equal it bit-for-bit (abelian-group aggregates over longs). "
+    "Refresh cost is change-volume-proportional at any base size.",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from delta_lake_pyspark_scd2_spark.operators.incremental import (
+        aggregate_of,
+        incremental_agg_refresh,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base0 = orders.filter(F.col("o_orderkey") % 4 < 3).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    root = f"{tempfile.gettempdir()}/spark_graft_mv_{uuid.uuid4().hex}"
+    base = VersionedParquetTable.create(spark, base0, f"{root}/base")
+    agg = VersionedParquetTable.create(
+        spark,
+        aggregate_of(base0, ["o_orderpriority"], ["price"], "n"),
+        f"{root}/agg",
+    )
+    updates = base0.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).withColumn("price", F.col("price") * 2)
+    deletes = base0.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    base.upsert(updates, ["o_orderkey"], deletes=deletes)
+    incremental_agg_refresh(
+        base, agg, ["o_orderkey"], ["o_orderpriority"], ["price"], 0,
+        count_col="n",
+    )
+    return agg.read().select(
+        "o_orderpriority",
+        F.col("n").cast("long"),
+        F.col("price").cast("long").alias("sum_price"),
+    )
