@@ -62,13 +62,29 @@ def incremental_agg_refresh(
     aggregate table. Returns the upsert metrics plus the base version
     the aggregate is now current to (pass it as the next call's
     ``since_version``)."""
-    gcols = list(group_cols)
     now_version = base.latest_version()
     changes = base.table_changes(list(key_cols), since_version, now_version)
+    out = apply_change_rows(
+        agg, changes, group_cols, sum_cols, count_col=count_col
+    )
+    out["refreshed_to_version"] = now_version
+    return out
+
+
+def signed_deltas(
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group signed contribution of a batch of CDF rows
+    (``_change_type`` column): +1 for insert/update_postimage, −1 for
+    delete/update_preimage. One map-side-combinable aggregation over
+    just the changed rows."""
+    gcols = list(group_cols)
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    deltas = (
+    return (
         changes.withColumn("_sign", sign)
         .groupBy(*gcols)
         .agg(
@@ -79,6 +95,23 @@ def incremental_agg_refresh(
             ],
         )
     )
+
+
+def apply_change_rows(
+    agg: VersionedParquetTable,
+    changes: DataFrame,
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    *,
+    count_col: str = "n",
+    txn: "tuple[str, int] | None" = None,
+) -> dict:
+    """Merge one batch of CDF rows into the aggregate table: signed
+    fold → one key-equi upsert (count-zero groups deleted in the same
+    commit). ``txn`` rides through to :meth:`upsert` so a foreachBatch
+    caller gets exactly-once replays."""
+    gcols = list(group_cols)
+    deltas = signed_deltas(changes, gcols, sum_cols)
     cur = agg.read()
     merged = deltas.join(cur, on=gcols, how="left").select(
         *gcols,
@@ -93,6 +126,6 @@ def incremental_agg_refresh(
     )
     ups = merged.filter(F.col(count_col) > 0)
     dels = merged.filter(F.col(count_col) <= 0).select(*gcols)
-    out = agg.upsert(ups, gcols, deletes=dels, operation="AGG_REFRESH")
-    out["refreshed_to_version"] = now_version
-    return out
+    return agg.upsert(
+        ups, gcols, deletes=dels, operation="AGG_REFRESH", txn=txn
+    )

@@ -1201,6 +1201,7 @@ class VersionedParquetTable:
         metrics: "dict | Callable[[], dict] | None" = None,
         layout_ready: bool = False,
         cdc_files: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Partition-scoped copy-on-write: swap the files of exactly
         ``partitions`` for ``df``'s files; every other partition is
@@ -1219,6 +1220,10 @@ class VersionedParquetTable:
         exactly those partitions).
         """
         m = self._current()
+        if txn is not None:
+            applied = m.get("txns", {}).get(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return m["version"]
         pc = list(m["partition_cols"])
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         if merge_schema:
@@ -1283,9 +1288,13 @@ class VersionedParquetTable:
             # identity footer stats) must surface as itself, not be
             # misread as a lost commit race
             ident_state = self._identity_bump(m, new_files)
+            txns = None
+            if txn is not None:
+                txns = {**m.get("txns", {}), txn[0]: txn[1]}
             try:
                 self._commit(
                     v, kept + new_files, schema, pc, operation, metrics, cons,
+                    txns,
                     identity_cols=ident_state, cdc_files=cdc_files,
                     # pure re-layout commits rewrite the same visible
                     # rows — Delta's dataChange=false; the change feed
@@ -1295,6 +1304,13 @@ class VersionedParquetTable:
                 return v
             except RuntimeError:  # lost the version race — try to rebase
                 m2 = self._current()
+                if txn is not None:
+                    applied = m2.get("txns", {}).get(txn[0])
+                    if applied is not None and applied >= txn[1]:
+                        # the racing writer WAS this logical transaction
+                        # (replica replay): land-once; staged files stay
+                        # unreferenced for vacuum to sweep
+                        return m2["version"]
                 if ident_assigned:
                     raise RuntimeError(
                         f"partition rewrite of {self.path} lost a commit "
@@ -1348,6 +1364,7 @@ class VersionedParquetTable:
         mode: str = "rewrite",
         operation: str = "UPSERT",
         metrics: "dict | Callable[[], dict] | None" = None,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Generic MERGE (reference S8's ``whenMatchedUpdate`` +
         ``whenNotMatchedInsert``, src/header_etl.py:205-215 shape, made
@@ -1378,9 +1395,24 @@ class VersionedParquetTable:
         Delta's: reads of DV'd files pay a tiny anti-join until
         ``compact()`` materializes the deletes. Same result as
         ``rewrite`` in every snapshot read.
+
+        ``txn=(app_id, txn_version)`` makes the merge **idempotent**
+        (same contract as :meth:`append`): an already-applied batch is
+        skipped before any work, and a lost commit race against the
+        same logical transaction lands once — exactly-once foreachBatch
+        MERGE sinks.
         """
         keys = list(key_cols)
         m = self._current()
+        if txn is not None:
+            applied = m.get("txns", {}).get(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return {
+                    "n_updated": 0,
+                    "n_inserted": 0,
+                    "n_deleted": 0,
+                    "skipped_txn": True,
+                }
         pc = list(m["partition_cols"])
         cur = self.read()
         updates = self._apply_generated(updates, m.get("generated_cols"))
@@ -1459,6 +1491,12 @@ class VersionedParquetTable:
                 )
             cdc_files = self._write_cdc(change)
         if mode == "dv":
+            if txn is not None:
+                raise ValueError(
+                    "txn-idempotent upsert supports mode='rewrite' only "
+                    "(the DV commit path does not thread writer "
+                    "transactions yet)"
+                )
             # merge-on-read: DV the old rows of every matched/deleted
             # key (positional read scoped to the partitions that hold
             # them), append the updates in the same commit
@@ -1518,7 +1556,7 @@ class VersionedParquetTable:
         merged = survivors.unionByName(updates.select(*base.columns))
         self.replace_partitions(
             merged, touched, operation=operation, metrics=metrics or out,
-            cdc_files=cdc_files,
+            cdc_files=cdc_files, txn=txn,
         )
         return out
 

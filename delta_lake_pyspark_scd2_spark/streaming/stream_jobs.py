@@ -437,3 +437,71 @@ def vtable_sink_stream(
     if trigger_available_now:
         q.awaitTermination()
     return q
+
+
+def maintain_aggregate_stream(
+    spark,
+    src_path: str,
+    agg_path: str,
+    checkpoint_dir: str,
+    *,
+    key_cols: Sequence[str],
+    group_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str = "n",
+) -> StreamingQuery:
+    """Streaming materialized-view maintenance — the continuous twin of
+    ``operators.incremental``: the base table's CDC stream feeds a
+    signed-delta fold per micro-batch, so the aggregate table tracks
+    the base with change-volume-proportional work, forever.
+
+    Exactly-once end to end: the stream checkpoint replays a failed
+    micro-batch with the same batch id, and the fold's MERGE carries
+    ``(app_id, batch_id)`` as a writer transaction — a replayed batch
+    is skipped before any work (or lands once across a commit race),
+    so no delta is ever double-applied. That matters more here than
+    for an append sink: double-applying a signed delta CORRUPTS the
+    aggregate rather than duplicating a row.
+
+    Scale: each micro-batch touches only changed rows (executor-
+    parallel CDC file reads) and rewrites only aggregate partitions
+    holding changed groups.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.incremental import (
+        apply_change_rows,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable_stream import (
+        VTableChangesDataSource,
+    )
+
+    spark.dataSource.register(VTableChangesDataSource)
+    app = f"agg_maintain:{agg_path}"
+
+    def _fold(batch_df, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        agg = VersionedParquetTable(spark, agg_path)
+        apply_change_rows(
+            agg,
+            batch_df,
+            list(group_cols),
+            list(sum_cols),
+            count_col=count_col,
+            txn=(app, batch_no),
+        )
+
+    q = (
+        spark.readStream.format("vtable_changes")
+        .option("path", src_path)
+        .option("keycols", ",".join(key_cols))
+        .load()
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

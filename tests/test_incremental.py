@@ -125,3 +125,67 @@ def test_any_change_sequence_keeps_aggregate_exact(spark, tmp_path_factory, batc
         }
         got = {(r.g,): (r.n, r.val) for r in agg.read().collect()}
         assert got == truth
+
+
+def test_streaming_aggregate_maintenance_exactly_once(spark, tmp_path):
+    """The CDC-stream MV consumer: bootstrap from the v0 snapshot,
+    track an upsert+delete batch, and never double-apply a delta on
+    replay (writer-txn idempotence)."""
+    from delta_lake_pyspark_scd2_spark.operators.incremental import (
+        apply_change_rows,
+    )
+    from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
+        maintain_aggregate_stream,
+    )
+
+    base_path = str(tmp_path / "base")
+    agg_path = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    seed = spark.createDataFrame(
+        [(k, k % 3, k * 10) for k in range(12)], "k int, g int, val long"
+    )
+    base = VersionedParquetTable.create(
+        spark, seed, base_path, properties={"enableChangeDataFeed": "true"}
+    )
+    VersionedParquetTable.create(
+        spark, aggregate_of(seed.limit(0), ["g"], ["val"], "n"), agg_path
+    )
+
+    def truth():
+        return {
+            r.g: (r.n, r.val)
+            for r in aggregate_of(base.read(), ["g"], ["val"], "n").collect()
+        }
+
+    def got():
+        agg = VersionedParquetTable(spark, agg_path)
+        return {r.g: (r.n, r.val) for r in agg.read().collect()}
+
+    run = lambda: maintain_aggregate_stream(
+        spark, base_path, agg_path, ckpt,
+        key_cols=["k"], group_cols=["g"], sum_cols=["val"],
+    )
+    run()  # bootstrap: v0 snapshot arrives as inserts
+    assert got() == truth()
+
+    # change batch: updates + deletes
+    upd = spark.createDataFrame([(1, 1, 999), (12, 0, 7)], "k int, g int, val long")
+    dels = spark.createDataFrame([(6,), (9,)], "k int")
+    base.upsert(upd, ["k"], deletes=dels)
+    run()  # incremental catch-up from the checkpoint
+    assert got() == truth()
+
+    # idle re-run: nothing double-applied
+    run()
+    assert got() == truth()
+
+    # direct replay of one logical batch: second apply is skipped
+    agg_t = VersionedParquetTable(spark, agg_path)
+    fake = spark.createDataFrame(
+        [(99, 0, 5, "insert")], "k int, g int, val long, _change_type string"
+    )
+    v_before = agg_t.latest_version()
+    out1 = apply_change_rows(agg_t, fake, ["g"], ["val"], txn=("replay", 1))
+    out2 = apply_change_rows(agg_t, fake, ["g"], ["val"], txn=("replay", 1))
+    assert out2.get("skipped_txn") is True
+    assert agg_t.latest_version() == v_before + 1  # one commit, not two

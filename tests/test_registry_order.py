@@ -57,4 +57,6 @@ def test_every_head_query_has_an_oracle():
 
 
 def test_no_entries_lost_by_reorder():
-    assert len(REGISTRY) == 127
+    # the round-3 reorder started from 127 entries; growth is fine,
+    # shrinkage means the _PRIORITY plumbing dropped something
+    assert len(REGISTRY) >= 127
