@@ -2176,3 +2176,38 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long"),
         F.col("price").cast("long").alias("sum_price"),
     )
+
+
+@register(
+    "s8_update_where",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey < 2000
+                THEN CAST(floor(o_totalprice) AS BIGINT) * 3
+                ELSE CAST(floor(o_totalprice) AS BIGINT) END AS price
+    FROM orders WHERE o_orderkey % 4 < 3
+    """,
+    doc="UPDATE ... SET ... WHERE (Delta UPDATE analogue) at file "
+    "granularity: data skipping narrows the rewrite to files whose "
+    "stats admit a match, SET expressions evaluate over the old row, "
+    "every other file is carried by reference. Oracle is the "
+    "equivalent CASE projection of the final state.",
+)
+def s8_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 < 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    path = f"{tempfile.gettempdir()}/spark_graft_update_{uuid.uuid4().hex}"
+    t = VersionedParquetTable.create(spark, base, path)
+    t.update([("o_orderkey", "<", 2000)], {"price": "price * 3"})
+    return t.read()

@@ -1623,6 +1623,94 @@ class VersionedParquetTable:
         )
         return out
 
+    def update(
+        self,
+        filters: "Sequence[tuple]",
+        set_exprs: dict[str, str],
+        *,
+        metrics: "dict | Callable[[], dict] | None" = None,
+    ) -> dict:
+        """``UPDATE ... SET ... WHERE`` (Delta UPDATE analogue) at FILE
+        granularity: data skipping narrows the rewrite to files whose
+        stats admit a match; those files are re-written with
+        ``set_exprs`` (column → SQL expression over the OLD row, so
+        ``{"price": "price * 2"}`` works) applied to matching rows,
+        everything else carried by reference.
+
+        Updated rows may move partitions (a SET touching a partition
+        column lands its rows in their new partition directories, like
+        Delta). Generated columns are re-derived for updated rows;
+        setting one directly is rejected. CHECK constraints validate
+        the rewritten files on the write job. CDF emits
+        update_preimage/update_postimage pairs.
+        """
+        m = self._current()
+        gen = m.get("generated_cols") or {}
+        bad = sorted(set(set_exprs) & set(gen))
+        if bad:
+            raise ValueError(
+                f"cannot SET generated column(s) {bad}: they derive from "
+                "their expression — update the source columns instead"
+            )
+        unknown = sorted(set(set_exprs) - {f["name"] for f in
+                                           json.loads(m["schema"])["fields"]})
+        if unknown:
+            raise ValueError(f"UPDATE sets unknown column(s): {unknown}")
+        pc = list(m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        candidates = {e.path for e in self.files_for(filters)}
+        kept = [_entry(f) for f in m["files"] if f["path"] not in candidates]
+        if not candidates:
+            v = m["version"] + 1
+            self._commit(
+                v, kept, schema, pc, "UPDATE", metrics or {"n_updated": 0}
+            )
+            return {"n_updated": 0, "n_files_rewritten": 0}
+        cand_df = self._read_paths(m, sorted(candidates))
+        pred = None
+        for c, op, v_ in filters:
+            e_ = _filter_expr(c, op, v_)
+            pred = e_ if pred is None else (pred & e_)
+        hit = F.coalesce(pred, F.lit(False))
+        matched = cand_df.filter(hit)
+        updated = matched.withColumns(
+            {c: F.expr(e) for c, e in set_exprs.items()}
+        )
+        if gen:
+            # re-derive generated columns from the updated source values
+            updated = self._apply_generated(updated.drop(*gen.keys()), gen)
+        survivors = cand_df.filter(~hit)
+        merged = survivors.unionByName(updated.select(*cand_df.columns))
+        cdc_files = None
+        if self._cdc_enabled(m):
+            cdc_files = self._write_cdc(
+                matched.withColumn("_change_type", F.lit("update_preimage"))
+                .unionByName(
+                    updated.select(*cand_df.columns).withColumn(
+                        "_change_type", F.lit("update_postimage")
+                    )
+                )
+            )
+        # bounded extra scan: candidate files only, column-pruned
+        n_updated = matched.count()
+        cons = m.get("constraints") or {}
+        new_files = self._write_files(
+            _align(merged, schema), pc, cons,
+            generated=gen,
+            mapping=m.get("column_mapping"),
+            layout_ready=True,
+        )
+        v = m["version"] + 1
+        out = {
+            "n_updated": n_updated,
+            "n_files_rewritten": len(candidates),
+        }
+        self._commit(
+            v, kept + new_files, schema, pc, "UPDATE", metrics or out, cons,
+            cdc_files=cdc_files,
+        )
+        return out
+
     def remove_rows(
         self,
         dead: DataFrame,

@@ -189,3 +189,67 @@ def test_streaming_aggregate_maintenance_exactly_once(spark, tmp_path):
     out2 = apply_change_rows(agg_t, fake, ["g"], ["val"], txn=("replay", 1))
     assert out2.get("skipped_txn") is True
     assert agg_t.latest_version() == v_before + 1  # one commit, not two
+
+
+def test_update_where_file_granular(spark, tmp_path):
+    """UPDATE ... SET ... WHERE: only files whose stats admit a match
+    rewrite; SET expressions see the OLD row; CDF pairs emitted."""
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(
+        "id", (F.col("id") % 7).alias("v")
+    ).repartitionByRange(8, "id")
+    t = VersionedParquetTable.create(
+        spark, df, path, properties={"enableChangeDataFeed": "true"}
+    )
+    before = {f["path"] for f in t._load_manifest(0)["files"]}
+    out = t.update([("id", ">=", 900)], {"v": "v + 100"})
+    assert out == {"n_updated": 100, "n_files_rewritten": 1}
+    after = {f["path"] for f in t._load_manifest(1)["files"]}
+    assert len(before & after) == 7  # 7 of 8 range files untouched
+    assert t.read().count() == 1000
+    got = {r.id: r.v for r in t.read_where([("id", ">=", 898)]).collect()}
+    assert got[898] == 898 % 7 and got[899] == 899 % 7
+    assert got[900] == 900 % 7 + 100 and got[999] == 999 % 7 + 100
+    assert t.read(0).count() == 1000  # time travel unaffected
+
+    # CDF: pre/post image pairs for exactly the updated rows
+    ch = t.table_changes(["id"], 0, 1)
+    kinds = {
+        r["_change_type"]: c
+        for r, c in (
+            (row, row["cnt"])
+            for row in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+    }
+    assert kinds == {"update_preimage": 100, "update_postimage": 100}
+
+    # no-match predicate: clean no-op commit
+    out = t.update([("id", ">=", 5000)], {"v": "0"})
+    assert out == {"n_updated": 0, "n_files_rewritten": 0}
+
+
+def test_update_moves_partitions_and_guards_generated(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0), (3, "2024-02-05", 30.0)],
+        "id int, d string, price double",
+    )
+    t = VersionedParquetTable.create(
+        spark, df, path,
+        partition_cols=["month"],
+        generated_cols={"month": "substring(d, 1, 7)"},
+    )
+    # moving d moves the row's partition AND re-derives the generated col
+    t.update([("id", "=", 2)], {"d": "'2024-03-09'"})
+    got = {r.id: (r.d, r.month) for r in t.read().collect()}
+    assert got[2] == ("2024-03-09", "2024-03")
+    assert got[1] == ("2024-01-01", "2024-01")
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="generated"):
+        t.update([("id", "=", 1)], {"month": "'2025-01'"})
+    with _pt.raises(ValueError, match="unknown"):
+        t.update([("id", "=", 1)], {"nope": "1"})
