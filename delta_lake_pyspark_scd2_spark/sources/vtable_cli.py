@@ -11,6 +11,8 @@ tables through notebook cells; this is the scriptable equivalent):
     vtable changes  <path> --from V [--to V]
     vtable compact  <path> [--zorder col1,col2] [--max-files N]
     vtable vacuum   <path> [--keep-versions N] [--dry-run]
+    vtable delete   <path> --where col:op:value [--where ...]
+    vtable update   <path> --where col:op:value --set col=expr
     vtable restore  <path> --version N
     vtable clone    <path> <dest>
     vtable export-delta <path> <dest>    # publish as a real _delta_log table
@@ -64,6 +66,25 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--keep-versions", type=int, default=1)
     s.add_argument("--dry-run", action="store_true")
 
+    s = sp("delete", help="DELETE FROM ... WHERE (file-granular)")
+    s.add_argument(
+        "--where",
+        action="append",
+        required=True,
+        help="predicate as col:op:value (op in =,<,<=,>,>=,is_null,"
+        "not_null; value parsed as number when possible); repeat for AND",
+    )
+
+    s = sp("update", help="UPDATE ... SET ... WHERE (file-granular)")
+    s.add_argument("--where", action="append", required=True)
+    s.add_argument(
+        "--set",
+        dest="sets",
+        action="append",
+        required=True,
+        help="col=SQL-expression over the old row, e.g. price=price*2",
+    )
+
     s = sp("restore", help="roll the table back to a version")
     s.add_argument("--version", type=int, required=True)
 
@@ -80,6 +101,29 @@ def _build_parser() -> argparse.ArgumentParser:
     )
 
     return p
+
+
+def _parse_where(parts: list[str]) -> list[tuple]:
+    """``col:op:value`` triples → filter tuples; numeric values are
+    parsed, everything else stays a string."""
+    out = []
+    for p in parts:
+        bits = p.split(":", 2)
+        col, op = bits[0], bits[1]
+        if op in ("is_null", "not_null"):
+            out.append((col, op, None))
+            continue
+        raw = bits[2]
+        val: object = raw
+        try:
+            val = int(raw)
+        except ValueError:
+            try:
+                val = float(raw)
+            except ValueError:
+                pass
+        out.append((col, op, val))
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -140,6 +184,14 @@ def main(argv: list[str] | None = None) -> int:
         out = {
             "path": args.path,
             **t.vacuum(keep_versions=args.keep_versions, dry_run=args.dry_run),
+        }
+    elif args.cmd == "delete":
+        out = {"path": args.path, **t.delete(_parse_where(args.where))}
+    elif args.cmd == "update":
+        sets = dict(s.split("=", 1) for s in args.sets)
+        out = {
+            "path": args.path,
+            **t.update(_parse_where(args.where), sets),
         }
     elif args.cmd == "restore":
         v = t.restore(args.version)

@@ -74,3 +74,22 @@ def test_export_delta_roundtrip(spark, table_path, tmp_path, capsys):
 def test_not_a_table_errors(tmp_path, capsys):
     assert vtable_cli.main(["describe", str(tmp_path / "nope")]) == 2
     assert "error" in json.loads(capsys.readouterr().out)
+
+
+def test_delete_and_update_subcommands(spark, tmp_path, capsys):
+    p = str(tmp_path / "dml")
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], ["k", "price"]
+    )
+    VersionedParquetTable.create(spark, df, p)
+
+    out = _run(capsys, ["update", p, "--where", "k:>=:8", "--set", "price=price*10"])
+    assert out["n_updated"] == 2
+
+    out = _run(capsys, ["delete", p, "--where", "k:<:3"])
+    assert out["n_deleted"] == 3
+
+    t = VersionedParquetTable(spark, p)
+    got = {r.k: r.price for r in t.read().collect()}
+    assert set(got) == set(range(3, 10))
+    assert got[8] == 80.0 and got[9] == 90.0 and got[7] == 7.0
