@@ -1644,3 +1644,50 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cal.join(daily, on=["o_custkey", "d"], how="left").select(
         "o_custkey", "d", F.coalesce("spend", F.lit(0.0)).alias("spend")
     )
+
+
+@register(
+    "j10_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0
+    ),
+    o AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders WHERE o_custkey % 2 = 0 GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           c.c_acctbal AS acctbal,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           CASE WHEN c.c_custkey IS NULL THEN 'orders_only'
+                WHEN o.o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+    """,
+    doc="FULL OUTER equi-join with coalesced key and side "
+    "classification — the one join type the registry lacked. Shuffles "
+    "both sides on the key (full outer cannot broadcast); AQE handles "
+    "residual skew.",
+)
+def j10_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 3 == 0)
+        .select("c_custkey", "c_acctbal")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "customer_only")
+        .otherwise("both")
+        .alias("side"),
+    )
