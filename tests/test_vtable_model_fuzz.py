@@ -16,6 +16,7 @@ from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
 
 # ops: ("append", [ids]) ("upsert", [ids]) ("delete", threshold)
 #      ("compact",) ("restore", back_k) ("dv_remove", [ids])
+#      ("update", threshold)
 _OP = st.one_of(
     st.tuples(st.just("append"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
     st.tuples(st.just("upsert"), st.lists(st.integers(0, 30), min_size=1, max_size=4)),
@@ -25,6 +26,7 @@ _OP = st.one_of(
     st.tuples(
         st.just("dv_remove"), st.lists(st.integers(0, 30), min_size=1, max_size=3)
     ),
+    st.tuples(st.just("update"), st.integers(0, 300)),
 )
 
 
@@ -82,6 +84,13 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, data):
             t.delete([("val", ">=", thr)])
             for mk in [mk for mk, mv in model.items() if mv[2] >= thr]:
                 model.pop(mk)
+            history.append(snap())
+        elif op[0] == "update":
+            thr = seq + (op[1] % 10)
+            t.update([("val", "<", thr)], {"val": "val + 37"})
+            for mk, mv in list(model.items()):
+                if mv[2] < thr:
+                    model[mk] = (mv[0], mv[1], mv[2] + 37)
             history.append(snap())
         elif op[0] == "compact":
             v_before = t.latest_version()
