@@ -418,3 +418,79 @@ def test_import_reference_delta_table_as_vtable(spark, tmp_path):
     hist = t.history()
     assert hist[-1]["operation"] == "CREATE"
     assert hist[-1]["metrics"]["imported_from"] == REF_HEADER
+
+
+def test_delta_cdf_table_changes(spark, tmp_path):
+    """Change-data-feed read: append commits arrive as inserts, cdc
+    actions read the _change_data files with partition values typed,
+    rewrite commits without change data are rejected."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_pyspark_scd2_spark.sources.delta_reader import (
+        DeltaTableReader,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.delta_writer import write_delta
+
+    dest = str(tmp_path / "cdf")
+    df0 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, part string, v int"
+    )
+    write_delta(df0, dest, partition_cols=["part"], mode="create")   # v0
+    df1 = spark.createDataFrame([(3, "a", 30)], "k int, part string, v int")
+    write_delta(df1, dest, partition_cols=["part"], mode="append")   # v1
+
+    # v2: hand-written cdc commit (update of k=1 in part=a)
+    cdc_rel = "_change_data/cdc-00000-test.parquet"
+    (tmp_path / "cdf" / "_change_data").mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array([1, 1], pa.int32()),
+                "v": pa.array([10, 99], pa.int32()),
+                "_change_type": ["update_preimage", "update_postimage"],
+            }
+        ),
+        str(tmp_path / "cdf" / cdc_rel),
+    )
+    actions = [
+        {"commitInfo": {"operation": "UPDATE"}},
+        {"cdc": {"path": cdc_rel, "partitionValues": {"part": "a"},
+                 "size": 1, "dataChange": False}},
+        {"remove": {"path": "part=a/fake-old.parquet", "dataChange": True}},
+        {"add": {"path": "part=a/fake-new.parquet", "partitionValues":
+                 {"part": "a"}, "size": 1, "modificationTime": 0,
+                 "dataChange": True}},
+    ]
+    (tmp_path / "cdf" / "_delta_log" / f"{2:020d}.json").write_text(
+        "\n".join(_json.dumps(a) for a in actions)
+    )
+    # v3: rewrite WITHOUT change data
+    (tmp_path / "cdf" / "_delta_log" / f"{3:020d}.json").write_text(
+        _json.dumps({"remove": {"path": "part=b/gone.parquet",
+                                "dataChange": True}})
+    )
+
+    r = DeltaTableReader(spark, dest)
+    ch = r.table_changes(0, 1)
+    got = {(x.k, x.part, x.v, x._change_type, x._commit_version)
+           for x in ch.collect()}
+    assert got == {
+        (1, "a", 10, "insert", 0),
+        (2, "b", 20, "insert", 0),
+        (3, "a", 30, "insert", 1),
+    }
+
+    upd = r.table_changes(2, 2).collect()
+    assert {(x.k, x.part, x.v, x._change_type) for x in upd} == {
+        (1, "a", 10, "update_preimage"),
+        (1, "a", 99, "update_postimage"),
+    }
+    assert all(x._commit_version == 2 for x in upd)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="change-data"):
+        r.table_changes(3, 3)
