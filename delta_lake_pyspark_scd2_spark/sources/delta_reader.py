@@ -539,3 +539,86 @@ def _cdf_changes(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out
+
+
+def sync_delta_to_vtable(
+    spark: SparkSession,
+    delta_path: str,
+    dest_path: str,
+    key_cols: list[str],
+    *,
+    create_if_missing: bool = True,
+) -> dict:
+    """Continuous Delta → vtable migration: catch the replica up with
+    every Delta commit since the last sync, exactly once.
+
+    The resume cursor IS the replica's writer-transaction watermark
+    (``txnAppId = delta_sync:<source>``, ``txnVersion`` = the Delta
+    commit version) — no sidecar state, so a crash between applying
+    and recording is impossible by construction, and a re-run of an
+    already-applied commit is skipped inside the MERGE itself.
+
+    Commits apply in order: cdc commits as MERGE upsert+delete (update
+    postimages and inserts win per key; deletes drop keys), append
+    commits as inserts. Bootstrap: with no replica yet, version 0's
+    snapshot-as-inserts creates it. Cost per call ∝ changed rows since
+    the last sync, never source size.
+
+    Zero-downtime switch-over story: keep the reference's Delta
+    writers running, sync on a schedule, then cut readers over to the
+    vtable (gaining its merge/CDC/maintenance surface) and retire the
+    Delta side.
+    """
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    reader = DeltaTableReader(spark, delta_path)
+    app = f"delta_sync:{delta_path}"
+    hi = reader.latest_version()
+    exists = VersionedParquetTable.is_table(dest_path)
+    if not exists and not create_if_missing:
+        raise FileNotFoundError(dest_path)
+    last = (
+        VersionedParquetTable(spark, dest_path).last_txn_version(app)
+        if exists
+        else None
+    )
+    start = (last + 1) if last is not None else 0
+    applied = 0
+    for v in range(start, hi + 1):
+        ch = reader.table_changes(v, v)
+        rows = ch.filter(
+            F.col("_change_type").isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        meta = ["_change_type", "_commit_version"]
+        ups = rows.filter(F.col("_change_type") != "delete").drop(*meta)
+        dels = (
+            rows.filter(F.col("_change_type") == "delete")
+            .select(*key_cols)
+            .distinct()
+        )
+        if not VersionedParquetTable.is_table(dest_path):
+            snap = reader.snapshot(v)
+            VersionedParquetTable.create(
+                spark,
+                ups,
+                dest_path,
+                partition_cols=list(snap.partition_columns),
+                txn=(app, v),
+                metrics={"delta_sync_version": v},
+            )
+        else:
+            t = VersionedParquetTable(spark, dest_path)
+            t.upsert(
+                ups,
+                key_cols,
+                deletes=dels if not dels.isEmpty() else None,
+                operation="DELTA_SYNC",
+                metrics={"delta_sync_version": v},
+                txn=(app, v),
+            )
+        applied += 1
+    return {"synced_to_version": hi, "commits_applied": applied}

@@ -494,3 +494,66 @@ def test_delta_cdf_table_changes(spark, tmp_path):
 
     with _pt.raises(ValueError, match="change-data"):
         r.table_changes(3, 3)
+
+
+def test_sync_delta_to_vtable_continuous(spark, tmp_path):
+    """Continuous migration: bootstrap from v0, catch up with appends
+    and cdc updates/deletes, resume from the txn watermark, replays
+    are no-ops."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from delta_lake_pyspark_scd2_spark.sources.delta_reader import (
+        DeltaTableReader,
+        sync_delta_to_vtable,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.delta_writer import write_delta
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    write_delta(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        src, mode="create",
+    )  # v0
+    out = sync_delta_to_vtable(spark, src, dst, ["k"])
+    assert out == {"synced_to_version": 0, "commits_applied": 1}
+    t = VersionedParquetTable(spark, dst)
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 10), (2, 20)}
+
+    # source advances: append + a cdc update/delete commit
+    write_delta(
+        spark.createDataFrame([(3, 30)], "k int, v int"), src, mode="append"
+    )  # v1
+    cdc_rel = "_change_data/cdc-1.parquet"
+    (tmp_path / "src" / "_change_data").mkdir()
+    pq.write_table(
+        pa.table({
+            "k": pa.array([1, 1, 2], pa.int32()),
+            "v": pa.array([10, 99, 20], pa.int32()),
+            "_change_type": ["update_preimage", "update_postimage", "delete"],
+        }),
+        str(tmp_path / "src" / cdc_rel),
+    )
+    (tmp_path / "src" / "_delta_log" / f"{2:020d}.json").write_text(
+        "\n".join(
+            _json.dumps(a)
+            for a in [
+                {"commitInfo": {"operation": "MERGE"}},
+                {"cdc": {"path": cdc_rel, "partitionValues": {},
+                         "size": 1, "dataChange": False}},
+            ]
+        )
+    )  # v2
+    out = sync_delta_to_vtable(spark, src, dst, ["k"])
+    assert out == {"synced_to_version": 2, "commits_applied": 2}
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 99), (3, 30)}
+
+    # idle re-run: cursor says nothing to do
+    out = sync_delta_to_vtable(spark, src, dst, ["k"])
+    assert out["commits_applied"] == 0
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, 99), (3, 30)}
