@@ -397,3 +397,153 @@ def linear_probe_scores(
         F.round(score, 6).alias("score"),
         (score >= 0.5).alias("predicted_good"),
     )
+
+
+# -- product quantization (Jégou et al. 2011) --------------------------------
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+) -> list:
+    """Train PQ codebooks: split vectors into ``m_subspaces`` equal
+    slices, k-means each slice to ``k_codes`` centroids.
+
+    Deterministic by construction (cluster-shape independent): the
+    training sample is the ``sample`` LOWEST ids (an order-free
+    predicate, not a random split), init is the first k distinct
+    sample rows, and Lloyd iterations run driver-side in float64 on
+    the collected sample — at any corpus size the sample is the
+    bounded object, never the table. Returns
+    ``codebooks[m][k][d_sub]`` (plain lists, serializable).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .collect()
+    )
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    books = []
+    for m in range(m_subspaces):
+        S = X[:, m * d_sub : (m + 1) * d_sub]
+        # init: first k distinct rows of the slice
+        seen, init = set(), []
+        for row in S:
+            t = tuple(row)
+            if t not in seen:
+                seen.add(t)
+                init.append(row)
+            if len(init) == k_codes:
+                break
+        C = np.array(init, dtype=np.float64)
+        while C.shape[0] < k_codes:  # degenerate slice: pad
+            C = np.vstack([C, C[-1] + 1e-9 * (C.shape[0] + 1)])
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(k_codes):
+                mask = assign == j
+                if mask.any():
+                    C[j] = S[mask].mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte-ish codes (argmin centroid
+    per subspace) — Arrow-batched numpy matmul per partition, the
+    standard ||x−c||² = ||x||² − 2x·c + ||c||² trick. 64-dim float64
+    → 8 int codes is an 8×…64× memory cut for the search structure."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    bnorm2 = [(b * b).sum(axis=1) for b in books]
+
+    def _enc(batches):
+        for pdf in batches:
+            X = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            codes = np.empty((len(pdf), m_sub), dtype=np.int32)
+            for m in range(m_sub):
+                S = X[:, m * d_sub : (m + 1) * d_sub]
+                d2 = bnorm2[m][None, :] - 2.0 * (S @ books[m].T)
+                codes[:, m] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "pq_codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance search: the query builds one tiny
+    ``m × k_codes`` lookup table of exact sub-distances driver-side;
+    each row's approximate distance is then a pure JVM fold over its
+    codes (``aggregate`` + nested ``element_at`` on the broadcast LUT
+    literal) — no vector math touches the corpus at query time, and
+    the only exchange is the final top-k."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = []
+    for m in range(m_sub):
+        C = np.asarray(codebooks[m], dtype=np.float64)
+        qs = q[m * d_sub : (m + 1) * d_sub]
+        lut.append(((C - qs[None, :]) ** 2).sum(axis=1).tolist())
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("pq_codes"),
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda code, m: F.element_at(
+                F.element_at(lut_lit, m.cast("int") + 1), code + 1
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        codes_df.withColumn("pq_dist", F.round(dist, 6))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "pq_dist")
+    )

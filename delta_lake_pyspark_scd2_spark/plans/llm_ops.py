@@ -2211,3 +2211,26 @@ def s8_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = VersionedParquetTable.create(spark, base, path)
     t.update([("o_orderkey", "<", 2000)], {"price": "price * 3"})
     return t.read()
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # k-means codebook training: iterative, not
+    # SQL-expressible (recall/determinism/self-match pinned in
+    # tests/test_llm_operators.py::test_pq_quantization_recall_and_determinism)
+    doc="Product-quantization ANN (Jegou et al. 2011): codebooks "
+    "k-means-trained on a deterministic bounded sample, corpus encoded "
+    "to m small codes via Arrow-batched numpy (8x+ memory cut on the "
+    "search structure), and asymmetric-distance search folds a tiny "
+    "query-built LUT over the codes in pure JVM expressions — at query "
+    "time no vector math touches the corpus and only the top-k rows "
+    "shuffle.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(emb, m_subspaces=8, k_codes=32)
+    codes = S.pq_encode(emb, books)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return S.pq_topk(codes, books, list(q), k=10)

@@ -476,3 +476,45 @@ def test_time_bucket_gapfill_modes(spark):
         ("a", 3, 9.0, 0), ("b", 0, None, 1), ("b", 1, 5.0, 0),
         ("b", 2, None, 1), ("b", 3, None, 1),
     ]
+
+
+def test_pq_quantization_recall_and_determinism(spark):
+    """PQ on clustered vectors: the query's own vector ranks first,
+    recall@5 is high within clusters, training is deterministic, and
+    codes are m small ints (the 8x+ memory cut)."""
+    import numpy as np
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    rows = _near_dup_vectors()  # 20 clusters x 3 near-copies, 8-dim
+    df = spark.createDataFrame(rows)
+    books = S.pq_train(df, m_subspaces=4, k_codes=16, sample=60)
+    again = S.pq_train(df, m_subspaces=4, k_codes=16, sample=60)
+    assert books == again  # deterministic training
+
+    codes = S.pq_encode(df, books)
+    got = codes.collect()
+    assert all(len(r["pq_codes"]) == 4 for r in got)
+    assert all(0 <= c < 16 for r in got for c in r["pq_codes"])
+
+    # query with vec 0: itself first; its 2 cluster siblings in top-5
+    # (16 codes over 20 clusters means some cells are shared — ADC can
+    # tie a sibling with a cell-mate, so top-3 would be flaky-strict)
+    q = rows[0].embedding
+    top = [r["vec_id"] for r in S.pq_topk(codes, books, q, k=5).collect()]
+    assert top[0] == 0  # self-match exact under ADC too
+    assert {1, 2} <= set(top)
+
+    # exact-vs-ADC recall@5 across several queries
+    X = np.asarray([r.embedding for r in rows])
+    hits = tot = 0
+    for qi in (0, 9, 30, 45):
+        qv = X[qi]
+        exact = list(np.argsort(((X - qv) ** 2).sum(axis=1))[:5])
+        adc = [
+            r["vec_id"]
+            for r in S.pq_topk(codes, books, list(qv), k=5).collect()
+        ]
+        hits += len(set(exact) & set(adc))
+        tot += 5
+    assert hits / tot >= 0.8  # clustered data: PQ keeps most neighbors
