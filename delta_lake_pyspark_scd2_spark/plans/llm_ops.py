@@ -2234,3 +2234,99 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = S.pq_encode(emb, books)
     q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     return S.pq_topk(codes, books, list(q), k=10)
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after_click
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase, strictly "
+    "increasing timestamps per user): each stage is a min-aggregation "
+    "keyed on user joined against the previous stage — three shuffles "
+    "all on the SAME user key, so a user-bucketed layout runs the "
+    "whole funnel co-located.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    # one job: three single-row aggregates broadcast-joined — no
+    # driver-side counts baked in as literals
+    nv = v.agg(F.count(F.lit(1)).alias("n_view"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_after_view"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+    return nv.crossJoin(F.broadcast(nc)).crossJoin(F.broadcast(np_))
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+    )
+    SELECT first.cohort,
+           CAST(date_diff('day', first.cohort, act.w) / 7 AS INT)
+             AS weeks_since,
+           CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: cohort = each user's first active "
+    "week, cells = distinct users active N weeks later. Two "
+    "user-keyed aggregations and one join — the classic product-"
+    "analytics rollup as plain relational composition.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort")
+    )
+    act = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("w")
+    ).distinct()
+    weeks_since = (
+        F.datediff(F.col("w").cast("date"), F.col("cohort").cast("date")) / 7
+    ).cast("int")
+    return (
+        act.join(first, "user_id")
+        .groupBy("cohort", weeks_since.alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
