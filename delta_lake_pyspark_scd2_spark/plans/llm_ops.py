@@ -2330,3 +2330,69 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", weeks_since.alias("weeks_since"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "graph_triangles",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM
+              (SELECT DISTINCT p FROM (SELECT p1 AS p FROM edges
+                UNION ALL SELECT p2 FROM edges))) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e2.p1 = e1.p2
+            JOIN edges e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+             AS n_triangles
+    """,
+    doc="Triangle counting on the co-order part graph — the standard "
+    "ordered-edge formulation (p1 < p2 < p3 by construction, so every "
+    "triangle counts exactly once): two hash joins over the "
+    "deduplicated edge list. Degree-based node reordering is the "
+    "classic skew fix at web scale; the ordering predicate here "
+    "already bounds each edge's join fan-out to higher-id neighbors.",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    edges = persist_tracked(edges)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tris = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1"))
+            & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        edges.select(F.col("p1").alias("p"))
+        .unionAll(edges.select(F.col("p2").alias("p")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return nodes.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tris))
