@@ -61,22 +61,28 @@ def train_logreg(
     w = [0.0] * dim
     b = 0.0
     losses: list[float] = []
-    x = F.col(feature_col)
-    y = F.col(label_col).cast("double")
     for _ in range(iters):
-        z = _dot(x, w, b)
-        p = _sigmoid(z)
-        err = p - y
-        row = df.agg(
+        # materialize p/err ONCE per row in a projection — Catalyst does
+        # not CSE across aggregate expressions, so referencing the w·x
+        # fold inside dim+2 sums would re-evaluate it dim+2 times per row
+        x = F.col(feature_col)
+        y = F.col(label_col).cast("double")
+        proj = df.select(
+            x.alias("_x"),
+            y.alias("_y"),
+            _sigmoid(_dot(x, w, b)).alias("_p"),
+        ).withColumn("_err", F.col("_p") - F.col("_y"))
+        p, yv, err = F.col("_p"), F.col("_y"), F.col("_err")
+        row = proj.agg(
             *[
-                F.sum(err * F.element_at(x, j + 1)).alias(f"g{j}")
+                F.sum(err * F.element_at(F.col("_x"), j + 1)).alias(f"g{j}")
                 for j in range(dim)
             ],
             F.sum(err).alias("gb"),
             F.sum(
                 -(
-                    y * F.log(F.greatest(p, F.lit(1e-12)))
-                    + (F.lit(1.0) - y)
+                    yv * F.log(F.greatest(p, F.lit(1e-12)))
+                    + (F.lit(1.0) - yv)
                     * F.log(F.greatest(F.lit(1.0) - p, F.lit(1e-12)))
                 )
             ).alias("loss"),
