@@ -160,12 +160,17 @@ def main(argv: list[str] | None = None) -> int:
             "rows": [r.asDict() for r in df.limit(args.limit).collect()],
         }
     elif args.cmd == "count":
+        n = None
+        if args.version is None:
+            n = t.detail().get("num_rows")  # manifest stats: no scan
+        if n is None:
+            n = t.read(version=args.version).count()
         out = {
             "path": args.path,
             "version": (
                 t.latest_version() if args.version is None else args.version
             ),
-            "n_rows": t.read(version=args.version).count(),
+            "n_rows": int(n),
         }
     elif args.cmd == "changes":
         df = t.table_changes(args.keys.split(","), args.v_from, args.v_to)
