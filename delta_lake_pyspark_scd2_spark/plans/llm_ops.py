@@ -1969,13 +1969,13 @@ def doc_embedding_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents GROUP BY 1
     """,
     doc="Training-shard audit: the deterministic md5(id) %% n dealing "
-    "that pipeline.shard_export publishes, as per-shard doc/token "
-    "stats. Pure hash assignment — no global sort, identical on any "
-    "cluster shape; pipeline.shard_export.export_training_shards "
-    "writes the shards (one file each, manifest-last crash contract).",
+    "that sources.export.export_shards publishes, as per-shard "
+    "doc/token stats. Pure hash assignment — no global sort, identical "
+    "on any cluster shape; export_shards writes the shards (one sorted "
+    "file each, manifest-last crash contract through the FS shim).",
 )
 def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_pyspark_scd2_spark.pipeline.shard_export import (
+    from delta_lake_pyspark_scd2_spark.sources.export import (
         shard_plan as _plan,
     )
 

@@ -28,6 +28,8 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
+
 
 def shard_of(id_col: str, num_shards: int):
     """Deterministic shard id: first 8 md5 hex chars of the string id,
@@ -39,6 +41,29 @@ def shard_of(id_col: str, num_shards: int):
     ).cast("int")
 
 
+def shard_plan(
+    df: DataFrame,
+    *,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard statistics of the would-be export (shard, n_docs,
+    n_tokens) — the dry-run / audit view of :func:`export_shards`'
+    dealing, same ``shard_of`` hash."""
+    return (
+        df.select(
+            shard_of(id_col, n_shards).alias("shard"),
+            token_count_ws(F.col(text_col)).alias("__t"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def export_shards(
     df: DataFrame,
     path: str,
@@ -46,13 +71,20 @@ def export_shards(
     *,
     fmt: str = "json",
     id_col: str = "doc_id",
+    text_col: str | None = None,
 ) -> dict[str, Any]:
     """Write ``df`` as ``num_shards`` hash shards under ``path`` and a
     ``manifest.json`` beside them; returns the manifest.
 
     Layout: ``path/shard=K/part-*.{json,parquet}`` — one file per
     shard (each shard's rows are repartitioned onto one task), rows
-    sorted by ``id_col`` inside the file.
+    sorted by ``id_col`` inside the file. ``text_col`` adds per-shard
+    token counts to the manifest (trainer-facing budget accounting).
+
+    The manifest is written LAST, through the Hadoop FS shim — a
+    missing manifest marks an incomplete export, so consumers never
+    read a half-dealt corpus; and the path works on ``s3a://``-style
+    stores, not just the local FS.
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"unsupported export format: {fmt}")
@@ -78,8 +110,20 @@ def export_shards(
         "rows_per_shard": {str(k): int(v) for k, v in sorted(counts.items())},
         "columns": [c for c in df.columns],
     }
-    with open(os.path.join(path, "manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    if text_col is not None:
+        manifest["tokens_per_shard"] = {
+            str(r["shard"]): int(r["n_tokens"])
+            for r in shard_plan(
+                df, n_shards=num_shards, text_col=text_col, id_col=id_col
+            ).collect()
+        }
+    from delta_lake_pyspark_scd2_spark.sources import fsio
+
+    fs = fsio.get_fs(path)
+    fs.write_text(
+        fsio.join(path, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -88,7 +132,13 @@ def read_shards(spark, path: str, *, shards: list[int] | None = None) -> DataFra
     pruning makes the subset read touch only those directories)."""
     with open(os.path.join(path, "manifest.json")) as f:
         manifest = json.load(f)
-    df = spark.read.format(manifest["format"]).load(path)
+    # load the shard directories only — the root also holds
+    # manifest.json, which a parquet/json scan must not swallow
+    df = (
+        spark.read.format(manifest["format"])
+        .option("basePath", path)
+        .load(os.path.join(path, "shard=*"))
+    )
     if shards is not None:
         df = df.filter(F.col("shard").isin(shards))
     return df

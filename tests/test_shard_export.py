@@ -1,13 +1,13 @@
 """Shard export: deterministic dealing, manifest-last contract,
-round-trip completeness."""
+round-trip completeness, token accounting."""
 
 from __future__ import annotations
 
 import json
 
-from delta_lake_pyspark_scd2_spark.pipeline.shard_export import (
-    MANIFEST_NAME,
-    export_training_shards,
+from delta_lake_pyspark_scd2_spark.sources.export import (
+    export_shards,
+    read_shards,
     shard_plan,
 )
 
@@ -15,28 +15,36 @@ from delta_lake_pyspark_scd2_spark.pipeline.shard_export import (
 def test_export_round_trips_and_manifest_matches(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = str(tmp_path / "shards")
-    manifest = export_training_shards(spark, docs, out, n_shards=4)
+    manifest = export_shards(
+        docs, out, num_shards=4, fmt="parquet", text_col="text"
+    )
 
-    # manifest stats match a fresh plan
+    # manifest token stats match a fresh plan
     plan = {
-        r["shard"]: (r["n_docs"], r["n_tokens"])
+        str(r["shard"]): (r["n_docs"], r["n_tokens"])
         for r in shard_plan(docs, n_shards=4).collect()
     }
-    assert len(manifest["shards"]) == len(plan)
-    for k, v in manifest["shards"].items():
-        assert plan[int(k)] == (v["n_docs"], v["n_tokens"])
+    assert manifest["total_rows"] == docs.count()
+    for k, n_tok in manifest["tokens_per_shard"].items():
+        assert plan[k] == (manifest["rows_per_shard"][k], n_tok)
 
-    # no doc lost or duplicated; sidecar is valid JSON on disk
-    back = spark.read.parquet(out)
+    # no doc lost or duplicated; sidecar valid JSON on disk
+    back = read_shards(spark, out)
     assert back.count() == docs.count()
     assert back.select("doc_id").distinct().count() == docs.count()
-    disk = json.loads((tmp_path / "shards" / MANIFEST_NAME).read_text())
+    disk = json.loads((tmp_path / "shards" / "manifest.json").read_text())
     assert disk == manifest
 
-    # dealing is deterministic: re-export to a second path, same shards
+    # subset read prunes to the requested shard dirs
+    one = read_shards(spark, out, shards=[0])
+    assert one.count() == manifest["rows_per_shard"]["0"]
+
+    # dealing is deterministic: re-export elsewhere, same manifest body
     out2 = str(tmp_path / "shards2")
-    m2 = export_training_shards(spark, docs, out2, n_shards=4)
-    assert m2["shards"] == manifest["shards"]
+    m2 = export_shards(
+        docs, out2, num_shards=4, fmt="parquet", text_col="text"
+    )
+    assert m2 == manifest
 
 
 def test_shards_are_reasonably_balanced(spark, sf_dir):
