@@ -2296,11 +2296,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cohort_retention",
     oracle="""
     WITH first AS (
-      SELECT user_id, min(date_trunc('week', ts)) AS cohort
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS DATE) AS cohort
       FROM events GROUP BY 1
     ),
     act AS (
-      SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
     )
     SELECT first.cohort,
            CAST(date_diff('day', first.cohort, act.w) / 7 AS INT)
@@ -2317,14 +2318,12 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     first = events.groupBy("user_id").agg(
-        F.min(F.date_trunc("week", "ts")).alias("cohort")
+        F.min(F.date_trunc("week", "ts")).cast("date").alias("cohort")
     )
     act = events.select(
-        "user_id", F.date_trunc("week", "ts").alias("w")
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
     ).distinct()
-    weeks_since = (
-        F.datediff(F.col("w").cast("date"), F.col("cohort").cast("date")) / 7
-    ).cast("int")
+    weeks_since = (F.datediff(F.col("w"), F.col("cohort")) / 7).cast("int")
     return (
         act.join(first, "user_id")
         .groupBy("cohort", weeks_since.alias("weeks_since"))
