@@ -547,3 +547,57 @@ def pq_topk(
         .limit(k)
         .select(id_col, "pq_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the industry-standard composed index (FAISS's
+    ``IVFx,PQy``): IVF restricts the search to the query's ``nprobe``
+    nearest centroid buckets, PQ's asymmetric-distance LUT scores the
+    surviving candidates without touching a single corpus vector.
+
+    At 100 TB the assignment+codes table is written bucketed by
+    ``centroid_id`` (see :func:`build_ivf_index`): a probe is a
+    partition-pruned scan over rows of ~m bytes each — the resident
+    working set shrinks by bucket selectivity × PQ compression
+    multiplied together.
+
+    Composition of existing pieces: :func:`assign_to_centroids` +
+    :func:`pq_encode` + the :func:`pq_topk` LUT fold with a bucket
+    pre-filter.
+    """
+    import numpy as np
+
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    codes = pq_encode(corpus, codebooks, vec_col, id_col).join(
+        assigned.select(id_col, "centroid_id"), id_col
+    )
+    # nprobe nearest centroids to the query, driver-side (centroids are
+    # small by definition)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cents = centroids.select(id_col, vec_col).collect()
+    qn = np.linalg.norm(q) or 1.0
+    sims = sorted(
+        (
+            -float(
+                np.dot(q, np.asarray(r[vec_col]))
+                / (qn * (np.linalg.norm(r[vec_col]) or 1.0))
+            ),
+            r[id_col],
+        )
+        for r in cents
+    )
+    probe_ids = [cid for _, cid in sims[:nprobe]]
+    bucket = codes.filter(F.col("centroid_id").isin(probe_ids))
+    return pq_topk(bucket, codebooks, query_vec, k=k, id_col=id_col)

@@ -2395,3 +2395,24 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return nodes.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tris))
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=None,  # k-means codebooks: iterative, not SQL-expressible
+    # (bucket-restriction/ADC equivalence pinned in
+    # tests/test_llm_operators.py::test_ivfpq_composes_and_recalls)
+    doc="IVF-PQ composed index (FAISS IVFx,PQy shape): nprobe nearest "
+    "centroid buckets restrict the candidate set, the PQ LUT scores "
+    "survivors without touching corpus vectors — bucket selectivity "
+    "and PQ compression multiply, so the resident working set at 100 "
+    "TB is centroids + m-byte codes of the probed buckets only.",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).limit(12)
+    books = S.pq_train(emb, m_subspaces=8, k_codes=32)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)

@@ -518,3 +518,32 @@ def test_pq_quantization_recall_and_determinism(spark):
         hits += len(set(exact) & set(adc))
         tot += 5
     assert hits / tot >= 0.8  # clustered data: PQ keeps most neighbors
+
+
+def test_ivfpq_composes_and_recalls(spark):
+    """IVF-PQ: bucket restriction + ADC scoring still finds the
+    query's cluster siblings; probing all buckets converges to plain
+    PQ's answer."""
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    rows = _near_dup_vectors()
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") % 3 == 0).limit(8)
+    books = S.pq_train(df, m_subspaces=4, k_codes=16, sample=60)
+    q = rows[0].embedding
+
+    got = [
+        r["vec_id"]
+        for r in S.ivfpq_topk(df, cents, books, q, k=3, nprobe=2).collect()
+    ]
+    assert got[0] == 0  # self in the probed bucket, exact under ADC
+    assert {1, 2} & set(got)  # at least one sibling survives bucketing
+
+    # probing every bucket == plain PQ over the whole corpus
+    codes = S.pq_encode(df, books)
+    full_pq = [r["vec_id"] for r in S.pq_topk(codes, books, q, k=5).collect()]
+    all_probe = [
+        r["vec_id"]
+        for r in S.ivfpq_topk(df, cents, books, q, k=5, nprobe=8).collect()
+    ]
+    assert all_probe == full_pq
