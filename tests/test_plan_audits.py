@@ -275,7 +275,7 @@ def test_duplicate_spans_shuffle_carries_hash_not_text(spark):
 
 def test_shard_plan_single_aggregation(spark):
     """shard_plan is one hash aggregation: exactly one shuffle."""
-    from delta_lake_pyspark_scd2_spark.pipeline.shard_export import shard_plan
+    from delta_lake_pyspark_scd2_spark.sources.export import shard_plan
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _simple(shard_plan(docs, n_shards=8))
