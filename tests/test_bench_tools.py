@@ -113,3 +113,27 @@ def test_metric_report_sections(tmp_path):
     assert "by_day" in md and "none" in md
     # scaling speedup 40/10 = 4.0 at 32 cpus
     assert "speedup_vs_min" in md and "4.0" in md
+
+
+def test_corpus_report_sections(tmp_path):
+    out = tmp_path / "report.md"
+    res = subprocess.run(
+        [
+            sys.executable,
+            "tools/corpus_report.py",
+            "/root/testdata/sf0.001",
+            "--out",
+            str(out),
+        ],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    md = out.read_text()
+    for section in ("## Volume", "### Language mix", "## Quality",
+                    "## Duplication", "## Hygiene"):
+        assert section in md
+    assert "documents: 500" in md

@@ -1,0 +1,135 @@
+"""Corpus audit report — one command that tells you what is in a
+document corpus before you train on it, composing the engine's
+operators into a markdown dossier:
+
+  * volume: docs, whitespace tokens, chars, per-source/language mix
+  * quality: token-count quantiles, stopword/alpha ratios, Gopher
+    repetition flags
+  * duplication: exact-dup rate, duplicated-span fraction (Lee et al.
+    window dedup), near-dup candidate rate (MinHash-LSH)
+  * hygiene: PII hits (emails/phones)
+
+Usage::
+
+    python tools/corpus_report.py /root/testdata/sf0.01 [--out report.md]
+
+Every number is computed by the same operators the registry queries
+use — the report is a composition, not a re-implementation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_report(spark, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import dedup, text
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").persist()
+    out = [f"# Corpus audit — {sf_dir}", ""]
+
+    # volume ---------------------------------------------------------------
+    vol = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count_ws(F.col("text"))).alias("n_tokens"),
+        F.sum(F.length("text")).alias("n_chars"),
+    ).collect()[0]
+    out += [
+        "## Volume",
+        "",
+        f"- documents: {vol['n_docs']:,}",
+        f"- whitespace tokens: {int(vol['n_tokens']):,}",
+        f"- characters: {int(vol['n_chars']):,}",
+        "",
+    ]
+    mix = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc())
+        .collect()
+    )
+    out += ["### Language mix", ""]
+    out += [f"- {r['lang']}: {r['n']} ({100 * r['n'] / vol['n_docs']:.1f}%)" for r in mix]
+    out.append("")
+
+    # quality ---------------------------------------------------------------
+    q = text.quality_features(docs)
+    qq = q.agg(
+        F.expr("percentile_approx(n_tokens, array(0.1, 0.5, 0.9))").alias("tok_q"),
+        F.round(F.avg("stopword_ratio"), 4).alias("avg_stop"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha"),
+    ).collect()[0]
+    rep = text.repetition_features(docs)
+    n_repetitive = rep.filter(F.col("dup_word_frac") > 0.3).count()
+    out += [
+        "## Quality",
+        "",
+        f"- token count p10/p50/p90: {[int(x) for x in qq['tok_q']]}",
+        f"- mean stopword ratio: {qq['avg_stop']}",
+        f"- mean alpha ratio: {qq['avg_alpha']}",
+        f"- Gopher-repetitive docs (dup_word_frac > 0.3): {n_repetitive}",
+        "",
+    ]
+
+    # duplication ------------------------------------------------------------
+    groups = dedup.exact_dedup(docs)
+    dup_docs = groups.agg(
+        F.sum(F.col("n_copies") - 1).alias("extra")
+    ).collect()[0]["extra"]
+    spans = dedup.duplicate_spans(docs, window=4)
+    span_stats = spans.agg(
+        F.round(
+            F.sum("n_dup_windows") / F.greatest(F.sum("n_windows"), F.lit(1)), 4
+        ).alias("dup_frac")
+    ).collect()[0]
+    sigs = dedup.minhash_signatures(docs)
+    n_near = dedup.lsh_candidate_pairs(sigs).count()
+    out += [
+        "## Duplication",
+        "",
+        f"- exact duplicate docs (beyond first copy): {int(dup_docs)}"
+        f" ({100 * dup_docs / vol['n_docs']:.2f}%)",
+        f"- duplicated 4-token-span fraction: {span_stats['dup_frac']}",
+        f"- MinHash-LSH near-dup candidate pairs: {n_near}",
+        "",
+    ]
+
+    # hygiene ----------------------------------------------------------------
+    pii = text.redact_pii(docs).agg(
+        F.sum("n_emails").alias("emails"), F.sum("n_phones").alias("phones")
+    ).collect()[0]
+    out += [
+        "## Hygiene",
+        "",
+        f"- email addresses: {int(pii['emails'])}",
+        f"- phone-shaped digit runs: {int(pii['phones'])}",
+        "",
+    ]
+    docs.unpersist()
+    return "\n".join(out)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    from delta_lake_pyspark_scd2_spark.session import get_spark
+
+    report = build_report(get_spark("corpus_report"), args.sf_dir)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(report)
+    else:
+        print(report)
+
+
+if __name__ == "__main__":
+    main()
