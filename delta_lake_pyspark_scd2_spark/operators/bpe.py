@@ -151,11 +151,17 @@ def bpe_encode(
         import re
 
         memo: dict[str, list[str]] = {}
+        # Java regex \s (training side, operators.text.normalize_text)
+        # is ASCII-only; Python \s is Unicode-aware. Use the literal
+        # ASCII class so a non-breaking space tokenizes IDENTICALLY in
+        # training and encoding (else merges learned over 'a\xa0b'
+        # never apply at encode time).
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
         def enc(text: str):
             if text is None:
                 return [], 0
-            norm = re.sub(r"\s+", " ", text.lower()).strip()
+            norm = ws.sub(" ", text.lower()).strip(" \t\n\x0b\f\r")
             toks: list[str] = []
             for w in norm.split(" "):
                 if not w:

@@ -2412,7 +2412,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 37 == 0).limit(12)
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
     books = S.pq_train(emb, m_subspaces=8, k_codes=32)
     q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)

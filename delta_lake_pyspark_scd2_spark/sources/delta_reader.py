@@ -468,7 +468,15 @@ def _cdf_changes(
         cdc, adds, removes = [], [], []
         commit_path = reader._commit_file(v)
         if not reader._fs.exists(commit_path):
-            continue  # vacuumed past a checkpoint
+            # the log was checkpointed + cleaned past this version:
+            # its row-level changes are GONE. Raising matches Delta's
+            # behavior for startingVersion outside the retained log —
+            # a silent skip would hand the caller an incomplete feed.
+            raise ValueError(
+                f"Delta commit {v} is no longer in the log (checkpoint "
+                "cleanup); bootstrap from a snapshot read instead of "
+                "replaying changes from that version"
+            )
         for line in reader._fs.read_text(commit_path).splitlines():
             if not line.strip():
                 continue
@@ -560,9 +568,12 @@ def sync_delta_to_vtable(
 
     Commits apply in order: cdc commits as MERGE upsert+delete (update
     postimages and inserts win per key; deletes drop keys), append
-    commits as inserts. Bootstrap: with no replica yet, version 0's
-    snapshot-as-inserts creates it. Cost per call ∝ changed rows since
-    the last sync, never source size.
+    commits as inserts. Bootstrap: with no replica yet, ONE snapshot
+    read at the source head creates it — a single distributed scan
+    regardless of commit count, immune to checkpoint log-cleanup
+    having dropped early commit JSONs (a change replay from a
+    vacuumed version raises instead of silently under-filling). After
+    bootstrap, cost per call ∝ changed rows since the last sync.
 
     Zero-downtime switch-over story: keep the reference's Delta
     writers running, sync on a schedule, then cut readers over to the
@@ -579,11 +590,22 @@ def sync_delta_to_vtable(
     exists = VersionedParquetTable.is_table(dest_path)
     if not exists and not create_if_missing:
         raise FileNotFoundError(dest_path)
-    last = (
-        VersionedParquetTable(spark, dest_path).last_txn_version(app)
-        if exists
-        else None
-    )
+    if not exists:
+        # bootstrap from the SNAPSHOT at head, not a change replay:
+        # one distributed read regardless of commit count, and immune
+        # to checkpoint log-cleanup having dropped early commit JSONs
+        # (table_changes raises for vacuumed versions, correctly).
+        snap = reader.snapshot(hi)
+        VersionedParquetTable.create(
+            spark,
+            reader.read(snapshot=snap),
+            dest_path,
+            partition_cols=list(snap.partition_columns),
+            txn=(app, hi),
+            metrics={"delta_sync_version": hi},
+        )
+        return {"synced_to_version": hi, "commits_applied": 1}
+    last = VersionedParquetTable(spark, dest_path).last_txn_version(app)
     start = (last + 1) if last is not None else 0
     applied = 0
     for v in range(start, hi + 1):
@@ -600,25 +622,14 @@ def sync_delta_to_vtable(
             .select(*key_cols)
             .distinct()
         )
-        if not VersionedParquetTable.is_table(dest_path):
-            snap = reader.snapshot(v)
-            VersionedParquetTable.create(
-                spark,
-                ups,
-                dest_path,
-                partition_cols=list(snap.partition_columns),
-                txn=(app, v),
-                metrics={"delta_sync_version": v},
-            )
-        else:
-            t = VersionedParquetTable(spark, dest_path)
-            t.upsert(
-                ups,
-                key_cols,
-                deletes=dels if not dels.isEmpty() else None,
-                operation="DELTA_SYNC",
-                metrics={"delta_sync_version": v},
-                txn=(app, v),
-            )
+        t = VersionedParquetTable(spark, dest_path)
+        t.upsert(
+            ups,
+            key_cols,
+            deletes=dels if not dels.isEmpty() else None,
+            operation="DELTA_SYNC",
+            metrics={"delta_sync_version": v},
+            txn=(app, v),
+        )
         applied += 1
     return {"synced_to_version": hi, "commits_applied": applied}

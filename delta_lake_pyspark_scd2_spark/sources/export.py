@@ -97,12 +97,15 @@ def export_shards(
         .format(fmt)
         .save(path)
     )
-    counts = {
-        int(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # rows and (optionally) tokens ride ONE aggregation pass — never a
+    # second corpus scan just for token accounting
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if text_col is not None:
+        aggs.append(
+            F.sum(token_count_ws(F.col(text_col))).cast("long").alias("tok")
+        )
+    stats = sharded.groupBy("shard").agg(*aggs).collect()
+    counts = {int(r["shard"]): r["n"] for r in stats}
     manifest = {
         "format": fmt,
         "num_shards": num_shards,
@@ -112,10 +115,7 @@ def export_shards(
     }
     if text_col is not None:
         manifest["tokens_per_shard"] = {
-            str(r["shard"]): int(r["n_tokens"])
-            for r in shard_plan(
-                df, n_shards=num_shards, text_col=text_col, id_col=id_col
-            ).collect()
+            str(int(r["shard"])): int(r["tok"]) for r in stats
         }
     from delta_lake_pyspark_scd2_spark.sources import fsio
 
@@ -130,14 +130,17 @@ def export_shards(
 def read_shards(spark, path: str, *, shards: list[int] | None = None) -> DataFrame:
     """Read an export back (optionally a subset of shards — partition
     pruning makes the subset read touch only those directories)."""
-    with open(os.path.join(path, "manifest.json")) as f:
-        manifest = json.load(f)
+    from delta_lake_pyspark_scd2_spark.sources import fsio
+
+    manifest = json.loads(
+        fsio.get_fs(path, spark).read_text(fsio.join(path, "manifest.json"))
+    )
     # load the shard directories only — the root also holds
     # manifest.json, which a parquet/json scan must not swallow
     df = (
         spark.read.format(manifest["format"])
         .option("basePath", path)
-        .load(os.path.join(path, "shard=*"))
+        .load(fsio.join(path, "shard=*"))
     )
     if shards is not None:
         df = df.filter(F.col("shard").isin(shards))

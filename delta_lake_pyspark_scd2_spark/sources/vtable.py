@@ -413,6 +413,11 @@ class VersionedParquetTable:
         parent = (
             self._load_commit(version - 1) if version > 0 else {}
         )
+        if constraints is None:
+            # inherit like every other metadata field — a commit that
+            # doesn't mention constraints must not silently drop them
+            # (callers that CLEAR constraints pass the reduced dict)
+            constraints = parent.get("constraints", {})
         if generated_cols is None:
             generated_cols = parent.get("generated_cols", {})
         if identity_cols is None:
@@ -1582,7 +1587,10 @@ class VersionedParquetTable:
         kept = [_entry(f) for f in m["files"] if f["path"] not in candidates]
         if not candidates:
             v = m["version"] + 1
-            self._commit(v, kept, schema, pc, "DELETE", metrics or {"n_deleted": 0})
+            self._commit(
+                v, kept, schema, pc, "DELETE",
+                metrics or {"n_deleted": 0}, m.get("constraints") or {},
+            )
             return {"n_deleted": 0, "n_files_rewritten": 0}
         cand_df = self._read_paths(m, sorted(candidates))
         keep_pred = None
@@ -1663,7 +1671,8 @@ class VersionedParquetTable:
         if not candidates:
             v = m["version"] + 1
             self._commit(
-                v, kept, schema, pc, "UPDATE", metrics or {"n_updated": 0}
+                v, kept, schema, pc, "UPDATE",
+                metrics or {"n_updated": 0}, m.get("constraints") or {},
             )
             return {"n_updated": 0, "n_files_rewritten": 0}
         cand_df = self._read_paths(m, sorted(candidates))

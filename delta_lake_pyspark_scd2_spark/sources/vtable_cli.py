@@ -8,7 +8,7 @@ tables through notebook cells; this is the scriptable equivalent):
     vtable describe <path>
     vtable show     <path> [--version N | --timestamp EPOCH] [--limit N]
     vtable count    <path> [--version N]
-    vtable changes  <path> --from V [--to V]
+    vtable changes  <path> --keys k1,k2 --from V [--to V]
     vtable compact  <path> [--zorder col1,col2] [--max-files N]
     vtable vacuum   <path> [--keep-versions N] [--dry-run]
     vtable delete   <path> --where col:op:value [--where ...]
@@ -145,13 +145,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "describe":
         df = t.read()
         hist = t.history()
+        n = t.detail().get("num_rows")  # manifest stats: no scan
         out = {
             "path": args.path,
             "version": t.latest_version(),
             "schema": df.schema.simpleString(),
             "partition_columns": t.partition_columns(),
             "n_commits": len(hist),
-            "n_rows": df.count(),
+            "n_rows": int(n) if n is not None else df.count(),
         }
     elif args.cmd == "show":
         df = t.read(version=args.version, timestamp=args.timestamp)

@@ -484,6 +484,19 @@ def maintain_aggregate_stream(
         if batch_df.isEmpty():
             return
         agg = VersionedParquetTable(spark, agg_path)
+        last = agg.last_txn_version(app)
+        if last is not None and batch_no < last:
+            # a crash replay redelivers batch_no == last (skipped by
+            # the txn) or last+1; batch_no < last means the stream
+            # CHECKPOINT was reset while the aggregate kept its
+            # watermark — silently skipping would drop every delta the
+            # old run folded after this batch id. Fail loud: rebuild
+            # the aggregate or restore the checkpoint.
+            raise RuntimeError(
+                f"stream checkpoint appears reset: batch {batch_no} < "
+                f"aggregate txn watermark {last} for {app!r}; rebuild "
+                "the aggregate table or restore the original checkpoint"
+            )
         apply_change_rows(
             agg,
             batch_df,

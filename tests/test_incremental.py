@@ -253,3 +253,24 @@ def test_update_moves_partitions_and_guards_generated(spark, tmp_path):
         t.update([("id", "=", 1)], {"month": "'2025-01'"})
     with _pt.raises(ValueError, match="unknown"):
         t.update([("id", "=", 1)], {"nope": "1"})
+
+
+def test_no_match_dml_preserves_constraints(spark, tmp_path):
+    """A DELETE/UPDATE whose predicate matches no file must not drop
+    the table's CHECK constraints from the manifest (regression:
+    _commit defaulted missing constraints to {} instead of
+    inheriting)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id int, price double")
+    t = VersionedParquetTable.create(spark, df, path)
+    t.add_constraint("pos_price", "price > 0")
+
+    t.update([("id", "=", -1)], {"price": "0.0"})   # no file matches
+    t.delete([("id", "=", -1)])                      # no file matches
+    assert "pos_price" in (t._current().get("constraints") or {})
+
+    # the constraint still enforces on the next real write
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="pos_price|constraint"):
+        t.append(spark.createDataFrame([(3, -5.0)], "id int, price double"))
