@@ -2416,3 +2416,53 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.pq_train(emb, m_subspaces=8, k_codes=32)
     q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)
+
+
+@register(
+    "text_novelty",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    first AS (
+      SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY 1
+    )
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN first.first_doc = sh.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty_frac
+    FROM sh JOIN first USING (shingle)
+    GROUP BY 1
+    """,
+    doc="Corpus novelty curve: per doc, the fraction of its distinct "
+    "3-word shingles whose FIRST corpus occurrence (min doc_id) is "
+    "this doc — the diversity signal curation pipelines use to rank "
+    "marginal documents. One groupBy over the shared shingle explode "
+    "plus a shingle-keyed join back; both shuffles carry shingle-"
+    "compressed rows, not corpus text.",
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(dedup.word_shingles(F.col("text"), 3)).alias("shingle"),
+    )
+    grams = persist_tracked(grams)
+    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        grams.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count(F.lit(1)), 6
+            ).alias("novelty_frac"),
+        )
+    )
