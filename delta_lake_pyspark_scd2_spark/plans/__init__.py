@@ -50,6 +50,12 @@ _PRIORITY: list[str] = [
     "pipeline_corpus_prep",
     "pipeline_pretrain_recipe",
     "pipeline_quality_gate",
+    # round-3 flagships (verdict r3 directive #2: these replace the
+    # beyond-reference j7/j8/j9 extras; §2.3 joins stay covered by
+    # j1/j2/j4/j5)
+    "mv_incremental_refresh",
+    "s8_update_where",
+    "ts_gapfill_locf",
     # one representative per relational §2 family
     "s1_csv_roundtrip",
     "p1_projection_filter",
@@ -59,9 +65,6 @@ _PRIORITY: list[str] = [
     "j2_theta_residual",
     "j4_anti_join",
     "j5_multikey_join",
-    "j7_semi_join",
-    "j8_salted_join",
-    "j9_range_join",
     "a1_groupby_min",
     "a2_single_pass_metrics",
     "a5_sql_count",

@@ -35,17 +35,28 @@ _INTERVALIZED_CTE = """
     "scd2_intervalize",
     oracle=f"""
     WITH {_INTERVALIZED_CTE}
-    SELECT user_id, event_id, valid_from, valid_to, is_current FROM intervalized
+    SELECT user_id, event_id, valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to, is_current
+    FROM intervalized
     """,
     doc="Intra-batch SCD2 version chaining (W1, src/header_etl.py:106-116): "
-    "lead() over (key ORDER BY ts) with open-interval sentinel.",
+    "lead() over (key ORDER BY ts) with open-interval sentinel. The query "
+    "surface projects valid_to as a formatted string because the 9999-12-31 "
+    "sentinel overflows pandas' datetime64[ns] in the driver canonicalizer; "
+    "the operator itself keeps the TIMESTAMP sentinel for reference parity.",
     bench=True,
 )
 def scd2_intervalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return scd2.intervalize(
         ev, "user_id", "ts", tiebreak_cols=["event_id"]
-    ).select("user_id", "event_id", "valid_from", "valid_to", "is_current")
+    ).select(
+        "user_id",
+        "event_id",
+        "valid_from",
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
 
 
 @register(
@@ -188,8 +199,9 @@ def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          OR (value IS DISTINCT FROM pv)
     )
     SELECT user_id, event_id, ts AS valid_from,
-           COALESCE(LEAD(ts) OVER w2, TIMESTAMP '9999-12-31 00:00:00')
-             AS valid_to,
+           strftime(COALESCE(LEAD(ts) OVER w2,
+                             TIMESTAMP '9999-12-31 00:00:00'),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
            (LEAD(ts) OVER w2) IS NULL AS is_current
     FROM changes
     WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -198,7 +210,8 @@ def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the reference): merging the odd-id half of the events as late "
     "arrivals into the even-id half's history must equal a from-scratch "
     "change-only SCD2 build over ALL events — the oracle recomputes that "
-    "ground truth directly.",
+    "ground truth directly. valid_to is projected as a formatted string "
+    "(sentinel overflows pandas datetime64[ns]; operator keeps TIMESTAMP).",
 )
 def scd2_late_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
@@ -220,7 +233,11 @@ def scd2_late_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak_cols=["event_id"],
     )
     return rebuilt.select(
-        "user_id", "event_id", "valid_from", "valid_to", "is_current"
+        "user_id",
+        "event_id",
+        "valid_from",
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
     )
 
 

@@ -45,8 +45,14 @@ def test_head_covers_flagships():
         "pipeline_pretrain_recipe",
         "pipeline_quality_gate",
     }
+    round3 = {
+        "mv_incremental_refresh",
+        "s8_update_where",
+        "ts_gapfill_locf",
+    }
     assert scd2 <= head
     assert llm <= head
+    assert round3 <= head
 
 
 def test_every_head_query_has_an_oracle():

@@ -19,7 +19,14 @@ the oracle side is DuckDB's ``DESCRIBE`` of the SQL.  Violations:
   * any STRUCT/MAP (either side) in the *output* schema;
   * numeric-class mismatch: one side integral, the other floating
     (or exactly one side DECIMAL) for the same column name;
-  * column-name set mismatch (cheap to catch here too).
+  * column-name set mismatch (cheap to catch here too);
+  * pandas-representability (pitfall class #7, round 3): any
+    timestamp/date output value outside ``pandas.Timestamp`` ns bounds
+    (e.g. a ``9999-12-31`` open-interval sentinel) crashes the driver's
+    ``datetime64[ns]`` canonicalizer with ``OutOfBoundsDatetime``.
+    Checked with one DuckDB MIN/MAX aggregate per oracle that outputs
+    such a column — still zero Spark jobs (rows-only queries have no
+    timestamp outputs; pinned in ``tests/test_dtype_sweep.py``).
 
 Usage::
 
@@ -175,7 +182,54 @@ def sweep(sf_dir: str, only: set[str] | None = None) -> list[str]:
                     f"{name}: type class mismatch on {col!r}: "
                     f"spark={scls} oracle={dcls}"
                 )
+        violations.extend(_pandas_bounds_violations(con, name, spec, duck_types))
     return violations
+
+
+def _pandas_bounds_violations(con, name: str, spec, duck_types: dict) -> list[str]:
+    """Pitfall class #7: values a pandas ``datetime64[ns]`` cannot hold.
+
+    The driver canonicalizes both result sides through pandas before
+    hashing; any timestamp (or date, which some paths coerce to
+    datetime64) outside ``pd.Timestamp.min``..``pd.Timestamp.max``
+    (1677-09-21 .. 2262-04-11) raises ``OutOfBoundsDatetime`` there —
+    round 3 lost ``scd2_intervalize``/``scd2_late_rebuild`` to the
+    9999-12-31 open-interval sentinel this way.  One MIN/MAX aggregate
+    per affected oracle proves the value range is representable.
+    """
+    from datetime import datetime
+
+    temporal = [c for c, cls in duck_types.items() if cls in {"timestamp", "date"}]
+    if not temporal:
+        return []
+    aggs = ", ".join(
+        f'min("{c}") AS "min_{c}", max("{c}") AS "max_{c}"' for c in temporal
+    )
+    try:
+        row = con.sql(f"SELECT {aggs} FROM ({spec.oracle}) q").fetchone()
+    except Exception as e:  # noqa: BLE001
+        return [f"{name}: temporal-bounds probe failed: {str(e)[:200]}"]
+    out: list[str] = []
+    # conservative inner bounds of pandas Timestamp (ns): true limits are
+    # 1677-09-21 00:12:43 .. 2262-04-11 23:47:16; whole-day inner bounds
+    # avoid the lossy to_pydatetime() warning and no real data sits there.
+    lo, hi = datetime(1677, 9, 22), datetime(2262, 4, 11)
+    for i, c in enumerate(temporal):
+        for label, v in (("min", row[2 * i]), ("max", row[2 * i + 1])):
+            if v is None:
+                continue
+            if hasattr(v, "hour"):  # datetime
+                bad = not (lo <= v.replace(tzinfo=None) <= hi)
+            else:  # datetime.date
+                bad = not (lo.date() < v < hi.date())
+            if bad:
+                out.append(
+                    f"{name}: {label}({c!r}) = {v} exceeds pandas "
+                    "datetime64[ns] bounds (driver canonicalizer would raise "
+                    "OutOfBoundsDatetime; project as a formatted string or "
+                    "NULL-when-open)"
+                )
+    return out
 
 
 def main() -> int:
