@@ -107,6 +107,19 @@ def predict(
     return df.withColumn(score_col, F.round(_sigmoid(z), 6))
 
 
+def sample_predicate(id_col: str, frac: float) -> Column:
+    """Deterministic content-hash sample predicate: first 8 md5 hex
+    chars of the id as a uniform draw in [0, 1) — same engine-portable
+    hash family as ``plans.relational.sample_hash``. The same rows are
+    selected on any cluster size, partitioning, or run."""
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(float(16**8))
+    )
+    return draw < F.lit(float(frac))
+
+
 def quality_filter_scores(
     docs: DataFrame,
     *,
@@ -115,6 +128,7 @@ def quality_filter_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     label: Column | None = None,
+    sample_frac: float | None = None,
 ) -> DataFrame:
     """End-to-end weak-label quality classifier: hashed TF-IDF features
     → logistic regression → per-doc quality score.
@@ -122,7 +136,12 @@ def quality_filter_scores(
     Default weak label: document length above the corpus median — the
     classic bootstrap where a crude heuristic supervises a model that
     generalizes beyond it (here: onto token CONTENT via the hashed
-    features). Returns (id, label, score, pred)."""
+    features). Returns (id, label, score, pred).
+
+    ``sample_frac`` is the 100 TB shape: train on a deterministic
+    hash-sample (each GD iteration then scans only the sample), score
+    EVERYTHING — batch GD's per-iteration full-corpus cost drops to
+    sample size while the output still covers every document."""
     from delta_lake_pyspark_scd2_spark.operators.text import (
         hashed_tfidf_embedding,
         token_count_ws,
@@ -139,10 +158,16 @@ def quality_filter_scores(
         )
     else:
         lab = docs.select(F.col(id_col), label.cast("int").alias("label"))
-    train = emb.join(lab, id_col).persist()
+    full = emb.join(lab, id_col)
+    if sample_frac is not None and sample_frac < 1.0:
+        train = full.filter(sample_predicate(id_col, sample_frac)).persist()
+        score_set = full
+    else:
+        train = full.persist()
+        score_set = train
     try:
         model = train_logreg(train, dim=dim, iters=iters)
-        scored = predict(train, model)
+        scored = predict(score_set, model)
     finally:
         train.unpersist()
     return scored.select(

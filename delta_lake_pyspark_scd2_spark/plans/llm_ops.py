@@ -1993,7 +1993,10 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iteration is ONE map-side-combined aggregation (per-row gradient "
     "is a JVM higher-order expression; driver holds only dim+1 "
     "floats) -> per-doc quality scores. Weak label = length above "
-    "corpus median; the model generalizes onto token content.",
+    "corpus median; the model generalizes onto token content. The "
+    "100 TB shape: TRAIN on a deterministic hash-sample (each GD "
+    "iteration scans only the sample), SCORE everything — "
+    "sampled-vs-full model agreement pinned in tests/test_classifier.py.",
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators.classifier import (
@@ -2001,7 +2004,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return quality_filter_scores(docs, dim=32, iters=12)
+    return quality_filter_scores(docs, dim=32, iters=12, sample_frac=0.5)
 
 
 _GAPFILL_DENSE_CTE = """
@@ -2138,8 +2141,7 @@ def ts_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Refresh cost is change-volume-proportional at any base size.",
 )
 def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
 
     from delta_lake_pyspark_scd2_spark.operators.incremental import (
         aggregate_of,
@@ -2155,7 +2157,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.floor("o_totalprice").cast("long").alias("price"),
     )
-    root = f"{tempfile.gettempdir()}/spark_graft_mv_{uuid.uuid4().hex}"
+    root = scratch_path("mv_incremental_refresh")
     base = VersionedParquetTable.create(spark, base0, f"{root}/base")
     agg = VersionedParquetTable.create(
         spark,
@@ -2194,8 +2196,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "equivalent CASE projection of the final state.",
 )
 def s8_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
 
     from delta_lake_pyspark_scd2_spark.sources.vtable import (
         VersionedParquetTable,
@@ -2207,7 +2208,7 @@ def s8_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.floor("o_totalprice").cast("long").alias("price"),
     )
-    path = f"{tempfile.gettempdir()}/spark_graft_update_{uuid.uuid4().hex}"
+    path = scratch_path("s8_update_where")
     t = VersionedParquetTable.create(spark, base, path)
     t.update([("o_orderkey", "<", 2000)], {"price": "price * 3"})
     return t.read()

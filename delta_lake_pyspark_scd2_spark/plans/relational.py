@@ -17,9 +17,6 @@ partition key.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -97,9 +94,15 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(reference S1/S12, src/header_etl.py:64-66).",
 )
 def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
     nation = load_table(spark, sf_dir, "nation")
-    out = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_csv_{abs(hash(sf_dir)) % 10_000}"
+    # hashlib, not hash(): str hash is salted per process, which leaked
+    # one scratch dir per run
+    out = scratch_path(
+        f"s1_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     )
     (
         nation.coalesce(1)

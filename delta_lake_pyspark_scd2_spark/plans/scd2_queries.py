@@ -285,8 +285,7 @@ def scd2_invariants_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a new row rewrite.",
 )
 def s8_generic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 5 < 4).select(
@@ -299,7 +298,7 @@ def s8_generic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("U").alias("o_orderstatus"),
         (F.col("o_totalprice") * 2).cast("double").alias("price"),
     )
-    path = f"{tempfile.gettempdir()}/spark_graft_upsert_{uuid.uuid4().hex}"
+    path = scratch_path("s8_generic_upsert")
     t = VersionedParquetTable.create(
         spark, base, path, partition_cols=["o_orderstatus"]
     )
@@ -328,8 +327,7 @@ def s8_generic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a broadcast anti-join. Oracle is the equivalent filter+union.",
 )
 def dv_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
 
     orders = load_table(spark, sf_dir, "orders")
     base = orders.filter(F.col("o_orderkey") % 5 < 4).select(
@@ -337,7 +335,7 @@ def dv_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.col("o_totalprice").cast("double").alias("price"),
     )
-    path = f"{tempfile.gettempdir()}/spark_graft_dv_{uuid.uuid4().hex}"
+    path = scratch_path("dv_delete_update")
     t = VersionedParquetTable.create(
         spark, base, path, partition_cols=["o_orderstatus"]
     )

@@ -14,15 +14,18 @@ byte-identical payload-wise.
 
 Scale: one repartition on the shard key (the unavoidable placement
 shuffle), then a narrow per-partition sort and write; per-shard counts
-ride the same job as an ``Observation``-style groupBy on the compact
-shard column. At 100 TB, ``num_shards`` is thousands; each shard is
-one file written by one task — also the small-files answer.
+AND token sums ride the write job itself as ``Observation`` metrics
+(one conditional aggregate buffer per shard), so an export is exactly
+ONE corpus scan — never a second pass just for manifest accounting.
+At 100 TB, ``num_shards`` is thousands; each shard is one file written
+by one task — also the small-files answer. The observe cost is
+``num_shards`` integer comparisons per row, orders of magnitude
+cheaper than re-reading and re-tokenizing the text column.
 """
 
 from __future__ import annotations
 
 import json
-import os
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -88,34 +91,47 @@ def export_shards(
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"unsupported export format: {fmt}")
+    from pyspark.sql import Observation
+
     sharded = df.withColumn("shard", shard_of(id_col, num_shards))
+    # per-shard stats ride the WRITE job as Observation metrics: one
+    # count_if (and one conditional token sum) buffer per shard — the
+    # whole export is a single corpus scan (pinned by
+    # test_export_is_single_scan).
+    metrics = [
+        F.count_if(F.col("shard") == k).alias(f"n_{k}")
+        for k in range(num_shards)
+    ]
+    if text_col is not None:
+        tok = token_count_ws(F.col(text_col))
+        metrics.extend(
+            F.sum(F.when(F.col("shard") == k, tok)).cast("long").alias(f"t_{k}")
+            for k in range(num_shards)
+        )
+    obs = Observation("export_shards")
     (
-        sharded.repartition(num_shards, "shard")
+        sharded.observe(obs, *metrics)
+        .repartition(num_shards, "shard")
         .sortWithinPartitions("shard", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
         .format(fmt)
         .save(path)
     )
-    # rows and (optionally) tokens ride ONE aggregation pass — never a
-    # second corpus scan just for token accounting
-    aggs = [F.count(F.lit(1)).alias("n")]
-    if text_col is not None:
-        aggs.append(
-            F.sum(token_count_ws(F.col(text_col))).cast("long").alias("tok")
-        )
-    stats = sharded.groupBy("shard").agg(*aggs).collect()
-    counts = {int(r["shard"]): r["n"] for r in stats}
+    stats = obs.get
+    counts = {
+        k: int(stats[f"n_{k}"]) for k in range(num_shards) if stats[f"n_{k}"]
+    }
     manifest = {
         "format": fmt,
         "num_shards": num_shards,
         "total_rows": int(sum(counts.values())),
-        "rows_per_shard": {str(k): int(v) for k, v in sorted(counts.items())},
+        "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
         "columns": [c for c in df.columns],
     }
     if text_col is not None:
         manifest["tokens_per_shard"] = {
-            str(int(r["shard"])): int(r["tok"]) for r in stats
+            str(k): int(stats[f"t_{k}"] or 0) for k in counts
         }
     from delta_lake_pyspark_scd2_spark.sources import fsio
 

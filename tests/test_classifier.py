@@ -42,3 +42,40 @@ def test_quality_filter_beats_baseline(spark, sf_dir):
     ).collect()[0]
     majority = max(row["pos_rate"], 1 - row["pos_rate"])
     assert row["acc"] > majority + 0.1  # genuinely learned, not majority-vote
+
+
+def test_sampled_training_agrees_with_full(spark, sf_dir):
+    """The 100 TB shape: train on a deterministic hash-sample, score
+    everything. The sampled model must (a) score EVERY document, (b)
+    agree with the full-corpus model on the vast majority of
+    predictions, and (c) still beat the majority baseline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = quality_filter_scores(docs, dim=32, iters=12)
+    sampled = quality_filter_scores(docs, dim=32, iters=12, sample_frac=0.5)
+    n = docs.count()
+    assert sampled.count() == n  # scores everything, not just the sample
+    both = full.select("doc_id", F.col("pred").alias("pf")).join(
+        sampled.select("doc_id", "label", F.col("pred").alias("ps")), "doc_id"
+    )
+    row = both.agg(
+        F.avg((F.col("pf") == F.col("ps")).cast("double")).alias("agree"),
+        F.avg((F.col("ps") == F.col("label")).cast("double")).alias("acc"),
+        F.avg("label").alias("pos_rate"),
+    ).collect()[0]
+    assert row["agree"] > 0.85
+    majority = max(row["pos_rate"], 1 - row["pos_rate"])
+    assert row["acc"] > majority + 0.1
+
+
+def test_sample_predicate_is_deterministic_and_proportional(spark):
+    from delta_lake_pyspark_scd2_spark.operators.classifier import (
+        sample_predicate,
+    )
+
+    df = spark.range(4000).withColumnRenamed("id", "doc_id")
+    a = df.filter(sample_predicate("doc_id", 0.25))
+    n = a.count()
+    assert abs(n / 4000 - 0.25) < 0.05
+    # same rows every time, independent of partitioning
+    b = df.repartition(7).filter(sample_predicate("doc_id", 0.25))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
