@@ -24,11 +24,14 @@ Supported:
     tables read exactly;
   * **column mapping, name mode**: files are scanned under each
     column's ``delta.columnMapping.physicalName`` and aliased back to
-    logical names (renamed/dropped-column tables read correctly).
+    logical names (renamed/dropped-column tables read correctly);
+  * **column mapping, id mode**: parquet columns matched by field id —
+    each read-schema field carries ``parquet.field.id`` metadata
+    (from ``delta.columnMapping.id``) and Spark's native
+    ``fieldId.read`` resolver does the matching, the same mechanism
+    delta-spark uses.
 
 Rejected explicitly (conservative checks, never silent corruption):
-  * column mapping **id** mode (parquet field-id matching — a
-    different resolution mechanism this reader doesn't implement);
   * protocol ``minReaderVersion`` > 3 or reader features beyond
     deletionVectors / columnMapping / timestampNtz / v2Checkpoint-less
     reads.
@@ -82,7 +85,7 @@ class DeltaSnapshot:
     files: dict[str, dict[str, str | None]]
     #: path -> add.deletionVector descriptor (only DV-carrying files)
     deletion_vectors: dict[str, dict] = field(default_factory=dict)
-    #: "none" | "name" (id mode is rejected at replay)
+    #: "none" | "name" | "id"
     column_mapping_mode: str = "none"
 
     def physical_name(self, logical: str) -> str:
@@ -151,10 +154,10 @@ class DeltaTableReader:
             if not isinstance(conf, dict):  # MAP round-trip (checkpoints)
                 conf = dict(conf)
             mode = conf.get("delta.columnMapping.mode", "none")
-            if mode not in ("none", "name"):
+            if mode not in ("none", "name", "id"):
                 raise NotImplementedError(
                     f"Delta column mapping mode {mode!r} is not supported "
-                    "by this reader (name mode is)"
+                    "by this reader (none/name/id are)"
                 )
             state["column_mapping_mode"] = mode
             state["schema"] = T.StructType.fromJson(json.loads(md["schemaString"]))
@@ -297,6 +300,7 @@ class DeltaTableReader:
 
         decoded = {p: unquote(p) for p in snap.files}
         paths = [fsio.join(self.path, dp) for dp in decoded.values()]
+        _enable_field_id_read(self.spark, snap)
         df = self.spark.read.option("basePath", self.path).schema(
             _physical_schema(snap)
         ).parquet(*paths)
@@ -367,19 +371,45 @@ class DeltaTableReader:
         return out
 
 
+def _enable_field_id_read(spark: SparkSession, snap: DeltaSnapshot) -> None:
+    """id-mode tables resolve parquet columns by field id; Spark's
+    resolver only engages when this conf is on (the read schema's
+    ``parquet.field.id`` metadata then drives the match). Left enabled:
+    it is a no-op for schemas without field-id metadata — the same
+    sticky requirement delta-spark documents for id-mapped tables."""
+    if snap.column_mapping_mode == "id":
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+
 def _physical_schema(snap: DeltaSnapshot) -> T.StructType:
     """Schema for the parquet scan: data columns under their PHYSICAL
     names as declared, partition columns as strings (they live in
     directory names — also physical; the caller casts and renames
-    back)."""
+    back).
+
+    Under ``id`` mode each field carries ``parquet.field.id`` metadata
+    (copied from ``delta.columnMapping.id``) so Spark's native
+    field-id resolution (``spark.sql.parquet.fieldId.read.enabled``)
+    matches parquet columns by id, exactly how delta-spark reads
+    id-mapped tables — names in the footer become irrelevant."""
     fields = []
     pc = set(snap.partition_columns)
+    by_id = snap.column_mapping_mode == "id"
     for f in snap.schema.fields:
         phys = snap.physical_name(f.name)
+        meta = None
+        if by_id:
+            fid = (f.metadata or {}).get("delta.columnMapping.id")
+            if fid is None:
+                raise ValueError(
+                    f"column {f.name!r}: id-mode column mapping requires "
+                    "delta.columnMapping.id metadata on every field"
+                )
+            meta = {"parquet.field.id": int(fid)}
         if f.name in pc:
-            fields.append(T.StructField(phys, T.StringType(), True))
+            fields.append(T.StructField(phys, T.StringType(), True, meta))
         else:
-            fields.append(T.StructField(phys, f.dataType, f.nullable))
+            fields.append(T.StructField(phys, f.dataType, f.nullable, meta))
     return T.StructType(fields)
 
 
@@ -462,6 +492,7 @@ def _cdf_changes(
 
     def _read_files(paths: list[str], sch: T.StructType) -> DataFrame:
         full = [fsio.join(reader.path, unquote(p)) for p in paths]
+        _enable_field_id_read(spark, snap)
         return spark.read.option("basePath", reader.path).schema(sch).parquet(*full)
 
     for v in range(version_from, hi + 1):
@@ -503,12 +534,20 @@ def _cdf_changes(
                 [f for f in phys.fields if f.name not in pcols]
                 + [T.StructField("_change_type", T.StringType())]
             )
+            # under column-mapping name mode the log's cdc
+            # partitionValues keys are PHYSICAL names; resolve them to
+            # logical before the schema lookup (and inject under the
+            # physical name data_cols select by — never double-map)
+            logical_of = {
+                snap.physical_name(f.name): f.name for f in snap.schema.fields
+            }
             for pv_items, paths in by_part.items():
                 df = _read_files(paths, cdc_schema)
                 for k, val in pv_items:
-                    f = snap.schema[k]
+                    logical = logical_of.get(k, k)
+                    f = snap.schema[logical]
                     df = df.withColumn(
-                        snap.physical_name(k), F.lit(val).cast(f.dataType)
+                        snap.physical_name(logical), F.lit(val).cast(f.dataType)
                     )
                 pieces.append(
                     df.select(

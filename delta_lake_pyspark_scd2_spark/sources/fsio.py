@@ -242,7 +242,15 @@ class HadoopFS:
         try:
             out = self._fs.create(self._jpath(p), False)
         except Py4JJavaError as e:
-            raise FileExistsError(p) from e
+            # Only a genuine already-exists is a commit collision; a
+            # permissions or transient-IO failure must surface as
+            # itself, or a collision-retry loop would spin on it.
+            jexc = e.java_exception
+            cls = jexc.getClass().getName() if jexc is not None else ""
+            msg = str(jexc.getMessage() or "") if jexc is not None else ""
+            if "FileAlreadyExistsException" in cls or "already exists" in msg:
+                raise FileExistsError(p) from e
+            raise
         try:
             out.write(data)
         finally:

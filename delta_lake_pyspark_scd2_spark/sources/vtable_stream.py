@@ -183,9 +183,26 @@ class _VTableChangesStreamReader(DataSourceStreamReader):
                 )
                 continue
             prev_v = v - 1
-            snapshot_replay = (i == 0 and v == versions[0] and (
-                v == 0 or prev_v not in t.versions()
-            ))
+            # A full-snapshot replay (all current rows delivered as
+            # inserts) is only ever correct on a FRESH start (cursor at
+            # the -1 sentinel, matching Delta's startingVersion=0
+            # semantics when history has been vacuumed). On a RESUMED
+            # stream (lo >= 0) a missing predecessor manifest means
+            # retention dropped the cursor's neighborhood — replaying
+            # the snapshot would double-apply every retained row
+            # downstream (e.g. corrupt a signed-delta MV fold), so
+            # refuse and tell the caller to re-bootstrap, exactly like
+            # the batch CDF reader does for a vacuumed startingVersion.
+            predecessor_missing = v > 0 and prev_v not in t.versions()
+            if i == 0 and predecessor_missing and lo >= 0:
+                raise ValueError(
+                    f"stream cursor at version {lo} of {self.path}, but "
+                    f"version {prev_v} is no longer retained (vacuumed); "
+                    "cannot compute incremental changes — restart the "
+                    "stream from scratch (fresh checkpoint) to "
+                    "re-bootstrap from the current snapshot"
+                )
+            snapshot_replay = i == 0 and (v == 0 or predecessor_missing)
             cur_files = {f["path"]: f for f in t._snapshot_files(v)}
             prev_files = (
                 {}

@@ -350,7 +350,93 @@ def test_column_mapping_name_mode_reads(spark, tmp_path):
     assert {(r.k, r.v_renamed) for r in df.collect()} == {(1, "x"), (2, "y")}
 
 
-def test_column_mapping_id_mode_rejected(spark, tmp_path):
+def test_column_mapping_id_mode_reads_by_field_id(spark, tmp_path):
+    """id-mode column mapping: parquet columns are matched by the
+    field id written in the file footer (Spark's native
+    fieldId.read resolution), NOT by name — a file whose physical
+    names disagree with the log's physicalName still reads correctly
+    as long as the ids line up."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "dt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log)
+    # footer names are arbitrary ('whatever-1/2'); only field ids count.
+    # Order is also swapped vs the logical schema to prove id matching.
+    tbl = pa.table(
+        {
+            "whatever-2": pa.array(["x", "y"], pa.string()),
+            "whatever-1": pa.array([1, 2], pa.int64()),
+        },
+        schema=pa.schema(
+            [
+                pa.field(
+                    "whatever-2", pa.string(),
+                    metadata={b"PARQUET:field_id": b"2"},
+                ),
+                pa.field(
+                    "whatever-1", pa.int64(),
+                    metadata={b"PARQUET:field_id": b"1"},
+                ),
+            ]
+        ),
+    )
+    pq.write_table(tbl, os.path.join(root, "f1.parquet"))
+    schema = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {
+                    "name": "k",
+                    "type": "long",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 1,
+                        "delta.columnMapping.physicalName": "col-aaa",
+                    },
+                },
+                {
+                    "name": "v",
+                    "type": "string",
+                    "nullable": True,
+                    "metadata": {
+                        "delta.columnMapping.id": 2,
+                        "delta.columnMapping.physicalName": "col-bbb",
+                    },
+                },
+            ],
+        }
+    )
+    _write_commit(
+        log,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": "t",
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": schema,
+                    "partitionColumns": [],
+                    "configuration": {"delta.columnMapping.mode": "id"},
+                }
+            },
+            {
+                "add": {
+                    "path": "f1.parquet",
+                    "partitionValues": {},
+                    "dataChange": True,
+                }
+            },
+        ],
+    )
+    df = DeltaTableReader(spark, root).read()
+    assert df.columns == ["k", "v"]
+    assert {(r.k, r.v) for r in df.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_column_mapping_unknown_mode_rejected(spark, tmp_path):
     root = _make_table(tmp_path)
     log = os.path.join(root, "_delta_log")
     _write_commit(
@@ -363,7 +449,7 @@ def test_column_mapping_id_mode_rejected(spark, tmp_path):
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _schema_string(),
                     "partitionColumns": [],
-                    "configuration": {"delta.columnMapping.mode": "id"},
+                    "configuration": {"delta.columnMapping.mode": "bogus"},
                 }
             }
         ],
@@ -494,6 +580,82 @@ def test_delta_cdf_table_changes(spark, tmp_path):
 
     with _pt.raises(ValueError, match="change-data"):
         r.table_changes(3, 3)
+
+
+def test_delta_cdf_with_name_column_mapping(spark, tmp_path):
+    """CDF read on a column-mapped (name mode) partitioned table: the
+    log's cdc partitionValues keys are PHYSICAL names — they must be
+    resolved through the physical→logical map, not looked up as
+    logical (round-3 advice: KeyError / double-mapping before)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "dt")
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(os.path.join(root, "col-part=a"))
+    os.makedirs(os.path.join(root, "_change_data"))
+    pq.write_table(
+        pa.table({"col-k": pa.array([1, 2], pa.int64()),
+                  "col-v": pa.array([10, 20], pa.int64())}),
+        os.path.join(root, "col-part=a", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "col-k": pa.array([1, 1], pa.int64()),
+            "col-v": pa.array([10, 99], pa.int64()),
+            "_change_type": ["update_preimage", "update_postimage"],
+        }),
+        os.path.join(root, "_change_data", "cdc-0.parquet"),
+    )
+    schema = _json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "part", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-part"}},
+            {"name": "v", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 3,
+                          "delta.columnMapping.physicalName": "col-v"}},
+        ],
+    })
+    os.makedirs(log, exist_ok=True)
+    _write_commit(log, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {"id": "t",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": schema,
+                      "partitionColumns": ["part"],
+                      "configuration": {
+                          "delta.columnMapping.mode": "name",
+                          "delta.enableChangeDataFeed": "true"}}},
+        {"add": {"path": "col-part=a/f1.parquet",
+                 "partitionValues": {"col-part": "a"}, "dataChange": True}},
+    ])
+    _write_commit(log, 1, [
+        {"commitInfo": {"operation": "UPDATE"}},
+        {"cdc": {"path": "_change_data/cdc-0.parquet",
+                 "partitionValues": {"col-part": "a"},
+                 "size": 1, "dataChange": False}},
+        {"remove": {"path": "col-part=a/f1.parquet", "dataChange": True}},
+        {"add": {"path": "col-part=a/f2.parquet",
+                 "partitionValues": {"col-part": "a"}, "dataChange": True}},
+    ])
+    r = DeltaTableReader(spark, root)
+    ch = r.table_changes(0, 1)
+    assert ch.columns == ["k", "part", "v", "_change_type", "_commit_version"]
+    got = {(x.k, x.part, x.v, x._change_type, x._commit_version)
+           for x in ch.collect()}
+    assert got == {
+        (1, "a", 10, "insert", 0),
+        (2, "a", 20, "insert", 0),
+        (1, "a", 10, "update_preimage", 1),
+        (1, "a", 99, "update_postimage", 1),
+    }
 
 
 def test_sync_delta_to_vtable_continuous(spark, tmp_path):

@@ -102,6 +102,40 @@ def test_planner_is_metadata_only_and_file_parallel(spark, tmp_path):
     assert (100, 1, "x") in got and (0, 0, "s0") in got
 
 
+def test_resumed_cursor_on_vacuumed_version_raises(spark, tmp_path):
+    """A RESUMED stream whose cursor's successor lost its predecessor
+    manifest to vacuum must raise, not silently re-deliver the full
+    snapshot as inserts (which would double-apply every row in a
+    downstream signed-delta fold). Fresh starts (cursor = -1 sentinel)
+    still replay the earliest retained snapshot, matching Delta's
+    startingVersion semantics."""
+    from delta_lake_pyspark_scd2_spark.sources.vtable_stream import (
+        _VTableChangesStreamReader,
+        _changes_schema,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(
+        spark, spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    for i in range(2, 5):  # versions 1..3
+        t.append(spark.createDataFrame([(i, "x")], "id long, s string"))
+    # drop manifests below version 3 (cursor neighborhood vacuumed)
+    t.vacuum(keep_versions=1, orphan_grace_s=0.0)
+    retained = t.versions()
+    assert 2 not in retained and 3 in retained
+
+    reader = _VTableChangesStreamReader(_changes_schema(path), {"path": path})
+    # resumed cursor at a vacuumed version: refuse
+    with pytest.raises(ValueError, match="no longer retained"):
+        reader.partitions({"version": 1}, {"version": 3})
+    # fresh start: earliest retained snapshot replays as inserts
+    parts = reader.partitions({"version": -1}, {"version": 3})
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
+    assert {r[-2] for r in rows} == {"insert"}
+
+
 def test_stream_skips_compaction_and_applies_dv(spark, tmp_path):
     """data_change=false commits (COMPACT) never enter the feed, and a
     snapshot replay applies deletion vectors (dead rows are not
