@@ -402,6 +402,40 @@ def linear_probe_scores(
 # -- product quantization (Jégou et al. 2011) --------------------------------
 
 
+def pq_fixed_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 32,
+) -> list:
+    """Codebooks taken VERBATIM from the ``k_codes`` lowest-id vectors'
+    subvector slices — no Lloyd iterations.
+
+    Quantization quality is below :func:`pq_train`'s, but the codebook
+    is a pure SQL-expressible function of the table, which makes the
+    whole encode→LUT→ADC pipeline value-hash checkable against a
+    DuckDB oracle (``ann_pq_adc_topk`` / ``ann_ivfpq_adc_topk``) — the
+    oracle story k-means training can't have. Same
+    ``codebooks[m][k][d_sub]`` shape as :func:`pq_train`, so it drops
+    into :func:`pq_encode` / :func:`pq_topk` / :func:`ivfpq_topk`
+    unchanged."""
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k_codes).collect()
+    if len(rows) < k_codes:
+        raise ValueError(f"need >= {k_codes} rows for fixed codebooks")
+    X = np.asarray([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    return [
+        X[:, m * d_sub : (m + 1) * d_sub].tolist() for m in range(m_subspaces)
+    ]
+
+
 def pq_train(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -2419,6 +2419,124 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)
 
 
+# PQ ADC oracle fragments (round-3 verdict stretch #8): with FIXED
+# codebooks — the 32 lowest-id vectors' subvector slices — the whole
+# encode→LUT→asymmetric-distance pipeline is SQL-expressible, so the
+# ADC scoring path gets full value-hash oracles (k-means training
+# itself stays rows-only in ann_pq_topk/ann_ivfpq_topk: it is
+# genuinely iterative). 64-dim vectors, m=8 subspaces of 8 dims,
+# 32 codes.
+_PQ_HEAD = """
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve AS cv
+      FROM (SELECT * FROM v ORDER BY vec_id LIMIT 32)
+    ),
+    q AS (SELECT ve AS qv FROM v ORDER BY vec_id LIMIT 1),
+    ms AS (SELECT unnest(range(8)) AS m),
+    lut AS (
+      SELECT ms.m, cb.code,
+             list_distance(q.qv[ms.m*8+1:ms.m*8+8],
+                           cb.cv[ms.m*8+1:ms.m*8+8]) ** 2 AS d2
+      FROM q, ms, cb
+    )
+"""
+
+# assignment + ADC over a candidate CTE named `cand(vec_id, ve)`
+_PQ_TAIL = """
+    assign AS (
+      SELECT vec_id, m, code FROM (
+        SELECT cand.vec_id, ms.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY cand.vec_id, ms.m
+                 ORDER BY list_distance(cand.ve[ms.m*8+1:ms.m*8+8],
+                                        cb.cv[ms.m*8+1:ms.m*8+8]) ASC,
+                          cb.code ASC) AS rn
+        FROM cand, ms, cb
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT a.vec_id, round(sum(l.d2), 6) AS pq_dist
+      FROM assign a JOIN lut l ON a.m = l.m AND a.code = l.code
+      GROUP BY 1
+    )
+    SELECT vec_id, pq_dist FROM adc ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_HEAD},
+    cand AS (SELECT vec_id, ve FROM v),
+    {_PQ_TAIL}
+    """,
+    doc="PQ asymmetric-distance top-k with FIXED codebooks (the 32 "
+    "lowest-id vectors' slices): same Arrow-batched encode and JVM "
+    "LUT-fold as ann_pq_topk, but the codebook is a deterministic "
+    "function of the table, so the full encode->LUT->ADC pipeline is "
+    "value-hash checked against the SQL oracle — the correctness "
+    "proof for the scoring path the k-means variant reuses.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_fixed_codebooks(emb, m_subspaces=8, k_codes=32)
+    codes = S.pq_encode(emb, books)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return S.pq_topk(codes, books, list(q), k=10)
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_HEAD},
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cv2 FROM v
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 12
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.ve', b='c.cv2')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM v, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_dot_product(q.qv, c.cv2) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                  sqrt(list_dot_product(c.cv2, c.cv2))) DESC,
+                 c.centroid_id ASC) AS rn
+        FROM q, cents c
+      ) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT v.vec_id, v.ve FROM v
+      JOIN assigned a USING (vec_id)
+      JOIN probes p ON a.centroid_id = p.centroid_id
+    ),
+    {_PQ_TAIL}
+    """,
+    doc="IVF-PQ ADC top-k with fixed codebooks: nprobe=3 cosine "
+    "bucket restriction times PQ LUT scoring, all value-hash checked "
+    "— the composed index's oracle twin (ann_ivfpq_topk keeps k-means "
+    "codebooks and the rows-only check).",
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    books = S.pq_fixed_codebooks(emb, m_subspaces=8, k_codes=32)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)
+
+
 @register(
     "text_novelty",
     oracle=f"""
@@ -2442,6 +2560,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "marginal documents. One groupBy over the shared shingle explode "
     "plus a shingle-keyed join back; both shuffles carry shingle-"
     "compressed rows, not corpus text.",
+    bench=True,  # round-3 verdict #7: regressions on the round-3
+    # analytics surface must show up in bench medians, not just
+    # correctness
 )
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.functions.caching import (

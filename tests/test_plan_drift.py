@@ -1,0 +1,43 @@
+"""Plan-drift gate (round-3 verdict stretch #9): the AQE final plans
+of the headline (bench) queries must keep their committed structural
+shape — no cartesian products, same shuffle count, same join
+strategies, same filter-pushdown coverage.
+
+A Spark upgrade or refactor that silently degrades a plan fails HERE,
+not in the next benchmark round. If a diff is intentional, regenerate
+with ``python tools/plan_invariants.py`` and review the baseline diff
+like code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
+    ),
+)
+
+from plan_invariants import BASELINE_PATH, collect_features  # noqa: E402
+
+
+def test_headline_plans_match_baseline():
+    with open(BASELINE_PATH) as f:
+        baseline = json.load(f)
+    got = collect_features(baseline["sf_dir"])
+    assert set(got) == set(baseline["features"]), (
+        "bench query set changed — regenerate tools/plan_invariants.py"
+    )
+    drifted = {
+        name: {"baseline": baseline["features"][name], "now": feats}
+        for name, feats in got.items()
+        if feats != baseline["features"][name]
+    }
+    assert drifted == {}, json.dumps(drifted, indent=1, sort_keys=True)
+    # and the absolute invariants, independent of any baseline
+    for name, feats in got.items():
+        assert feats["cartesian"] == 0, name

@@ -1,0 +1,88 @@
+"""Plan-drift gate: structural invariants of the headline queries'
+AQE final plans, pinned against a committed baseline.
+
+``PLANS.md`` (tools/plan_report.py) makes plan regressions reviewable;
+this module makes them FAIL CI. For every ``bench=True`` registry
+query we execute at sf0.001 and extract features that encode the
+"plan you'd want" (round-2/3 audits): no cartesian products, how many
+shuffles, which join strategies, whether every parquet scan pushes
+filters. A Spark upgrade or refactor that silently degrades a plan —
+a broadcast that becomes a sort-merge join, a filter that stops
+pushing, a new shuffle — diffs against ``tests/plan_baseline.json``
+and fails ``tests/test_plan_drift.py`` instead of waiting for the
+next benchmark round.
+
+Regenerate intentionally with::
+
+    python tools/plan_invariants.py [sf_dir]   # rewrites the baseline
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests",
+    "plan_baseline.json",
+)
+
+
+def plan_features(df) -> dict:
+    """Structural features of an executed DataFrame's AQE FINAL plan."""
+    full = df._jdf.queryExecution().executedPlan().toString()
+    # the AQE toString carries the initial plan below the final one —
+    # only the final (post-reoptimization) shape is the contract
+    final = full.split("== Initial Plan ==")[0]
+    scans = final.count("FileScan parquet")
+    pushed = final.count("PushedFilters: [") - final.count("PushedFilters: []")
+    return {
+        "cartesian": final.count("CartesianProduct"),
+        "shuffles": sum(
+            line.strip().lstrip("+-:* ").startswith("Exchange ")
+            for line in final.splitlines()
+        ),
+        "broadcast_hash_joins": final.count("BroadcastHashJoin"),
+        "broadcast_loop_joins": final.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": final.count("SortMergeJoin"),
+        "scans": scans,
+        "scans_with_pushdown": pushed,
+    }
+
+
+def collect_features(sf_dir: str) -> dict[str, dict]:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        release_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.plans import REGISTRY
+    from delta_lake_pyspark_scd2_spark.session import get_spark
+
+    spark = get_spark("plan_invariants")
+    out: dict[str, dict] = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if not spec.bench:
+            continue
+        release_tracked()
+        df = spec.builder(spark, sf_dir)
+        df.collect()  # AQE finalizes during execution
+        out[name] = plan_features(df)
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    feats = collect_features(sf_dir)
+    with open(BASELINE_PATH, "w") as f:
+        json.dump({"sf_dir": sf_dir, "features": feats}, f, indent=1,
+                  sort_keys=True)
+        f.write("\n")
+    print(f"wrote {BASELINE_PATH} ({len(feats)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
