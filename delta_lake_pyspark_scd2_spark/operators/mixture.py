@@ -70,3 +70,42 @@ def sample_to_mixture(
         .filter(_keep_hash(id_col) < F.col("keep_thr"))
         .drop("keep_thr")
     )
+
+
+def sample_to_temperature(
+    df: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture: target share of domain g is
+    ``n_g**alpha / Σ n_h**alpha`` — the standard up-weighting of rare
+    domains in multilingual/multi-source pretraining recipes
+    (``alpha=1`` keeps the natural mixture, ``alpha→0`` approaches
+    uniform). Downsamples only: output is the largest N every domain
+    can serve at its tempered share.
+
+    Same plan shape as :func:`sample_to_mixture` except the weights
+    come from the data itself: ONE map-side-combined count per domain,
+    a handful of (domain, threshold) rows broadcast back, then the
+    narrow deterministic md5 keep-filter — reproducible on any cluster
+    shape, no driver collect.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    powed = counts.withColumn("npow", F.pow("n", F.lit(float(alpha))))
+    tot = powed.agg(F.sum("npow").alias("tot"))
+    shares = powed.crossJoin(F.broadcast(tot)).select(
+        group_col, "n", (F.col("npow") / F.col("tot")).alias("share")
+    )
+    cap = shares.select(F.min(F.col("n") / F.col("share")).alias("cap"))
+    thr = shares.crossJoin(F.broadcast(cap)).select(
+        group_col,
+        (F.col("share") * F.col("cap") / F.col("n") * _MOD).alias("keep_thr"),
+    )
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(_keep_hash(id_col) < F.col("keep_thr"))
+        .drop("keep_thr")
+    )

@@ -399,6 +399,66 @@ def linear_probe_scores(
     )
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-capped sampling in embedding space (the SemDeDup /
+    cluster-balance curation shape, Abbas et al. 2023): assign every
+    vector to its nearest centroid (max cosine), then keep each
+    cluster's ``per_cluster`` MOST CENTRAL members — no region of
+    embedding space can dominate the kept set.
+
+    Scale shape: centroids broadcast; vectors leave the plan right
+    after scoring, so both window shuffles carry only
+    ``(id, centroid_id, sim)`` triples; the per-cluster cap is a
+    WindowGroupLimit (top-k per key, no full sort). Deterministic:
+    cosine rounded to 6 with id tie-breaks, same rows on any cluster
+    shape. Returns (id, centroid_id, rank, sim).
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__centnorm", norm(F.col("__cvec")))
+    scored = (
+        _spread(corpus, id_col)
+        .withColumn("__vnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            id_col,
+            "centroid_id",
+            F.round(
+                cosine_prenormed(
+                    F.col("__cvec"),
+                    F.col(vec_col),
+                    F.col("__centnorm"),
+                    F.col("__vnorm"),
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    wa = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(wa))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wc = Window.partitionBy("centroid_id").orderBy(
+        F.col("sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.withColumn("rank", F.row_number().over(wc))
+        .filter(F.col("rank") <= per_cluster)
+        .select(id_col, "centroid_id", F.col("rank").cast("int"), "sim")
+    )
+
+
 # -- product quantization (Jégou et al. 2011) --------------------------------
 
 

@@ -621,6 +621,86 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+    ),
+    shares AS (
+      SELECT lang, n,
+             pow(n, 0.7) / (SELECT sum(pow(n, 0.7)) FROM counts) AS share
+      FROM counts
+    ),
+    cap AS (SELECT MIN(n / share) AS cap FROM shares),
+    thr AS (
+      SELECT lang, share * cap / n * 1000000 AS keep_thr
+      FROM shares CROSS JOIN cap
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000
+          < keep_thr
+    """,
+    doc="Temperature-based language mixture (alpha=0.7 over the skewed "
+    "lang column): target share of language g is n_g^alpha / "
+    "sum(n^alpha) — the standard rare-language up-weighting of "
+    "multilingual pretraining recipes; downsample-only at the largest "
+    "size every language supports (the dominant language is cut, rare "
+    "ones kept whole). One map-side-combined count per language, "
+    "thresholds broadcast back, deterministic md5 keep-hash — no "
+    "ORDER BY rand(), no collect.",
+)
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture.sample_to_temperature(
+        docs, alpha=0.7, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+@register(
+    "sample_cluster_balanced",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cv FROM v
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 12
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id, sim FROM (
+        SELECT v.vec_id, c.centroid_id,
+               {_COS.format(a='v.ve', b='c.cv')} AS sim,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.ve', b='c.cv')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM v, cents c
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, centroid_id, rank, sim FROM (
+      SELECT vec_id, centroid_id, sim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY centroid_id
+               ORDER BY sim DESC, vec_id ASC) AS INT) AS rank
+      FROM assigned
+    ) WHERE rank <= 15
+    """,
+    doc="Diversity-capped sampling in embedding space (SemDeDup / "
+    "cluster-balance curation, Abbas et al. 2023): nearest-centroid "
+    "assignment (12 broadcast centroids), then each cluster keeps its "
+    "15 MOST CENTRAL members — no embedding-space region dominates "
+    "the kept set. Vectors leave the plan after scoring; both window "
+    "shuffles carry (id, centroid, sim) triples and the cap is a "
+    "WindowGroupLimit top-k, not a full sort.",
+)
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    return S.cluster_balanced_sample(emb, cents, per_cluster=15)
+
+
+@register(
     "mm_phash_pairs",
     oracle=f"""
     WITH h AS (

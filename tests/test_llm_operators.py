@@ -547,3 +547,39 @@ def test_ivfpq_composes_and_recalls(spark):
         for r in S.ivfpq_topk(df, cents, books, q, k=5, nprobe=8).collect()
     ]
     assert all_probe == full_pq
+
+
+def test_cluster_balanced_sample_caps_and_centrality(spark):
+    """Diversity cap: no cluster exceeds per_cluster, the kept members
+    of each cluster are its MOST central (every kept sim >= every
+    dropped sim within the cluster), and the op is deterministic
+    across partitionings."""
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    rows = _near_dup_vectors()
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") % 3 == 0).limit(4)
+
+    kept = S.cluster_balanced_sample(df, cents, per_cluster=2)
+    per = {
+        r["centroid_id"]: r["n"]
+        for r in kept.groupBy("centroid_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per and all(n <= 2 for n in per.values())
+    assert kept.count() < df.count()  # it actually prunes
+
+    # centrality: within a cluster, kept sims dominate dropped sims
+    full = S.cluster_balanced_sample(df, cents, per_cluster=10**6)
+    kept_rows = {(r["vec_id"]): r for r in kept.collect()}
+    for r in full.collect():
+        if r["vec_id"] not in kept_rows:
+            kept_in_cluster = [
+                k for k in kept_rows.values()
+                if k["centroid_id"] == r["centroid_id"]
+            ]
+            assert all(k["sim"] >= r["sim"] for k in kept_in_cluster)
+
+    again = S.cluster_balanced_sample(df.repartition(7), cents, per_cluster=2)
+    assert sorted((r["vec_id"], r["rank"]) for r in again.collect()) == sorted(
+        (r["vec_id"], r["rank"]) for r in kept.collect()
+    )

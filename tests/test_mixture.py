@@ -49,3 +49,55 @@ def test_deterministic_and_monotone(spark):
     a_big = {r["doc_id"] for r in big.filter("source = 'a'").collect()}
     a_small = {r["doc_id"] for r in small.filter("source = 'a'").collect()}
     assert a_small <= a_big
+
+
+def test_temperature_flattens_toward_uniform(spark):
+    """alpha<1 up-weights rare domains: the rare domain is kept whole
+    while the dominant one is cut, and a smaller alpha cuts the
+    dominant domain HARDER (closer to uniform)."""
+    df = _corpus(spark, {"big": 900, "rare": 100})
+    kept_07 = {
+        r["source"]: r["n"]
+        for r in mixture.sample_to_temperature(df, alpha=0.7)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_07["rare"] == 100  # rare domain binds: kept whole
+    assert kept_07["big"] < 900    # dominant domain downsampled
+    kept_03 = {
+        r["source"]: r["n"]
+        for r in mixture.sample_to_temperature(df, alpha=0.3)
+        .groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert kept_03["big"] < kept_07["big"]  # lower temperature, flatter
+    # alpha=1 is the natural mixture: nothing dropped
+    assert mixture.sample_to_temperature(df, alpha=1.0).count() == 1000
+
+
+def test_temperature_shares_match_formula(spark):
+    import math
+
+    df = _corpus(spark, {"big": 800, "rare": 200})
+    alpha = 0.5
+    out = mixture.sample_to_temperature(df, alpha=alpha)
+    got = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    pb = 800**alpha / (800**alpha + 200**alpha)
+    pr = 1 - pb
+    # capacity bound: rare domain (200 rows at share pr) limits N
+    n_target = 200 / pr
+    # rare kept whole; big kept ~ pb * N (hash-binomial spread)
+    assert got["rare"] == 200
+    expected_big = pb * n_target
+    assert abs(got["big"] - expected_big) < 4 * math.sqrt(expected_big)
+
+
+def test_temperature_rejects_bad_alpha(spark):
+    import pytest
+
+    df = _corpus(spark, {"a": 10})
+    with pytest.raises(ValueError, match="alpha"):
+        mixture.sample_to_temperature(df, alpha=0.0)
+    with pytest.raises(ValueError, match="alpha"):
+        mixture.sample_to_temperature(df, alpha=1.5)
