@@ -1694,3 +1694,108 @@ def j10_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("side"),
     )
+
+
+@register(
+    "a9_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(o_totalprice)) AS BIGINT) AS total,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy aggregation (subtotals per priority and the "
+    "grand total in ONE pass) with GROUPING() disambiguating real "
+    "NULLs from subtotal rows — the OLAP drill-down shape. Spark "
+    "expands grouping sets inside a single Expand+hash-aggregate "
+    "plan: one scan, one shuffle, not one job per level.",
+)
+def a9_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("o_totalprice")).cast("long").alias("total"),
+        F.grouping("o_orderpriority").cast("int").alias("g_pri"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+    )
+
+
+@register(
+    "a10_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS f_n,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS o_n,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS p_n,
+           CAST(coalesce(floor(sum(o_totalprice)
+                               FILTER (o_orderstatus = 'P')), 0) AS BIGINT)
+             AS p_total
+    FROM orders GROUP BY 1
+    """,
+    doc="PIVOT (long->wide): order counts per priority x status plus a "
+    "pivoted sum, explicit pivot values so the plan is ONE pass "
+    "(pivot without values costs an extra distinct-scan job to "
+    "discover columns — never do that at 100 TB). Spark compiles "
+    "pivot to conditional aggregates, same as the oracle's FILTER "
+    "clauses.",
+)
+def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.sum("o_totalprice")).cast("long").alias("total"),
+        )
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.col("F_n").alias("f_n"),
+        F.col("O_n").alias("o_n"),
+        F.coalesce("P_n", F.lit(0)).alias("p_n"),
+        F.coalesce("P_total", F.lit(0)).alias("p_total"),
+    )
+
+
+@register(
+    "w5_window_frames",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS rows_sum,
+           round(avg(value) OVER (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6)
+             AS range_avg
+    FROM events
+    """,
+    doc="Explicit window frames: a ROWS sliding sum (last 4 events per "
+    "user) and a time-RANGE trailing average (events within the past "
+    "hour) — the rolling-metric shapes the reference's fixed "
+    "unbounded frames never exercise. One shuffle on the partition "
+    "key serves both frames. Both engines order the RANGE frame on "
+    "floored epoch seconds (Spark's timestamp->long cast truncates; "
+    "DuckDB INTERVAL arithmetic would keep sub-second parts).",
+)
+def w5_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w_rows), 6).alias("rows_sum"),
+        F.round(F.avg("value").over(w_range), 6).alias("range_avg"),
+    )
