@@ -1799,3 +1799,48 @@ def w5_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w_rows), 6).alias("rows_sum"),
         F.round(F.avg("value").over(w_range), 6).alias("range_avg"),
     )
+
+
+@register(
+    "u3_intersect_except",
+    oracle="""
+    WITH recent AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01'
+    ),
+    big AS (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT o_custkey, 'both' AS bucket FROM (
+      SELECT o_custkey FROM recent INTERSECT SELECT o_custkey FROM big
+    )
+    UNION ALL
+    SELECT o_custkey, 'recent_only' AS bucket FROM (
+      SELECT o_custkey FROM recent EXCEPT SELECT o_custkey FROM big
+    )
+    """,
+    doc="Set operations INTERSECT / EXCEPT (distinct semantics) over "
+    "two order cohorts, tagged and unioned — completes the U family "
+    "beyond UNION/unionByName. Spark plans both as left-semi / "
+    "left-anti hash joins over pre-aggregated distinct sides: one "
+    "shuffle each, no sort.",
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        .select("o_custkey")
+        .distinct()
+    )
+    big = (
+        orders.filter(F.col("o_totalprice") > 150000)
+        .select("o_custkey")
+        .distinct()
+    )
+    both = recent.intersect(big).select(
+        "o_custkey", F.lit("both").alias("bucket")
+    )
+    only = recent.exceptAll(big).select(
+        "o_custkey", F.lit("recent_only").alias("bucket")
+    )
+    return both.unionAll(only)
