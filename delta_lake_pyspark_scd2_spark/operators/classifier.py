@@ -108,16 +108,13 @@ def predict(
 
 
 def sample_predicate(id_col: str, frac: float) -> Column:
-    """Deterministic content-hash sample predicate: first 8 md5 hex
-    chars of the id as a uniform draw in [0, 1) — same engine-portable
-    hash family as ``plans.relational.sample_hash``. The same rows are
+    """Deterministic content-hash sample predicate: the shared md5
+    hash primitive as a uniform draw in [0, 1) — same engine-portable
+    family as ``plans.relational.sample_hash``. The same rows are
     selected on any cluster size, partitioning, or run."""
-    draw = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("double")
-        / F.lit(float(16**8))
-    )
-    return draw < F.lit(float(frac))
+    from delta_lake_pyspark_scd2_spark.functions.hashing import uniform_draw
+
+    return uniform_draw(F.col(id_col)) < F.lit(float(frac))
 
 
 def quality_filter_scores(

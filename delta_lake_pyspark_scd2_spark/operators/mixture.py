@@ -19,18 +19,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from delta_lake_pyspark_scd2_spark.functions.hashing import keep_hash
+
 #: Modulus for the deterministic keep-hash (md5-derived, engine-portable).
 _MOD = 1_000_000
 
 
 def _keep_hash(id_col: str):
-    # first 8 md5 hex chars of the string id == DuckDB
-    # ('0x' || substr(md5(CAST(id AS VARCHAR)),1,8))::BIGINT
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % _MOD
-    )
+    return keep_hash(F.col(id_col), _MOD)
 
 
 def sample_to_mixture(

@@ -127,10 +127,29 @@ def assign_to_centroids(
     At 100 TB this output is written bucketed by ``centroid_id`` so
     probes become partition-pruned scans.
     """
+    scored = _centroid_scores(corpus, centroids, id_col, vec_col, centroid_id_col)
+    w = _nearest_centroid_window(id_col, centroid_id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__cvec", "__sim", "__centnorm", "__vnorm")
+    )
+
+
+def _centroid_scores(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+) -> DataFrame:
+    """(corpus row × centroid) cosine scores — THE rounding (6 dp) and
+    column contract that every centroid-assignment consumer and its
+    DuckDB oracle share; keep it in one place."""
     cents = centroids.select(
         F.col(id_col).alias(centroid_id_col), F.col(vec_col).alias("__cvec")
     ).withColumn("__centnorm", norm(F.col("__cvec")))
-    scored = (
+    return (
         _spread(corpus, id_col)
         .withColumn("__vnorm", norm(F.col(vec_col)))
         .crossJoin(F.broadcast(cents))
@@ -147,13 +166,12 @@ def assign_to_centroids(
             ),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
+
+
+def _nearest_centroid_window(id_col: str, centroid_id_col: str):
+    """Max-cosine assignment tie-breaks toward the lower centroid id."""
+    return Window.partitionBy(id_col).orderBy(
         F.col("__sim").desc(), F.col(centroid_id_col).asc()
-    )
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cvec", "__sim", "__centnorm", "__vnorm")
     )
 
 
@@ -420,34 +438,16 @@ def cluster_balanced_sample(
     cosine rounded to 6 with id tie-breaks, same rows on any cluster
     shape. Returns (id, centroid_id, rank, sim).
     """
-    cents = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__centnorm", norm(F.col("__cvec")))
-    scored = (
-        _spread(corpus, id_col)
-        .withColumn("__vnorm", norm(F.col(vec_col)))
-        .crossJoin(F.broadcast(cents))
-        .select(
-            id_col,
-            "centroid_id",
-            F.round(
-                cosine_prenormed(
-                    F.col("__cvec"),
-                    F.col(vec_col),
-                    F.col("__centnorm"),
-                    F.col("__vnorm"),
-                ),
-                6,
-            ).alias("sim"),
-        )
-    )
-    wa = Window.partitionBy(id_col).orderBy(
-        F.col("sim").desc(), F.col("centroid_id").asc()
-    )
+    scored = _centroid_scores(
+        corpus.select(id_col, vec_col), centroids, id_col, vec_col,
+        "centroid_id",
+    ).select(id_col, "centroid_id", "__sim")  # vectors leave the plan here
+    wa = _nearest_centroid_window(id_col, "centroid_id")
     assigned = (
         scored.withColumn("__rn", F.row_number().over(wa))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
+        .withColumnRenamed("__sim", "sim")
     )
     wc = Window.partitionBy("centroid_id").orderBy(
         F.col("sim").desc(), F.col(id_col).asc()

@@ -1752,10 +1752,13 @@ def a10_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("o_totalprice")).cast("long").alias("total"),
         )
     )
+    # Spark pivot yields NULL (not 0) for a missing (priority, status)
+    # combination even on count aggregates — coalesce EVERY pivoted
+    # column, not just the ones sparse at this SF
     return wide.select(
         "o_orderpriority",
-        F.col("F_n").alias("f_n"),
-        F.col("O_n").alias("o_n"),
+        F.coalesce("F_n", F.lit(0)).alias("f_n"),
+        F.coalesce("O_n", F.lit(0)).alias("o_n"),
         F.coalesce("P_n", F.lit(0)).alias("p_n"),
         F.coalesce("P_total", F.lit(0)).alias("p_total"),
     )
@@ -1840,7 +1843,10 @@ def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = recent.intersect(big).select(
         "o_custkey", F.lit("both").alias("bucket")
     )
-    only = recent.exceptAll(big).select(
+    # subtract = distinct EXCEPT -> ReplaceExceptWithAntiJoin (the
+    # documented plan); exceptAll would rewrite to a +1/-1 counted
+    # union + aggregate + generate — an extra pass for nothing here
+    only = recent.subtract(big).select(
         "o_custkey", F.lit("recent_only").alias("bucket")
     )
     return both.unionAll(only)

@@ -3,14 +3,14 @@ versioned table (MERGE / UPDATE / MV-refresh demonstrations).
 
 The oracle gate and the bench run each registry query several times;
 uuid-named scratch dirs therefore accumulated without bound in /tmp
-(round-3 advice). Paths here are DETERMINISTIC per query name: each
-execution wipes the previous run's copy before creating its own, so at
-most one table per query ever exists, and an ``atexit`` hook removes
-the whole root when the process exits.
-
-Callers must finish consuming any DataFrame built over a scratch path
-before re-running the same query (true for the gate and the bench,
-which collect each run before starting the next).
+(round-3 advice). Paths here are DETERMINISTIC per (process, query
+name): each execution wipes the previous run's copy before creating
+its own, so at most one table per query per process ever exists, and
+an ``atexit`` hook removes the process's root on exit. The pid in the
+root keeps concurrent gate/bench/pytest processes isolated from each
+other — within one process the reuse is safe because a query's result
+is consumed before the same query runs again (true for the gate and
+the bench, which collect each run before starting the next).
 """
 
 from __future__ import annotations
@@ -20,7 +20,9 @@ import os
 import shutil
 import tempfile
 
-_ROOT = os.path.join(tempfile.gettempdir(), "spark_graft_scratch")
+_ROOT = os.path.join(
+    tempfile.gettempdir(), f"spark_graft_scratch_{os.getpid()}"
+)
 _registered = False
 
 

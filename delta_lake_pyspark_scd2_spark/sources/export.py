@@ -13,14 +13,15 @@ rows are written sorted by id, so a re-export of identical data is
 byte-identical payload-wise.
 
 Scale: one repartition on the shard key (the unavoidable placement
-shuffle), then a narrow per-partition sort and write; per-shard counts
-AND token sums ride the write job itself as ``Observation`` metrics
-(one conditional aggregate buffer per shard), so an export is exactly
-ONE corpus scan — never a second pass just for manifest accounting.
-At 100 TB, ``num_shards`` is thousands; each shard is one file written
-by one task — also the small-files answer. The observe cost is
-``num_shards`` integer comparisons per row, orders of magnitude
-cheaper than re-reading and re-tokenizing the text column.
+shuffle), then a narrow per-partition sort and write. Manifest stats
+pick the cheaper of two shapes by ``num_shards``: up to
+``_OBSERVE_MAX_SHARDS`` the per-shard counts AND token sums ride the
+write job itself as ``Observation`` metrics (one conditional aggregate
+buffer per shard — exactly ONE corpus scan); past that, num_shards
+buffers would cost O(num_shards) comparisons per row and overflow
+whole-stage codegen, so a second pass with ONE hash aggregate (O(1)
+buffer update per row) wins instead. Each shard is one file written by
+one task — also the small-files answer at thousands of shards.
 """
 
 from __future__ import annotations
@@ -33,15 +34,18 @@ from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
 
+#: Above this, per-shard Observation metrics (O(num_shards) comparisons
+#: per row, one aggregate buffer each) cost more than a second hash
+#: aggregate and risk codegen fallback — switch to the 2-pass shape.
+_OBSERVE_MAX_SHARDS = 256
+
 
 def shard_of(id_col: str, num_shards: int):
     """Deterministic shard id: first 8 md5 hex chars of the string id,
-    mod ``num_shards``."""
-    return (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % num_shards
-    ).cast("int")
+    mod ``num_shards`` (the shared engine-portable hash primitive)."""
+    from delta_lake_pyspark_scd2_spark.functions.hashing import keep_hash
+
+    return keep_hash(F.col(id_col), num_shards).cast("int")
 
 
 def shard_plan(
@@ -94,34 +98,61 @@ def export_shards(
     from pyspark.sql import Observation
 
     sharded = df.withColumn("shard", shard_of(id_col, num_shards))
-    # per-shard stats ride the WRITE job as Observation metrics: one
-    # count_if (and one conditional token sum) buffer per shard — the
-    # whole export is a single corpus scan (pinned by
-    # test_export_is_single_scan).
-    metrics = [
-        F.count_if(F.col("shard") == k).alias(f"n_{k}")
-        for k in range(num_shards)
-    ]
-    if text_col is not None:
-        tok = token_count_ws(F.col(text_col))
-        metrics.extend(
-            F.sum(F.when(F.col("shard") == k, tok)).cast("long").alias(f"t_{k}")
-            for k in range(num_shards)
+
+    def _write(src: DataFrame) -> None:
+        (
+            src.repartition(num_shards, "shard")
+            .sortWithinPartitions("shard", id_col)
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .format(fmt)
+            .save(path)
         )
-    obs = Observation("export_shards")
-    (
-        sharded.observe(obs, *metrics)
-        .repartition(num_shards, "shard")
-        .sortWithinPartitions("shard", id_col)
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .format(fmt)
-        .save(path)
-    )
-    stats = obs.get
-    counts = {
-        k: int(stats[f"n_{k}"]) for k in range(num_shards) if stats[f"n_{k}"]
-    }
+
+    counts: dict[int, int]
+    tokens: dict[int, int] | None = None
+    if num_shards <= _OBSERVE_MAX_SHARDS:
+        # per-shard stats ride the WRITE job as Observation metrics:
+        # one count_if (and one conditional token sum) buffer per
+        # shard — the whole export is a single corpus scan (pinned by
+        # test_export_is_single_scan)
+        metrics = [
+            F.count_if(F.col("shard") == k).alias(f"n_{k}")
+            for k in range(num_shards)
+        ]
+        if text_col is not None:
+            tok = token_count_ws(F.col(text_col))
+            metrics.extend(
+                F.sum(F.when(F.col("shard") == k, tok))
+                .cast("long")
+                .alias(f"t_{k}")
+                for k in range(num_shards)
+            )
+        obs = Observation("export_shards")
+        _write(sharded.observe(obs, *metrics))
+        stats = obs.get
+        counts = {
+            k: int(stats[f"n_{k}"])
+            for k in range(num_shards)
+            if stats[f"n_{k}"]
+        }
+        if text_col is not None:
+            tokens = {k: int(stats[f"t_{k}"] or 0) for k in counts}
+    else:
+        # thousands of shards: num_shards conditional-aggregate buffers
+        # would cost O(num_shards) comparisons PER ROW and overflow
+        # whole-stage codegen — a second pass with ONE hash aggregate
+        # (O(1) buffer update per row) is the cheaper shape there
+        _write(sharded)
+        aggs = [F.count(F.lit(1)).alias("n")]
+        if text_col is not None:
+            aggs.append(
+                F.sum(token_count_ws(F.col(text_col))).cast("long").alias("tok")
+            )
+        stat_rows = sharded.groupBy("shard").agg(*aggs).collect()
+        counts = {int(r["shard"]): int(r["n"]) for r in stat_rows}
+        if text_col is not None:
+            tokens = {int(r["shard"]): int(r["tok"] or 0) for r in stat_rows}
     manifest = {
         "format": fmt,
         "num_shards": num_shards,
@@ -129,9 +160,9 @@ def export_shards(
         "rows_per_shard": {str(k): v for k, v in sorted(counts.items())},
         "columns": [c for c in df.columns],
     }
-    if text_col is not None:
+    if tokens is not None:
         manifest["tokens_per_shard"] = {
-            str(k): int(stats[f"t_{k}"] or 0) for k in counts
+            str(k): tokens[k] for k in sorted(tokens)
         }
     from delta_lake_pyspark_scd2_spark.sources import fsio
 

@@ -166,43 +166,72 @@ class _VTableChangesStreamReader(DataSourceStreamReader):
         lo, hi = start["version"], end["version"]
         out: list[InputPartition] = []
         versions = [v for v in t.versions() if lo < v <= hi]
-        for i, v in enumerate(versions):
+        # Bootstrap/guard decisions belong to the BATCH, decided from
+        # its first retained version BEFORE the per-commit loop — a
+        # cdc or data_change=false first commit must not skip them:
+        #
+        # * A full-snapshot replay (all current rows delivered as
+        #   inserts) is only ever correct on a FRESH start (cursor at
+        #   the -1 sentinel, matching Delta's startingVersion=0
+        #   semantics when history has been vacuumed). The snapshot is
+        #   taken AT the first retained version regardless of that
+        #   commit's own kind — it already reflects the commit's
+        #   effect, and a compacted/cdc commit's visible rows are
+        #   exactly what the consumer must bootstrap from.
+        # * On a RESUMED stream (lo >= 0), versions whose manifests
+        #   retention dropped inside (lo, first retained] mean their
+        #   changes are UNRECOVERABLE — silently skipping them (or
+        #   re-delivering a snapshot) double-applies or loses rows in
+        #   a downstream signed-delta fold, so refuse and tell the
+        #   caller to re-bootstrap, exactly like the batch CDF reader
+        #   does for a vacuumed startingVersion. A retained cdc or
+        #   data_change=false first commit with an intact version
+        #   chain needs no predecessor manifest and streams normally.
+        snapshot_replay_pending = False
+        if versions:
+            first_v = versions[0]
+            if lo >= 0 and first_v > lo + 1:
+                raise ValueError(
+                    f"stream cursor at version {lo} of {self.path}, but "
+                    f"versions {lo + 1}..{first_v - 1} are no longer "
+                    "retained (vacuumed); their changes cannot be "
+                    "replayed — restart the stream from scratch (fresh "
+                    "checkpoint) to re-bootstrap from the current snapshot"
+                )
+            # fresh start: bootstrap with the snapshot AT the first
+            # retained version (for first_v == 0 that equals the
+            # genesis diff against an empty predecessor)
+            snapshot_replay_pending = lo < 0
+        for v in versions:
             base = {
                 "version": v,
                 "table_path": self.path,
                 "fields": self._fields,
             }
             commit = t._load_commit(v)
-            if commit.get("data_change", True) is False:
-                continue  # COMPACT/ZORDER: same visible rows, no feed
-            cdc = commit.get("cdc_files") or []
-            if cdc:
-                out.extend(
-                    _ChangesPartition({**base, "kind": "cdc", "cdc": p})
-                    for p in cdc
-                )
-                continue
+            snapshot_replay = snapshot_replay_pending
+            snapshot_replay_pending = False
+            if not snapshot_replay:
+                if commit.get("data_change", True) is False:
+                    continue  # COMPACT/ZORDER: same visible rows, no feed
+                cdc = commit.get("cdc_files") or []
+                if cdc:
+                    out.extend(
+                        _ChangesPartition({**base, "kind": "cdc", "cdc": p})
+                        for p in cdc
+                    )
+                    continue
             prev_v = v - 1
-            # A full-snapshot replay (all current rows delivered as
-            # inserts) is only ever correct on a FRESH start (cursor at
-            # the -1 sentinel, matching Delta's startingVersion=0
-            # semantics when history has been vacuumed). On a RESUMED
-            # stream (lo >= 0) a missing predecessor manifest means
-            # retention dropped the cursor's neighborhood — replaying
-            # the snapshot would double-apply every retained row
-            # downstream (e.g. corrupt a signed-delta MV fold), so
-            # refuse and tell the caller to re-bootstrap, exactly like
-            # the batch CDF reader does for a vacuumed startingVersion.
-            predecessor_missing = v > 0 and prev_v not in t.versions()
-            if i == 0 and predecessor_missing and lo >= 0:
+            if not snapshot_replay and prev_v >= 0 and prev_v not in t.versions():
+                # diff-path commit whose predecessor manifest was
+                # vacuumed: the file diff is uncomputable (can only be
+                # the batch's first version — retention is contiguous)
                 raise ValueError(
-                    f"stream cursor at version {lo} of {self.path}, but "
-                    f"version {prev_v} is no longer retained (vacuumed); "
-                    "cannot compute incremental changes — restart the "
-                    "stream from scratch (fresh checkpoint) to "
-                    "re-bootstrap from the current snapshot"
+                    f"version {prev_v} of {self.path} is no longer "
+                    f"retained (vacuumed); cannot compute incremental "
+                    f"changes for version {v} — restart the stream from "
+                    "scratch (fresh checkpoint) to re-bootstrap"
                 )
-            snapshot_replay = i == 0 and (v == 0 or predecessor_missing)
             cur_files = {f["path"]: f for f in t._snapshot_files(v)}
             prev_files = (
                 {}

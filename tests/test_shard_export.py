@@ -82,3 +82,22 @@ def test_shards_are_reasonably_balanced(spark, sf_dir):
     counts = [r["n_docs"] for r in rows]
     assert len(counts) == 4
     assert max(counts) < 2 * min(counts)  # hash balance at 500 docs
+
+
+def test_many_shards_fallback_matches_observe_path(spark, sf_dir, tmp_path, monkeypatch):
+    """Past _OBSERVE_MAX_SHARDS the export switches to the 2-pass hash
+    aggregate (O(num_shards) observe buffers would overflow codegen);
+    both strategies must produce the identical manifest."""
+    from delta_lake_pyspark_scd2_spark.sources import export as ex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m_obs = export_shards(
+        docs, str(tmp_path / "a"), num_shards=4, fmt="parquet",
+        text_col="text",
+    )
+    monkeypatch.setattr(ex, "_OBSERVE_MAX_SHARDS", 2)
+    m_agg = ex.export_shards(
+        docs, str(tmp_path / "b"), num_shards=4, fmt="parquet",
+        text_col="text",
+    )
+    assert m_agg == m_obs

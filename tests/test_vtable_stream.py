@@ -136,6 +136,41 @@ def test_resumed_cursor_on_vacuumed_version_raises(spark, tmp_path):
     assert {r[-2] for r in rows} == {"insert"}
 
 
+def test_bootstrap_and_guard_survive_compact_first_version(spark, tmp_path):
+    """The batch-level bootstrap/guard decisions must not be skipped
+    when the FIRST retained version is a data_change=false commit
+    (review finding: the old per-commit `continue` bypassed both):
+    a fresh start must still replay the snapshot (taken at the compact
+    version), and a resumed cursor below retention must still raise."""
+    from delta_lake_pyspark_scd2_spark.sources.vtable_stream import (
+        _VTableChangesStreamReader,
+        _changes_schema,
+    )
+
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(
+        spark, spark.createDataFrame([(1, "a")], "id long, s string"), path
+    )
+    for i in range(2, 5):  # versions 1..3: appends
+        t.append(spark.createDataFrame([(i, "x")], "id long, s string"))
+    t.compact()  # version 4: data_change=false
+    t.vacuum(keep_versions=1, orphan_grace_s=0.0)  # only v4 retained
+    assert t.versions() == [4]
+    commit = t._load_commit(4)
+    assert commit.get("data_change", True) is False  # compact commit
+
+    reader = _VTableChangesStreamReader(_changes_schema(path), {"path": path})
+    # fresh start: full snapshot replays AT the compact version
+    parts = reader.partitions({"version": -1}, {"version": 4})
+    rows = [r for p in parts for r in reader.read(p)]
+    assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
+    assert {r[-2] for r in rows} == {"insert"}
+    # resumed cursor below retention: refuse even though the first
+    # retained commit is a compact
+    with pytest.raises(ValueError, match="no longer retained"):
+        reader.partitions({"version": 2}, {"version": 4})
+
+
 def test_stream_skips_compaction_and_applies_dv(spark, tmp_path):
     """data_change=false commits (COMPACT) never enter the feed, and a
     snapshot replay applies deletion vectors (dead rows are not

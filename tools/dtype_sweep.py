@@ -220,8 +220,9 @@ def _pandas_bounds_violations(con, name: str, spec, duck_types: dict) -> list[st
                 continue
             if hasattr(v, "hour"):  # datetime
                 bad = not (lo <= v.replace(tzinfo=None) <= hi)
-            else:  # datetime.date
-                bad = not (lo.date() < v < hi.date())
+            else:  # datetime.date — midnight of both bounds is
+                # representable, so the bounds themselves are valid
+                bad = not (lo.date() <= v <= hi.date())
             if bad:
                 out.append(
                     f"{name}: {label}({c!r}) = {v} exceeds pandas "
