@@ -2637,34 +2637,34 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Corpus novelty curve: per doc, the fraction of its distinct "
     "3-word shingles whose FIRST corpus occurrence (min doc_id) is "
     "this doc — the diversity signal curation pipelines use to rank "
-    "marginal documents. One groupBy over the shared shingle explode "
-    "plus a shingle-keyed join back; both shuffles carry shingle-"
-    "compressed rows, not corpus text.",
+    "marginal documents. First occurrence = window-min over the "
+    "shingle partition: ONE shuffle of (doc_id, shingle) serves both "
+    "the min and the novelty flag, then a doc-keyed aggregation — "
+    "never corpus text on the wire.",
     bench=True,  # round-3 verdict #7: regressions on the round-3
     # analytics surface must show up in bench medians, not just
     # correctness
 )
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_pyspark_scd2_spark.functions.caching import (
-        persist_tracked,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
         "doc_id",
         F.explode(dedup.word_shingles(F.col("text"), 3)).alias("shingle"),
     )
-    grams = persist_tracked(grams)
-    first = grams.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    # first occurrence as a window-min over the shingle partition: ONE
+    # shuffle of the (doc_id, shingle) table serves both the min and
+    # the per-row novelty flag — the groupBy+join-back form shuffled
+    # the shingle table twice and needed a persist to share the explode
+    first = F.min("doc_id").over(Window.partitionBy("shingle"))
+    novel = (first == F.col("doc_id")).cast("int")
     return (
-        grams.join(first, "shingle")
+        grams.withColumn("__novel", novel)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(novel).cast("long").alias("n_novel"),
+            F.sum("__novel").cast("long").alias("n_novel"),
             F.round(
-                F.sum(novel) / F.count(F.lit(1)), 6
+                F.sum("__novel") / F.count(F.lit(1)), 6
             ).alias("novelty_frac"),
         )
     )
