@@ -181,6 +181,20 @@ def _same_record(a: dict, b: dict) -> bool:
     )
 
 
+def _drop_crc_sidecar(full_path: str) -> None:
+    """Remove the local Hadoop FS's ``.<name>.crc`` checksum sidecar
+    for ``full_path`` if present — in-place content replacement
+    (purge) would otherwise leave it stale and fail every later read
+    with ChecksumException."""
+    crc = os.path.join(
+        os.path.dirname(full_path), "." + os.path.basename(full_path) + ".crc"
+    )
+    try:
+        os.remove(crc)
+    except FileNotFoundError:
+        pass
+
+
 def _entry(f: dict) -> ManifestEntry:
     """Rehydrate a manifest file record, carrying stats forward so
     unrewritten files never lose their skipping metadata."""
@@ -1630,6 +1644,231 @@ class VersionedParquetTable:
             cdc_files=cdc_files,
         )
         return out
+
+    def purge(self, filters: "Sequence[tuple]") -> dict:
+        """Right-to-be-forgotten erasure ACROSS RETAINED HISTORY: after
+        this, NO retained version — time travel, CDF replay, or CDC
+        stream bootstrap — can return a matching row. (Plain
+        ``delete`` only removes rows going forward; every older
+        version still serves them, which is exactly what GDPR-style
+        erasure cannot allow.)
+
+        Mechanics:
+
+        1. A normal :meth:`delete` commits at head first — so the live
+           table's evolution is an honest DELETE (CDF pre-images,
+           observation metrics, constraints) and downstream MVs fold
+           it correctly.
+        2. Every earlier retained version's manifests are then
+           rewritten IN PLACE: data skipping (``files_for`` per
+           version) narrows to files whose stats admit a match, each
+           is re-read under the head schema, matching rows are dropped,
+           and the replacement entries (fresh footer stats) are
+           substituted into every manifest, add/remove delta, and
+           checkpoint that referenced the old file. Files whose rows
+           all matched vanish from history entirely.
+        3. Past commits' change-data files are scrubbed the same way
+           (in place, path-stable) so a CDF replay cannot resurrect
+           purged rows either.
+        4. The replaced physical files are deleted.
+
+        Cost ∝ files-that-might-match across history, not table size —
+        the same data-skipping bound as ``delete``, times retained
+        versions that share those files (shared files rewrite ONCE).
+
+        Limitations (explicit, never silent): files covered by a
+        deletion vector in any retained version are refused — run
+        ``compact()`` (which materializes DVs) first. Manifest
+        rewrites are per-file atomic (``os.replace``) but not
+        transactional across versions; a crash mid-purge leaves a
+        partially-scrubbed history and RE-RUNNING the same purge
+        completes it (idempotent: already-scrubbed files no longer
+        match). Rows already delivered to external consumers cannot be
+        recalled — that is inherent to erasure, not this mechanism.
+        """
+        # candidate files across ALL retained versions (dedup by path;
+        # a file shared by many versions is rewritten once) — collected
+        # and DV-guarded BEFORE any mutation, so a refusal leaves the
+        # table untouched
+        candidates: dict[str, dict] = {}
+        dv_paths: set[str] = set()
+        for v in self.versions():
+            admitted = {e.path for e in self.files_for(filters, v)}
+            for f in self._snapshot_files(v):
+                if f["path"] not in admitted:
+                    continue
+                candidates.setdefault(f["path"], f)
+                if f.get("dv"):
+                    # dv is per-VERSION metadata on a shared path —
+                    # any version's coverage blocks the in-place purge
+                    dv_paths.add(f["path"])
+        if dv_paths:
+            raise ValueError(
+                f"purge: file(s) {sorted(dv_paths)} carry a deletion "
+                "vector in a retained version; run compact() to "
+                "materialize DVs first, then purge"
+            )
+
+        head_out = self.delete(filters)
+        head = self.latest_version()
+        head_m = self._load_manifest(head)
+        pc = list(head_m["partition_cols"])
+        schema = T.StructType.fromJson(json.loads(head_m["schema"]))
+        mapping = head_m.get("column_mapping")
+
+        pred = None
+        for c, op, v_ in filters:
+            e_ = _filter_expr(c, op, v_)
+            pred = e_ if pred is None else (pred & e_)
+        hit = F.coalesce(pred, F.lit(False))
+        retained = self.versions()
+
+        # rewrite candidate data files (None = every row matched)
+        replacement: dict[str, list[dict] | None] = {}
+        n_purged = 0
+        for p, f in sorted(candidates.items()):
+            df = self._scan([dict(f, dv=None)], schema, mapping=mapping)
+            survivors = df.filter(~hit)
+            n_kept = survivors.count()
+            if f.get("rows") is not None and n_kept == f["rows"]:
+                continue  # stats admitted, no actual match
+            n_purged += (f.get("rows") or 0) - n_kept
+            if n_kept == 0:
+                replacement[p] = None
+                continue
+            new_entries = self._write_files(
+                _align(survivors, schema), pc, mapping=mapping,
+                layout_ready=True,
+            )
+            replacement[p] = [
+                {
+                    "path": e.path,
+                    "partition": e.partition,
+                    "stats": e.stats,
+                    "rows": e.rows,
+                }
+                for e in new_entries
+            ]
+
+        def _map_files(entries: list[dict]) -> tuple[list[dict], bool]:
+            out_, changed = [], False
+            for f in entries:
+                if f["path"] in replacement:
+                    changed = True
+                    out_.extend(
+                        dict(r) for r in (replacement[f["path"]] or [])
+                    )
+                else:
+                    out_.append(f)
+            return out_, changed
+
+        if replacement:
+            # substitute into every retained manifest (full lists AND
+            # add/remove deltas) and checkpoint, atomically per file
+            for v in retained:
+                raw = self._load_commit(v)
+                changed = False
+                if "files" in raw:
+                    raw["files"], ch = _map_files(raw["files"])
+                    changed |= ch
+                if raw.get("add"):
+                    raw["add"], ch = _map_files(raw["add"])
+                    changed |= ch
+                if raw.get("remove"):
+                    new_rm = []
+                    for rp in raw["remove"]:
+                        if rp in replacement:
+                            changed = True
+                            new_rm.extend(
+                                r["path"] for r in (replacement[rp] or [])
+                            )
+                        else:
+                            new_rm.append(rp)
+                    raw["remove"] = new_rm
+                if changed:
+                    tmp = self._manifest_path(v) + f".tmp-{uuid.uuid4().hex}"
+                    with open(tmp, "w") as fh:
+                        json.dump(raw, fh)
+                    os.replace(tmp, self._manifest_path(v))
+                ck = self._ckpt_file(v)
+                if ck:
+                    entries = self._read_ckpt_file(ck)
+                    mapped, ch = _map_files(entries)
+                    if ch:
+                        self._write_checkpoint(v, mapped)
+                        if ck.endswith(".json"):
+                            # the rewrite lands at the canonical parquet
+                            # path; a legacy JSON checkpoint left behind
+                            # would still hold purged file references
+                            os.remove(ck)
+            self._snap_cache.clear()
+            for p in replacement:
+                full = os.path.join(self.path, DATA_DIR, p)
+                _drop_crc_sidecar(full)
+                try:
+                    os.remove(full)
+                except FileNotFoundError:
+                    pass
+
+        n_cdc = self._purge_cdc(retained, filters)
+        return {
+            **head_out,
+            "n_history_files_rewritten": sum(
+                1 for r in replacement.values() if r is not None
+            ),
+            "n_history_files_dropped": sum(
+                1 for r in replacement.values() if r is None
+            ),
+            "n_history_rows_purged": int(n_purged),
+            "n_cdc_files_scrubbed": n_cdc,
+        }
+
+    def _purge_cdc(self, retained: list[int], filters) -> int:
+        """Scrub matching rows out of past commits' change-data files,
+        IN PLACE (paths are referenced by commit records and must not
+        move). Files missing a filter column (pre-evolution) cannot
+        match and are skipped."""
+        import shutil
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 0
+        for v in retained:
+            for rel in self._load_commit(v).get("cdc_files") or []:
+                full = os.path.join(self.path, CDC_DIR, rel)
+                if not os.path.exists(full):
+                    continue
+                df = self.spark.read.parquet(full)
+                if any(c not in df.columns for c, _, _ in filters):
+                    continue  # pre-evolution file: cannot match
+                pred = None
+                for c, op, v_ in filters:
+                    e_ = _filter_expr(c, op, v_)
+                    pred = e_ if pred is None else (pred & e_)
+                survivors = df.filter(~F.coalesce(pred, F.lit(False)))
+                n_kept = survivors.count()
+                if n_kept == df.count():
+                    continue
+                n += 1
+                tmp_dir = full + f".tmp-{uuid.uuid4().hex}"
+                survivors.coalesce(1).write.parquet(tmp_dir)
+                parts = [
+                    x for x in os.listdir(tmp_dir) if x.endswith(".parquet")
+                ]
+                empty_schema = None if parts else pq.read_schema(full)
+                # the local Hadoop FS keeps a .<name>.crc sidecar per
+                # file; replacing content in place leaves it stale and
+                # every later read dies with ChecksumException
+                _drop_crc_sidecar(full)
+                if parts:
+                    os.replace(os.path.join(tmp_dir, parts[0]), full)
+                else:  # all rows matched: keep an empty, schema-true file
+                    pq.write_table(
+                        pa.Table.from_pylist([], schema=empty_schema), full
+                    )
+                shutil.rmtree(tmp_dir, ignore_errors=True)
+        return n
 
     def update(
         self,

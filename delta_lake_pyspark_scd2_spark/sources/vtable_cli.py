@@ -12,6 +12,7 @@ tables through notebook cells; this is the scriptable equivalent):
     vtable compact  <path> [--zorder col1,col2] [--max-files N]
     vtable vacuum   <path> [--keep-versions N] [--dry-run]
     vtable delete   <path> --where col:op:value [--where ...]
+    vtable purge    <path> --where col:op:value [--where ...]
     vtable update   <path> --where col:op:value --set col=expr
     vtable restore  <path> --version N
     vtable clone    <path> <dest>
@@ -74,6 +75,14 @@ def _build_parser() -> argparse.ArgumentParser:
         help="predicate as col:op:value (op in =,<,<=,>,>=,is_null,"
         "not_null; value parsed as number when possible); repeat for AND",
     )
+
+    s = sp(
+        "purge",
+        help="right-to-be-forgotten erasure: DELETE at head, then "
+        "rewrite matching rows out of EVERY retained version's files, "
+        "manifests, checkpoints and change-data files",
+    )
+    s.add_argument("--where", action="append", required=True)
 
     s = sp("update", help="UPDATE ... SET ... WHERE (file-granular)")
     s.add_argument("--where", action="append", required=True)
@@ -193,6 +202,8 @@ def main(argv: list[str] | None = None) -> int:
         }
     elif args.cmd == "delete":
         out = {"path": args.path, **t.delete(_parse_where(args.where))}
+    elif args.cmd == "purge":
+        out = {"path": args.path, **t.purge(_parse_where(args.where))}
     elif args.cmd == "update":
         sets = dict(s.split("=", 1) for s in args.sets)
         out = {
