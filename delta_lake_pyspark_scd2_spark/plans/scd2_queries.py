@@ -348,3 +348,55 @@ def dv_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.remove_rows(dead, adds=repl, operation="UPDATE_DV")
     return t.read().select("o_orderkey", "o_orderstatus", "price")
+
+
+@register(
+    "purge_erasure",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderkey % 10 AS seg,
+             CAST(floor(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderkey % 10 AS seg,
+             CAST(floor(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 4 = 3
+    )
+    SELECT CAST(0 AS INT) AS version_tag, o_orderkey, seg, price
+    FROM v0 WHERE seg <> 0
+    UNION ALL
+    SELECT CAST(1 AS INT) AS version_tag, o_orderkey, seg, price
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM appended)
+    WHERE seg <> 0
+    """,
+    doc="Right-to-be-forgotten PURGE across retained history: build a "
+    "two-version table (create + append), purge seg=0, then read BOTH "
+    "version 0 (time travel) and the pre-purge head — the oracle is "
+    "each version's original content MINUS the purged segment, "
+    "proving erasure reaches every retained version, not just the "
+    "head, while every other row survives. (The purge's own head "
+    "DELETE commit is version 2; versions 0/1 are rewritten in "
+    "place.)",
+)
+def purge_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 10).alias("seg"),
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    path = scratch_path("purge_erasure")
+    t = VersionedParquetTable.create(
+        spark, orders.filter(F.col("o_orderkey") % 4 < 3), path
+    )
+    t.append(orders.filter(F.col("o_orderkey") % 4 == 3))
+    t.purge([("seg", "=", 0)])
+    tag = lambda v, n: t.read(version=v).select(  # noqa: E731
+        F.lit(n).cast("int").alias("version_tag"),
+        "o_orderkey",
+        "seg",
+        "price",
+    )
+    return tag(0, 0).unionByName(tag(1, 1))
