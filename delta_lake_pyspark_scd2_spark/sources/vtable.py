@@ -1677,8 +1677,11 @@ class VersionedParquetTable:
         versions that share those files (shared files rewrite ONCE).
 
         Limitations (explicit, never silent): files covered by a
-        deletion vector in any retained version are refused — run
-        ``compact()`` (which materializes DVs) first. Manifest
+        deletion vector in any retained version are refused — a blind
+        rewrite would drop the version's DV and resurrect its deleted
+        rows; ``compact()`` materializes DVs at head, and a ``vacuum``
+        that drops the older DV-referencing versions unblocks the
+        purge. Manifest
         rewrites are per-file atomic (``os.replace``) but not
         transactional across versions; a crash mid-purge leaves a
         partially-scrubbed history and RE-RUNNING the same purge
@@ -1705,8 +1708,9 @@ class VersionedParquetTable:
         if dv_paths:
             raise ValueError(
                 f"purge: file(s) {sorted(dv_paths)} carry a deletion "
-                "vector in a retained version; run compact() to "
-                "materialize DVs first, then purge"
+                "vector in a retained version; compact() materializes "
+                "the DVs at head, then vacuum the older versions that "
+                "still reference them, then purge"
             )
 
         head_out = self.delete(filters)

@@ -176,3 +176,36 @@ def test_purge_drops_fully_matching_files_from_history(spark, tmp_path):
     t2 = VersionedParquetTable(spark, path)
     assert t2.read(version=0).filter(F.col("tag") == "gone").count() == 0
     assert t2.read(version=0).count() == 10
+
+
+def test_purge_across_schema_evolution(spark, tmp_path):
+    """Old files written before a column existed are re-read under the
+    head schema (missing column = NULL) and rewritten; each version
+    still reads back under ITS OWN schema afterward, minus the purged
+    rows."""
+    path = str(tmp_path / "t")
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame(
+            [(i, f"u{i % 3}") for i in range(12)], "id long, user string"
+        ),
+        path,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(100, "u1", 9.5), (101, "u2", 1.5)],
+            "id long, user string, score double",
+        ),
+        merge_schema=True,
+    )
+    t.purge([("user", "=", "u1")])
+    t2 = VersionedParquetTable(spark, path)
+    # v0: old schema, no u1 rows, others intact
+    v0 = t2.read(version=0)
+    assert "score" not in v0.columns
+    assert v0.filter(F.col("user") == "u1").count() == 0
+    assert v0.count() == 8  # 12 minus the four u1 rows
+    # v1 (evolved): u1 gone incl. the evolved-row id=100; u2 intact
+    v1 = t2.read(version=1)
+    assert v1.filter(F.col("user") == "u1").count() == 0
+    assert v1.filter(F.col("id") == 101).select("score").first()[0] == 1.5

@@ -1,5 +1,5 @@
 """Model-based fuzz of the storage layer: random sequences of
-append / upsert / delete / compact / restore are applied both to a
+append / upsert / delete / compact / restore / purge are applied both to a
 VersionedParquetTable and to an in-memory model; after the sequence,
 the live table must equal the model AND every historical version must
 still read back as the snapshot recorded when it was committed — the
@@ -27,6 +27,7 @@ _OP = st.one_of(
         st.just("dv_remove"), st.lists(st.integers(0, 30), min_size=1, max_size=3)
     ),
     st.tuples(st.just("update"), st.integers(0, 300)),
+    st.tuples(st.just("purge"), st.integers(0, 300)),
 )
 
 
@@ -91,6 +92,27 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, data):
             for mk, mv in list(model.items()):
                 if mv[2] < thr:
                     model[mk] = (mv[0], mv[1], mv[2] + 37)
+            history.append(snap())
+        elif op[0] == "purge":
+            # history-rewriting erasure: matching rows vanish from the
+            # LIVE table (one DELETE commit) AND from every recorded
+            # snapshot. Skipped when any retained version carries a
+            # deletion vector (purge refuses DV-covered candidates;
+            # whether the refusal fires depends on file stats, which
+            # the model does not track).
+            if any(
+                f.get("dv")
+                for v_ in t.versions()
+                for f in t._snapshot_files(v_)
+            ):
+                continue
+            thr = seq + (op[1] % 10)
+            t.purge([("val", ">=", thr)])
+            for mk in [mk for mk, mv in model.items() if mv[2] >= thr]:
+                model.pop(mk)
+            history = [
+                frozenset(r for r in h if r[2] < thr) for h in history
+            ]
             history.append(snap())
         elif op[0] == "compact":
             v_before = t.latest_version()
