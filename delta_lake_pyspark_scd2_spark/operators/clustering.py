@@ -1,0 +1,130 @@
+"""Distributed k-means (spherical / cosine Lloyd's) over an embedding
+column — the clustering primitive behind SemDeDup-style diversity
+sampling and IVF index training, here as a *corpus-scale* operator
+rather than the bounded-sample driver-side Lloyd used for PQ codebooks
+(operators/similarity.py trains on a 2048-row sample; this trains on
+every row).
+
+Scale shape, per Lloyd iteration:
+  * assignment — broadcast-nested-loop of the k centroids against the
+    corpus (``assign_to_centroids``: k rows broadcast, corpus never
+    shuffled for the join);
+  * recentering — ONE hash aggregate with ``dim`` AVGs keyed on the
+    cluster id (map-side partial combine: the exchange carries
+    ``k × dim`` doubles per upstream partition, independent of corpus
+    size).
+So an iteration is a single Spark job whose shuffle volume is
+``O(partitions × k × dim)``, and the driver holds exactly the model —
+``k × dim`` floats — between iterations (centroids re-enter the next
+iteration as literals, the same bounded-state pattern as
+operators/classifier.py's gradient descent).
+
+Determinism contract (shared with the DuckDB oracle in
+plans/llm_ops.py): initial centroids are the ``k`` lowest-id vectors;
+assignment uses the 6-dp-rounded cosine of ``_centroid_scores`` with
+ties toward the lower centroid id; recentered means are rounded to
+6 dp so both engines feed bit-identical centroid literals into the
+next iteration. Cosine is scale-invariant, so spherical k-means needs
+no explicit centroid normalization — the un-normalized mean ranks
+identically.
+
+Beyond-reference operator (SURVEY.md §2.10: the reference has no ML /
+vector operators); part of the LLM-training-data suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from delta_lake_pyspark_scd2_spark.operators.similarity import (
+    assign_to_centroids,
+)
+
+
+def _centroid_schema(id_col: str, vec_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField(vec_col, T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def _as_centroid_df(
+    spark: SparkSession, rows: list[tuple], id_col: str, vec_col: str
+) -> DataFrame:
+    """k in-memory (id, vector) rows as a DataFrame — the model
+    re-entering the plan as literals."""
+    return spark.createDataFrame(rows, schema=_centroid_schema(id_col, vec_col))
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds of spherical k-means; return the final
+    centroids as a k-row DataFrame ``(id_col, vec_col)`` whose ids are
+    the initial seed vectors' ids (stable across iterations).
+
+    Empty clusters keep their previous centroid (no re-seeding — keeps
+    both engines' unrolled computations identical).
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    cents: list[tuple] = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]]) for r in seed_rows
+    ]
+    for _ in range(iters):
+        cdf = _as_centroid_df(spark, cents, id_col, vec_col)
+        assigned = assign_to_centroids(
+            corpus, cdf, id_col=id_col, vec_col=vec_col
+        )
+        mean_rows = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col(vec_col)[i]), 6).alias(f"__m{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        means = {
+            int(r["centroid_id"]): [float(r[f"__m{i}"]) for i in range(dim)]
+            for r in mean_rows
+        }
+        cents = [(cid, means.get(cid, vec)) for cid, vec in cents]
+    return _as_centroid_df(spark, cents, id_col, vec_col)
+
+
+def kmeans_cluster(
+    corpus: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit on the full corpus, then assign every vector to its final
+    cluster. Output: ``(id_col, cluster_id)``. At 100 TB the assignment
+    output is written bucketed by ``cluster_id`` (same layout the IVF
+    probes consume)."""
+    cents = kmeans_fit(
+        corpus, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    return assign_to_centroids(
+        corpus, cents, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))

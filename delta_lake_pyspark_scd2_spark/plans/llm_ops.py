@@ -2668,3 +2668,71 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed clustering
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    """Unrolled Lloyd's in SQL: one (score → assign → recenter) CTE
+    block per iteration plus the final assignment — exactly the
+    computation operators/clustering.py runs, with the shared 6-dp
+    rounding on scores and means so both engines chain bit-identical
+    centroid literals."""
+    cos = (
+        "round(list_dot_product(v.ve, c.cv) / "
+        "(sqrt(list_dot_product(v.ve, v.ve)) * "
+        "sqrt(list_dot_product(c.cv, c.cv))), 6)"
+    )
+    parts = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT {k})",
+    ]
+    for it in range(iters + 1):
+        parts.append(
+            f"s{it} AS (SELECT v.vec_id, c.cid, {cos} AS sim "
+            f"FROM v CROSS JOIN c{it} c)"
+        )
+        parts.append(
+            f"a{it} AS (SELECT vec_id, cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn "
+            f"FROM s{it}) WHERE rn = 1)"
+        )
+        if it < iters:
+            parts.append(
+                f"m{it} AS (SELECT a{it}.cid, t.i, round(avg(v.ve[t.i]), 6) AS m "
+                f"FROM a{it} JOIN v USING (vec_id), "
+                f"(SELECT UNNEST(range(1, {dim + 1})) AS i) t "
+                f"GROUP BY a{it}.cid, t.i)"
+            )
+            parts.append(
+                f"c{it + 1} AS (SELECT c{it}.cid, coalesce(mm.cv, c{it}.cv) AS cv "
+                f"FROM c{it} LEFT JOIN (SELECT cid, array_agg(m ORDER BY i) AS cv "
+                f"FROM m{it} GROUP BY cid) mm USING (cid))"
+            )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT vec_id, cid AS cluster_id FROM a{iters}\n    "
+    )
+
+
+@register(
+    "kmeans_cluster",
+    oracle=_kmeans_oracle(k=8, iters=2, dim=64),
+    doc="Distributed spherical k-means (k=8, 2 Lloyd rounds) over the "
+    "full embeddings corpus: per iteration ONE broadcast-centroid "
+    "assignment + ONE map-side-combined mean aggregation (shuffle "
+    "volume O(partitions*k*dim), driver state = the k*dim model). "
+    "Value-hash checked against a fully unrolled SQL Lloyd's — the "
+    "iterative training itself is oracle-verified, not just the final "
+    "assignment.",
+)
+def kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kmeans_cluster(emb, k=8, iters=2, dim=64)

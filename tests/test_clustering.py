@@ -1,0 +1,127 @@
+"""Distributed spherical k-means vs a naive in-memory Lloyd's.
+
+The registry oracle already value-hash-checks the operator against an
+unrolled SQL Lloyd's at sf0.01/sf0.1; these tests pin the semantics on
+hand-built corpora where the expected geometry is obvious, including
+the empty-cluster keep-previous rule the SQL unroll depends on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from delta_lake_pyspark_scd2_spark.operators import clustering
+
+
+def _naive_spherical_kmeans(vecs: np.ndarray, k: int, iters: int):
+    """Reference Lloyd's with the operator's exact determinism contract:
+    seed = k lowest-id rows, 6-dp-rounded cosine, ties to lower
+    centroid id, 6-dp-rounded means, empty clusters keep centroids."""
+    cents = {i: vecs[i].astype(float) for i in range(k)}
+
+    def assign(cents):
+        out = {}
+        for vid, v in enumerate(vecs):
+            best = None
+            for cid in sorted(cents):
+                c = cents[cid]
+                sim = round(
+                    float(v @ c) / (np.linalg.norm(v) * np.linalg.norm(c)), 6
+                )
+                if best is None or sim > best[0]:
+                    best = (sim, cid)
+            out[vid] = best[1]
+        return out
+
+    for _ in range(iters):
+        a = assign(cents)
+        for cid in list(cents):
+            members = [vecs[vid] for vid, c in a.items() if c == cid]
+            if members:
+                cents[cid] = np.round(np.mean(members, axis=0), 6)
+    return assign(cents)
+
+
+def _to_df(spark, vecs: np.ndarray):
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_matches_naive_lloyd(spark):
+    rng = np.random.default_rng(7)
+    # 3 well-separated direction cones, 40 points each
+    base = rng.normal(size=(3, 6))
+    vecs = np.vstack(
+        [base[i] * 5 + rng.normal(size=(40, 6)) * 0.3 for i in range(3)]
+    )
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in clustering.kmeans_cluster(
+            _to_df(spark, vecs), k=3, iters=2, dim=6
+        ).collect()
+    }
+    want = _naive_spherical_kmeans(vecs, k=3, iters=2)
+    assert got == want
+
+
+def test_kmeans_recovers_separated_cones(spark):
+    rng = np.random.default_rng(11)
+    dirs = np.eye(4)  # orthogonal cones: cosine separates them exactly
+    labels = np.repeat(np.arange(4), 25)
+    vecs = dirs[labels] * 10 + rng.normal(size=(100, 4)) * 0.2
+    rows = clustering.kmeans_cluster(
+        _to_df(spark, vecs), k=4, iters=3, dim=4
+    ).collect()
+    got = {r["vec_id"]: r["cluster_id"] for r in rows}
+    # every true cone maps to exactly one cluster id and vice versa
+    by_label = {}
+    for vid, lab in enumerate(labels):
+        by_label.setdefault(int(lab), set()).add(got[vid])
+    assert all(len(cids) == 1 for cids in by_label.values())
+    assert len({next(iter(c)) for c in by_label.values()}) == 4
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # two far duplicate-direction groups + k=3: the third seed (a group-1
+    # member) loses all points after round 1, so its centroid must stay
+    # put rather than vanish (the oracle's coalesce branch).
+    vecs = np.array(
+        [[10.0, 0.0], [10.0, 0.1], [9.9, 0.2]] + [[0.0, 10.0]] * 5
+    )
+    cents = clustering.kmeans_fit(
+        _to_df(spark, vecs), k=3, iters=2, dim=2
+    ).collect()
+    assert len(cents) == 3
+    got_ids = sorted(r["vec_id"] for r in cents)
+    assert got_ids == [0, 1, 2]
+    want = _naive_spherical_kmeans(vecs, k=3, iters=2)
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in clustering.kmeans_cluster(
+            _to_df(spark, vecs), k=3, iters=2, dim=2
+        ).collect()
+    }
+    assert got == want
+
+
+def test_kmeans_driver_state_is_model_sized(spark):
+    """kmeans_fit must never collect() anything but k-row frames."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 5))
+    df = _to_df(spark, vecs)
+    cls = type(df)  # the concrete (classic) DataFrame, not the ABC
+    orig = cls.collect
+    sizes = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = spy
+    try:
+        clustering.kmeans_fit(df, k=4, iters=2, dim=5)
+    finally:
+        cls.collect = orig
+    assert sizes and max(sizes) <= 4
