@@ -274,6 +274,65 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_incremental_pairs(
+    index_buckets: DataFrame,
+    new_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against a STORED LSH index without
+    rescanning the corpus: candidate pairs that involve at least one
+    NEW doc, as distinct ``(id_a, id_b)`` with ``id_a < id_b``.
+
+    Two joins, both sized by the batch, never by the corpus:
+      * batch-vs-index — the batch's (band, bucket) rows probe the
+        stored bucket table. The batch side is small by definition, so
+        Spark broadcasts it and the index is read with bucket pruning
+        (at scale the index table is written bucketed by its join key);
+        the corpus text is never touched — the index carries only
+        (id, band, bucket).
+      * batch-vs-batch — the usual banded self-join within the batch.
+    Appending the batch's bucket rows to the index table afterwards
+    makes the next batch's dedup incremental too; ingest cost is
+    O(batch) regardless of corpus size — the 100 TB shape, vs
+    :func:`lsh_candidate_pairs`'s full self-join.
+
+    Assumes index and batch id sets are disjoint (enforced upstream by
+    the ingest pipeline; duplicate ids would self-pair and are dropped
+    by the ``id_a < id_b`` guard).
+    """
+    nb = persist_tracked(new_buckets)
+    on = ["band", "bucket"]
+    vs_index = (
+        F.broadcast(nb.alias("n"))
+        .join(index_buckets.alias("s"), on=on)
+        .select(
+            F.least(
+                F.col(f"n.{id_col}"), F.col(f"s.{id_col}")
+            ).alias("id_a"),
+            F.greatest(
+                F.col(f"n.{id_col}"), F.col(f"s.{id_col}")
+            ).alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    vs_self = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            on=(
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            ),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    return vs_index.unionByName(vs_self).distinct()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2736,3 +2736,57 @@ def kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kmeans_cluster(emb, k=8, iters=2, dim=64)
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+           {_MIN_EXPRS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_BAND_SELECTS}
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+    WHERE a.doc_id % 5 >= 3 OR b.doc_id % 5 >= 3
+    """,
+    doc="Incremental dedup against a PERSISTED LSH index: the corpus' "
+    "bucket table (docs with doc_id%5<3) lives in a versioned table; "
+    "an incoming batch (doc_id%5>=3) computes its own signatures and "
+    "probes the stored buckets (batch side broadcast) plus itself -- "
+    "ingest cost O(batch), corpus text never rescanned. Oracle: the "
+    "full-corpus banded self-join restricted to pairs involving a new "
+    "doc, proving the index path finds exactly the same candidates.",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def buckets(d: DataFrame) -> DataFrame:
+        return dedup.lsh_band_buckets(
+            dedup.minhash_signatures(d, num_hashes=_NUM_HASHES, shingle_n=3),
+            bands=_BANDS,
+            rows_per_band=_ROWS_PER_BAND,
+        )
+
+    index = VersionedParquetTable.create(
+        spark,
+        buckets(docs.filter(F.col("doc_id") % 5 < 3)),
+        scratch_path("dedup_incremental_lsh"),
+    )
+    return dedup.lsh_incremental_pairs(
+        index.read(), buckets(docs.filter(F.col("doc_id") % 5 >= 3))
+    )
