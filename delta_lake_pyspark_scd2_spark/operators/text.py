@@ -579,3 +579,89 @@ def hashed_tfidf_embedding(
             ),
         ).alias("embedding")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_pair_docs: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` word collocations by document-level PMI:
+    ``pmi(a,b) = ln(df_ab · N / (df_a · df_b))`` over document
+    frequencies, the co-occurrence signal phrase-mining and
+    tokenizer-vocabulary curation use.
+
+    Plan shape: one explode → distinct (doc, word); the pair join is
+    pre-filtered to words with ``df ≥ min_pair_docs`` (correctness-
+    preserving: a surviving pair needs both members that frequent), so
+    the per-doc pairing fans out only over frequent words; document
+    frequencies and the corpus size re-enter as broadcast joins
+    (vocabulary-sized and single-row — never a corpus shuffle). For
+    book-length documents the doc-level definition is replaced by a
+    position-window co-occurrence upstream; the PMI scoring path is
+    identical.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    words = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    n_docs = words.agg(
+        F.countDistinct(id_col).cast("long").alias("__n_docs")
+    )
+    dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("__dfw"))
+    frequent = dfreq.filter(F.col("__dfw") >= min_pair_docs)
+    fwords = words.join(F.broadcast(frequent.select("word")), "word")
+    pairs = (
+        fwords.alias("a")
+        .join(
+            fwords.alias("b"),
+            on=(
+                (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+                & (F.col("a.word") < F.col("b.word"))
+            ),
+        )
+        .groupBy(
+            F.col("a.word").alias("word_a"), F.col("b.word").alias("word_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_docs)
+    )
+    da = frequent.select(
+        F.col("word").alias("word_a"), F.col("__dfw").alias("__dfa")
+    )
+    db = frequent.select(
+        F.col("word").alias("word_b"), F.col("__dfw").alias("__dfb")
+    )
+    return (
+        pairs.join(F.broadcast(da), "word_a")
+        .join(F.broadcast(db), "word_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("__n_docs")
+                    / (F.col("__dfa") * F.col("__dfb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "word_a", "word_b")
+        .limit(k)
+    )

@@ -2790,3 +2790,41 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_incremental_pairs(
         index.read(), buckets(docs.filter(F.col("doc_id") % 5 >= 3))
     )
+
+
+@register(
+    "text_pmi_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, w AS word FROM (
+        SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS w
+        FROM documents)
+      WHERE w <> ''
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM words),
+    dfreq AS (SELECT word, COUNT(*) AS dfw FROM words GROUP BY word),
+    pairs AS (
+      SELECT a.word AS word_a, b.word AS word_b, COUNT(*) AS n_pair
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND a.word < b.word
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT word_a, word_b, n_pair,
+           round(ln(CAST(n_pair AS DOUBLE) * n.n_docs
+                    / (da.dfw * db.dfw)), 6) AS pmi
+    FROM pairs
+    JOIN dfreq da ON word_a = da.word
+    JOIN dfreq db ON word_b = db.word
+    CROSS JOIN n
+    ORDER BY pmi DESC, word_a, word_b LIMIT 20
+    """,
+    doc="Top-k collocations by document-level PMI: explode -> distinct "
+    "(doc, word), pair join pre-filtered to df>=5 words "
+    "(correctness-preserving prune of the per-doc fan-out), document "
+    "frequencies and corpus size re-enter as broadcast joins. Oracle "
+    "is the unpruned pair join -- proving the frequent-word prefilter "
+    "loses nothing.",
+)
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations(docs, min_pair_docs=5, k=20)
