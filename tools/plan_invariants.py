@@ -31,6 +31,15 @@ BASELINE_PATH = os.path.join(
     "plan_baseline.json",
 )
 
+#: Scale-critical queries outside the bench headline set whose plan
+#: shape is still a contract (broadcasts must stay broadcasts, no
+#: cartesians): pinned here so refactors can't silently degrade them.
+EXTRA_QUERIES = (
+    "kmeans_cluster",
+    "dedup_incremental_lsh",
+    "text_pmi_topk",
+)
+
 
 def plan_features(df) -> dict:
     """Structural features of an executed DataFrame's AQE FINAL plan."""
@@ -64,7 +73,7 @@ def collect_features(sf_dir: str) -> dict[str, dict]:
     spark = get_spark("plan_invariants")
     out: dict[str, dict] = {}
     for name, spec in sorted(REGISTRY.items()):
-        if not spec.bench:
+        if not spec.bench and name not in EXTRA_QUERIES:
             continue
         release_tracked()
         df = spec.builder(spark, sf_dir)
