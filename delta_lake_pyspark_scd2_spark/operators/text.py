@@ -665,3 +665,95 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), "word_a", "word_b")
         .limit(k)
     )
+
+
+def pmi_collocations_window(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 5,
+    min_pair: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Position-window PMI collocations — the long-document variant of
+    :func:`pmi_collocations`: a pair is a co-occurrence EVENT of two
+    distinct words within ``window`` token positions, counted per
+    event, with ``pmi = ln(c_ab · N / (c_a · c_b))`` over occurrence
+    counts (N = corpus token count).
+
+    Plan shape: the window join is an EQUI-join — each token row
+    expands over offsets ``d ∈ [1, window]`` and joins on
+    ``(doc, pos + d)``, so the pairing shuffles on the same key as the
+    tokenization and never becomes a range/theta join; fan-out is
+    exactly ``window``× tokens regardless of document length (vs the
+    doc-level variant's quadratic fan-out in distinct words).
+    Occurrence counts and the corpus size re-enter as broadcast joins.
+    Words rarer than ``min_pair`` occurrences are pruned before
+    pairing (correctness-preserving: ``c_a ≥ c_ab``).
+    """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    toks = persist_tracked(
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos", "word"),
+        ).filter(F.col("word") != "")
+    )
+    n_toks = toks.agg(F.count(F.lit(1)).alias("__n_toks"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__cw"))
+    frequent = counts.filter(F.col("__cw") >= min_pair)
+    ftoks = toks.join(F.broadcast(frequent.select("word")), "word")
+    left = ftoks.select(
+        F.col(id_col),
+        F.col("word"),
+        F.explode(F.sequence(F.lit(1), F.lit(window))).alias("__d"),
+        (F.col("pos") + F.col("__d")).alias("__tpos"),
+    )
+    pairs = (
+        left.alias("a")
+        .join(
+            ftoks.alias("b"),
+            on=(
+                (F.col(f"a.{id_col}") == F.col(f"b.{id_col}"))
+                & (F.col("a.__tpos") == F.col("b.pos"))
+                & (F.col("a.word") != F.col("b.word"))
+            ),
+        )
+        .groupBy(
+            F.least(F.col("a.word"), F.col("b.word")).alias("word_a"),
+            F.greatest(F.col("a.word"), F.col("b.word")).alias("word_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair)
+    )
+    ca = frequent.select(
+        F.col("word").alias("word_a"), F.col("__cw").alias("__ca")
+    )
+    cb = frequent.select(
+        F.col("word").alias("word_b"), F.col("__cw").alias("__cb")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "word_a")
+        .join(F.broadcast(cb), "word_b")
+        .crossJoin(F.broadcast(n_toks))
+        .select(
+            "word_a",
+            "word_b",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair").cast("double")
+                    * F.col("__n_toks")
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "word_a", "word_b")
+        .limit(k)
+    )

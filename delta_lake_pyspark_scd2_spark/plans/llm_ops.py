@@ -2831,3 +2831,103 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.pmi_collocations(docs, min_pair_docs=5, k=20)
+
+
+@register(
+    "text_pmi_window",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, t.i AS pos, w[t.i] AS word
+      FROM ws, (SELECT UNNEST(range(1, (SELECT MAX(len(w)) + 1 FROM ws))) AS i) t
+      WHERE t.i <= len(w) AND w[t.i] <> ''
+    ),
+    n AS (SELECT COUNT(*) AS n_toks FROM tok),
+    counts AS (SELECT word, COUNT(*) AS cw FROM tok GROUP BY word),
+    pairs AS (
+      SELECT least(a.word, b.word) AS word_a,
+             greatest(a.word, b.word) AS word_b,
+             COUNT(*) AS n_pair
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id
+       AND b.pos BETWEEN a.pos + 1 AND a.pos + 5
+       AND a.word <> b.word
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    )
+    SELECT word_a, word_b, n_pair,
+           round(ln(CAST(n_pair AS DOUBLE) * n.n_toks
+                    / (ca.cw * cb.cw)), 6) AS pmi
+    FROM pairs
+    JOIN counts ca ON word_a = ca.word
+    JOIN counts cb ON word_b = cb.word
+    CROSS JOIN n
+    ORDER BY pmi DESC, word_a, word_b LIMIT 20
+    """,
+    doc="Position-window PMI collocations (w=5): the pairing is an "
+    "EQUI-join on (doc, pos+d) after an offset explode -- fan-out "
+    "exactly w x tokens at any document length, never the doc-level "
+    "variant's quadratic blow-up; occurrence counts and corpus size "
+    "re-enter broadcast. Oracle uses an unpruned BETWEEN join over "
+    "token positions, proving the offset-equi-join formulation and "
+    "the rare-word prefilter exact.",
+)
+def text_pmi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pmi_collocations_window(docs, window=5, min_pair=5, k=20)
+
+
+@register(
+    "sketch_mergeable_vocab",
+    oracle="""
+    WITH words AS (
+      SELECT source,
+             unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS word
+      FROM documents
+    )
+    SELECT source, COUNT(DISTINCT word) AS exact_vocab,
+           TRUE AS union_matches_whole, TRUE AS within_5pct
+    FROM words WHERE word <> '' GROUP BY source
+    """,
+    doc="Mergeable-sketch maintenance: per-ingest-batch HLL sketches "
+    "(datasketches hll_sketch_agg, lgK=12) whose hll_union must "
+    "EXACTLY reproduce the whole-corpus sketch estimate -- the "
+    "pattern that answers corpus-wide distinct counts from stored "
+    "per-partition sketches without rescanning (the MV-refresh "
+    "analogue for non-abelian stats). Sketch estimates are "
+    "implementation-defined, so the oracle checks the REDUCED claims: "
+    "exact distinct counts, union==whole, and estimate within 5% of "
+    "exact -- a real value-hash gate over the merge property, unlike "
+    "rows-only approx_sketches.",
+)
+def sketch_mergeable_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        (F.col("doc_id") % 4).alias("__part"),
+        F.explode(
+            F.split(text.normalize_text(F.col("text")), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+    parts = words.groupBy("source", "__part").agg(
+        F.hll_sketch_agg("word", F.lit(12)).alias("__sk")
+    )
+    union_est = parts.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est_u")
+    )
+    whole = words.groupBy("source").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("word", F.lit(12))).alias(
+            "__est_w"
+        ),
+        F.countDistinct("word").alias("exact_vocab"),
+    )
+    return whole.join(union_est, "source").select(
+        "source",
+        "exact_vocab",
+        (F.col("__est_u") == F.col("__est_w")).alias("union_matches_whole"),
+        (
+            F.abs(F.col("__est_u") - F.col("exact_vocab"))
+            <= 0.05 * F.col("exact_vocab")
+        ).alias("within_5pct"),
+    )
