@@ -147,3 +147,58 @@ def cluster_documents(
         .alias("cluster_size"),
         (F.col("cluster_id") == F.col(id_col)).alias("is_canonical"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over the UNDIRECTED graph ``edges`` (each edge walks
+    both ways), ``iters`` fixed power-iteration rounds from the
+    uniform start: ``r'(v) = (1-d)/N + d·Σ_{u~v} r(u)/deg(u)``.
+
+    Per round: edges join ranks on the source end (both keyed on the
+    vertex id — AQE reuses the partitioning between rounds, like
+    :func:`connected_components`) and a dst-keyed sum-aggregate with
+    map-side combine. State is one (node, rank) row per vertex;
+    nothing graph-sized ever reaches the driver. Undirected graphs
+    have no dangling nodes (every vertex has out-degree ≥ 1), so no
+    sink-mass redistribution term is needed.
+
+    Determinism contract (shared with the unrolled SQL oracle): ranks
+    round to 6 dp after every round, so both engines feed identical
+    literals into the next iteration regardless of summation order.
+    Fixed ``iters`` (no convergence test) keeps the unrolled oracle
+    exactly equivalent.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    both = both.persist()
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
+    nodes = both.select(F.col("u").alias("node")).distinct()
+    n_nodes = nodes.count()  # one long — model-sized driver state
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0 / n_nodes), 6)
+    )
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contrib = (
+            both.join(ranks, both["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(
+                F.col("v").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            F.round(
+                F.lit(base) + F.lit(damping) * F.sum("__c"), 6
+            ).alias("rank")
+        )
+        ranks = ranks.localCheckpoint(eager=False)
+    return ranks

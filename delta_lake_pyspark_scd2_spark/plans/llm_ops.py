@@ -2931,3 +2931,70 @@ def sketch_mergeable_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_vocab")
         ).alias("within_5pct"),
     )
+
+
+def _pagerank_oracle(iters: int, damping: float = 0.85) -> str:
+    """Unrolled power iteration: one contribution-sum CTE per round
+    with the shared 6-dp rounding, over the same co-order part graph
+    as graph_triangles."""
+    parts = [
+        """items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 10 = 0
+    )""",
+        """edges AS (
+      SELECT DISTINCT a.p AS p1, b.p AS p2
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+    )""",
+        "bi AS (SELECT p1 AS u, p2 AS v FROM edges "
+        "UNION ALL SELECT p2 AS u, p1 AS v FROM edges)",
+        "deg AS (SELECT u, COUNT(*) AS d FROM bi GROUP BY u)",
+        "n AS (SELECT COUNT(DISTINCT u) AS n_nodes FROM bi)",
+        "r0 AS (SELECT u AS node, round(1.0 / n.n_nodes, 6) AS rank "
+        "FROM deg, n)",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"r{it + 1} AS (SELECT b.v AS node, "
+            f"round((1.0 - {damping}) / n.n_nodes + {damping} * "
+            f"SUM(r.rank / deg.d), 6) AS rank "
+            f"FROM bi b JOIN r{it} r ON b.u = r.node "
+            "JOIN deg ON b.u = deg.u CROSS JOIN n "
+            "GROUP BY b.v, n.n_nodes)"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, rank FROM r{iters}\n    "
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(iters=3),
+    doc="PageRank (3 power-iteration rounds, d=0.85) on the co-order "
+    "part graph: per round one vertex-keyed join + one dst-keyed "
+    "map-side-combined sum -- state is a (node, rank) row per vertex, "
+    "partitioning reused across rounds, nothing graph-sized on the "
+    "driver. The oracle unrolls the full power iteration under the "
+    "shared 6-dp rounding, so the iterative computation is value-hash "
+    "checked like kmeans_cluster.",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .select(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .distinct()
+    )
+    return pagerank(edges, "p1", "p2", iters=3)

@@ -105,3 +105,54 @@ def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(32)], "src long, dst long")
     with pytest.raises(RuntimeError):
         connected_components(df, max_iter=1)
+
+
+# -- pagerank ---------------------------------------------------------------
+
+
+def _naive_pagerank(edge_list, iters=3, d=0.85):
+    """Reference power iteration with the operator's rounding contract."""
+    both = edge_list + [(b, a) for a, b in edge_list]
+    nodes = sorted({u for u, _ in both})
+    deg = {u: sum(1 for s, _ in both if s == u) for u in nodes}
+    n = len(nodes)
+    r = {u: round(1.0 / n, 6) for u in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            s = sum(r[u] / deg[u] for u, vv in both if vv == v)
+            nxt[v] = round((1 - d) / n + d * s, 6)
+        r = nxt
+    return r
+
+
+def test_pagerank_star_graph(spark):
+    from delta_lake_pyspark_scd2_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    want = _naive_pagerank([(0, i) for i in range(1, 6)], iters=3)
+    assert got == want
+    hub, leaves = got[0], [got[i] for i in range(1, 6)]
+    assert all(hub > l for l in leaves)
+    assert len(set(leaves)) == 1  # symmetry
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_pagerank_matches_naive_on_random_graph(spark):
+    import random
+
+    from delta_lake_pyspark_scd2_spark.operators.graph import pagerank
+
+    rng = random.Random(5)
+    edge_list = sorted(
+        {
+            tuple(sorted(rng.sample(range(30), 2)))
+            for _ in range(80)
+        }
+    )
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
+    assert got == _naive_pagerank(edge_list, iters=3)
