@@ -2998,3 +2998,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank(edges, "p1", "p2", iters=3)
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+           {_MIN_EXPRS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_BAND_SELECTS}
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           COUNT(*) AS n_pairs
+    FROM prs
+    JOIN documents da ON id_a = da.doc_id
+    JOIN documents db ON id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source near-duplicate overlap matrix: LSH candidate "
+    "pairs labeled with each member's source, aggregated per "
+    "unordered source pair -- the report a curation team reads before "
+    "deciding which crawl to drop. The pair list carries ids only; "
+    "source labels join in on the id key after candidate generation, "
+    "so the metadata join is pair-sized, not corpus-sized.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingle_n=3),
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+    )
+    sb = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least(F.col("__sa"), F.col("__sb")).alias("source_a"),
+            F.greatest(F.col("__sa"), F.col("__sb")).alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
