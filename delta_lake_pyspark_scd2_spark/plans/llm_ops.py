@@ -2678,12 +2678,14 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+def _kmeans_ctes(k: int, iters: int, dim: int) -> list:
     """Unrolled Lloyd's in SQL: one (score → assign → recenter) CTE
     block per iteration plus the final assignment — exactly the
     computation operators/clustering.py runs, with the shared 6-dp
     rounding on scores and means so both engines chain bit-identical
-    centroid literals."""
+    centroid literals. Returns the CTE list (ending with centroids
+    ``c{iters}`` and assignment ``a{iters}``) so compositions — e.g.
+    the trained-IVF ANN oracle — can build on the trained model."""
     cos = (
         "round(list_dot_product(v.ve, c.cv) / "
         "(sqrt(list_dot_product(v.ve, v.ve)) * "
@@ -2716,6 +2718,11 @@ def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
                 f"FROM c{it} LEFT JOIN (SELECT cid, array_agg(m ORDER BY i) AS cv "
                 f"FROM m{it} GROUP BY cid) mm USING (cid))"
             )
+    return parts
+
+
+def _kmeans_oracle(k: int, iters: int, dim: int) -> str:
+    parts = _kmeans_ctes(k, iters, dim)
     return (
         "\n    WITH "
         + ",\n    ".join(parts)
@@ -3059,3 +3066,55 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def _ivf_trained_oracle(k: int, iters: int, dim: int) -> str:
+    """kmeans-trained centroids (the unrolled Lloyd CTEs) feeding the
+    single-probe IVF search — the composed index is end-to-end
+    SQL-expressible, so training AND search are value-hash checked."""
+    parts = _kmeans_ctes(k, iters, dim)
+    parts += [
+        f"""probes AS (
+      SELECT a.vec_id AS query_id, a.cid AS centroid_id, v.ve AS qv
+      FROM a{iters} a JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id >= 490
+    )""",
+        f"""scored AS (
+      SELECT p.query_id, a.vec_id, {_COS.format(a='p.qv', b='v2.ve')} AS cos_sim
+      FROM probes p
+      JOIN a{iters} a ON a.cid = p.centroid_id
+      JOIN v v2 ON v2.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )""",
+    ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """
+    )
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=_ivf_trained_oracle(k=8, iters=2, dim=64),
+    doc="IVF ANN with a TRAINED coarse quantizer: distributed k-means "
+    "(kmeans_cluster's exact computation) supplies the centroids, "
+    "then the single-probe bucket search runs against them -- the "
+    "FAISS IVF-train-then-search shape with both stages value-hash "
+    "checked through one composed oracle (vs ann_ivf_topk's fixed "
+    "lowest-id centroids and ann_ivfpq's rows-only k-means).",
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = clustering.kmeans_fit(emb, k=8, iters=2, dim=64)
+    queries = emb.filter(F.col("vec_id") >= 490)
+    return similarity.ivf_topk(emb, cents, queries, k=5)
