@@ -3118,3 +3118,105 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = clustering.kmeans_fit(emb, k=8, iters=2, dim=64)
     queries = emb.filter(F.col("vec_id") >= 490)
     return similarity.ivf_topk(emb, cents, queries, k=5)
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+           {_MIN_EXPRS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_BAND_SELECTS}
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10 < 9
+                  THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ),
+    prs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    )
+    SELECT sb.split AS split_a, sa.split AS split_b,
+           COUNT(*) AS n_pairs
+    FROM prs
+    JOIN splits sa ON id_a = sa.doc_id
+    JOIN splits sb ON id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT 'total' AS split_a, 'cross' AS split_b, COUNT(*) AS n_pairs
+    FROM prs
+    JOIN splits sa ON id_a = sa.doc_id
+    JOIN splits sb ON id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+    doc="Train/test split leakage audit: docs deal into a 90/10 split "
+    "by content-independent keyed hash (reproducible, cluster-shape "
+    "independent), then LSH candidate pairs crossing the boundary are "
+    "counted -- the eval-integrity check run before any held-out "
+    "measurement (a test doc near-duplicating a train doc inflates "
+    "eval). Pair list carries ids only; split labels join pair-sized. "
+    "Ordered (split_a, split_b) kept separate so the report shows "
+    "which side the lower-id member sits on.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("split:"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        < 9,
+        F.lit("train"),
+    ).otherwise(F.lit("test"))
+    splits = docs.select("doc_id", split.alias("split"))
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingle_n=3),
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("__pa")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("__pb")
+    )
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    cross = persist_tracked(
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("__pa") != F.col("__pb"))
+    )
+    per_dir = cross.groupBy(
+        F.col("__pb").alias("split_a"), F.col("__pa").alias("split_b")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    total = cross.agg(F.count(F.lit(1)).alias("n_pairs")).select(
+        F.lit("total").alias("split_a"),
+        F.lit("cross").alias("split_b"),
+        "n_pairs",
+    )
+    return per_dir.unionByName(total)
