@@ -105,3 +105,46 @@ def sample_to_temperature(
         .filter(_keep_hash(id_col) < F.col("keep_thr"))
         .drop("keep_thr")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES): each row draws ``u ∈ (0,1)`` from a keyed md5 hash
+    of its id and ranks by ``u^(1/w)`` — the top ``k`` keys are an
+    exact weighted sample, reproducible across engines, runs, and
+    cluster shapes (no ``rand(seed)``, whose draw depends on row→
+    partition placement).
+
+    Ranking uses the order-equivalent ``w / -ln(u)`` (monotone in
+    ``u^(1/w)``): its spread survives 6-dp rounding where the
+    near-1.0 power key would collapse into ties. Map-side work is one
+    hash + log per row; the only shuffle is the top-k over keys
+    (TakeOrdered — k rows per partition reach the driver-side merge).
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"), F.col(id_col).cast("string")
+                ).cast("binary")
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(1 << 32))
+    wkey = F.round(weight.cast("double") / -F.log(u), 6)
+    return (
+        df.withColumn("wkey", wkey)
+        .orderBy(F.desc("wkey"), F.col(id_col).asc())
+        .limit(k)
+    )

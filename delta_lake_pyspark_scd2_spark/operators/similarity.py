@@ -695,3 +695,63 @@ def ivfpq_topk(
     probe_ids = [cid for _, cid in sims[:nprobe]]
     bucket = codes.filter(F.col("centroid_id").isin(probe_ids))
     return pq_topk(bucket, codebooks, query_vec, k=k, id_col=id_col)
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    ``k`` MOST similar corpus vectors with a DIFFERENT label — the
+    near-miss examples metric-learning batches are built from.
+
+    Same plan as :func:`cosine_topk` (queries broadcast, corpus
+    partition-parallel, only q×k rows shuffle); the label filter rides
+    the broadcast join, so mismatched pairs are dropped before any
+    window work.
+    """
+    q = queries.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.col(label_col).alias("__qlabel"),
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    c = _spread(
+        corpus.select(F.col(id_col), F.col(vec_col), F.col(label_col)),
+        id_col,
+    ).withColumn("__cnorm", norm(F.col(vec_col)))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"),
+                    F.col(vec_col),
+                    F.col("__qnorm"),
+                    F.col("__cnorm"),
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col(id_col).alias("negative_id"),
+            F.col(label_col).alias("negative_label"),
+            "rank",
+            "cos_sim",
+        )
+    )

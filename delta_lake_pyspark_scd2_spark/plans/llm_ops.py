@@ -3220,3 +3220,65 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
     )
     return per_dir.unionByName(total)
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars, wkey FROM (
+      SELECT doc_id, n_chars,
+             round(CAST(n_chars AS DOUBLE) /
+                   -ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                       / 4294967296.0), 6) AS wkey
+      FROM documents
+    ) ORDER BY wkey DESC, doc_id ASC LIMIT 50
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+    "A-ES, weight = n_chars): keyed md5 draw -> rank by the "
+    "order-equivalent w/-ln(u) -- exact weighted sample, reproducible "
+    "across engines and cluster shapes (rand(seed) is placement-"
+    "dependent). One hash+log per row map-side; the only movement is "
+    "the TakeOrdered top-k.",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        weighted_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs.select("doc_id", "n_chars"), F.col("n_chars"), k=50
+    )
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv, label FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, label, {_COS.format(a='qv', b='cv')} AS cos_sim
+      FROM c, q WHERE label <> ql
+    )
+    SELECT query_id, vec_id AS negative_id, label AS negative_label,
+           rank, cos_sim FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Hard-negative mining for contrastive training: per query the "
+    "5 most-similar vectors with a DIFFERENT label (the near-miss "
+    "examples metric-learning batches want). Same plan as "
+    "ann_cosine_topk -- queries broadcast, label filter rides the "
+    "broadcast join, q x k rows shuffle.",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=5
+    )
