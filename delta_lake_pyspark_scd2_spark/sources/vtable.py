@@ -1189,8 +1189,17 @@ class VersionedParquetTable:
             )
 
     def overwrite(self, df: DataFrame, *, metrics: "dict | Callable[[], dict] | None" = None,
-                  layout_ready: bool = False) -> int:
+                  layout_ready: bool = False,
+                  txn: tuple[str, int] | None = None) -> int:
+        """Full-replace commit. ``txn=(app_id, txn_version)`` makes it
+        idempotent exactly like :meth:`append`'s — a replayed
+        micro-batch that REPLACES state (e.g. a streaming model table)
+        must not re-apply its update on top of its own result."""
         m = self._current()
+        if txn is not None:
+            applied = m.get("txns", {}).get(txn[0])
+            if applied is not None and applied >= txn[1]:
+                return m["version"]
         pc = list(m["partition_cols"])
         cons = m.get("constraints") or {}
         df = self._apply_identity(
@@ -1206,6 +1215,7 @@ class VersionedParquetTable:
         v = m["version"] + 1
         self._commit(
             v, files, df.schema, pc, "OVERWRITE", metrics, cons,
+            txns={**m.get("txns", {}), txn[0]: txn[1]} if txn else None,
             identity_cols=self._identity_bump(m, files),
         )
         return v

@@ -1,5 +1,6 @@
 from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     corpus_ingest_stream,
+    kmeans_model_stream,
     run_stream_once,
     scd2_stream,
     windowed_event_agg,
@@ -7,6 +8,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
 
 __all__ = [
     "corpus_ingest_stream",
+    "kmeans_model_stream",
     "run_stream_once",
     "scd2_stream",
     "windowed_event_agg",

@@ -518,3 +518,122 @@ def maintain_aggregate_stream(
     )
     q.awaitTermination()
     return q
+
+
+def kmeans_model_stream(
+    spark: SparkSession,
+    source_dir: str,
+    model_path: str,
+    checkpoint_dir: str,
+    *,
+    k: int = 4,
+    dim: int,
+    schema: str = "vec_id long, embedding array<double>",
+    app_id: str = "kmeans_stream",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Streaming mini-batch k-means: embedding batches arriving under
+    ``source_dir`` continuously maintain a k-centroid model table —
+    the online twin of ``operators.clustering.kmeans_fit``, for
+    pipelines that cluster a corpus WHILE ingesting it (assignment
+    consumers read the model table; no full-corpus retrain).
+
+    Update rule (mini-batch k-means, weighted running mean): each
+    micro-batch assigns its vectors to the current centroids (one
+    broadcast join + one map-side-combined aggregate — the same
+    per-round shape and 6-dp rounding as the batch trainer), then
+
+        c' = (c·w + Σ assigned) / (w + n),   w' = w + n
+
+    so a centroid's state is its running mean over every vector ever
+    assigned to it. Driver state per batch is k×(dim+1) floats; the
+    model table holds ``(vec_id, embedding, weight)``.
+
+    Exactly-once: the model update is an ``overwrite`` carrying the
+    ``(app_id, batch_no)`` writer transaction — a micro-batch replayed
+    after a sink crash must NOT fold its vectors in twice (the update
+    is not idempotent by itself), so the replay short-circuits at the
+    committed watermark.
+
+    The first batch seeds the model with its ``k`` lowest-id vectors
+    (weight 0) before processing — deterministic, like the batch
+    trainer's seeding.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    def _process(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cent_schema = "vec_id long, embedding array<double>, weight double"
+        if not VersionedParquetTable.is_table(model_path):
+            seed = [
+                (int(r["vec_id"]), [float(x) for x in r["embedding"]], 0.0)
+                for r in batch_df.orderBy("vec_id").limit(k).collect()
+            ]
+            VersionedParquetTable.create(
+                spark,
+                spark.createDataFrame(seed, cent_schema),
+                model_path,
+            )
+        model = VersionedParquetTable(spark, model_path)
+        if (model.last_txn_version(app_id) or -1) >= batch_no:
+            return  # replayed micro-batch: already folded in
+        cents = {
+            int(r["vec_id"]): (
+                [float(x) for x in r["embedding"]],
+                float(r["weight"]),
+            )
+            for r in model.read().collect()  # k rows — model-sized
+        }
+        cdf = spark.createDataFrame(
+            [(cid, vec) for cid, (vec, _) in cents.items()],
+            "vec_id long, embedding array<double>",
+        )
+        stats = (
+            assign_to_centroids(batch_df, cdf)
+            .groupBy("centroid_id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.col("embedding")[i]).alias(f"__s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()  # ≤ k rows
+        )
+        for r in stats:
+            cid = int(r["centroid_id"])
+            vec, w = cents[cid]
+            n = float(r["__n"])
+            cents[cid] = (
+                [
+                    round((vec[i] * w + float(r[f"__s{i}"])) / (w + n), 6)
+                    for i in range(dim)
+                ],
+                w + n,
+            )
+        model.overwrite(
+            spark.createDataFrame(
+                [(cid, vec, w) for cid, (vec, w) in sorted(cents.items())],
+                cent_schema,
+            ),
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(batch_no, len(stats))
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
