@@ -96,3 +96,60 @@ def decontaminate(
         .distinct()
     )
     return docs.join(contaminated_ids, id_col, "left_anti")
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_vecs: DataFrame,
+    *,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: label every corpus vector with
+    its maximum cosine similarity against the eval set.
+
+    The semantic twin of n-gram :func:`contamination` — paraphrased or
+    lightly reworded benchmark leakage that shares no 13-gram still
+    lands near the eval item in embedding space (the screen run next to
+    the n-gram one in modern data cards). Returns
+    ``(id_col, max_eval_sim, contaminated)`` covering every corpus row:
+    ``max_eval_sim`` = max rounded cosine vs any eval vector,
+    ``contaminated`` = max_eval_sim ≥ threshold.
+
+    Scale shape: the eval side is benchmarks — thousands of vectors —
+    so it **broadcasts** pre-normalized; the corpus side streams
+    through a narrow broadcast nested-loop scoring pass (pure JVM
+    expressions) followed by one per-id max aggregation that combines
+    map-side. Nothing corpus × corpus, nothing driver-side. If the eval
+    set ever outgrows broadcast, the same plan degrades to scoring
+    against an LSH/IVF-bucketed eval index (``operators.similarity``).
+    """
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+
+    ev = F.broadcast(
+        eval_vecs.select(
+            F.col(vec_col).alias("__ev"),
+        ).withColumn("__en", norm(F.col("__ev")))
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .withColumn("__cn", norm(F.col("__cv")))
+        .crossJoin(ev)
+        .withColumn(
+            "__sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__cv"), F.col("__ev"), F.col("__cn"), F.col("__en")
+                ),
+                6,
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.max("__sim").alias("max_eval_sim"),
+        (F.max("__sim") >= F.lit(threshold)).alias("contaminated"),
+    )

@@ -1,0 +1,136 @@
+"""Mergeable count-min sketch over a distributed token stream.
+
+The count-min sketch (Cormode & Muthukrishnan 2005) answers "roughly
+how often does item *x* occur?" in ``depth × width`` counters — a few
+KB regardless of corpus size. Each of ``depth`` hash rows maps an item
+to one of ``width`` buckets and accumulates its count; the estimate
+for an item is the MIN over its ``depth`` buckets, which can only
+OVER-estimate (collisions add, never subtract). For a 100 TB corpus
+that property is what matters: the sketch is a fixed-size, mergeable
+(bucket-wise sum) summary, so per-partition / per-day sketches combine
+by one ``depth×width``-row aggregation — no re-scan of history — and a
+heavy-hitter probe touches ``depth`` rows per candidate.
+
+Complements the HLL path (``sketch_mergeable_vocab``: how MANY
+distinct tokens) with frequency estimates (how OFTEN each token), the
+other half of the classic streaming-summary pair.
+
+Engine-portable by construction: bucket assignment rides
+:func:`~delta_lake_pyspark_scd2_spark.functions.hashing.md5_prefix_long`
+(``md5(depth ':' item)``), the one cross-engine hash primitive, so the
+DuckDB oracle rebuilds the identical sketch bit-for-bit.
+
+Scale shape (goes beyond the reference — SURVEY.md §2.10 has no sketch
+operators):
+
+- The sketch is built from the per-item COUNT table (vocab-sized), not
+  the raw token stream: tokens collapse in one map-side-combinable
+  ``groupBy`` first, then the ``depth``-way explode multiplies rows of
+  the *vocabulary*, not the corpus.
+- Probing broadcasts the sketch (``depth × width`` rows — KBs), so
+  estimating any number of candidate items is a narrow broadcast join;
+  the item stream never shuffles.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.functions.hashing import md5_prefix_long
+
+#: Default geometry: 4 rows × 1024 buckets → ε ≈ 2.7e-3·N at δ ≈ 1.8%.
+DEPTH = 4
+WIDTH = 1024
+
+
+def cms_bucket(item: Column, depth_row: Column, width: int = WIDTH) -> Column:
+    """Bucket of ``item`` in hash row ``depth_row`` — the shared
+    Spark/DuckDB contract: ``md5_prefix_long(d ':' item) % width``."""
+    return (
+        md5_prefix_long(
+            F.concat(depth_row.cast("string"), F.lit(":"), item.cast("string"))
+        )
+        % width
+    )
+
+
+def count_min_build(
+    counts: DataFrame,
+    item_col: str = "word",
+    count_col: str = "c",
+    *,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+) -> DataFrame:
+    """Build the sketch ``(d, bucket, cnt)`` from an exact per-item
+    count table (one row per distinct item).
+
+    Input is the *counts* table on purpose: the caller's token
+    ``groupBy`` already collapsed the corpus map-side, so the
+    ``depth``-way explode here is vocab-sized. Output is exactly the
+    non-empty cells of the ``depth × width`` counter grid.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    return (
+        counts.select(F.col(item_col), F.col(count_col).alias("__c"), d)
+        .select(
+            F.col("d"),
+            cms_bucket(F.col(item_col), F.col("d"), width).alias("bucket"),
+            F.col("__c"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("__c").cast("long").alias("cnt"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same geometry: bucket-wise sum.
+
+    This is the whole point of the structure — per-shard / per-day
+    sketches combine associatively in one aggregation over
+    ``depth × width``-row inputs, so maintaining a corpus-lifetime
+    frequency summary never re-reads history.
+    """
+    unioned = reduce(lambda a, b: a.unionByName(b), sketches)
+    return (
+        unioned.groupBy("d", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    estimate_col: str = "cms_estimate",
+) -> DataFrame:
+    """Estimated count per row of ``items``: MIN over the item's
+    ``depth`` buckets. Never under the true count.
+
+    The sketch side is broadcast (KBs); the probe explode is
+    ``depth`` rows per item and the only aggregation is the per-item
+    MIN — items with colliding buckets share sketch cells, which is
+    the sketch's bias, not a join artifact.
+
+    Items missing from the sketch entirely (all ``depth`` cells empty)
+    estimate as 0 — the sketch's answer for a never-seen item.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+    probes = items.select(F.col(item_col), d).withColumn(
+        "bucket", cms_bucket(F.col(item_col), F.col("d"), width)
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias(estimate_col)
+        )
+    )

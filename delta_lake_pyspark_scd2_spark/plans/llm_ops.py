@@ -3282,3 +3282,177 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=5
     )
+
+
+@register(
+    "sketch_count_min",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY 1
+    ),
+    ds AS (SELECT unnest(range(4)) AS d),
+    cms AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             CAST(sum(c) AS BIGINT) AS cnt
+      FROM counts CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    topk AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 20),
+    probes AS (
+      SELECT t.word, t.c, ds.d,
+             ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.word), 1, 8))::BIGINT
+               % 1024 AS bucket
+      FROM topk t CROSS JOIN ds
+    )
+    SELECT p.word,
+           CAST(min(p.c) AS BIGINT) AS exact_count,
+           CAST(min(m.cnt) AS BIGINT) AS cms_estimate
+    FROM probes p JOIN cms m ON m.d = p.d AND m.bucket = p.bucket
+    GROUP BY 1
+    """,
+    doc="Count-min sketch frequency estimates (Cormode & Muthukrishnan "
+    "2005) probed at the exact top-20 words: the sketch is a fixed "
+    "4x1024 counter grid built from the vocab-sized count table (never "
+    "the raw token stream), merges by bucket-wise sum across shards/"
+    "days, and each estimate is the MIN over 4 broadcast-joined cells "
+    "-- can only over-count. The frequency half of the streaming-"
+    "summary pair next to sketch_mergeable_vocab's HLL cardinalities. "
+    "Bucket hashing rides the shared md5 primitive, so the oracle "
+    "rebuilds the identical sketch bit-for-bit.",
+)
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = persist_tracked(
+        docs.select(
+            F.explode(
+                F.split(text.normalize_text(F.col("text")), " ")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cms = sketches.count_min_build(counts, "word", "c")
+    topk = counts.orderBy(F.desc("c"), "word").limit(20)
+    est = sketches.count_min_estimate(cms, topk.select("word"), "word")
+    return topk.join(est, "word").select(
+        "word", F.col("c").alias("exact_count"), "cms_estimate"
+    )
+
+
+@register(
+    "decontam_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id < 16
+    ),
+    c AS (
+      SELECT vec_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE vec_id >= 16
+    ),
+    scored AS (
+      SELECT c.vec_id, {_COS.format(a='cv', b='ev')} AS s
+      FROM c CROSS JOIN e
+    )
+    SELECT vec_id, max(s) AS max_eval_sim, max(s) >= 0.35 AS contaminated
+    FROM scored GROUP BY 1
+    """,
+    doc="Embedding-space decontamination: every corpus vector labeled "
+    "with its max cosine vs a broadcast eval set -- the semantic twin "
+    "of the 13-gram screen (decontam_survivors), catching paraphrased "
+    "benchmark leakage that shares no exact n-gram. Eval side "
+    "broadcasts pre-normalized; corpus streams through a narrow "
+    "JVM-expression scoring pass + one map-side-combined max. Rounded "
+    "cosine makes the >= threshold boundary engine-stable (max of "
+    "rounded == rounded max).",
+)
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_contamination(
+        emb.filter(F.col("vec_id") >= 16),
+        emb.filter(F.col("vec_id") < 16),
+        threshold=0.35,
+    )
+
+
+@register(
+    "vtable_version_diff",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 4 < 3
+    ),
+    ins AS (
+      SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 4 = 3
+    ),
+    upd AS (
+      SELECT * FROM base WHERE o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+    ),
+    del AS (SELECT * FROM base WHERE o_orderkey % 7 = 0),
+    feed AS (
+      SELECT 'insert' AS change_type, price FROM ins
+      UNION ALL SELECT 'update_preimage' AS change_type, price FROM upd
+      UNION ALL SELECT 'update_postimage' AS change_type, price * 2 FROM upd
+      UNION ALL SELECT 'delete' AS change_type, price FROM del
+    )
+    SELECT change_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(price) AS BIGINT) AS sum_price
+    FROM feed GROUP BY 1
+    """,
+    doc="Version-to-version semantic diff of a versioned table, "
+    "summarized per change class: create v0, apply one generic "
+    "MERGE (inserts + updates + deletes), then read the change data "
+    "feed across the whole span and aggregate rows/value-sums by "
+    "_change_type. The oracle derives each class from the same "
+    "deterministic predicates -- the CDF must reproduce it exactly. "
+    "Scale: the manifest diff reads only files touched by the commit "
+    "(immutable files shared by both versions can't hold changes), so "
+    "diff cost tracks change volume, not table size.",
+)
+def vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 4 < 3).select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price"),
+    )
+    upd = base.filter(
+        (F.col("o_orderkey") % 5 == 0) & (F.col("o_orderkey") % 7 != 0)
+    ).withColumn("price", F.col("price") * 2)
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    t = VersionedParquetTable.create(
+        spark, base, scratch_path("vtable_version_diff")
+    )
+    t.upsert(upd.unionByName(ins), ["o_orderkey"], deletes=dels)
+    return (
+        t.table_changes(["o_orderkey"], 0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("price").cast("long").alias("sum_price"),
+        )
+    )

@@ -1,0 +1,157 @@
+"""Count-min sketch: over-estimate guarantee, mergeability, probe
+semantics — plus the embedding decontamination screen built next to it
+this round.
+
+Naive-reference strategy (SURVEY.md §5): exact counts computed with
+plain Python dicts are the ground truth; the sketch must never
+under-estimate any of them, and sketches of disjoint corpus halves
+merged bucket-wise must be bit-identical to the whole-corpus sketch.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import sketches
+
+DOCS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick blue hare sleeps under the old tree",
+    "a dog and a fox share the quick meadow",
+    "merge sort beats bubble sort on the big table",
+    "the the the the repeated token stress row",
+]
+
+
+def _counts_df(spark, docs):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id INT, text STRING")
+    return (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _exact(docs) -> Counter:
+    c: Counter = Counter()
+    for t in docs:
+        c.update(w for w in t.split(" ") if w)
+    return c
+
+
+def test_cms_never_underestimates(spark):
+    counts = _counts_df(spark, DOCS)
+    cms = sketches.count_min_build(counts, "word", "c")
+    est = {
+        r["word"]: r["cms_estimate"]
+        for r in sketches.count_min_estimate(
+            cms, counts.select("word"), "word"
+        ).collect()
+    }
+    exact = _exact(DOCS)
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert est[w] >= n, f"under-estimate for {w!r}: {est[w]} < {n}"
+
+
+def test_cms_exact_when_collision_free(spark):
+    # 4x1024 cells vs ~30 distinct words: a collision in ALL 4 rows for
+    # some word is (30/1024)^4-improbable; the MIN therefore recovers
+    # the exact count for every word of this corpus.
+    counts = _counts_df(spark, DOCS)
+    cms = sketches.count_min_build(counts, "word", "c")
+    est = sketches.count_min_estimate(cms, counts.select("word"), "word")
+    joined = counts.join(est, "word").collect()
+    assert all(r["cms_estimate"] == r["c"] for r in joined)
+
+
+def test_cms_merge_equals_whole(spark):
+    half_a, half_b = DOCS[:2], DOCS[2:]
+    whole = sketches.count_min_build(_counts_df(spark, DOCS), "word", "c")
+    merged = sketches.count_min_merge(
+        sketches.count_min_build(_counts_df(spark, half_a), "word", "c"),
+        sketches.count_min_build(_counts_df(spark, half_b), "word", "c"),
+    )
+    w = {(r["d"], r["bucket"]): r["cnt"] for r in whole.collect()}
+    m = {(r["d"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert w == m
+
+
+def test_cms_absent_item_estimates_zero_without_full_grid(spark):
+    # Sparse representation: cells no item hashed to are absent rows;
+    # a probe for a never-seen word must read them as 0 counters (the
+    # left join + coalesce path), not fail or inflate.
+    counts = _counts_df(spark, DOCS)
+    cms = sketches.count_min_build(counts, "word", "c")
+    items = spark.createDataFrame(
+        [("zzz_never_seen_word_123",)], "word STRING"
+    )
+    [row] = sketches.count_min_estimate(cms, items, "word").collect()
+    # With ~30 occupied cells of 4096, all-4-collisions is ~1e-6; the
+    # fixed md5 hashing makes the outcome deterministic, so assert the
+    # exact sketch answer.
+    assert row["cms_estimate"] == 0
+
+
+def test_cms_sketch_size_bounded(spark):
+    counts = _counts_df(spark, DOCS)
+    cms = sketches.count_min_build(counts, "word", "c", depth=2, width=8)
+    rows = cms.collect()
+    assert len(rows) <= 2 * 8
+    assert all(0 <= r["bucket"] < 8 and r["d"] in (0, 1) for r in rows)
+    # Every hash row sees every token occurrence exactly once: the
+    # per-row column sums all equal the corpus token count.
+    total = sum(_exact(DOCS).values())
+    per_row = Counter()
+    for r in rows:
+        per_row[r["d"]] += r["cnt"]
+    assert per_row[0] == per_row[1] == total
+
+
+def test_embedding_contamination_flags_copies_and_clears_orthogonal(spark):
+    from delta_lake_pyspark_scd2_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    ortho = [0.0] * (dim - 1) + [1.0]
+    near = [0.9] + [0.1] * (dim - 1)  # cos vs e1 ≈ 0.93
+    eval_vecs = spark.createDataFrame(
+        [(0, e1), (1, e2)], "vec_id INT, embedding ARRAY<DOUBLE>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, e1), (11, near), (12, ortho)],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in embedding_contamination(
+            corpus, eval_vecs, threshold=0.9
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12}  # every corpus row labeled
+    assert out[10]["contaminated"] and out[10]["max_eval_sim"] == 1.0
+    assert out[11]["contaminated"] and out[11]["max_eval_sim"] >= 0.9
+    assert not out[12]["contaminated"] and out[12]["max_eval_sim"] == 0.0
+
+
+def test_embedding_contamination_plan_broadcasts_eval_side(spark):
+    from delta_lake_pyspark_scd2_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    vecs = spark.range(64).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=int(i)) for i in range(4)]).alias("embedding"),
+    )
+    plan = embedding_contamination(
+        vecs.filter("vec_id >= 8"), vecs.filter("vec_id < 8")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
