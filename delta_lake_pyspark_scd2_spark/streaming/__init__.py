@@ -1,5 +1,6 @@
 from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     corpus_ingest_stream,
+    count_min_stream,
     kmeans_model_stream,
     run_stream_once,
     scd2_stream,
@@ -8,6 +9,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
 
 __all__ = [
     "corpus_ingest_stream",
+    "count_min_stream",
     "kmeans_model_stream",
     "run_stream_once",
     "scd2_stream",

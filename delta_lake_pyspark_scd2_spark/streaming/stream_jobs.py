@@ -342,6 +342,112 @@ def corpus_ingest_stream(
     return q
 
 
+def count_min_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    app_id: str = "cms_maintain",
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Streaming count-min sketch maintenance: document batches
+    arriving under ``source_dir`` continuously fold into a persisted
+    frequency sketch — the online twin of
+    ``operators.sketches.count_min_build`` and the frequency-side
+    companion of the HLL vocab stream, for pipelines that want
+    token-frequency estimates WHILE ingesting (e.g. live stop-word /
+    boilerplate-phrase detection over a crawl).
+
+    Because the sketch is mergeable, each micro-batch is one bounded
+    fold: tokens collapse map-side into the batch's vocab-sized count
+    table, the batch sketch is at most ``depth × width`` cells, and the
+    MERGE into the persisted sketch touches only those cells —
+    per-batch table work is O(depth × width) regardless of batch size
+    or corpus history.
+
+    Exactly-once: counter ADDITION is not idempotent, so each fold's
+    MERGE carries the ``(app_id, batch_no)`` writer transaction — a
+    micro-batch replayed after a sink crash skips at the committed
+    watermark instead of double-counting. A batch id BELOW the
+    watermark means the stream checkpoint was reset against a sketch
+    that kept folding; that cannot be repaired silently (the deltas in
+    between are unknown), so it fails loud like the aggregate
+    maintainer.
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+    from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(sketch_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame([], "d INT, bucket BIGINT, cnt BIGINT"),
+            sketch_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = VersionedParquetTable(spark, sketch_path)
+        last = sk.last_txn_version(app_id)
+        if last is not None and batch_no < last:
+            raise RuntimeError(
+                f"stream checkpoint appears reset: batch {batch_no} < "
+                f"sketch txn watermark {last} for {app_id!r}; rebuild "
+                "the sketch table or restore the original checkpoint"
+            )
+        counts = (
+            batch_df.select(
+                F.explode(
+                    F.split(normalize_text(F.col(text_col)), " ")
+                ).alias("__w")
+            )
+            .filter(F.col("__w") != "")
+            .groupBy("__w")
+            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        )
+        delta = sketches.count_min_build(
+            counts, "__w", "__c", depth=depth, width=width
+        ).withColumnRenamed("cnt", "__delta")
+        merged = delta.join(
+            sk.read().withColumnRenamed("cnt", "__cur"),
+            ["d", "bucket"],
+            "left",
+        ).select(
+            "d",
+            "bucket",
+            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("cnt"),
+        )
+        m = sk.upsert(
+            merged,
+            ["d", "bucket"],
+            operation="CMS_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(batch_no, m)
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(source_dir)
+        .writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 def scd2_stream(
     spark: SparkSession,
     spec: SCD2Spec,

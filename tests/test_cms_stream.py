@@ -1,0 +1,97 @@
+"""Streaming count-min maintenance: the persisted sketch after N
+micro-batches must be bit-identical to the batch sketch of the union
+of all documents (mergeability, end to end), and a checkpoint reset
+against a sketch that kept folding must fail loud instead of
+double-counting."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_lake_pyspark_scd2_spark.operators import sketches
+from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
+from delta_lake_pyspark_scd2_spark.streaming import count_min_stream
+
+BATCHES = [
+    ["the quick brown fox", "the lazy dog sleeps"],
+    ["merge sort beats bubble sort", "the fox returns"],
+    ["the the the repeated row"],
+]
+
+
+def _write_batch(src, i: int, texts) -> None:
+    with open(src / f"b{i}.json", "w") as f:
+        for j, t in enumerate(texts):
+            f.write(json.dumps({"doc_id": i * 100 + j, "text": t}) + "\n")
+
+
+def _batch_sketch_cells(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    counts = (
+        df.select(
+            F.explode(F.split(normalize_text(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cms = sketches.count_min_build(counts, "w", "c")
+    return {(r["d"], r["bucket"]): r["cnt"] for r in cms.collect()}
+
+
+def test_stream_sketch_equals_whole_corpus_sketch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_path, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    for i, texts in enumerate(BATCHES):
+        _write_batch(src, i, texts)
+        count_min_stream(spark, str(src), sketch_path, ckpt)
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in VersionedParquetTable(spark, sketch_path).read().collect()
+    }
+    want = _batch_sketch_cells(spark, [t for b in BATCHES for t in b])
+    assert got == want
+
+
+def test_checkpoint_reset_fails_loud(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_path = str(tmp_path / "sketch")
+    # incremental runs advance the txn watermark to batch id 2
+    for i, texts in enumerate(BATCHES):
+        _write_batch(src, i, texts)
+        count_min_stream(spark, str(src), sketch_path, str(tmp_path / "ckpt1"))
+    # fresh checkpoint restarts batch ids at 0 — folding those batches
+    # again against the already-advanced sketch would double-count, so
+    # the watermark guard must abort the stream.
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException, Py4JJavaError),
+        match="checkpoint appears reset",
+    ):
+        count_min_stream(
+            spark, str(src), sketch_path, str(tmp_path / "ckpt2")
+        )
+
+
+def test_upsert_txn_replay_is_noop_for_fold(spark, tmp_path):
+    # The crash window the stream relies on: a replayed micro-batch
+    # re-issues the same (app, batch) MERGE — it must not add twice.
+    t = VersionedParquetTable.create(
+        spark,
+        spark.createDataFrame([(0, 5, 10)], "d INT, bucket INT, cnt LONG"),
+        str(tmp_path / "t"),
+    )
+    add = spark.createDataFrame([(0, 5, 13)], "d INT, bucket INT, cnt LONG")
+    t.upsert(add, ["d", "bucket"], txn=("cms", 7))
+    t.upsert(add, ["d", "bucket"], txn=("cms", 7))  # replay
+    assert t.read().collect()[0]["cnt"] == 13
