@@ -3391,6 +3391,42 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_drift_kl",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents
+    ),
+    w AS (
+      SELECT source, word, CAST(count(*) AS BIGINT) AS n_gw
+      FROM words WHERE word <> '' GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, CAST(sum(n_gw) AS BIGINT) AS n_g FROM w GROUP BY 1),
+    ov AS (SELECT word, CAST(sum(n_gw) AS BIGINT) AS n_w FROM w GROUP BY 1),
+    nt AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM ov)
+    SELECT w.source,
+           CAST(min(t.n_g) AS BIGINT) AS n_tokens,
+           round(sum(round(
+             (CAST(n_gw AS DOUBLE) / n_g)
+             * ln(CAST(n_gw AS DOUBLE) * n_total
+                  / (CAST(n_g AS DOUBLE) * n_w)), 9)), 6) AS kl_divergence
+    FROM w JOIN tot t USING (source) JOIN ov USING (word) CROSS JOIN nt
+    GROUP BY 1
+    """,
+    doc="Distribution-drift monitor: KL(source-unigram-dist || corpus-"
+    "unigram-dist) per crawl source -- flags a slice whose language "
+    "diverged (new boilerplate, encoding break, topical shift) before "
+    "it trains badly. Slice/corpus/total frequencies re-enter as "
+    "broadcast joins after ONE token-collapse shuffle. KL terms are "
+    "9-dp-rounded before the 6-dp sum so engine summation order "
+    "cannot flip the reported value.",
+)
+def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.unigram_kl_drift(docs, "source")
+
+
+@register(
     "vtable_version_diff",
     oracle="""
     WITH base AS (
