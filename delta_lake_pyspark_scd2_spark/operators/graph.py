@@ -202,3 +202,44 @@ def pagerank(
         )
         ranks = ranks.localCheckpoint(eager=False)
     return ranks
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-``score_col`` document (ties to the lowest id),
+    not the lowest-id one.
+
+    What production dedup actually wants: when a boilerplate-stripped
+    page near-duplicates its full-chrome twin, min-id keeps whichever
+    crawled first — this keeps the better copy (longer / higher
+    quality score) and drops the rest. Output:
+    ``(id_col, cluster_id, cluster_size, is_kept)`` over every doc.
+
+    Scale: the components come from :func:`connected_components`
+    (one (node,label) row per vertex per round); the keeper choice
+    adds one score join and one per-cluster window pass — both keyed
+    on ``cluster_id``, no new corpus-wide structure. ``score_col``
+    must be deterministic and engine-stable (exact ints like
+    ``n_chars``, or 4-dp-rounded ratios) so the argmax cannot flip
+    between engines.
+    """
+    from pyspark.sql import Window
+
+    clustered = cluster_documents(docs, pairs, id_col, pair_a, pair_b)
+    scored = clustered.join(docs.select(id_col, score_col), id_col)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        "cluster_id",
+        "cluster_size",
+        (F.row_number().over(w) == 1).alias("is_kept"),
+    )

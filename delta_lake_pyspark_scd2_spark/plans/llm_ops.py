@@ -3391,6 +3391,170 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retrieve_tfidf_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM words WHERE t <> '' GROUP BY 1, 2
+    ),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    emb AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tf.t), 1, 8))::BIGINT % 64 AS INT)
+               AS bucket,
+             round(sum(
+               (CASE WHEN ('0x' || substr(md5(tf.t || '#s'), 1, 8))::BIGINT % 2 = 0
+                     THEN 1.0 ELSE -1.0 END)
+               * round(tf.tf * round(ln(n.n_docs / dfq.df), 6), 6)), 6) AS w
+      FROM tf JOIN dfq USING (t) CROSS JOIN n
+      GROUP BY 1, 2
+    ),
+    norms AS (
+      SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM emb GROUP BY 1
+    ),
+    dots AS (
+      SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+             sum(q.w * c.w) AS dot
+      FROM emb q JOIN emb c USING (bucket)
+      WHERE q.doc_id < 3 AND c.doc_id >= 3
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             round(dot / (nq.nrm * nc.nrm), 6) AS cos_sim
+      FROM dots
+      JOIN norms nq ON nq.doc_id = query_id
+      JOIN norms nc ON nc.doc_id = match_id
+    )
+    SELECT query_id, match_id, rank, cos_sim FROM (
+      SELECT query_id, match_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Text-to-text retrieval with no model artifact: corpus docs "
+    "embedded as sparse hashed TF-IDF (the doc_embedding_hash "
+    "representation), query docs (id < 3) score the corpus by sparse "
+    "cosine -- a broadcast bucket equi-join, i.e. a posting-list "
+    "probe: only (query, doc) pairs sharing a non-zero bucket are "
+    "ever scored, never all pairs. Norms and ranks over the "
+    "6-dp-rounded weights keep both engines' floats identical.",
+)
+def retrieve_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = persist_tracked(
+        text.hashed_tfidf_embedding(docs, dense=False, dim=64)
+    )
+    norms = emb.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("__nrm")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            "bucket",
+            F.col("weight").alias("__qw"),
+        )
+    )
+    dots = (
+        emb.filter(F.col("doc_id") >= 3)
+        .join(q, "bucket")
+        .groupBy("query_id", F.col("doc_id").alias("match_id"))
+        .agg(F.sum(F.col("__qw") * F.col("weight")).alias("__dot"))
+    )
+    qn = F.broadcast(
+        norms.select(
+            F.col("doc_id").alias("query_id"), F.col("__nrm").alias("__nq")
+        )
+    )
+    cn = norms.select(
+        F.col("doc_id").alias("match_id"), F.col("__nrm").alias("__nc")
+    )
+    scored = (
+        dots.join(qn, "query_id")
+        .join(cn, "match_id")
+        .select(
+            "query_id",
+            "match_id",
+            F.round(F.col("__dot") / (F.col("__nq") * F.col("__nc")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("match_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "match_id", "rank", "cos_sim")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id ASC) = 1)
+             AS is_kept
+    FROM lab
+    """,
+    doc="Quality-aware near-dup survivor selection: same Jaccard>=0.8 "
+    "clusters as dedup_cluster_canonical, but each cluster keeps its "
+    "highest-n_chars member (ties to lowest id) instead of the lowest "
+    "id -- when a stripped page near-duplicates its full twin, keep "
+    "the better copy. Adds one score join + one cluster-keyed window "
+    "to the distributed-CC plan; the keeper rule uses exact ints so "
+    "the argmax is engine-stable.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return graph.cluster_keep_best(docs, pairs, "n_chars")
+
+
+@register(
     "source_drift_kl",
     oracle=f"""
     WITH words AS (

@@ -156,3 +156,41 @@ def test_pagerank_matches_naive_on_random_graph(spark):
     edges = spark.createDataFrame(edge_list, "src long, dst long")
     got = {r["node"]: r["rank"] for r in pagerank(edges, iters=3).collect()}
     assert got == _naive_pagerank(edge_list, iters=3)
+
+
+def test_cluster_keep_best_prefers_high_score_over_min_id(spark):
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        cluster_keep_best,
+    )
+
+    # cluster {1,2,3}: doc 2 is the longest — it must be kept even
+    # though min-id canonical selection would pick doc 1; doc 9 is a
+    # singleton and keeps itself.
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 200), (9, 50)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    rows = {
+        r["doc_id"]: r
+        for r in cluster_keep_best(docs, pairs, "n_chars").collect()
+    }
+    assert [rows[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [rows[i]["is_kept"] for i in (1, 2, 3)] == [False, True, False]
+    assert rows[9]["is_kept"] and rows[9]["cluster_size"] == 1
+    assert rows[1]["cluster_size"] == 3
+
+
+def test_cluster_keep_best_tie_breaks_to_lowest_id(spark):
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        cluster_keep_best,
+    )
+
+    docs = spark.createDataFrame(
+        [(5, 100), (6, 100)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(5, 6)], "id_a long, id_b long")
+    rows = {
+        r["doc_id"]: r["is_kept"]
+        for r in cluster_keep_best(docs, pairs, "n_chars").collect()
+    }
+    assert rows == {5: True, 6: False}
