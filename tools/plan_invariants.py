@@ -38,6 +38,11 @@ EXTRA_QUERIES = (
     "kmeans_cluster",
     "dedup_incremental_lsh",
     "text_pmi_topk",
+    "sketch_count_min",
+    "decontam_embedding",
+    "source_drift_kl",
+    "dedup_keep_best",
+    "retrieve_tfidf_topk",
 )
 
 
