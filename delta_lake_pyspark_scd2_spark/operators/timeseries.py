@@ -114,3 +114,52 @@ def time_bucket_gapfill(
             ),
         )
     return out.select(*group_cols, "bucket_ts", "value", "filled")
+
+
+def daily_volume_anomaly(
+    events: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    *,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Daily-volume anomaly detection: z-score every (group, day)
+    count against that group's own daily distribution — the ingest
+    monitor that flags a collapsed crawler or a duplicate-feed day
+    before the slice trains.
+
+    Output: ``(group_col, day, n, z, is_anomaly)`` for every observed
+    day; ``is_anomaly`` = |z| ≥ ``z_threshold``; ``z`` is NULL (and
+    the flag false) for a group whose counts never vary.
+
+    Plan shape: one map-side-combined (group, day) count — the only
+    input-sized work — then the z-scores are window passes over the
+    DAILY table (groups × days rows, output-sized).
+
+    Cross-engine float contract: mean and variance are derived from
+    exact integer window sums (``k·Σn² − (Σn)²`` over longs), so both
+    engines feed bit-identical doubles into the final divide; the
+    6-dp round then cannot disagree. (Built-in ``stddev_samp`` would
+    instead accumulate doubles in engine-specific order.)
+    """
+    daily = events.groupBy(
+        F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy(group_col)
+    k = F.count(F.lit(1)).over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    mean = s1.cast("double") / k
+    var = F.nullif(
+        (k * s2 - s1 * s1).cast("double"), F.lit(0.0)
+    ) / (k * (k - 1))
+    z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
+    return daily.select(
+        group_col,
+        "day",
+        "n",
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) >= F.lit(z_threshold), F.lit(False)
+        ).alias("is_anomaly"),
+    )

@@ -3391,6 +3391,47 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT d.event_type, d.day, d.n,
+           round((d.n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt(nullif(CAST(k * s2 - s1 * s1 AS DOUBLE), 0.0)
+                        / (k * (k - 1))), 6) AS z,
+           COALESCE(abs(round((d.n - CAST(s1 AS DOUBLE) / k)
+                 / sqrt(nullif(CAST(k * s2 - s1 * s1 AS DOUBLE), 0.0)
+                        / (k * (k - 1))), 6)) >= 2.0, FALSE) AS is_anomaly
+    FROM daily d JOIN stats USING (event_type)
+    """,
+    doc="Ingest-volume anomaly monitor: every (event_type, day) count "
+    "z-scored against that type's own daily distribution -- flags a "
+    "collapsed crawler or duplicate-feed day before the slice trains. "
+    "One input-sized count, then output-sized window passes. Mean and "
+    "variance derive from exact integer sums (k*sum(n^2) - sum(n)^2), "
+    "so both engines divide bit-identical doubles -- no "
+    "engine-ordered stddev accumulation.",
+)
+def events_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        daily_volume_anomaly,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return daily_volume_anomaly(events, "event_type")
+
+
+@register(
     "retrieve_tfidf_topk",
     oracle=f"""
     WITH words AS (

@@ -63,3 +63,53 @@ def test_kl_zero_for_identical_distribution(spark):
     rows = unigram_kl_drift(df, "source").collect()
     assert {r["source"] for r in rows} == {"x", "y"}
     assert all(r["kl_divergence"] == 0.0 for r in rows)
+
+
+def test_daily_anomaly_flags_spike_and_handles_zero_variance(spark):
+    from datetime import datetime
+
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        daily_volume_anomaly,
+    )
+
+    rows = []
+    # 'click': 10/day for 9 days, then a 100-event spike day
+    for d in range(1, 10):
+        rows += [(datetime(2024, 1, d, 12), "click")] * 10
+    rows += [(datetime(2024, 1, 10, 12), "click")] * 100
+    # 'flat': exactly 5/day — zero variance, z must be NULL, not crash
+    for d in range(1, 4):
+        rows += [(datetime(2024, 1, d, 12), "flat")] * 5
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    out = daily_volume_anomaly(df, "event_type")
+    click = {r["day"].day: r for r in out.filter("event_type='click'").collect()}
+    assert click[10]["is_anomaly"] and click[10]["z"] > 2
+    assert not any(click[d]["is_anomaly"] for d in range(1, 10))
+    # the spike drags the mean up, so normal days sit below it
+    assert all(click[d]["z"] < 0 for d in range(1, 10))
+    flat = out.filter("event_type='flat'").collect()
+    assert all(r["z"] is None and r["is_anomaly"] is False for r in flat)
+
+
+def test_daily_anomaly_zscore_matches_naive(spark):
+    import math
+    from datetime import datetime
+
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        daily_volume_anomaly,
+    )
+
+    counts = [7, 9, 13, 8, 11, 6, 14]
+    rows = []
+    for d, c in enumerate(counts, start=1):
+        rows += [(datetime(2024, 2, d, 6), "e")] * c
+    df = spark.createDataFrame(rows, "ts TIMESTAMP, event_type STRING")
+    got = {
+        r["day"].day: r["z"]
+        for r in daily_volume_anomaly(df, "event_type").collect()
+    }
+    k, s1, s2 = len(counts), sum(counts), sum(c * c for c in counts)
+    var = (k * s2 - s1 * s1) / (k * (k - 1))
+    for d, c in enumerate(counts, start=1):
+        want = round((c - s1 / k) / math.sqrt(var), 6)
+        assert got[d] == want
