@@ -115,7 +115,10 @@ def embedding_contamination(
     the n-gram one in modern data cards). Returns
     ``(id_col, max_eval_sim, contaminated)`` covering every corpus row:
     ``max_eval_sim`` = max rounded cosine vs any eval vector,
-    ``contaminated`` = max_eval_sim ≥ threshold.
+    ``contaminated`` = max_eval_sim ≥ threshold. An EMPTY eval set
+    still returns every corpus row (``max_eval_sim`` NULL,
+    ``contaminated`` false) — the screen reports nothing-to-screen
+    rather than silently emptying a keep-list built on its output.
 
     Scale shape: the eval side is benchmarks — thousands of vectors —
     so it **broadcasts** pre-normalized; the corpus side streams
@@ -138,7 +141,11 @@ def embedding_contamination(
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
         .withColumn("__cn", norm(F.col("__cv")))
-        .crossJoin(ev)
+        # LEFT on an always-true condition = cross product that still
+        # KEEPS corpus rows when the eval side is empty (full-coverage
+        # contract above); the broadcast right side makes it a
+        # BroadcastNestedLoopJoin either way.
+        .join(ev, F.lit(True), "left")
         .withColumn(
             "__sim",
             F.round(
@@ -151,5 +158,7 @@ def embedding_contamination(
     )
     return scored.groupBy(id_col).agg(
         F.max("__sim").alias("max_eval_sim"),
-        (F.max("__sim") >= F.lit(threshold)).alias("contaminated"),
+        F.coalesce(
+            F.max("__sim") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
     )

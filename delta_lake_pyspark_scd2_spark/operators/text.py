@@ -581,6 +581,32 @@ def hashed_tfidf_embedding(
     )
 
 
+def word_counts(
+    df: DataFrame, text_col: str = "text", *group_cols: str
+) -> DataFrame:
+    """Tokenize and collapse: normalized whitespace tokens counted in
+    ONE map-side-combinable aggregation. Output:
+    ``(*group_cols, word, c)``.
+
+    The single tokenization point shared by the batch count-min
+    builder (``sketch_count_min``), the streaming sketch fold
+    (``count_min_stream``), and the KL drift monitor — summaries that
+    are compared bit-for-bit across those paths MUST tokenize
+    identically, so none of them inlines its own copy.
+    """
+    return (
+        df.select(
+            *[F.col(g) for g in group_cols],
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy(*group_cols, "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
 def unigram_kl_drift(
     df: DataFrame,
     group_col: str = "source",
@@ -613,15 +639,9 @@ def unigram_kl_drift(
     )
 
     per = persist_tracked(
-        df.select(
-            F.col(group_col),
-            F.explode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("word"),
+        word_counts(df, text_col, group_col).withColumnRenamed(
+            "c", "__n_gw"
         )
-        .filter(F.col("word") != "")
-        .groupBy(group_col, "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n_gw"))
     )
     tot = per.groupBy(group_col).agg(F.sum("__n_gw").alias("__n_g"))
     overall = per.groupBy("word").agg(F.sum("__n_gw").alias("__n_w"))

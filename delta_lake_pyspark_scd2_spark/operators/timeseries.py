@@ -136,10 +136,14 @@ def daily_volume_anomaly(
     input-sized work — then the z-scores are window passes over the
     DAILY table (groups × days rows, output-sized).
 
-    Cross-engine float contract: mean and variance are derived from
-    exact integer window sums (``k·Σn² − (Σn)²`` over longs), so both
-    engines feed bit-identical doubles into the final divide; the
-    6-dp round then cannot disagree. (Built-in ``stddev_samp`` would
+    Cross-engine float contract: the window SUMS (``Σn``, ``Σn²``) are
+    exact longs, and the variance numerator ``k·Σn² − (Σn)²`` is then
+    computed in DOUBLE with the identical operation order on both
+    engines — long multiplication would silently wrap past 2^63
+    (Spark non-ANSI) while DuckDB's HUGEINT would not, diverging
+    exactly at scale. Bound: ``Σn²`` itself stays an exact long up to
+    ~1.6e8 events/day/group over a year; past that, pre-bucket to
+    hours before calling this. (Built-in ``stddev_samp`` would
     instead accumulate doubles in engine-specific order.)
     """
     daily = events.groupBy(
@@ -151,7 +155,9 @@ def daily_volume_anomaly(
     s2 = F.sum(F.col("n") * F.col("n")).over(w)
     mean = s1.cast("double") / k
     var = F.nullif(
-        (k * s2 - s1 * s1).cast("double"), F.lit(0.0)
+        k.cast("double") * s2.cast("double")
+        - s1.cast("double") * s1.cast("double"),
+        F.lit(0.0),
     ) / (k * (k - 1))
     z = F.round((F.col("n") - mean) / F.sqrt(var), 6)
     return daily.select(

@@ -3333,16 +3333,7 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import sketches
 
     docs = load_table(spark, sf_dir, "documents")
-    counts = persist_tracked(
-        docs.select(
-            F.explode(
-                F.split(text.normalize_text(F.col("text")), " ")
-            ).alias("word")
-        )
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
+    counts = persist_tracked(text.word_counts(docs))
     cms = sketches.count_min_build(counts, "word", "c")
     topk = counts.orderBy(F.desc("c"), "word").limit(20)
     est = sketches.count_min_estimate(cms, topk.select("word"), "word")
@@ -3407,10 +3398,12 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, d.day, d.n,
            round((d.n - CAST(s1 AS DOUBLE) / k)
-                 / sqrt(nullif(CAST(k * s2 - s1 * s1 AS DOUBLE), 0.0)
+                 / sqrt(nullif(CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
                         / (k * (k - 1))), 6) AS z,
            COALESCE(abs(round((d.n - CAST(s1 AS DOUBLE) / k)
-                 / sqrt(nullif(CAST(k * s2 - s1 * s1 AS DOUBLE), 0.0)
+                 / sqrt(nullif(CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
                         / (k * (k - 1))), 6)) >= 2.0, FALSE) AS is_anomaly
     FROM daily d JOIN stats USING (event_type)
     """,

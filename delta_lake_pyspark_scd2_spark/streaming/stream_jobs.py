@@ -34,6 +34,41 @@ from delta_lake_pyspark_scd2_spark.pipeline.scd2_pipeline import (
     run_scd2_batch,
 )
 
+def _txn_reset_guard(table, app_id: str, batch_no: int, what: str) -> None:
+    """Fail loud when a stream checkpoint was reset against a sink
+    that kept its transaction watermark.
+
+    A crash replay legitimately redelivers ``batch_no == watermark``
+    (the txn itself skips it, or it lands once across a commit race),
+    but ``batch_no < watermark`` means the CHECKPOINT restarted while
+    the sink kept folding — silently skipping would drop every delta
+    the old run applied after the replayed id, and re-applying would
+    double-fold. Shared by every maintainer whose fold is not
+    idempotent (aggregate deltas, sketch counters); a fix to this
+    semantics lands once, here.
+    """
+    last = table.last_txn_version(app_id)
+    if last is not None and batch_no < last:
+        raise RuntimeError(
+            f"stream checkpoint appears reset: batch {batch_no} < "
+            f"{what} txn watermark {last} for {app_id!r}; rebuild "
+            f"the {what} table or restore the original checkpoint"
+        )
+
+
+def _run_foreach_stream(stream_df, checkpoint_dir: str, fold) -> StreamingQuery:
+    """``foreachBatch`` + ``Trigger.AvailableNow`` run to completion —
+    the shared sink wiring of every maintainer stream."""
+    q = (
+        stream_df.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 #: Schema of the driver's events table with a proper timestamp column
 #: (file-source streams require an explicit schema).
 EVENTS_SCHEMA = T.StructType(
@@ -330,16 +365,11 @@ def corpus_ingest_stream(
             if on_batch is not None:
                 on_batch(batch_no, m)
 
-    q = (
-        spark.readStream.schema(schema)
-        .json(source_dir)
-        .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _process,
     )
-    q.awaitTermination()
-    return q
 
 
 def count_min_stream(
@@ -380,41 +410,42 @@ def count_min_stream(
     maintainer.
     """
     from delta_lake_pyspark_scd2_spark.operators import sketches
-    from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+    from delta_lake_pyspark_scd2_spark.operators.text import word_counts
     from delta_lake_pyspark_scd2_spark.sources.vtable import (
         VersionedParquetTable,
     )
 
+    geometry = {"cms.depth": str(depth), "cms.width": str(width)}
     if not VersionedParquetTable.is_table(sketch_path):
         VersionedParquetTable.create(
             spark,
             spark.createDataFrame([], "d INT, bucket BIGINT, cnt BIGINT"),
             sketch_path,
+            properties=geometry,
         )
 
     def _fold(batch_df: DataFrame, batch_no: int) -> None:
         if batch_df.isEmpty():
             return
         sk = VersionedParquetTable(spark, sketch_path)
-        last = sk.last_txn_version(app_id)
-        if last is not None and batch_no < last:
-            raise RuntimeError(
-                f"stream checkpoint appears reset: batch {batch_no} < "
-                f"sketch txn watermark {last} for {app_id!r}; rebuild "
-                "the sketch table or restore the original checkpoint"
+        # Geometry is part of the bucket layout: folding depth/width A
+        # into a sketch built with B spreads an item's counts across
+        # cells its probes never read, silently UNDER-estimating — the
+        # one thing a count-min sketch must never do. The table pins
+        # its geometry as properties at create time; a reconfigured
+        # restart fails here instead.
+        props = sk.properties()
+        have = {k: props.get(k) for k in geometry}
+        if have != geometry:
+            raise ValueError(
+                f"sketch at {sketch_path} has geometry {have}, stream "
+                f"is configured {geometry}: bucket layouts are "
+                "incompatible; rebuild the sketch or match the config"
             )
-        counts = (
-            batch_df.select(
-                F.explode(
-                    F.split(normalize_text(F.col(text_col)), " ")
-                ).alias("__w")
-            )
-            .filter(F.col("__w") != "")
-            .groupBy("__w")
-            .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        )
+        _txn_reset_guard(sk, app_id, batch_no, "sketch")
+        counts = word_counts(batch_df, text_col)
         delta = sketches.count_min_build(
-            counts, "__w", "__c", depth=depth, width=width
+            counts, "word", "c", depth=depth, width=width
         ).withColumnRenamed("cnt", "__delta")
         merged = delta.join(
             sk.read().withColumnRenamed("cnt", "__cur"),
@@ -436,16 +467,11 @@ def count_min_stream(
         if on_batch is not None:
             on_batch(batch_no, m)
 
-    q = (
-        spark.readStream.schema(schema)
-        .json(source_dir)
-        .writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
     )
-    q.awaitTermination()
-    return q
 
 
 def scd2_stream(
@@ -476,16 +502,11 @@ def scd2_stream(
             if on_batch is not None:
                 on_batch(batch_no, m)
 
-    q = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).parquet(source_dir),
+        checkpoint_dir,
+        _process,
     )
-    q.awaitTermination()
-    return q
 
 
 def vtable_sink_stream(
@@ -590,19 +611,7 @@ def maintain_aggregate_stream(
         if batch_df.isEmpty():
             return
         agg = VersionedParquetTable(spark, agg_path)
-        last = agg.last_txn_version(app)
-        if last is not None and batch_no < last:
-            # a crash replay redelivers batch_no == last (skipped by
-            # the txn) or last+1; batch_no < last means the stream
-            # CHECKPOINT was reset while the aggregate kept its
-            # watermark — silently skipping would drop every delta the
-            # old run folded after this batch id. Fail loud: rebuild
-            # the aggregate or restore the checkpoint.
-            raise RuntimeError(
-                f"stream checkpoint appears reset: batch {batch_no} < "
-                f"aggregate txn watermark {last} for {app!r}; rebuild "
-                "the aggregate table or restore the original checkpoint"
-            )
+        _txn_reset_guard(agg, app, batch_no, "aggregate")
         apply_change_rows(
             agg,
             batch_df,
@@ -612,18 +621,14 @@ def maintain_aggregate_stream(
             txn=(app, batch_no),
         )
 
-    q = (
+    return _run_foreach_stream(
         spark.readStream.format("vtable_changes")
         .option("path", src_path)
         .option("keycols", ",".join(key_cols))
-        .load()
-        .writeStream.foreachBatch(_fold)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+        .load(),
+        checkpoint_dir,
+        _fold,
     )
-    q.awaitTermination()
-    return q
 
 
 def kmeans_model_stream(
@@ -733,13 +738,8 @@ def kmeans_model_stream(
         if on_batch is not None:
             on_batch(batch_no, len(stats))
 
-    q = (
-        spark.readStream.schema(schema)
-        .json(source_dir)
-        .writeStream.foreachBatch(_process)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _process,
     )
-    q.awaitTermination()
-    return q

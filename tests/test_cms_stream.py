@@ -95,3 +95,24 @@ def test_upsert_txn_replay_is_noop_for_fold(spark, tmp_path):
     t.upsert(add, ["d", "bucket"], txn=("cms", 7))
     t.upsert(add, ["d", "bucket"], txn=("cms", 7))  # replay
     assert t.read().collect()[0]["cnt"] == 13
+
+
+def test_geometry_mismatch_fails_loud(spark, tmp_path):
+    # a sketch built 4x1024 must refuse folds from a 4x2048-configured
+    # stream: mixing bucket layouts would break never-under-estimate.
+    src = tmp_path / "src"
+    src.mkdir()
+    sketch_path = str(tmp_path / "sketch")
+    _write_batch(src, 0, BATCHES[0])
+    count_min_stream(spark, str(src), sketch_path, str(tmp_path / "ck1"))
+    _write_batch(src, 1, BATCHES[1])
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (ValueError, StreamingQueryException, Py4JJavaError),
+        match="geometry",
+    ):
+        count_min_stream(
+            spark, str(src), sketch_path, str(tmp_path / "ck2"), width=2048
+        )

@@ -155,3 +155,25 @@ def test_embedding_contamination_plan_broadcasts_eval_side(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_contamination_empty_eval_keeps_full_coverage(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from delta_lake_pyspark_scd2_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    empty_eval = corpus.filter(F.lit(False))
+    out = {
+        r["vec_id"]: r
+        for r in embedding_contamination(corpus, empty_eval).collect()
+    }
+    # nothing to screen still reports every corpus row, uncontaminated
+    assert set(out) == {1, 2}
+    assert all(not r["contaminated"] for r in out.values())
+    assert all(r["max_eval_sim"] is None for r in out.values())
