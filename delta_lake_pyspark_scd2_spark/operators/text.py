@@ -638,11 +638,20 @@ def unigram_kl_drift(
         persist_tracked,
     )
 
-    per = persist_tracked(
-        word_counts(df, text_col, group_col).withColumnRenamed(
-            "c", "__n_gw"
-        )
-    )
+    per = persist_tracked(word_counts(df, text_col, group_col))
+    return kl_from_word_counts(per, group_col)
+
+
+def kl_from_word_counts(
+    counts: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """The KL(slice ‖ corpus) scoring half of :func:`unigram_kl_drift`,
+    over an ALREADY-AGGREGATED ``(group_col, word, c)`` count table —
+    shared with the streaming drift monitor, whose maintained count
+    table replaces the batch tokenization. Same plan and float
+    contract as the batch form (broadcast re-entry of totals; 9-dp
+    terms, 6-dp sum)."""
+    per = counts.withColumnRenamed("c", "__n_gw")
     tot = per.groupBy(group_col).agg(F.sum("__n_gw").alias("__n_g"))
     overall = per.groupBy("word").agg(F.sum("__n_gw").alias("__n_w"))
     n_total = overall.agg(F.sum("__n_w").alias("__n_total"))

@@ -474,6 +474,93 @@ def count_min_stream(
     )
 
 
+def drift_monitor_stream(
+    spark: SparkSession,
+    source_dir: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string, source string",
+    group_col: str = "source",
+    text_col: str = "text",
+    app_id: str = "drift_maintain",
+    on_batch: Callable[[int, list], None] | None = None,
+) -> StreamingQuery:
+    """Streaming distribution-drift monitoring: document batches fold
+    into a persisted per-(slice, word) count table, and after each
+    fold the per-slice KL(slice ‖ corpus) report is recomputed from
+    it — drift scores that track the corpus WHILE it ingests, without
+    ever re-tokenizing history.
+
+    Per micro-batch work: one batch-sized token collapse (the shared
+    :func:`operators.text.word_counts`, so the maintained table is
+    bit-identical to what batch tokenization would build), one MERGE
+    touching only the batch's (slice, word) keys, then the KL pass
+    over the VOCABULARY-sized count table — corpus text is read
+    exactly once, ever. Exactly-once like the other maintainers:
+    counter addition is not idempotent, so folds carry the
+    ``(app_id, batch_no)`` writer transaction and a reset checkpoint
+    fails loud.
+
+    ``on_batch(batch_no, rows)`` receives each post-fold KL report
+    (``Row(group_col, n_tokens, kl_divergence)`` list, slice-count-
+    sized) — the hook a monitoring sink alerts from.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.text import (
+        kl_from_word_counts,
+        word_counts,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(counts_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame(
+                [], f"{group_col} STRING, word STRING, c BIGINT"
+            ),
+            counts_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tbl = VersionedParquetTable(spark, counts_path)
+        _txn_reset_guard(tbl, app_id, batch_no, "counts")
+        delta = word_counts(batch_df, text_col, group_col).withColumnRenamed(
+            "c", "__delta"
+        )
+        merged = delta.join(
+            tbl.read().withColumnRenamed("c", "__cur"),
+            [group_col, "word"],
+            "left",
+        ).select(
+            group_col,
+            "word",
+            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("c"),
+        )
+        tbl.upsert(
+            merged,
+            [group_col, "word"],
+            operation="DRIFT_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(
+                batch_no,
+                kl_from_word_counts(tbl.read(), group_col).collect(),
+            )
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )
+
+
 def scd2_stream(
     spark: SparkSession,
     spec: SCD2Spec,

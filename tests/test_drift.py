@@ -113,3 +113,57 @@ def test_daily_anomaly_zscore_matches_naive(spark):
     for d, c in enumerate(counts, start=1):
         want = round((c - s1 / k) / math.sqrt(var), 6)
         assert got[d] == want
+
+
+def test_drift_stream_matches_batch_kl(spark, tmp_path):
+    """After N micro-batches the stream-maintained count table must
+    yield the EXACT batch KL report over the union of all documents
+    (same tokenization, same float contract), and the per-batch hook
+    must see the report evolve."""
+    import json as _json
+
+    from delta_lake_pyspark_scd2_spark.streaming import (
+        drift_monitor_stream,
+    )
+
+    batches = [
+        [("a", "the cat sat on the mat"), ("b", "quantum flux overload")],
+        [("a", "the dog sat on the log"), ("b", "the flux returns")],
+        [("a", "the cat naps again")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    seen: list[tuple[int, dict]] = []
+
+    def hook(batch_no, rows):
+        seen.append(
+            (batch_no, {r["source"]: r["kl_divergence"] for r in rows})
+        )
+
+    did = 0
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for g, t in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "text": t, "source": g})
+                    + "\n"
+                )
+                did += 1
+        drift_monitor_stream(
+            spark,
+            str(src),
+            str(tmp_path / "counts"),
+            str(tmp_path / "ckpt"),
+            on_batch=hook,
+        )
+    all_docs = [(g, t) for b in batches for g, t in b]
+    df = spark.createDataFrame(all_docs, "source STRING, text STRING")
+    want = {
+        r["source"]: (r["n_tokens"], r["kl_divergence"])
+        for r in unigram_kl_drift(df, "source").collect()
+    }
+    final = seen[-1][1]
+    assert {g: final[g] for g in want} == {
+        g: kl for g, (_, kl) in want.items()
+    }
+    assert len(seen) == 3  # one report per non-empty micro-batch
