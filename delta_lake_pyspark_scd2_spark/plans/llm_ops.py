@@ -3382,6 +3382,63 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_dsir_topk",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents
+    ),
+    tok AS (SELECT doc_id, word FROM words WHERE word <> ''),
+    cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    twords AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents WHERE source = 'src1'
+    ),
+    tw AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS t
+      FROM twords WHERE word <> '' GROUP BY 1
+    ),
+    sizes AS (
+      SELECT (SELECT sum(c) FROM cw) AS n_c,
+             (SELECT count(*) FROM cw) AS v,
+             (SELECT sum(t) FROM tw) AS n_t
+    ),
+    model AS (
+      SELECT cw.word,
+             round(ln(
+               (CAST(COALESCE(t, 0) + 1 AS DOUBLE)
+                * CAST(n_c + v AS DOUBLE))
+               / (CAST(c + 1 AS DOUBLE) * CAST(n_t + v AS DOUBLE))
+             ), 9) AS __llr
+      FROM cw LEFT JOIN tw USING (word) CROSS JOIN sizes
+    )
+    SELECT doc_id, round(avg(__llr), 6) AS dsir_score
+    FROM tok JOIN model USING (word)
+    GROUP BY 1 ORDER BY dsir_score DESC, doc_id ASC LIMIT 50
+    """,
+    doc="Data selection by importance resampling (the DSIR recipe, "
+    "Xie et al. 2023, over unigram features): every corpus doc scored "
+    "by its mean per-token log-likelihood ratio between the target "
+    "domain's unigram LM (source='src1') and the corpus LM, add-one "
+    "smoothed over the corpus vocabulary; top-50 reads most like the "
+    "target. The 'trained models' ARE two vocab-sized count tables "
+    "re-entering as broadcast joins -- nothing iterative, one corpus "
+    "explode, one per-doc mean. 9-dp ratio terms under the shared "
+    "float contract.",
+)
+def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        dsir_importance_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_importance_scores(
+        docs, docs.filter(F.col("source") == "src1")
+    )
+    return scores.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(50)
+
+
+@register(
     "events_volume_anomaly",
     oracle="""
     WITH daily AS (

@@ -167,3 +167,52 @@ def test_drift_stream_matches_batch_kl(spark, tmp_path):
         g: kl for g, (_, kl) in want.items()
     }
     assert len(seen) == 3  # one report per non-empty micro-batch
+
+
+def test_dsir_scores_match_naive_and_rank_target_like_docs_first(spark):
+    import math
+    from collections import Counter
+
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        dsir_importance_scores,
+    )
+
+    corpus = [
+        (0, "statute clause hereby liability", "legal"),
+        (1, "statute clause amendment court", "legal"),
+        (2, "banana smoothie recipe blender", "web"),
+        (3, "court hereby clause statute", "web"),   # reads legal
+        (4, "blender banana snack recipe", "web"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string, source string")
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_scores(
+            df, df.filter("source = 'legal'")
+        ).collect()
+    }
+
+    # naive reference with the operator's exact contract
+    cw: Counter = Counter()
+    tw: Counter = Counter()
+    for _, t, s in corpus:
+        ws = t.split(" ")
+        cw.update(ws)
+        if s == "legal":
+            tw.update(ws)
+    n_c, v, n_t = sum(cw.values()), len(cw), sum(tw.values())
+    llr = {
+        w: round(
+            math.log((tw.get(w, 0) + 1) * (n_c + v) / ((c + 1) * (n_t + v))),
+            9,
+        )
+        for w, c in cw.items()
+    }
+    for did, t, _ in corpus:
+        ws = t.split(" ")
+        want = round(sum(llr[w] for w in ws) / len(ws), 6)
+        assert got[did] == pytest.approx(want, abs=2e-6), did
+
+    # the web doc written in legal vocabulary outranks true web docs
+    assert got[3] > got[2] and got[3] > got[4]
+    assert min(got[0], got[1]) > max(got[2], got[4])
