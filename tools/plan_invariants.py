@@ -43,6 +43,8 @@ EXTRA_QUERIES = (
     "source_drift_kl",
     "dedup_keep_best",
     "retrieve_tfidf_topk",
+    "select_dsir_topk",
+    "events_volume_anomaly",
 )
 
 
