@@ -2404,6 +2404,76 @@ class VersionedParquetTable:
             "properties": dict(m.get("properties") or {}),
         }
 
+    def fsck(self, *, deep: bool = False) -> dict:
+        """Read-only storage-integrity audit (the detection half of
+        ``FSCK REPAIR TABLE``): re-resolve every RETAINED version's
+        manifest and verify each referenced data file and
+        deletion-vector sidecar is actually present on storage;
+        ``deep=True`` additionally re-reads every distinct live data
+        file's parquet FOOTER and compares its row count to the
+        manifest's recorded ``rows`` — catching truncation or
+        corruption that an existence check can't.
+
+        Files are immutable once committed, so each distinct path is
+        checked once even when many versions reference it. Cost:
+        metadata-only (existence stats; ``deep`` adds one footer read
+        per live file) — no Spark job, no data scan. Nothing is
+        repaired here: a missing file means restoring from storage
+        backup or ``restore``-ing to an intact version, which must be
+        a human decision.
+        """
+        checked: set[str] = set()
+        missing_files: list[dict] = []
+        missing_dvs: list[dict] = []
+        row_mismatches: list[dict] = []
+        n_files = n_dvs = 0
+        versions = self.versions()
+        for v in versions:
+            for f in self._load_manifest(v)["files"]:
+                rel = f["path"]
+                if rel not in checked:
+                    checked.add(rel)
+                    n_files += 1
+                    full = os.path.join(self.path, DATA_DIR, rel)
+                    if not os.path.exists(full):
+                        missing_files.append({"version": v, "path": rel})
+                    elif deep and f.get("rows") is not None:
+                        try:
+                            _, footer_rows = _file_stats(full)
+                        except Exception as e:  # unreadable footer
+                            row_mismatches.append(
+                                {"version": v, "path": rel,
+                                 "error": str(e)[:200]}
+                            )
+                        else:
+                            if footer_rows != f["rows"]:
+                                row_mismatches.append(
+                                    {"version": v, "path": rel,
+                                     "manifest_rows": f["rows"],
+                                     "footer_rows": footer_rows}
+                                )
+                for dvp in (f.get("dv") or {}).get("paths", []):
+                    if dvp in checked:
+                        continue
+                    checked.add(dvp)
+                    n_dvs += 1
+                    if not os.path.exists(
+                        os.path.join(self.path, DV_DIR, dvp)
+                    ):
+                        missing_dvs.append(
+                            {"version": v, "path": dvp, "file": rel}
+                        )
+        return {
+            "ok": not (missing_files or missing_dvs or row_mismatches),
+            "deep": deep,
+            "versions_checked": versions,
+            "n_data_files": n_files,
+            "n_dv_files": n_dvs,
+            "missing_files": missing_files,
+            "missing_dvs": missing_dvs,
+            "row_mismatches": row_mismatches,
+        }
+
     def vacuum(
         self,
         *,

@@ -67,6 +67,14 @@ def _build_parser() -> argparse.ArgumentParser:
     s.add_argument("--keep-versions", type=int, default=1)
     s.add_argument("--dry-run", action="store_true")
 
+    s = sp("fsck", help="storage-integrity audit (read-only; exit 1 if broken)")
+    s.add_argument(
+        "--deep",
+        action="store_true",
+        help="also compare each live file's parquet footer row count "
+        "to the manifest's recorded rows",
+    )
+
     s = sp("delete", help="DELETE FROM ... WHERE (file-granular)")
     s.add_argument(
         "--where",
@@ -200,6 +208,8 @@ def main(argv: list[str] | None = None) -> int:
             "path": args.path,
             **t.vacuum(keep_versions=args.keep_versions, dry_run=args.dry_run),
         }
+    elif args.cmd == "fsck":
+        out = {"path": args.path, **t.fsck(deep=args.deep)}
     elif args.cmd == "delete":
         out = {"path": args.path, **t.delete(_parse_where(args.where))}
     elif args.cmd == "purge":
@@ -228,6 +238,8 @@ def main(argv: list[str] | None = None) -> int:
 
     # timestamps/dates in show/changes rows aren't JSON-native
     print(json.dumps(out, default=str))
+    if args.cmd == "fsck" and not out["ok"]:
+        return 1
     return 0
 
 
