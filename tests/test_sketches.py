@@ -177,3 +177,63 @@ def test_embedding_contamination_empty_eval_keeps_full_coverage(spark):
     assert set(out) == {1, 2}
     assert all(not r["contaminated"] for r in out.values())
     assert all(r["max_eval_sim"] is None for r in out.values())
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_WORD = st.sampled_from(
+    ["the", "fox", "dog", "spark", "merge", "a", "b", "zz", "längère", "0"]
+)
+_TEXT = st.lists(_WORD, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=8))
+def test_word_counts_matches_python_counter(spark, texts):
+    from delta_lake_pyspark_scd2_spark.operators.text import (
+        normalize_text,
+        word_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {r["word"]: r["c"] for r in word_counts(df).collect()}
+    # reference applies the operator's own normalization contract
+    normed = [
+        r["nt"]
+        for r in df.select(normalize_text(F.col("text")).alias("nt")).collect()
+    ]
+    want: Counter = Counter()
+    for t in normed:
+        want.update(w for w in t.split(" ") if w)
+    assert got == dict(want)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_TEXT, min_size=1, max_size=6))
+def test_cms_never_underestimates_on_random_corpora(spark, texts):
+    from delta_lake_pyspark_scd2_spark.operators.text import word_counts
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    counts = word_counts(df)
+    if not counts.take(1):
+        return  # all-empty corpus: nothing to probe
+    # tiny width forces real collisions, exercising the over-count path
+    cms = sketches.count_min_build(counts, "word", "c", depth=2, width=4)
+    est = sketches.count_min_estimate(
+        cms, counts.select("word"), "word", depth=2, width=4
+    )
+    joined = counts.join(est, "word").collect()
+    assert joined and all(r["cms_estimate"] >= r["c"] for r in joined)
