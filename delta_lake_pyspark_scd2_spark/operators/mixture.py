@@ -168,7 +168,10 @@ def dsir_importance_scores(
     ``score(d) = mean_w ln( p_target(w) / p_corpus(w) )`` with add-one
     smoothing over the CORPUS vocabulary for both models, so a word
     the target never saw contributes a finite negative ratio and
-    out-of-vocabulary tokens cannot divide by zero.
+    out-of-vocabulary tokens cannot divide by zero. Output covers
+    EVERY corpus row: a doc normalizing to zero tokens scores NULL
+    (explicitly unrankable, never silently absent), and an empty
+    target degrades to the uniform smoothed model.
 
     Plan shape: word stats are two vocab-sized aggregations (corpus,
     target) joined broadcast onto the corpus token stream — one
@@ -184,20 +187,29 @@ def dsir_importance_scores(
         persist_tracked,
     )
     from delta_lake_pyspark_scd2_spark.operators.text import (
-        normalize_text,
         word_counts,
+        word_tokens,
     )
 
     corpus_counts = persist_tracked(
         word_counts(docs, text_col).withColumnRenamed("c", "__cw")
     )
-    target_counts = word_counts(target, text_col).withColumnRenamed(
-        "c", "__tw"
+    # referenced twice below (size scalar + model join) — persist, or
+    # the target side tokenizes twice per action
+    target_counts = persist_tracked(
+        word_counts(target, text_col).withColumnRenamed("c", "__tw")
     )
+    # An EMPTY target degrades to the uniform smoothed model
+    # (t_w = 0, n_t = 0 → p_t(w) = 1/V): scores stay defined instead
+    # of the empty-sum NULL silently zeroing every ranking.
     sizes = corpus_counts.agg(
         F.sum("__cw").alias("__n_c"),
         F.count(F.lit(1)).alias("__v"),
-    ).crossJoin(target_counts.agg(F.sum("__tw").alias("__n_t")))
+    ).crossJoin(
+        target_counts.agg(
+            F.coalesce(F.sum("__tw"), F.lit(0)).alias("__n_t")
+        )
+    )
     model = (
         corpus_counts.join(target_counts, "word", "left")
         .crossJoin(F.broadcast(sizes))
@@ -220,14 +232,15 @@ def dsir_importance_scores(
             ).alias("__llr"),
         )
     )
-    tokens = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.split(normalize_text(F.col(text_col)), " ")
-        ).alias("word"),
-    ).filter(F.col("word") != "")
-    return (
+    # the shared tokenizer guarantees every token exists in the model
+    # vocabulary (same split built corpus_counts), so the inner probe
+    # join cannot drop occurrences
+    tokens = word_tokens(docs, text_col, id_col)
+    scored = (
         tokens.join(F.broadcast(model), "word")
         .groupBy(id_col)
         .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
     )
+    # full coverage: a doc normalizing to zero tokens gets an explicit
+    # NULL score rather than silently vanishing from a keep-list join
+    return docs.select(id_col).join(scored, id_col, "left")

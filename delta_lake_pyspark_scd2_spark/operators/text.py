@@ -581,27 +581,40 @@ def hashed_tfidf_embedding(
     )
 
 
+def word_tokens(
+    df: DataFrame, text_col: str = "text", *keep_cols: str
+) -> DataFrame:
+    """The engine's ONE tokenization expression: normalized whitespace
+    tokens, one row per occurrence, empty tokens dropped. Output:
+    ``(*keep_cols, word)``.
+
+    Every operator whose result is compared against another path's
+    (batch vs streaming sketches, count tables vs per-token streams,
+    oracles rebuilt from the same split) MUST tokenize through here —
+    two inlined copies that drift apart turn bit-for-bit contracts
+    into silent skew.
+    """
+    return df.select(
+        *[F.col(g) for g in keep_cols],
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+
 def word_counts(
     df: DataFrame, text_col: str = "text", *group_cols: str
 ) -> DataFrame:
-    """Tokenize and collapse: normalized whitespace tokens counted in
-    ONE map-side-combinable aggregation. Output:
+    """Tokenize and collapse: :func:`word_tokens` counted in ONE
+    map-side-combinable aggregation. Output:
     ``(*group_cols, word, c)``.
 
-    The single tokenization point shared by the batch count-min
-    builder (``sketch_count_min``), the streaming sketch fold
-    (``count_min_stream``), and the KL drift monitor — summaries that
-    are compared bit-for-bit across those paths MUST tokenize
-    identically, so none of them inlines its own copy.
+    Shared by the batch count-min builder (``sketch_count_min``), the
+    streaming sketch fold (``count_min_stream``), the KL drift
+    monitor, and the DSIR models.
     """
     return (
-        df.select(
-            *[F.col(g) for g in group_cols],
-            F.explode(
-                F.split(normalize_text(F.col(text_col)), " ")
-            ).alias("word"),
-        )
-        .filter(F.col("word") != "")
+        word_tokens(df, text_col, *group_cols)
         .groupBy(*group_cols, "word")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )

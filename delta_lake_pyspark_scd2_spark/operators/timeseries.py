@@ -145,6 +145,15 @@ def daily_volume_anomaly(
     ~1.6e8 events/day/group over a year; past that, pre-bucket to
     hours before calling this. (Built-in ``stddev_samp`` would
     instead accumulate doubles in engine-specific order.)
+
+    The numerator is additionally clamped at 0 before the NULL-if-zero
+    guard: at volumes where ``(Σn)²`` dwarfs the true variance,
+    catastrophic cancellation in double can round the difference
+    slightly NEGATIVE — unguarded, sqrt gives NaN and Spark's
+    NaN-sorts-greatest comparison would flag every day of the
+    steadiest feed as anomalous. Clamp → 0 → NULL z: "variance below
+    measurable at this precision", reported as no signal, never a
+    false alarm.
     """
     daily = events.groupBy(
         F.col(group_col), F.to_date(F.col(ts_col)).alias("day")
@@ -155,8 +164,11 @@ def daily_volume_anomaly(
     s2 = F.sum(F.col("n") * F.col("n")).over(w)
     mean = s1.cast("double") / k
     var = F.nullif(
-        k.cast("double") * s2.cast("double")
-        - s1.cast("double") * s1.cast("double"),
+        F.greatest(
+            k.cast("double") * s2.cast("double")
+            - s1.cast("double") * s1.cast("double"),
+            F.lit(0.0),
+        ),
         F.lit(0.0),
     ) / (k * (k - 1))
     z = F.round((F.col("n") - mean) / F.sqrt(var), 6)

@@ -3401,7 +3401,7 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (
       SELECT (SELECT sum(c) FROM cw) AS n_c,
              (SELECT count(*) FROM cw) AS v,
-             (SELECT sum(t) FROM tw) AS n_t
+             (SELECT COALESCE(sum(t), 0) FROM tw) AS n_t
     ),
     model AS (
       SELECT cw.word,
@@ -3412,9 +3412,12 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
              ), 9) AS __llr
       FROM cw LEFT JOIN tw USING (word) CROSS JOIN sizes
     )
-    SELECT doc_id, round(avg(__llr), 6) AS dsir_score
-    FROM tok JOIN model USING (word)
-    GROUP BY 1 ORDER BY dsir_score DESC, doc_id ASC LIMIT 50
+    SELECT d.doc_id, s.dsir_score FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, round(avg(__llr), 6) AS dsir_score
+      FROM tok JOIN model USING (word) GROUP BY 1
+    ) s USING (doc_id)
+    ORDER BY dsir_score DESC NULLS LAST, doc_id ASC LIMIT 50
     """,
     doc="Data selection by importance resampling (the DSIR recipe, "
     "Xie et al. 2023, over unigram features): every corpus doc scored "
@@ -3435,7 +3438,9 @@ def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores = dsir_importance_scores(
         docs, docs.filter(F.col("source") == "src1")
     )
-    return scores.orderBy(F.desc("dsir_score"), F.asc("doc_id")).limit(50)
+    return scores.orderBy(
+        F.col("dsir_score").desc_nulls_last(), F.asc("doc_id")
+    ).limit(50)
 
 
 @register(
@@ -3455,12 +3460,16 @@ def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT d.event_type, d.day, d.n,
            round((d.n - CAST(s1 AS DOUBLE) / k)
-                 / sqrt(nullif(CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
-                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
+                 / sqrt(nullif(greatest(
+                          CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE),
+                          0.0), 0.0)
                         / (k * (k - 1))), 6) AS z,
            COALESCE(abs(round((d.n - CAST(s1 AS DOUBLE) / k)
-                 / sqrt(nullif(CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
-                               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE), 0.0)
+                 / sqrt(nullif(greatest(
+                          CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE),
+                          0.0), 0.0)
                         / (k * (k - 1))), 6)) >= 2.0, FALSE) AS is_anomaly
     FROM daily d JOIN stats USING (event_type)
     """,

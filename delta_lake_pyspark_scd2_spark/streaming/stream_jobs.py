@@ -433,10 +433,13 @@ def count_min_stream(
         # cells its probes never read, silently UNDER-estimating — the
         # one thing a count-min sketch must never do. The table pins
         # its geometry as properties at create time; a reconfigured
-        # restart fails here instead.
+        # restart fails here instead. A table with NO geometry
+        # properties (handed over from elsewhere) is unpinned: its
+        # layout can't be verified either way, so the configured
+        # geometry is adopted rather than bricking the stream.
         props = sk.properties()
         have = {k: props.get(k) for k in geometry}
-        if have != geometry:
+        if any(v is not None for v in have.values()) and have != geometry:
             raise ValueError(
                 f"sketch at {sketch_path} has geometry {have}, stream "
                 f"is configured {geometry}: bucket layouts are "

@@ -216,3 +216,26 @@ def test_dsir_scores_match_naive_and_rank_target_like_docs_first(spark):
     # the web doc written in legal vocabulary outranks true web docs
     assert got[3] > got[2] and got[3] > got[4]
     assert min(got[0], got[1]) > max(got[2], got[4])
+
+
+def test_dsir_empty_target_and_empty_doc_are_explicit(spark):
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        dsir_importance_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, ""), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    # empty target -> uniform smoothed model: scores defined (not NULL)
+    out = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_importance_scores(
+            docs, docs.filter(F.lit(False))
+        ).collect()
+    }
+    assert set(out) == {0, 1, 2}  # full coverage incl. the empty doc
+    assert out[0] is not None and out[2] is not None
+    assert out[1] is None  # zero-token doc: explicitly unrankable

@@ -96,7 +96,13 @@ def test_fsck_cli_exit_codes(spark, tmp_path):
         "fsck",
         str(tmp_path / "t"),
     ]
-    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "PYTHONPATH": repo_root
+        + (os.pathsep + os.environ["PYTHONPATH"]
+           if os.environ.get("PYTHONPATH") else ""),
+    }
     r = subprocess.run(cmd, capture_output=True, text=True, env=env)
     assert r.returncode == 0, r.stderr[-500:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["ok"] is True
