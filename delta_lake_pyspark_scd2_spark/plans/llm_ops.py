@@ -3684,6 +3684,8 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast joins after ONE token-collapse shuffle. KL terms are "
     "9-dp-rounded before the 6-dp sum so engine summation order "
     "cannot flip the reported value.",
+    bench=True,  # this round's monitoring surface: one headline entry
+    # so a regression shows up in BENCH medians, not just plan pins
 )
 def source_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
