@@ -152,3 +152,8 @@ def test_random_op_sequences_match_model(spark, tmp_path_factory, ops, data):
     d = t.detail()
     if d["num_rows"] is not None:
         assert d["num_rows"] == len(model)
+    # 4. no op sequence may leave storage inconsistent: every retained
+    # version's data files + DV sidecars present, every live file's
+    # footer row count matching its manifest stats
+    rep = t.fsck(deep=True)
+    assert rep["ok"], rep
