@@ -393,6 +393,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997):
+    ``C(A ⊆ B) = |A∩B| / |A|`` — the excerpt/quote detector. A short
+    document whose shingles all appear inside a longer one scores 1.0
+    on containment but LOW on Jaccard (the union is dominated by the
+    container), so the symmetric screens never see it; training
+    corpora drop or down-weight such excerpts separately from true
+    near-dups.
+
+    Returns ``(contained_id, container_id, containment)`` with
+    ``containment >= threshold``; both directions of every meeting
+    pair are evaluated from ONE shared-shingle join (the asymmetry is
+    in the scoring denominator, not the join). Same candidate-volume
+    caveat as :func:`ngram_jaccard_pairs` — Θ(Σ df²) over shingle
+    document frequencies; at scale, block on rare shingles exactly as
+    the prefix emitter does and keep this scoring expression.
+    """
+    sh = persist_tracked(
+        _spread(df, id_col, jvm_only=True).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    joined = shared.join(sa, "id_a").join(sb, "id_b")
+    ab = joined.select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        F.round(F.col("shared") / F.col("size_a"), 6).alias("containment"),
+    )
+    ba = joined.select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        F.round(F.col("shared") / F.col("size_b"), 6).alias("containment"),
+    )
+    return ab.unionByName(ba).filter(F.col("containment") >= threshold)
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

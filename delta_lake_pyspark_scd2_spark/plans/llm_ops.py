@@ -125,6 +125,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, shared, sa.set_size AS size_a, sb.set_size AS size_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    ),
+    dirs AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             round(shared / size_a, 6) AS containment
+      FROM joined
+      UNION ALL
+      SELECT id_b AS contained_id, id_a AS container_id,
+             round(shared / size_b, 6) AS containment
+      FROM joined
+    )
+    SELECT contained_id, container_id, containment
+    FROM dirs WHERE containment >= 0.8
+    """,
+    doc="Asymmetric shingle containment (Broder 1997): |A intersect "
+    "B| / |A| -- the excerpt/quote detector. A short doc fully inside "
+    "a longer one scores 1.0 here but low on Jaccard (union dominated "
+    "by the container), so symmetric screens never flag it. One "
+    "shared-shingle join scores both directions; asymmetry lives in "
+    "the denominator. Scale path: block on rare shingles like the "
+    "prefix emitter, identical scoring.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs(docs, threshold=0.8)
+
+
+@register(
     "dedup_ngram_jaccard_prefix",
     oracle=f"""
     WITH {_SHINGLES_CTE},

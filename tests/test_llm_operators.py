@@ -583,3 +583,37 @@ def test_cluster_balanced_sample_caps_and_centrality(spark):
     assert sorted((r["vec_id"], r["rank"]) for r in again.collect()) == sorted(
         (r["vec_id"], r["rank"]) for r in kept.collect()
     )
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    from delta_lake_pyspark_scd2_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        shingle_containment_pairs,
+    )
+
+    container = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    excerpt = "alpha beta gamma delta epsilon zeta"  # prefix excerpt
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, container), (2, excerpt), (3, other)],
+        "doc_id long, text string",
+    )
+    cont = shingle_containment_pairs(docs, threshold=0.9).collect()
+    assert [(r["contained_id"], r["container_id"], r["containment"])
+            for r in cont] == [(2, 1, 1.0)]
+    # the symmetric screen never sees it: union dominated by container
+    assert ngram_jaccard_pairs(docs, threshold=0.5).count() == 0
+    # direction matters: the container is NOT contained in the excerpt
+    loose = {
+        (r["contained_id"], r["container_id"])
+        for r in shingle_containment_pairs(docs, threshold=0.2).collect()
+    }
+    assert (2, 1) in loose and (1, 2) in loose  # low threshold: both dirs
+    tight = {
+        (r["contained_id"], r["container_id"])
+        for r in shingle_containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) not in tight
