@@ -453,6 +453,83 @@ def shingle_containment_pairs(
     return ab.unionByName(ba).filter(F.col("containment") >= threshold)
 
 
+def shingle_containment_pairs_prefix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact shingle containment with **asymmetric prefix filtering**
+    — the 100 TB path for the excerpt screen.
+
+    If ``C(A ⊆ B) = |A∩B|/|A| ≥ t`` then ``|A∩B| ≥ ⌈t·|A|⌉``, so the
+    intersection cannot avoid A's first ``|A| − ⌈t·|A|⌉ + 1`` rarest
+    shingles — the SAME prefix bound as the Jaccard emitter, but only
+    the CONTAINED side can be prefixed: containment places no lower
+    bound on B's overlap *fraction*, so the container side joins its
+    FULL shingle set. Candidate volume is Σ(prefix-df × df) over the
+    prefix shingles — rare-first ordering keeps those keys low-df, so
+    it stays far below the naive Θ(Σ df²) and skew-free. Candidates
+    verify exactly on the full sets; output equals
+    :func:`shingle_containment_pairs` (the registry oracle runs the
+    unblocked form, proving the filter lossless).
+    """
+    sh = _spread(df, id_col, jvm_only=True).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    )
+    doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    docs = persist_tracked(
+        sh.join(doc_freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("__set")
+        )
+    )
+    # prefix length n − ⌈t·n⌉ + 1 with the same epsilon-guarded ceil
+    # as the Jaccard emitter (1−t is inexact in binary; a longer
+    # prefix is always safe, a shorter one silently drops true pairs)
+    size = F.size("__set")
+    required = F.ceil(size * threshold - F.lit(1e-9))
+    prefix = docs.select(
+        F.col(id_col),
+        F.explode(F.slice("__set", 1, (size - required + 1).cast("int"))).alias(
+            "shingle"
+        ),
+    )
+    full = docs.select(
+        F.col(id_col).alias("__cid"), F.explode("__set").alias("shingle")
+    )
+    candidates = (
+        prefix.join(full, "shingle")
+        .filter(F.col(id_col) != F.col("__cid"))
+        .select(
+            F.col(id_col).alias("contained_id"),
+            F.col("__cid").alias("container_id"),
+        )
+        .distinct()
+    )
+    sa = docs.select(
+        F.col(id_col).alias("contained_id"), F.col("__set").alias("__sa")
+    )
+    sb = docs.select(
+        F.col(id_col).alias("container_id"), F.col("__set").alias("__sb")
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        candidates.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("containment", F.round(inter / F.size("__sa"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     text_col: str = "text",

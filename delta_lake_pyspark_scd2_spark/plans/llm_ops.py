@@ -166,6 +166,46 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_prefix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT id_a, id_b, shared, sa.set_size AS size_a, sb.set_size AS size_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    ),
+    dirs AS (
+      SELECT id_a AS contained_id, id_b AS container_id,
+             round(shared / size_a, 6) AS containment
+      FROM joined
+      UNION ALL
+      SELECT id_b AS contained_id, id_a AS container_id,
+             round(shared / size_b, 6) AS containment
+      FROM joined
+    )
+    SELECT contained_id, container_id, containment
+    FROM dirs WHERE containment >= 0.8
+    """,
+    doc="Containment with asymmetric prefix filtering -- the excerpt "
+    "screen's 100 TB path. Only the CONTAINED side explodes its "
+    "|A|-ceil(t*|A|)+1 rarest shingles (containment bounds A's "
+    "overlap, never B's, so the container joins its full set); "
+    "candidates verify exactly on full sets. The oracle is the "
+    "UNBLOCKED form: identical output proves the filter lossless.",
+)
+def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_containment_pairs_prefix(docs, threshold=0.8)
+
+
+@register(
     "dedup_ngram_jaccard_prefix",
     oracle=f"""
     WITH {_SHINGLES_CTE},

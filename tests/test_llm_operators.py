@@ -617,3 +617,32 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
         for r in shingle_containment_pairs(docs, threshold=0.9).collect()
     }
     assert (1, 2) not in tight
+
+
+def test_containment_prefix_equals_naive(spark):
+    from delta_lake_pyspark_scd2_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_containment_pairs_prefix,
+    )
+
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # excerpt of 1
+        (3, "one two three four five six seven eight"),
+        (4, "three four five six seven eight nine ten"),  # overlaps 3
+        (5, "alpha beta gamma delta epsilon zeta"),  # duplicate of 2
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    for t in (0.5, 0.8, 1.0):
+        naive = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in shingle_containment_pairs(docs, threshold=t).collect()
+        }
+        blocked = {
+            (r["contained_id"], r["container_id"], r["containment"])
+            for r in shingle_containment_pairs_prefix(
+                docs, threshold=t
+            ).collect()
+        }
+        assert blocked == naive, f"threshold {t}"
+    assert naive  # t=1.0 still catches the exact duplicate both ways
