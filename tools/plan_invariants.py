@@ -45,6 +45,7 @@ EXTRA_QUERIES = (
     "retrieve_tfidf_topk",
     "select_dsir_topk",
     "events_volume_anomaly",
+    "dedup_containment_prefix",
 )
 
 
