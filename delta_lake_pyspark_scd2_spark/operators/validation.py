@@ -172,3 +172,38 @@ def contract_violations(df: DataFrame, contract: TableContract) -> DataFrame:
         .select("*", F.col("__x.field").alias("field"), F.col("__x.rule").alias("rule"))
         .drop("__v", "__x")
     )
+
+
+def embedding_health(
+    df: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Vector-table data quality in ONE pass: per group (or globally),
+    counts of rows whose vector has the wrong dimension, zero norm, or
+    any non-finite component — the checks an embedding pipeline runs
+    before the vectors feed ANN indexing or training, where a single
+    NaN silently poisons every distance it touches.
+
+    All three flags are JVM higher-order expressions over the array —
+    no UDF, no explode (the corpus never fans out), map-side-combined
+    aggregation, one shuffle of group-count rows.
+    """
+    e = F.col(vec_col)
+    wrong_dim = (F.size(e) != F.lit(dim)) | e.isNull()
+    zero_norm = (
+        F.aggregate(e, F.lit(0.0), lambda a, x: a + x * x) == F.lit(0.0)
+    )
+    nonfinite = F.exists(
+        e, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    keys = [group_col] if group_col else []
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        flag(wrong_dim).alias("n_wrong_dim"),
+        flag(F.coalesce(zero_norm, F.lit(False))).alias("n_zero_norm"),
+        flag(F.coalesce(nonfinite, F.lit(False))).alias("n_nonfinite"),
+    )

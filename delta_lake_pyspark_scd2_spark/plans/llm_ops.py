@@ -3463,6 +3463,41 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_embedding_health",
+    oracle="""
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN embedding IS NULL OR len(embedding) <> 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(sum(CASE WHEN COALESCE(
+                           list_dot_product(embedding::DOUBLE[],
+                                            embedding::DOUBLE[]) = 0,
+                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+           CAST(sum(CASE WHEN COALESCE(
+                           len(list_filter(embedding,
+                                           x -> isnan(x) OR isinf(x))) > 0,
+                           FALSE)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite
+    FROM embeddings GROUP BY 1
+    """,
+    doc="Vector-table data quality, one pass: per label, counts of "
+    "wrong-dimension, zero-norm, and non-finite vectors -- the gate an "
+    "embedding pipeline runs before ANN indexing or training, where "
+    "one NaN silently poisons every distance it touches. Pure JVM "
+    "higher-order expressions, no explode (the corpus never fans "
+    "out), map-side-combined agg.",
+)
+def dq_embedding_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.validation import (
+        embedding_health,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_health(emb, dim=64, group_col="label")
+
+
+@register(
     "select_dsir_topk",
     oracle=f"""
     WITH words AS (

@@ -237,3 +237,37 @@ def test_cms_never_underestimates_on_random_corpora(spark, texts):
     )
     joined = counts.join(est, "word").collect()
     assert joined and all(r["cms_estimate"] >= r["c"] for r in joined)
+
+
+def test_embedding_health_flags_each_defect_class(spark):
+    from delta_lake_pyspark_scd2_spark.operators.validation import (
+        embedding_health,
+    )
+
+    rows = [
+        (0, "a", [1.0, 2.0, 3.0]),            # healthy
+        (1, "a", [0.0, 0.0, 0.0]),            # zero norm
+        (2, "a", [1.0, 2.0]),                 # wrong dim
+        (3, "b", [float("nan"), 1.0, 2.0]),   # NaN
+        (4, "b", [float("inf"), 1.0, 2.0]),   # inf
+        (5, "b", None),                       # missing vector
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    out = {
+        r["label"]: r
+        for r in embedding_health(df, dim=3, group_col="label").collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a["n"], a["n_wrong_dim"], a["n_zero_norm"], a["n_nonfinite"]) == (
+        3, 1, 1, 0,
+    )
+    assert (b["n"], b["n_wrong_dim"], b["n_zero_norm"], b["n_nonfinite"]) == (
+        3, 1, 0, 2,
+    )
+    # global form: one row, defects add up
+    [g] = embedding_health(df, dim=3).collect()
+    assert (g["n"], g["n_wrong_dim"], g["n_zero_norm"], g["n_nonfinite"]) == (
+        6, 2, 1, 2,
+    )
