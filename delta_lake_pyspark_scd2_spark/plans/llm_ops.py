@@ -3463,6 +3463,99 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_COS.format(a='ve', b='cv')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM v, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT a.vec_id AS query_id, a.centroid_id, v.ve AS qv
+      FROM assigned a JOIN v ON v.vec_id = a.vec_id
+      WHERE a.vec_id >= 490
+    ),
+    iscored AS (
+      SELECT p.query_id, a.vec_id, {_COS.format(a='p.qv', b='v2.ve')} AS cs
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN v v2 ON v2.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id ASC) AS rank
+        FROM iscored
+      ) WHERE rank <= 5
+    ),
+    q AS (
+      SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id >= 490
+    ),
+    escored AS (
+      SELECT query_id, vec_id, {_COS.format(a='qv', b='ve')} AS cs
+      FROM v, q WHERE vec_id <> query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, vec_id ASC) AS rank
+        FROM escored
+      ) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact e JOIN ivf i
+        ON i.query_id = e.query_id AND i.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT b.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / 5.0, 6) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM exact) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    doc="Index-quality evaluation as a first-class query: recall@5 of "
+    "the single-probe IVF index against exact brute-force cosine, per "
+    "query -- the measurement that decides whether an ANN index's "
+    "speedup is worth its misses before a pipeline adopts it. Both "
+    "arms rank on the identical rounded-cosine/id contract, so the "
+    "intersection (and therefore recall) is engine-exact.",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    qs = emb.filter(F.col("vec_id") >= 490)
+    exact = similarity.cosine_topk(emb, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(emb, centroids, qs, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        exact.join(ivf, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(5.0), 6
+        ).alias("recall_at_5"),
+    )
+
+
+@register(
     "dq_embedding_health",
     oracle="""
     SELECT label,
