@@ -917,6 +917,44 @@ def _lang_oracle() -> str:
 
 
 @register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH preds AS ({_lang_oracle()}),
+    conf AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY 1, 2
+    )
+    SELECT lang, lang_pred, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS share_of_lang
+    FROM conf
+    """,
+    doc="Classifier-quality evaluation as a query: the language-ID "
+    "heuristic's confusion matrix against the table's lang labels, "
+    "with each cell's share of its actual language -- the report that "
+    "decides whether the cheap n-gram ID is good enough per language "
+    "before it gates a corpus. Two aggregations over prediction-sized "
+    "data; the label table never fans out.",
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    conf = (
+        text.language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return conf.select(
+        "lang",
+        "lang_pred",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(w).cast("double"), 6
+        ).alias("share_of_lang"),
+    )
+
+
+@register(
     "text_lang_id",
     oracle=_lang_oracle(),
     doc="Heuristic language ID: per-language stopword-marker counts, "
