@@ -175,10 +175,14 @@ def pagerank(
     Fixed ``iters`` (no convergence test) keeps the unrolled oracle
     exactly equivalent.
     """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    both = both.persist()
+    both = persist_tracked(both)
     deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("__deg"))
     nodes = both.select(F.col("u").alias("node")).distinct()
     n_nodes = nodes.count()  # one long — model-sized driver state

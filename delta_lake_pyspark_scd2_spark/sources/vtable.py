@@ -1744,9 +1744,15 @@ class VersionedParquetTable:
             df = self._scan([dict(f, dv=None)], schema, mapping=mapping)
             survivors = df.filter(~hit)
             n_kept = survivors.count()
-            if f.get("rows") is not None and n_kept == f["rows"]:
+            n_before = f.get("rows")
+            if n_before is None:
+                # manifest entry lacks a row stat: one extra action on
+                # the already-scanned file beats a needless rewrite
+                # (and a negative erasure count in the report)
+                n_before = df.count()
+            if n_kept == n_before:
                 continue  # stats admitted, no actual match
-            n_purged += (f.get("rows") or 0) - n_kept
+            n_purged += n_before - n_kept
             if n_kept == 0:
                 replacement[p] = None
                 continue

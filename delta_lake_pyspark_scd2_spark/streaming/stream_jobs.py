@@ -782,7 +782,8 @@ def kmeans_model_stream(
                 model_path,
             )
         model = VersionedParquetTable(spark, model_path)
-        if (model.last_txn_version(app_id) or -1) >= batch_no:
+        _txn_reset_guard(model, app_id, batch_no, "model")
+        if (model.last_txn_version(app_id) or -1) == batch_no:
             return  # replayed micro-batch: already folded in
         cents = {
             int(r["vec_id"]): (

@@ -115,3 +115,32 @@ def test_overwrite_txn_replay_is_noop(spark, tmp_path):
         spark.createDataFrame([(1, 30.0)], "id long, v double"), txn=("app", 1)
     )
     assert v3 == v1 + 1 and t.read().collect()[0]["v"] == 30.0
+
+
+def test_kmeans_stream_checkpoint_reset_fails_loud(spark, tmp_path):
+    """A fresh checkpoint against a kept model table restarts batch ids
+    at 0; silently skipping until they pass the old watermark and then
+    double-folding would corrupt the running means (the fold is not
+    idempotent) — the watermark guard must abort the stream instead
+    (round-4 ADVICE)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    model_path = str(tmp_path / "model")
+    rng = np.random.default_rng(7)
+    for i, rows in enumerate(_batches(rng)):
+        with open(src / f"b{i}.json", "w") as f:
+            for vid, vec, _ in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+        kmeans_model_stream(
+            spark, str(src), model_path, str(tmp_path / "ckpt1"), k=K, dim=DIM
+        )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException, Py4JJavaError),
+        match="checkpoint appears reset",
+    ):
+        kmeans_model_stream(
+            spark, str(src), model_path, str(tmp_path / "ckpt2"), k=K, dim=DIM
+        )

@@ -36,6 +36,15 @@ def test_dedup_queries_release_cleanly(spark):
         assert _cache_empty(spark), f"{q}: leaked cache entries after release"
 
 
+def test_pagerank_releases_edge_cache(spark):
+    release_tracked()
+    spark.catalog.clearCache()
+    REGISTRY["graph_pagerank"].builder(spark, SF).count()
+    assert not _cache_empty(spark), "pagerank: expected a tracked persist"
+    release_tracked()
+    assert _cache_empty(spark), "pagerank: leaked the doubled-edge cache"
+
+
 def test_entry_wrappers_bound_cache_to_one_query(spark):
     import __spark_entry__ as e
 

@@ -209,3 +209,46 @@ def test_purge_across_schema_evolution(spark, tmp_path):
     v1 = t2.read(version=1)
     assert v1.filter(F.col("user") == "u1").count() == 0
     assert v1.filter(F.col("id") == 101).select("score").first()[0] == 1.5
+
+
+def test_purge_with_missing_rows_stat_reports_exact_counts(spark, tmp_path):
+    """A manifest entry without a ``rows`` stat must neither corrupt the
+    erasure report (negative ``n_history_rows_purged``) nor trigger a
+    needless rewrite when the file has no matching rows (round-4
+    ADVICE): the pre-rewrite count is derived from the scanned file."""
+    import json
+    import os
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import MANIFEST_DIR
+
+    t = _mk(spark, tmp_path)
+    # strip every rows stat from the v0 commit on disk
+    mp = os.path.join(t.path, MANIFEST_DIR, f"v{0:010d}.json")
+    with open(mp) as fh:
+        raw = json.load(fh)
+    for key in ("files", "add"):
+        for f in raw.get(key) or []:
+            f.pop("rows", None)
+    with open(mp, "w") as fh:
+        json.dump(raw, fh)
+    for crc in (os.path.join(os.path.dirname(mp), "." + os.path.basename(mp) + ".crc"),):
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    t2 = VersionedParquetTable(spark, t.path)  # fresh handle, no caches
+    n_u1 = t2.read(version=0).filter(F.col("user") == "u1").count()
+    assert n_u1 > 0
+    out = t2.purge([("user", "=", "u1")])
+    assert out["n_history_rows_purged"] == n_u1  # exact, not negative
+    t3 = VersionedParquetTable(spark, t.path)
+    assert t3.read(version=0).filter(F.col("user") == "u1").count() == 0
+    assert t3.read(version=0).count() == 30 - n_u1
+
+    # second purge of a value that never existed: files (still without a
+    # rows stat in v0's rewritten lineage) are scanned but NOT rewritten
+    files_before = {f["path"] for f in t3._snapshot_files(0)}
+    out2 = t3.purge([("user", "=", "nope")])
+    assert out2["n_history_rows_purged"] == 0
+    assert out2["n_history_files_rewritten"] == 0
+    t4 = VersionedParquetTable(spark, t.path)
+    assert {f["path"] for f in t4._snapshot_files(0)} == files_before
