@@ -236,11 +236,107 @@ def dsir_importance_scores(
     # vocabulary (same split built corpus_counts), so the inner probe
     # join cannot drop occurrences
     tokens = word_tokens(docs, text_col, id_col)
+    # the model IS the full corpus vocabulary — unbounded by
+    # construction, so no forced broadcast hint (a web-scale corpus
+    # has 10^8-10^9 unigrams; Spark hard-fails broadcasts at 8 GB).
+    # model is already word-keyed from its aggregation, so AQE either
+    # broadcasts it at runtime (when genuinely small) or falls back to
+    # a word-keyed shuffle join for free. The principled fixed-size
+    # variant is dsir_importance_scores_hashed below.
     scored = (
-        tokens.join(F.broadcast(model), "word")
+        tokens.join(model, "word")
         .groupBy(id_col)
         .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
     )
     # full coverage: a doc normalizing to zero tokens gets an explicit
     # NULL score rather than silently vanishing from a keep-list join
+    return docs.select(id_col).join(scored, id_col, "left")
+
+
+def dsir_importance_scores_hashed(
+    docs: DataFrame,
+    target: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10000,
+) -> DataFrame:
+    """DSIR importance scores over HASHED n-gram features — the actual
+    Xie et al. 2023 recipe (§2.2: "hashed n-gram features" with a
+    fixed bucket count) and the scale-correct sibling of
+    :func:`dsir_importance_scores`.
+
+    Every token is folded into one of ``n_buckets`` buckets via the
+    engine's md5 hash convention (same as
+    :func:`~..operators.text.hashed_tfidf_embedding`), so both unigram
+    LMs are count tables of AT MOST ``n_buckets`` rows regardless of
+    corpus vocabulary — the importance model stays broadcastable at
+    any corpus size, where the exact-unigram variant's vocab-sized
+    model cannot be (10^8-10^9 distinct unigrams at web scale).
+    ``score(d) = mean_b ln( p_target(b) / p_corpus(b) )`` with add-one
+    smoothing over the FIXED bucket space (denominators use
+    ``n_buckets``, not the observed vocabulary).
+
+    Same coverage contract as the exact variant: every corpus row is
+    returned (zero-token docs score NULL), and an empty target
+    degrades to the uniform smoothed model. Same float contract:
+    9-dp ratio terms, 6-dp per-doc mean.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.text import word_tokens
+
+    def _bucket(col):
+        h = F.conv(
+            F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
+        ).cast("long")
+        return (h % n_buckets).cast("int")
+
+    tokens = word_tokens(docs, text_col, id_col).select(
+        id_col, _bucket(F.col("word")).alias("__b")
+    )
+    corpus_counts = persist_tracked(
+        tokens.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+    )
+    target_counts = persist_tracked(
+        word_tokens(target, text_col)
+        .select(_bucket(F.col("word")).alias("__b"))
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).alias("__tb"))
+    )
+    sizes = corpus_counts.agg(F.sum("__cb").alias("__n_c")).crossJoin(
+        target_counts.agg(
+            F.coalesce(F.sum("__tb"), F.lit(0)).alias("__n_t")
+        )
+    )
+    model = (
+        corpus_counts.join(target_counts, "__b", "left")
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "__b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("__tb"), F.lit(0)) + 1).cast(
+                            "double"
+                        )
+                        * (F.col("__n_c") + n_buckets).cast("double")
+                    )
+                    / (
+                        (F.col("__cb") + 1).cast("double")
+                        * (F.col("__n_t") + n_buckets).cast("double")
+                    )
+                ),
+                9,
+            ).alias("__llr"),
+        )
+    )
+    # the model is ≤ n_buckets rows BY CONSTRUCTION — this broadcast is
+    # bounded, unlike the exact variant's vocab-sized model
+    scored = (
+        tokens.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
+    )
     return docs.select(id_col).join(scored, id_col, "left")

@@ -498,9 +498,13 @@ def bigram_lm_scores(
     logp = F.log(
         (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
     )
+    # c1 (left-context counts) is VOCAB-sized — unbounded at corpus
+    # scale, so no forced broadcast hint: the left side reshuffles on
+    # w1 either way and AQE upgrades to broadcast at runtime when c1
+    # is actually small. vocab is a single row.
     return (
         m.join(c2, ["w1", "w2"])
-        .join(F.broadcast(c1), "w1")
+        .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
@@ -677,9 +681,15 @@ def kl_from_word_counts(
         ),
         9,
     )
+    # tot is group-cardinality (bounded: one row per source/slice) and
+    # n_total is a single row — both safely broadcast. `overall` is
+    # VOCAB-sized (unbounded by construction: 10^8-10^9 unigrams at
+    # web scale), so no forced hint: both sides of that join are
+    # word-keyed aggregates and AQE picks broadcast at runtime only
+    # when the actual size allows it.
     return (
         per.join(F.broadcast(tot), group_col)
-        .join(F.broadcast(overall), "word")
+        .join(overall, "word")
         .crossJoin(F.broadcast(n_total))
         .select(F.col(group_col), term.alias("__t"), F.col("__n_g"))
         .groupBy(group_col)

@@ -80,12 +80,20 @@ _PRIORITY: list[str] = [
     "f_date_parts",
 ]
 
+# Head of the NON-driver tail (positions 51+): queries the judge's
+# local gate re-runs first. The driver window stays exactly _PRIORITY;
+# these are the newest flagships queued for any future head swap.
+_TAIL_PRIORITY: list[str] = [
+    "select_dsir_hashed",
+]
+
 
 def _apply_priority_order() -> None:
-    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    order = _PRIORITY + _TAIL_PRIORITY
+    missing = [n for n in order if n not in REGISTRY]
     if missing:  # fail loudly at import: a rename must update _PRIORITY
         raise KeyError(f"_PRIORITY names absent from REGISTRY: {missing}")
-    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    ordered = {n: REGISTRY[n] for n in order}
     for name, spec in REGISTRY.items():
         if name not in ordered:
             ordered[name] = spec

@@ -3691,6 +3691,73 @@ def select_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_dsir_hashed",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 10000
+                  AS INTEGER) AS b
+      FROM words WHERE word <> ''
+    ),
+    cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+    twords AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents WHERE source = 'src1'
+    ),
+    tb AS (
+      SELECT CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % 10000
+                  AS INTEGER) AS b,
+             CAST(count(*) AS BIGINT) AS t
+      FROM twords WHERE word <> '' GROUP BY 1
+    ),
+    sizes AS (
+      SELECT (SELECT sum(c) FROM cb) AS n_c,
+             (SELECT COALESCE(sum(t), 0) FROM tb) AS n_t
+    ),
+    model AS (
+      SELECT cb.b,
+             round(ln(
+               (CAST(COALESCE(t, 0) + 1 AS DOUBLE)
+                * CAST(n_c + 10000 AS DOUBLE))
+               / (CAST(c + 1 AS DOUBLE) * CAST(n_t + 10000 AS DOUBLE))
+             ), 9) AS __llr
+      FROM cb LEFT JOIN tb USING (b) CROSS JOIN sizes
+    )
+    SELECT d.doc_id, s.dsir_score FROM documents d
+    LEFT JOIN (
+      SELECT doc_id, round(avg(__llr), 6) AS dsir_score
+      FROM tok JOIN model USING (b) GROUP BY 1
+    ) s USING (doc_id)
+    ORDER BY dsir_score DESC NULLS LAST, doc_id ASC LIMIT 50
+    """,
+    doc="DSIR over HASHED features -- the actual Xie et al. 2023 "
+    "recipe and the 100-TB-safe sibling of select_dsir_topk: tokens "
+    "fold into 10k md5 buckets, so both unigram LMs are <=10k-row "
+    "count tables regardless of corpus vocabulary and the importance "
+    "model stays broadcastable at any scale (the exact variant's "
+    "vocab-sized model cannot be). Add-one smoothing over the FIXED "
+    "bucket space; same coverage and float contract as the exact "
+    "form.",
+)
+def select_dsir_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        dsir_importance_scores_hashed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = dsir_importance_scores_hashed(
+        docs, docs.filter(F.col("source") == "src1")
+    )
+    return scores.orderBy(
+        F.col("dsir_score").desc_nulls_last(), F.asc("doc_id")
+    ).limit(50)
+
+
+@register(
     "events_volume_anomaly",
     oracle="""
     WITH daily AS (
@@ -3816,8 +3883,11 @@ def retrieve_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", F.col("doc_id").alias("match_id"))
         .agg(F.sum(F.col("__qw") * F.col("weight")).alias("__dot"))
     )
+    # broadcast only the QUERY docs' norms — broadcasting the full
+    # corpus-sized norms table would be an unbounded build side at
+    # 100 TB (round-4 VERDICT #1a); the filter keeps it query-sized
     qn = F.broadcast(
-        norms.select(
+        norms.filter(F.col("doc_id") < 3).select(
             F.col("doc_id").alias("query_id"), F.col("__nrm").alias("__nq")
         )
     )

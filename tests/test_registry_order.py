@@ -6,12 +6,21 @@ cover every SCD2 pipeline query and the LLM-pipeline flagships. This
 test fails if a refactor silently pushes a flagship out of the window.
 """
 
-from delta_lake_pyspark_scd2_spark.plans import _PRIORITY, REGISTRY
+from delta_lake_pyspark_scd2_spark.plans import (
+    _PRIORITY,
+    _TAIL_PRIORITY,
+    REGISTRY,
+)
 
 
 def test_priority_is_exactly_the_head():
     assert len(_PRIORITY) == 50
     assert list(REGISTRY)[:50] == _PRIORITY
+
+
+def test_tail_priority_directly_follows_the_head():
+    n = len(_TAIL_PRIORITY)
+    assert list(REGISTRY)[50 : 50 + n] == _TAIL_PRIORITY
 
 
 def test_head_covers_flagships():

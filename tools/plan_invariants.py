@@ -44,6 +44,7 @@ EXTRA_QUERIES = (
     "dedup_keep_best",
     "retrieve_tfidf_topk",
     "select_dsir_topk",
+    "select_dsir_hashed",
     "events_volume_anomaly",
     "dedup_containment_prefix",
 )
@@ -57,7 +58,14 @@ def plan_features(df) -> dict:
     final = full.split("== Initial Plan ==")[0]
     scans = final.count("FileScan parquet")
     pushed = final.count("PushedFilters: [") - final.count("PushedFilters: []")
+    # forced F.broadcast hints survive into the optimized LOGICAL plan
+    # as join-hint annotations; AQE's runtime size-based broadcasts do
+    # NOT appear here. Pinning the count per query keeps the round-4
+    # fix (no hint on an unbounded-by-construction build side) from
+    # silently regressing — a new forced hint is a reviewed decision.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
     return {
+        "forced_broadcast_hints": logical.count("strategy=broadcast"),
         "cartesian": final.count("CartesianProduct"),
         "shuffles": sum(
             line.strip().lstrip("+-:* ").startswith("Exchange ")
