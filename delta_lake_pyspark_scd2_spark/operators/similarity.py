@@ -251,6 +251,100 @@ def ivf_topk(
     )
 
 
+def ivf_topk_sweep(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`ivf_topk` at several ``nprobe`` settings in ONE pass —
+    the recall/cost sweep an index-tuning evaluation runs before a
+    pipeline adopts a configuration.
+
+    Cost is that of a single ``ivf_topk`` at ``max(nprobes)``: the
+    assignment and the candidate scoring run once, each candidate
+    carrying its probe rank; the per-``nprobe`` result sets are then
+    rank filters over the shared scored frame (a 3-row nprobe table
+    broadcast-joined in — no second scoring pass, no second shuffle of
+    the corpus). Buckets partition the corpus (each vector lives in
+    exactly one), so no candidate appears twice within a sweep entry.
+
+    Output: ``(nprobe, query_id, neighbor_id, rank, cos_sim)`` — the
+    exact ``ivf_topk`` result for every requested ``nprobe``.
+    """
+    nps = sorted(set(int(n) for n in nprobes))
+    if not nps or nps[0] < 1:
+        raise ValueError(f"nprobes must be positive, got {nprobes!r}")
+    max_np = nps[-1]
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    )
+    cents = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__centnorm", norm(F.col("__cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    ).withColumn("__qnorm", norm(F.col("__qvec")))
+    qc = q.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim",
+        F.round(
+            cosine_prenormed(
+                F.col("__cvec"),
+                F.col("__qvec"),
+                F.col("__centnorm"),
+                F.col("__qnorm"),
+            ),
+            6,
+        ),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__prn", F.row_number().over(w_probe))
+        .filter(F.col("__prn") <= max_np)
+        .select("query_id", "__qvec", "__qnorm", "centroid_id", "__prn")
+    )
+    bucket = assigned.select(id_col, "centroid_id", vec_col).withColumn(
+        "__cnorm", norm(F.col(vec_col))
+    )
+    scored = (
+        bucket.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__qvec"),
+                    F.col(vec_col),
+                    F.col("__qnorm"),
+                    F.col("__cnorm"),
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "__prn", F.col(id_col).alias("neighbor_id"), "cos_sim")
+    )
+    np_df = corpus.sparkSession.createDataFrame(
+        [(n,) for n in nps], "nprobe int"
+    )
+    fanned = scored.join(
+        F.broadcast(np_df), scored["__prn"] <= F.col("nprobe")
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fanned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("nprobe", "query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -85,6 +85,8 @@ _PRIORITY: list[str] = [
 # these are the newest flagships queued for any future head swap.
 _TAIL_PRIORITY: list[str] = [
     "select_dsir_hashed",
+    "ann_ivf_multiprobe_topk",
+    "ann_recall_eval",
 ]
 
 

@@ -194,6 +194,31 @@ def test_ivf_multiprobe_recall_monotone(spark):
     assert recalls[-1] == 1.0  # probing every bucket == exact
 
 
+def test_ivf_topk_sweep_matches_per_nprobe_runs(spark):
+    """ivf_topk_sweep's one-pass fan-out is exactly ivf_topk run at
+    each nprobe — same candidates, ranks, and similarities."""
+    rows = _near_dup_vectors()
+    df = spark.createDataFrame(rows)
+    cents = df.filter(F.col("vec_id") % 3 == 0).limit(8)
+    queries = df.filter(F.col("vec_id") < 6)
+    sweep = similarity.ivf_topk_sweep(
+        df, cents, queries, k=2, nprobes=(1, 2, 8)
+    ).collect()
+    for nprobe in (1, 2, 8):
+        want = {
+            (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+            for r in similarity.ivf_topk(
+                df, cents, queries, k=2, nprobe=nprobe
+            ).collect()
+        }
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, r.cos_sim)
+            for r in sweep
+            if r.nprobe == nprobe
+        }
+        assert got == want, f"sweep diverges from ivf_topk at nprobe={nprobe}"
+
+
 def test_prefix_jaccard_boundary_set_size_multiple_of_five(spark):
     """Regression (sf0.1 oracle sweep): with t=0.8 and |B| divisible by
     5, the old floor((1-t)*n)+1 prefix length lost one slot to binary
