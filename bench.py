@@ -118,6 +118,16 @@ def main() -> None:
                 "queries": timings,
                 "runs": all_runs,  # every timed run, for spread analysis
                 "sf": sf_val,
+                # Measured noise floor of this box (BENCH_NOTES.md,
+                # round-5 controlled re-measure): per-query medians-of-3
+                # are only comparable round-over-round to ~±25%; the
+                # run-time distribution is heavy-tailed even warm and
+                # uncontended. Compare against the full `runs` spreads,
+                # not single medians.
+                "noise_floor": {
+                    "single_query_band_pct": 25,
+                    "detail": "BENCH_NOTES.md",
+                },
                 # Direct comparison to the reference's headline number
                 # (BASELINE.md volume-scaling): full batch2 ETL run at
                 # 100k rows took 43.96 s on its 6-worker cluster; ours
