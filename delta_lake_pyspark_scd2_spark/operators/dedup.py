@@ -24,7 +24,17 @@ from delta_lake_pyspark_scd2_spark.functions.caching import persist_tracked
 from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
 
 #: 61-bit Mersenne prime — modulus of the minhash permutation family.
-MERSENNE_61 = (1 << 61) - 1
+#: Modulus of the MinHash permutation family. MUST be small enough
+#: that the affine map actually WRAPS over the 32-bit base hash: the
+#: original ``mod M61`` choice never engaged (``h < 2^32``, products
+#: < 2^37), making every "permutation" monotone in the base hash — all
+#: 16 signature slots picked the SAME argmin shingle, so the signature
+#: carried one hash of information and minhash-agreement "Jaccard
+#: estimates" were all-or-nothing (a 10-shingle excerpt of a 120-
+#: shingle page verified at agreement 1.0 whenever it contained the
+#: page's min shingle). With modulus 2^32 and odd multipliers the maps
+#: are bijections on Z_2^32 — independent argmins, a real estimator.
+HASH_MOD_32 = 1 << 32
 
 
 def _spread(df: DataFrame, key: str, *, jvm_only: bool = False) -> DataFrame:
@@ -159,10 +169,13 @@ def minhash_signatures(
     """Per-document MinHash signature (array<long>, length
     ``num_hashes``) over word shingles.
 
-    Permutation family ``h_i(x) = (a_i*x + b_i) mod M61`` with
-    ``a_i = 2i+1``, ``b_i = 1000003*(i+1)`` over the 32-bit base hash —
-    deterministic across engines and runs; max intermediate value
-    ``2^32 * (2k+1)`` stays far below 2^63.
+    Permutation family ``h_i(x) = (a_i*x + b_i) mod 2^32`` with
+    ``a_i = 2i+1`` (odd → bijective on Z_2^32), ``b_i = 1000003*(i+1)``
+    over the 32-bit base hash — deterministic across engines and runs;
+    max intermediate value ``2^32 * (2k+1)`` stays far below 2^63.
+    The modulus must wrap (see :data:`HASH_MOD_32`): a too-large
+    modulus silently degenerates every permutation to the identity
+    ORDER, collapsing the signature to one effective hash.
 
     Plan shape: explode shingles → hash once per shingle → ONE hash
     aggregate with ``num_hashes`` MIN()s (map-side partial combine, so
@@ -179,7 +192,7 @@ def minhash_signatures(
     aggs = [
         F.min(
             (F.col("__h") * F.lit(2 * i + 1) + F.lit(1000003 * (i + 1)))
-            % F.lit(MERSENNE_61)
+            % F.lit(HASH_MOD_32)
         ).alias(f"__mh_{i}")
         for i in range(num_hashes)
     ]
@@ -523,6 +536,87 @@ def shingle_containment_pairs_prefix(
     inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
         candidates.join(sa, "contained_id")
+        .join(sb, "container_id")
+        .withColumn("containment", F.round(inter / F.size("__sa"), 6))
+        .filter(F.col("containment") >= threshold)
+        .select("contained_id", "container_id", "containment")
+    )
+
+
+def shingle_containment_vs_sets(
+    batch: DataFrame,
+    store_sets: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Excerpt screen of a NEW batch against ALREADY-SHINGLED documents
+    — the incremental-ingest form of
+    :func:`shingle_containment_pairs_prefix`.
+
+    ``store_sets`` is ``(store_id, shingles array<string>)`` — the
+    distinct shingle sets of previously accepted docs, stored once at
+    THEIR ingest (``pipeline.corpus_ingest``), so the old corpus text
+    is never re-shingled. Batch docs are the CONTAINED side and carry
+    the prefix filter (lossless under any element order — pigeonhole
+    on ``|A∩B| ≥ ⌈t·|A|⌉``; rare-first ordering by the STORE's shingle
+    document frequencies minimizes candidates). The store side joins
+    its full sets, per the containment asymmetry. Per-batch cost is
+    O(batch shingling + one scan of the stored shingle arrays) — a
+    signature-column scan, never corpus text.
+
+    Returns ``(contained_id, container_id, containment)`` with
+    ``containment >= threshold``, exact (candidates verify on the full
+    sets with ``array_intersect``).
+    """
+    full = store_sets.select(
+        F.col("store_id"), F.explode("shingles").alias("shingle")
+    )
+    doc_freq = full.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    bsets = persist_tracked(
+        batch.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("__raw"),
+        )
+    )
+    bsh = bsets.select(F.col(id_col), F.explode("__raw").alias("shingle"))
+    ordered = (
+        bsh.join(doc_freq, "shingle", "left")
+        .na.fill({"__df": 0})
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__df", "shingle"))),
+                lambda x: x["shingle"],
+            ).alias("__set")
+        )
+    )
+    size = F.size("__set")
+    required = F.ceil(size * threshold - F.lit(1e-9))
+    prefix = ordered.select(
+        F.col(id_col),
+        F.explode(
+            F.slice("__set", 1, (size - required + 1).cast("int"))
+        ).alias("shingle"),
+    )
+    candidates = (
+        prefix.join(full, "shingle")
+        .select(F.col(id_col).alias("contained_id"), "store_id")
+        .distinct()
+    )
+    sa = bsets.select(
+        F.col(id_col).alias("contained_id"), F.col("__raw").alias("__sa")
+    )
+    sb = store_sets.select(
+        F.col("store_id").alias("container_id"),
+        F.col("shingles").alias("__sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    return (
+        candidates.withColumnRenamed("store_id", "container_id")
+        .join(sa, "contained_id")
         .join(sb, "container_id")
         .withColumn("containment", F.round(inter / F.size("__sa"), 6))
         .filter(F.col("containment") >= threshold)

@@ -43,6 +43,7 @@ from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
 _NUM_HASHES = 16
 _BANDS = 4
 _ROWS = 4
+_SHINGLE_N = 3
 
 
 @dataclass
@@ -52,17 +53,54 @@ class IngestMetrics:
     exact_vs_store: int = 0
     near_in_batch: int = 0
     near_vs_store: int = 0
+    contained_in_batch: int = 0
+    contained_vs_store: int = 0
     accepted: int = 0
 
 
 class CorpusIngest:
-    """Batch-ingest endpoint over a corpus + fingerprint-store pair."""
+    """Batch-ingest endpoint over a corpus + fingerprint-store pair.
 
-    def __init__(self, spark: SparkSession, base_path: str, *, verify_frac: float = 0.5):
+    Opt-in screens beyond the exact + minhash-LSH core:
+
+    * ``containment=True`` — the EXCERPT screen: a batch doc whose
+      shingles are ≥ ``containment_threshold`` contained in another
+      batch doc or any stored doc is rejected (Broder asymmetric
+      containment; symmetric Jaccard/minhash never sees a short quote
+      inside a long page). The fingerprint store then also keeps each
+      accepted doc's distinct shingle set, so cross-batch containment
+      scans stored ARRAYS — corpus text is shingled exactly once, at
+      its own ingest (``dedup.shingle_containment_vs_sets``).
+    * ``keep="best"`` — quality-aware in-batch dedup: within a
+      verified near-dup cluster keep the highest-``score_col`` doc
+      (default: text length) instead of the lowest id
+      (``graph.cluster_keep_best``); the boilerplate-stripped copy
+      survives its full-chrome twin regardless of arrival order.
+      Cross-store near-dups still reject the batch side — accepted
+      history is immutable at ingest.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_path: str,
+        *,
+        verify_frac: float = 0.5,
+        containment: bool = False,
+        containment_threshold: float = 0.8,
+        keep: str = "first",
+        score_col: str | None = None,
+    ):
+        if keep not in ("first", "best"):
+            raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
         self.spark = spark
         self.corpus_path = os.path.join(base_path, "corpus")
         self.fp_path = os.path.join(base_path, "fingerprints")
         self.verify_frac = verify_frac
+        self.containment = containment
+        self.containment_threshold = containment_threshold
+        self.keep = keep
+        self.score_col = score_col
 
     # -- store access -----------------------------------------------------
 
@@ -109,7 +147,7 @@ class CorpusIngest:
         # it once; unpersisted after the commits (clear job boundary)
         cached = fps.persist()
         try:
-            return self._ingest_deduped(cached, batch, m, id_col, txn)
+            return self._ingest_deduped(cached, batch, m, id_col, text_col, txn)
         finally:
             cached.unpersist()
 
@@ -119,6 +157,7 @@ class CorpusIngest:
         batch: DataFrame,
         m: IngestMetrics,
         id_col: str,
+        text_col: str = "text",
         txn: tuple[str, int] | None = None,
     ) -> IngestMetrics:
         # in-batch exact: keep the lowest id per fingerprint
@@ -180,11 +219,36 @@ class CorpusIngest:
             ),
             "drop_id",
         )
-        near_in_batch = (
-            _verified(in_pairs, F.col("sig_a"), F.col("sig_b"))
-            .select(F.col("drop_id").alias(id_col))
-            .distinct()
-        )
+        verified_in = _verified(in_pairs, F.col("sig_a"), F.col("sig_b"))
+        if self.keep == "best":
+            # quality-aware canonical choice: connected components over
+            # the verified pairs, keep the highest-scoring doc of each
+            # cluster (default score: text length)
+            from delta_lake_pyspark_scd2_spark.operators.graph import (
+                cluster_keep_best,
+            )
+
+            score = (
+                F.col(self.score_col)
+                if self.score_col
+                else F.length(F.col(text_col))
+            )
+            alive = batch.join(fps.select(id_col), id_col, "left_semi")
+            kb = cluster_keep_best(
+                alive.select(F.col(id_col), score.alias("__score")),
+                verified_in.select("keep_id", "drop_id"),
+                "__score",
+                id_col,
+                pair_a="keep_id",
+                pair_b="drop_id",
+            )
+            near_in_batch = (
+                kb.filter(~F.col("is_kept")).select(id_col).distinct()
+            )
+        else:
+            near_in_batch = (
+                verified_in.select(F.col("drop_id").alias(id_col)).distinct()
+            )
         fps = fps.join(near_in_batch, id_col, "left_anti")
 
         # (b) against the store: bucket the STORED signatures (array
@@ -223,14 +287,83 @@ class CorpusIngest:
             near_cross = fps.limit(0).select(id_col)
         fps = fps.join(near_cross, id_col, "left_anti")
 
+        # opt-in EXCERPT screen: asymmetric shingle containment —
+        # catches a quote/excerpt whose Jaccard vs its container is far
+        # below the minhash screen's reach
+        contained_in_batch = fps.limit(0).select(id_col)
+        contained_cross = fps.limit(0).select(id_col)
+        if self.containment:
+            alive = batch.join(fps.select(id_col), id_col, "left_semi")
+            pairs_c = dedup.shingle_containment_pairs_prefix(
+                alive,
+                text_col,
+                id_col,
+                shingle_n=_SHINGLE_N,
+                threshold=self.containment_threshold,
+            )
+            # mutual containment (near-identical sets the minhash
+            # screen missed): keep the lowest id instead of both dying
+            rev = pairs_c.select(
+                F.col("container_id").alias("contained_id"),
+                F.col("contained_id").alias("container_id"),
+                F.lit(True).alias("__mutual"),
+            )
+            contained_in_batch = (
+                pairs_c.join(rev, ["contained_id", "container_id"], "left")
+                .filter(
+                    F.col("__mutual").isNull()
+                    | (F.col("contained_id") > F.col("container_id"))
+                )
+                .select(F.col("contained_id").alias(id_col))
+                .distinct()
+            )
+            fps = fps.join(contained_in_batch, id_col, "left_anti")
+
+            if store is not None:
+                if "shingles" not in store.columns:
+                    raise ValueError(
+                        "containment=True needs the fingerprint store to "
+                        "carry each accepted doc's shingle set; this store "
+                        "predates the screen — rebuild it (re-ingest) with "
+                        "containment enabled"
+                    )
+                alive = batch.join(fps.select(id_col), id_col, "left_semi")
+                pairs_s = dedup.shingle_containment_vs_sets(
+                    alive,
+                    store.select(F.col(id_col).alias("store_id"), "shingles"),
+                    text_col,
+                    id_col,
+                    shingle_n=_SHINGLE_N,
+                    threshold=self.containment_threshold,
+                )
+                contained_cross = (
+                    pairs_s.select(F.col("contained_id").alias(id_col))
+                    .distinct()
+                )
+                fps = fps.join(contained_cross, id_col, "left_anti")
+
         m.exact_in_batch = in_batch_exact.count()
         m.exact_vs_store = cross_exact.count()
         m.near_in_batch = near_in_batch.count()
         m.near_vs_store = near_cross.count()
+        m.contained_in_batch = contained_in_batch.count()
+        m.contained_vs_store = contained_cross.count()
 
         accepted_ids = fps.select(id_col)
         accepted = batch.join(accepted_ids, id_col, "left_semi")
         new_fps = fps.select(id_col, "fp", "minhash")
+        if self.containment:
+            # shingle sets are stored ONCE, at acceptance — future
+            # batches screen against these arrays, never corpus text
+            new_fps = new_fps.join(
+                batch.select(
+                    F.col(id_col),
+                    dedup.word_shingles(
+                        F.col(text_col), _SHINGLE_N
+                    ).alias("shingles"),
+                ),
+                id_col,
+            )
 
         if VersionedParquetTable.is_table(self.corpus_path):
             VersionedParquetTable(self.spark, self.corpus_path).append(
@@ -254,5 +387,13 @@ class CorpusIngest:
                 properties={"autoCompact": "true",
                             "autoCompact.minFiles": "16"},
             )
-        m.accepted = m.n_in - m.exact_in_batch - m.exact_vs_store - m.near_in_batch - m.near_vs_store
+        m.accepted = (
+            m.n_in
+            - m.exact_in_batch
+            - m.exact_vs_store
+            - m.near_in_batch
+            - m.near_vs_store
+            - m.contained_in_batch
+            - m.contained_vs_store
+        )
         return m

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from delta_lake_pyspark_scd2_spark.operators import dedup, multimodal, similarity, text
-from delta_lake_pyspark_scd2_spark.operators.dedup import MERSENNE_61
+from delta_lake_pyspark_scd2_spark.operators.dedup import HASH_MOD_32
 from delta_lake_pyspark_scd2_spark.plans.registry import register
 from delta_lake_pyspark_scd2_spark.sources.tables import load_table
 
@@ -46,7 +46,7 @@ _BANDS = 4
 _ROWS_PER_BAND = 4
 
 _MIN_EXPRS = ",\n           ".join(
-    f"MIN((h * {2 * i + 1} + {1000003 * (i + 1)}) % {MERSENNE_61}) AS m{i}"
+    f"MIN((h * {2 * i + 1} + {1000003 * (i + 1)}) % {HASH_MOD_32}) AS m{i}"
     for i in range(_NUM_HASHES)
 )
 _BAND_SELECTS = "\n      UNION ALL\n".join(

@@ -148,3 +148,80 @@ def test_txn_heals_corpus_committed_fp_crashed_window(spark, store):
     store.ingest(_df(spark, _B2), txn=("ing", 1))
     assert VersionedParquetTable(spark, store.corpus_path).latest_version() == c_v
     assert fp_t.last_txn_version("ing") == 1
+
+
+def test_containment_rejects_excerpt_against_stored_corpus(spark, tmp_path):
+    """The excerpt screen (opt-in containment): a short quote whose
+    shingles all live inside an already-accepted long doc is rejected
+    cross-batch, even though its Jaccard vs the container is far below
+    the minhash screen's reach."""
+    ing = CorpusIngest(
+        spark, str(tmp_path / "c"), containment=True,
+    )
+    long_words = " ".join(f"w{i}" for i in range(120))
+    m1 = ing.ingest(_df(spark, [(1, long_words),
+                                (2, "entirely different content here now")]))
+    assert m1.accepted == 2
+    # excerpt: a 10-word contiguous slice of doc 1 (containment 1.0,
+    # jaccard ~ 8/118 << minhash verify_frac)
+    excerpt = " ".join(f"w{i}" for i in range(5, 15))
+    m2 = ing.ingest(_df(spark, [(10, excerpt),
+                                (11, "more fresh text with novel words only")]))
+    assert m2.contained_vs_store == 1
+    assert m2.near_vs_store == 0  # minhash alone would have let it in
+    assert m2.accepted == 1
+    got = sorted(r["doc_id"] for r in ing.corpus().collect())
+    assert got == [1, 2, 11]
+
+
+def test_containment_rejects_excerpt_within_batch(spark, tmp_path):
+    ing = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
+    long_words = " ".join(f"v{i}" for i in range(40))
+    excerpt = " ".join(f"v{i}" for i in range(20, 30))
+    m = ing.ingest(_df(spark, [(1, long_words), (2, excerpt)]))
+    assert m.contained_in_batch == 1
+    assert m.accepted == 1
+    assert [r["doc_id"] for r in ing.corpus().collect()] == [1]
+
+
+def test_keep_best_survivor_is_higher_quality_twin(spark, tmp_path):
+    """keep='best': the LONGER near-dup twin survives even though it
+    has the higher id (the min-id rule would keep the worse copy)."""
+    base = "the quick brown fox jumps over the lazy dog today friends"
+    ing = CorpusIngest(spark, str(tmp_path / "c"), keep="best")
+    m = ing.ingest(_df(spark, [
+        (20, base),
+        # same text plus extra content: near-dup, higher quality
+        (21, base + " with extra unique closing commentary appended"),
+        (22, "unrelated filler text about completely other topics"),
+    ]))
+    assert m.near_in_batch == 1
+    got = sorted(r["doc_id"] for r in ing.corpus().collect())
+    assert got == [21, 22], "higher-quality twin must survive"
+
+
+def test_containment_store_exactly_once_under_replay(spark, tmp_path):
+    """The fingerprint store (now carrying shingle sets) stays
+    exactly-once when a batch is replayed with the same txn."""
+    ing = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
+    batch = _df(spark, [(1, " ".join(f"u{i}" for i in range(30))),
+                        (2, "other novel words completely distinct")])
+    ing.ingest(batch, txn=("app", 0))
+    ing.ingest(batch, txn=("app", 0))  # replay: txn short-circuits
+    assert ing.corpus().count() == 2
+    fp = ing._fingerprints()
+    assert fp.count() == 2
+    assert "shingles" in fp.columns
+    # and a THIRD ingest without txn is caught by the dedup screens
+    m = ing.ingest(batch)
+    assert m.accepted == 0
+
+
+def test_containment_on_legacy_store_fails_loud(spark, tmp_path):
+    """A store built without shingle sets cannot silently skip the
+    containment screen."""
+    plain = CorpusIngest(spark, str(tmp_path / "c"))
+    plain.ingest(_df(spark, [(1, "some words in a stored corpus doc")]))
+    ing = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
+    with pytest.raises(ValueError, match="shingle"):
+        ing.ingest(_df(spark, [(2, "a new batch needing the screen")]))
