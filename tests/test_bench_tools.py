@@ -134,6 +134,12 @@ def test_corpus_report_sections(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     md = out.read_text()
     for section in ("## Volume", "### Language mix", "## Quality",
-                    "## Duplication", "## Hygiene"):
+                    "## Duplication", "## Hygiene", "## Monitors",
+                    "### Source drift (unigram KL vs corpus)",
+                    "### Ingest volume anomalies (per event_type/day z-score)",
+                    "### Language-ID confusion (heuristic vs table labels)",
+                    "### Embedding health (per label)",
+                    "### ANN index recall@5 (IVF vs exact, per nprobe)"):
         assert section in md
     assert "documents: 500" in md
+    assert "nprobe=4: mean recall" in md

@@ -8,6 +8,9 @@ operators into a markdown dossier:
   * duplication: exact-dup rate, duplicated-span fraction (Lee et al.
     window dedup), near-dup candidate rate (MinHash-LSH)
   * hygiene: PII hits (emails/phones)
+  * monitors (the "evaluation as a query" family): per-source KL
+    drift, ingest-volume anomalies, language-ID confusion, embedding
+    health, ANN recall@5 per nprobe
 
 Usage::
 
@@ -112,6 +115,82 @@ def build_report(spark, sf_dir: str) -> str:
         f"- phone-shaped digit runs: {int(pii['phones'])}",
         "",
     ]
+
+    # monitors — every section IS a registry query (oracle-checked
+    # elsewhere), composed here into the one user-facing artifact
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        release_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.plans import REGISTRY
+
+    def _q(name):
+        df = REGISTRY[name].builder(spark, sf_dir)
+        rows = df.collect()
+        release_tracked()
+        return rows
+
+    out += ["## Monitors", ""]
+
+    drift = sorted(
+        _q("source_drift_kl"), key=lambda r: -r["kl_divergence"]
+    )
+    out += ["### Source drift (unigram KL vs corpus)", ""]
+    out += [
+        f"- {r['source']}: KL {r['kl_divergence']:.4f} ({int(r['n_tokens']):,} tokens)"
+        for r in drift[:5]
+    ]
+    out.append("")
+
+    anom = _q("events_volume_anomaly")
+    flagged = [r for r in anom if r["is_anomaly"]]
+    out += [
+        "### Ingest volume anomalies (per event_type/day z-score)",
+        "",
+        f"- days monitored: {len(anom)}; anomalous (|z| >= 2): {len(flagged)}",
+    ]
+    out += [
+        f"- {r['event_type']} {r['day']}: n={r['n']} z={r['z']:.2f}"
+        for r in sorted(flagged, key=lambda r: -abs(r["z"]))[:5]
+    ]
+    out.append("")
+
+    conf = _q("text_lang_confusion")
+    wrong = [r for r in conf if r["lang"] != r["lang_pred"]]
+    n_pred = sum(r["n"] for r in conf)
+    n_wrong = sum(r["n"] for r in wrong)
+    out += [
+        "### Language-ID confusion (heuristic vs table labels)",
+        "",
+        f"- labeled docs: {n_pred:,}; misclassified: {n_wrong:,}"
+        f" ({100 * n_wrong / max(n_pred, 1):.1f}%)",
+    ]
+    out += [
+        f"- {r['lang']} -> {r['lang_pred']}: {r['n']}"
+        for r in sorted(wrong, key=lambda r: -r["n"])[:5]
+    ]
+    out.append("")
+
+    health = _q("dq_embedding_health")
+    out += ["### Embedding health (per label)", ""]
+    out += [
+        f"- {r['label']}: n={r['n']} wrong_dim={r['n_wrong_dim']}"
+        f" zero_norm={r['n_zero_norm']} non_finite={r['n_nonfinite']}"
+        for r in sorted(health, key=lambda r: str(r["label"]))
+    ]
+    out.append("")
+
+    recall = _q("ann_recall_eval")
+    by_np: dict[int, list[float]] = {}
+    for r in recall:
+        by_np.setdefault(int(r["nprobe"]), []).append(r["recall_at_5"])
+    out += ["### ANN index recall@5 (IVF vs exact, per nprobe)", ""]
+    out += [
+        f"- nprobe={np_}: mean recall {sum(v) / len(v):.3f}"
+        f" over {len(v)} queries"
+        for np_, v in sorted(by_np.items())
+    ]
+    out.append("")
+
     docs.unpersist()
     return "\n".join(out)
 
