@@ -849,3 +849,181 @@ def hard_negatives_topk(
             "cos_sim",
         )
     )
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark/DuckDB ``round`` (HALF_UP) for driver-side contract math —
+    Python's builtin banker's rounding diverges exactly at ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+def _d2_contract(s, c) -> float:
+    """Squared L2 in STRICT left-to-right IEEE order — the shared
+    arithmetic contract of the trained-PQ oracle (the SQL side spells
+    the same ``(s1-c1)² + (s2-c2)² + …`` left-associated expression, so
+    both engines produce the bit-identical double before rounding)."""
+    acc = 0.0
+    for a, b in zip(s, c):
+        acc = acc + (a - b) * (a - b)
+    return acc
+
+
+def pq_train_contract(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    m_subspaces: int = 8,
+    k_codes: int = 16,
+    sample: int = 64,
+    iters: int = 2,
+) -> list:
+    """K-means PQ codebooks under the ORACLE-EXACT determinism
+    contract (the :func:`~..operators.clustering.kmeans_fit` technique
+    composed over per-subspace codebooks):
+
+    * training sample = the ``sample`` lowest-id vectors;
+    * init = the first ``k_codes`` DISTINCT slice rows in id order;
+    * assignment by squared L2 in strict left-to-right IEEE order
+      (:func:`_d2_contract`), ROUNDED TO 9 dp, ties to the lower code;
+    * recentered means rounded to 6 dp (HALF_UP, like both engines'
+      ``round``) — sum-order error ~1e-14 ≪ 5e-7, so either engine's
+      accumulation order yields the same literal;
+    * empty codes keep their previous centroid.
+
+    Every step is expressible as unrolled SQL CTEs, which is what
+    turns the trained-PQ pipeline from rows-only checked
+    (:func:`pq_train`, free-form numpy Lloyd) into value-hash checked
+    (``ann_pq_trained_topk``). Returns ``codebooks[m][k][d_sub]``.
+    """
+    rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
+    X = [[float(x) for x in r[1]] for r in rows]
+    dim = len(X[0])
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")
+    d_sub = dim // m_subspaces
+    books = []
+    for m in range(m_subspaces):
+        S = [x[m * d_sub : (m + 1) * d_sub] for x in X]
+        seen: set = set()
+        C: list[list[float]] = []
+        for row in S:
+            t = tuple(row)
+            if t not in seen:
+                seen.add(t)
+                C.append(list(row))
+            if len(C) == k_codes:
+                break
+        if len(C) < k_codes:
+            raise ValueError(
+                f"subspace {m}: only {len(C)} distinct slices < k={k_codes}"
+            )
+        for _ in range(iters):
+            sums = [[0.0] * d_sub for _ in range(k_codes)]
+            counts = [0] * k_codes
+            for s in S:
+                best, best_d = 0, None
+                for j, c in enumerate(C):
+                    d = _round_half_up(_d2_contract(s, c), 9)
+                    if best_d is None or d < best_d:
+                        best, best_d = j, d
+                counts[best] += 1
+                for t in range(d_sub):
+                    sums[best][t] += s[t]
+            C = [
+                [
+                    _round_half_up(sums[j][t] / counts[j], 6)
+                    for t in range(d_sub)
+                ]
+                if counts[j]
+                else C[j]  # empty code keeps its previous centroid
+                for j in range(k_codes)
+            ]
+        books.append(C)
+    return books
+
+
+def pq_encode_expr(
+    df: DataFrame,
+    codebooks: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode under the trained-PQ contract with pure JVM expressions —
+    per subspace, an array of ``k`` explicit left-associated squared-L2
+    expressions rounded to 9 dp, argmin via
+    ``array_position(arr, array_min(arr))`` (first match = lowest code
+    on ties). No Python worker in the path; at scale this is also the
+    faster encode (no Arrow hop). Output: ``(id_col, pq_codes)``,
+    drop-in for :func:`pq_topk`-style ADC folds."""
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+
+    def _d2_expr(m: int, c: list) -> "F.Column":
+        acc = None
+        for j in range(d_sub):
+            x = F.col(vec_col)[m * d_sub + j]
+            t = (x - F.lit(c[j])) * (x - F.lit(c[j]))
+            acc = t if acc is None else acc + t
+        return F.round(acc, 9)
+
+    codes = []
+    for m in range(m_sub):
+        arr = F.array(*[_d2_expr(m, c) for c in codebooks[m]])
+        codes.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("pq_codes"))
+
+
+def pq_adc_topk_contract(
+    codes_df: DataFrame,
+    codebooks: list,
+    query_vec: list,
+    *,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k under the trained-PQ contract: the LUT's sub-distances
+    use the same left-to-right arithmetic + 9-dp rounding as encode,
+    and the per-row fold rounds to 6 dp — so the SQL oracle's
+    ``round(sum(d2), 6)`` agrees regardless of either engine's
+    summation order. Output: ``(id_col, pq_dist)`` ascending."""
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = [
+        [
+            _round_half_up(
+                _d2_contract(
+                    query_vec[m * d_sub : (m + 1) * d_sub], c
+                ),
+                9,
+            )
+            for c in codebooks[m]
+        ]
+        for m in range(m_sub)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in lut]
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("pq_codes"),
+                F.sequence(F.lit(0), F.lit(m_sub - 1)),
+                lambda code, m: F.element_at(
+                    F.element_at(lut_lit, m.cast("int") + 1), code + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    return (
+        codes_df.select(F.col(id_col), dist.alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

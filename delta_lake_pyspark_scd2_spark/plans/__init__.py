@@ -87,6 +87,8 @@ _TAIL_PRIORITY: list[str] = [
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",
+    "ann_pq_trained_topk",
+    "ann_ivfpq_trained_topk",
 ]
 
 

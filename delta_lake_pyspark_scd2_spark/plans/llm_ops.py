@@ -2713,6 +2713,187 @@ _PQ_TAIL = """
 """
 
 
+# Trained-PQ oracle fragments: per-subspace k-means (2 unrolled Lloyd
+# rounds, the kmeans_cluster technique composed over codebooks) under
+# the shared contract — explicit LEFT-ASSOCIATED squared-L2 terms (both
+# engines produce the bit-identical double), 9-dp-rounded distances
+# with ties to the lower code, 6-dp-rounded means, empty codes keep
+# their previous centroid.
+def _pqt_d2(a: str, b: str) -> str:
+    return " + ".join(
+        f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])" for j in range(1, 9)
+    )
+
+
+def _pqt_iter(prev: str, a: str, g: str, new: str) -> str:
+    mean = ", ".join(f"round(avg(s[{j}]), 6)" for j in range(1, 9))
+    return f"""
+    {a} AS (
+      SELECT vec_id, m, s, code FROM (
+        SELECT sub.vec_id, sub.m, sub.s, p.code,
+               ROW_NUMBER() OVER (PARTITION BY sub.m, sub.vec_id
+                 ORDER BY round({_pqt_d2('sub.s', 'p.c')}, 9) ASC,
+                          p.code ASC) AS rn
+        FROM sub JOIN {prev} p ON sub.m = p.m
+      ) WHERE rn = 1
+    ),
+    {g} AS (SELECT m, code, list_value({mean}) AS c FROM {a} GROUP BY 1, 2),
+    {new} AS (
+      SELECT p.m, p.code, COALESCE({g}.c, p.c) AS c
+      FROM {prev} p LEFT JOIN {g} ON p.m = {g}.m AND p.code = {g}.code
+    )"""
+
+
+_PQT_HEAD = f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    ms AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS m),
+    samp AS (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 64),
+    sub AS (
+      SELECT samp.vec_id, ms.m, samp.ve[ms.m*8+1:ms.m*8+8] AS s
+      FROM samp, ms
+    ),
+    dd AS (SELECT m, s, min(vec_id) AS fid FROM sub GROUP BY 1, 2),
+    init AS (
+      SELECT m, s AS c, rn - 1 AS code FROM (
+        SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m ORDER BY fid) AS rn
+        FROM dd
+      ) WHERE rn <= 16
+    ),{_pqt_iter('init', 'a1', 'g1', 'c1')},{_pqt_iter('c1', 'a2', 'g2', 'c2')},
+    q AS (SELECT ve AS qv FROM v ORDER BY vec_id LIMIT 1),
+    qsub AS (SELECT ms.m, q.qv[ms.m*8+1:ms.m*8+8] AS s FROM q, ms),
+    lut AS (
+      SELECT c2.m, c2.code, round({_pqt_d2('qsub.s', 'c2.c')}, 9) AS d2
+      FROM qsub JOIN c2 ON qsub.m = c2.m
+    )
+"""
+
+# assignment + ADC over a candidate CTE named `cand(vec_id, ve)`
+_PQT_TAIL = f"""
+    subc AS (
+      SELECT cand.vec_id, ms.m, cand.ve[ms.m*8+1:ms.m*8+8] AS s
+      FROM cand, ms
+    ),
+    assign AS (
+      SELECT vec_id, m, code FROM (
+        SELECT subc.vec_id, subc.m, c2.code,
+               ROW_NUMBER() OVER (PARTITION BY subc.vec_id, subc.m
+                 ORDER BY round({_pqt_d2('subc.s', 'c2.c')}, 9) ASC,
+                          c2.code ASC) AS rn
+        FROM subc JOIN c2 ON subc.m = c2.m
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT a.vec_id, round(sum(l.d2), 6) AS pq_dist
+      FROM assign a JOIN lut l ON a.m = l.m AND a.code = l.code
+      GROUP BY 1
+    )
+    SELECT vec_id, pq_dist FROM adc ORDER BY pq_dist ASC, vec_id ASC LIMIT 10
+"""
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=f"""
+    WITH {_PQT_HEAD},
+    cand AS (SELECT vec_id, ve FROM v),
+    {_PQT_TAIL}
+    """,
+    doc="PQ ADC top-k with K-MEANS-TRAINED codebooks, fully value-hash "
+    "checked (r3/r4 carried stretch closed): per-subspace Lloyd (2 "
+    "rounds, 64-vector sample, k=16) runs under the kmeans_cluster "
+    "determinism contract — left-associated squared-L2 terms are "
+    "bit-identical across engines, distances round to 9 dp with ties "
+    "to the lower code, means round to 6 dp, empty codes keep their "
+    "previous centroid — so the DuckDB oracle unrolls the SAME "
+    "training as CTEs. Encode is pure JVM expressions "
+    "(pq_encode_expr), no Arrow hop.",
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    codes = S.pq_encode_expr(emb, books)
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    return S.pq_adc_topk_contract(codes, books, [float(x) for x in q], k=10)
+
+
+@register(
+    "ann_ivfpq_trained_topk",
+    oracle=f"""
+    WITH {_PQT_HEAD},
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cv2 FROM v
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 12
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.ve', b='c.cv2')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM v, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT centroid_id FROM (
+        SELECT c.centroid_id,
+               ROW_NUMBER() OVER (ORDER BY
+                 list_dot_product(q.qv, c.cv2) /
+                 (sqrt(list_dot_product(q.qv, q.qv)) *
+                  sqrt(list_dot_product(c.cv2, c.cv2))) DESC,
+                 c.centroid_id ASC) AS rn
+        FROM q, cents c
+      ) WHERE rn <= 3
+    ),
+    cand AS (
+      SELECT v.vec_id, v.ve FROM v
+      JOIN assigned a USING (vec_id)
+      JOIN probes p ON a.centroid_id = p.centroid_id
+    ),
+    {_PQT_TAIL}
+    """,
+    doc="IVF-PQ ADC top-k with k-means-trained codebooks, value-hash "
+    "checked end-to-end: nprobe=3 cosine bucket restriction over the "
+    "trained-PQ scoring path — the FAISS IVFx,PQy shape with BOTH "
+    "stages (training and search) oracle-verified.",
+)
+def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    books = S.pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    assigned = S.assign_to_centroids(emb, cents)
+    # nprobe=3 probe choice mirrors ivfpq_topk (driver-side over the
+    # 12 centroids)
+    import numpy as np
+
+    qv = np.asarray(q, dtype=np.float64)
+    qn = float(np.linalg.norm(qv)) or 1.0
+    sims = sorted(
+        (
+            -float(
+                np.dot(qv, np.asarray(r["embedding"]))
+                / (qn * (np.linalg.norm(r["embedding"]) or 1.0))
+            ),
+            r["vec_id"],
+        )
+        for r in cents.collect()
+    )
+    probe_ids = [cid for _, cid in sims[:3]]
+    bucket = emb.join(
+        assigned.select("vec_id", "centroid_id"), "vec_id"
+    ).filter(F.col("centroid_id").isin(probe_ids))
+    codes = S.pq_encode_expr(bucket, books)
+    return S.pq_adc_topk_contract(codes, books, [float(x) for x in q], k=10)
+
+
 @register(
     "ann_pq_adc_topk",
     oracle=f"""

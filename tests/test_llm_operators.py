@@ -671,3 +671,42 @@ def test_containment_prefix_equals_naive(spark):
         }
         assert blocked == naive, f"threshold {t}"
     assert naive  # t=1.0 still catches the exact duplicate both ways
+
+
+def test_pq_trained_contract_jvm_encode_matches_python_reference(spark):
+    """pq_encode_expr (pure JVM expressions) must agree exactly with a
+    row-by-row Python evaluation of the shared trained-PQ contract
+    (left-to-right squared L2, 9-dp rounding, ties to the lower code) —
+    the same contract the DuckDB oracle unrolls."""
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        _d2_contract,
+        _round_half_up,
+        pq_encode_expr,
+        pq_train_contract,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    # training is deterministic end-to-end
+    books2 = pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    assert books == books2
+    got = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode_expr(emb.filter(F.col("vec_id") < 40), books)
+        .collect()
+    }
+    for r in emb.filter(F.col("vec_id") < 40).collect():
+        v = [float(x) for x in r["embedding"]]
+        want = []
+        for m in range(8):
+            s = v[m * 8 : (m + 1) * 8]
+            dists = [
+                _round_half_up(_d2_contract(s, c), 9) for c in books[m]
+            ]
+            want.append(dists.index(min(dists)))  # first min = lowest code
+        assert got[r["vec_id"]] == want, r["vec_id"]
