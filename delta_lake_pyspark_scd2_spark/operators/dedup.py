@@ -36,6 +36,17 @@ from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
 #: are bijections on Z_2^32 — independent argmins, a real estimator.
 HASH_MOD_32 = 1 << 32
 
+#: Version tag of the minhash signature family. Stored signatures are
+#: only comparable to signatures from the SAME family: changing the
+#: base hash, permutation form, or modulus makes old and new
+#: signatures never band-collide, which would SILENTLY disable every
+#: cross-batch near-dup screen over a pre-existing fingerprint store.
+#: Persistent signature stores stamp this tag and refuse mismatches
+#: loudly (pipeline/corpus_ingest.py). Bump it whenever the family
+#: changes (v2 = the 2^32-wrapping affine fix; v1's mod-M61 family
+#: was order-preserving and is incompatible).
+MINHASH_FAMILY = "md5-affine32-v2"
+
 
 def _spread(df: DataFrame, key: str, *, jvm_only: bool = False) -> DataFrame:
     """Hash-repartition before expensive per-row compute: a small/compact

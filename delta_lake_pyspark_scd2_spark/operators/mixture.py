@@ -287,11 +287,12 @@ def dsir_importance_scores_hashed(
     )
     from delta_lake_pyspark_scd2_spark.operators.text import word_tokens
 
+    from delta_lake_pyspark_scd2_spark.operators.dedup import _md5_32
+
     def _bucket(col):
-        h = F.conv(
-            F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10
-        ).cast("long")
-        return (h % n_buckets).cast("int")
+        # the ONE engine hash convention (dedup._md5_32) — a third
+        # inlined copy would let the oracle contract drift silently
+        return (_md5_32(col) % n_buckets).cast("int")
 
     tokens = word_tokens(docs, text_col, id_col).select(
         id_col, _bucket(F.col("word")).alias("__b")

@@ -195,60 +195,22 @@ def ivf_topk(
     At 100 TB the assignment table is written once, bucketed by
     ``centroid_id``; each probe is then a partition-pruned scan instead
     of this in-flight join.
+
+    Delegates to :func:`ivf_topk_sweep` with a single ``nprobe`` —
+    there is exactly ONE implementation of the engine-exact ranking
+    contract (6-dp rounding, centroid/neighbor-id tie-breaks), so the
+    recall the sweep-based evaluation certifies is, by construction,
+    the recall this operator delivers.
     """
-    assigned = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    )
-    cents = centroids.select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__cvec")
-    ).withColumn("__centnorm", norm(F.col("__cvec")))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    ).withColumn("__qnorm", norm(F.col("__qvec")))
-    qc = q.crossJoin(F.broadcast(cents)).withColumn(
-        "__sim",
-        F.round(
-            cosine_prenormed(
-                F.col("__cvec"), F.col("__qvec"), F.col("__centnorm"), F.col("__qnorm")
-            ),
-            6,
-        ),
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    probes = (
-        qc.withColumn("__rn", F.row_number().over(w_probe))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "__qvec", "__qnorm", "centroid_id")
-    )
-    bucket = assigned.select(id_col, "centroid_id", vec_col).withColumn(
-        "__cnorm", norm(F.col(vec_col))
-    )
-    scored = (
-        bucket.join(F.broadcast(probes), "centroid_id")
-        .filter(F.col(id_col) != F.col("query_id"))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                cosine_prenormed(
-                    F.col("__qvec"),
-                    F.col(vec_col),
-                    F.col("__qnorm"),
-                    F.col("__cnorm"),
-                ),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "rank", "cos_sim")
-    )
+    return ivf_topk_sweep(
+        corpus,
+        centroids,
+        queries,
+        k=k,
+        nprobes=(nprobe,),
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
 def ivf_topk_sweep(

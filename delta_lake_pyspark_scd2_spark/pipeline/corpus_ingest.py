@@ -110,7 +110,21 @@ class CorpusIngest:
     def _fingerprints(self) -> DataFrame | None:
         if not VersionedParquetTable.is_table(self.fp_path):
             return None
-        return VersionedParquetTable(self.spark, self.fp_path).read()
+        t = VersionedParquetTable(self.spark, self.fp_path)
+        family = t.properties().get("minhash.family")
+        if family != dedup.MINHASH_FAMILY:
+            # a store whose signatures come from a DIFFERENT hash
+            # family can never band-collide with this engine's batch
+            # signatures — the cross-batch screen would silently stop
+            # firing; fail loudly instead
+            raise RuntimeError(
+                f"fingerprint store at {self.fp_path} was built with "
+                f"minhash family {family!r}, this engine uses "
+                f"{dedup.MINHASH_FAMILY!r}; signatures are not "
+                "comparable across families — rebuild the store by "
+                "re-ingesting the corpus"
+            )
+        return t.read()
 
     # -- ingest -----------------------------------------------------------
 
@@ -150,6 +164,14 @@ class CorpusIngest:
             return self._ingest_deduped(cached, batch, m, id_col, text_col, txn)
         finally:
             cached.unpersist()
+            # the containment emitters persist_tracked their shingle
+            # frames; a long-running ingest loop must not accumulate
+            # them (clear job boundary, like the wrapper contract)
+            from delta_lake_pyspark_scd2_spark.functions.caching import (
+                release_tracked,
+            )
+
+            release_tracked()
 
     def _ingest_deduped(
         self,
@@ -352,9 +374,14 @@ class CorpusIngest:
         accepted_ids = fps.select(id_col)
         accepted = batch.join(accepted_ids, id_col, "left_semi")
         new_fps = fps.select(id_col, "fp", "minhash")
-        if self.containment:
-            # shingle sets are stored ONCE, at acceptance — future
-            # batches screen against these arrays, never corpus text
+        # shingle sets are stored ONCE, at acceptance — future batches
+        # screen against these arrays, never corpus text. Also written
+        # when a containment=False ingest appends to a store that HAS
+        # the column: a NULL-shingled row would pass the column guard
+        # but silently never serve as a containment container.
+        if self.containment or (
+            store is not None and "shingles" in store.columns
+        ):
             new_fps = new_fps.join(
                 batch.select(
                     F.col(id_col),
@@ -385,7 +412,10 @@ class CorpusIngest:
             VersionedParquetTable.create(
                 self.spark, new_fps, self.fp_path, txn=txn,
                 properties={"autoCompact": "true",
-                            "autoCompact.minFiles": "16"},
+                            "autoCompact.minFiles": "16",
+                            # signatures are family-specific; the read
+                            # path refuses a mismatched store loudly
+                            "minhash.family": dedup.MINHASH_FAMILY},
             )
         m.accepted = (
             m.n_in

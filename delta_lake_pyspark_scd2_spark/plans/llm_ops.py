@@ -2841,9 +2841,7 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
                ROW_NUMBER() OVER (ORDER BY
-                 list_dot_product(q.qv, c.cv2) /
-                 (sqrt(list_dot_product(q.qv, q.qv)) *
-                  sqrt(list_dot_product(c.cv2, c.cv2))) DESC,
+                 {_COS.format(a='q.qv', b='c.cv2')} DESC,
                  c.centroid_id ASC) AS rn
         FROM q, cents c
       ) WHERE rn <= 3
@@ -2870,21 +2868,37 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     assigned = S.assign_to_centroids(emb, cents)
-    # nprobe=3 probe choice mirrors ivfpq_topk (driver-side over the
-    # 12 centroids)
-    import numpy as np
+    # nprobe=3 probe choice, driver-side over the 12 centroids, under
+    # the shared 6-dp probe contract: dot/norm accumulate in strict
+    # left-to-right IEEE order (bit-identical to DuckDB's sequential
+    # list_dot_product — numpy's BLAS/pairwise order is NOT) and the
+    # rounded cosine ties break to the lower centroid id, so the two
+    # engines cannot disagree on the rank-3/rank-4 boundary.
+    import math
 
-    qv = np.asarray(q, dtype=np.float64)
-    qn = float(np.linalg.norm(qv)) or 1.0
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        _round_half_up,
+    )
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    qv = [float(x) for x in q]
+    qn = math.sqrt(_dot(qv, qv)) or 1.0
     sims = sorted(
         (
-            -float(
-                np.dot(qv, np.asarray(r["embedding"]))
-                / (qn * (np.linalg.norm(r["embedding"]) or 1.0))
+            -_round_half_up(
+                _dot(qv, cv) / (qn * (math.sqrt(_dot(cv, cv)) or 1.0)), 6
             ),
-            r["vec_id"],
+            cid,
         )
-        for r in cents.collect()
+        for cid, cv in (
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in cents.collect()
+        )
     )
     probe_ids = [cid for _, cid in sims[:3]]
     bucket = emb.join(
@@ -3732,6 +3746,14 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The ONE nprobe set of the recall sweep — the sweep call, the
+#: join-base frame, and the oracle's unnest all derive from it, so the
+#: three can't silently drift (a sweep-only extension would otherwise
+#: drop rows in the inner join; a base-only one would report recall
+#: 0.0 for a setting never evaluated).
+_RECALL_NPROBES = (1, 2, 4)
+
+
 @register(
     "ann_recall_eval",
     oracle=f"""
@@ -3746,7 +3768,7 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v, cents c
       ) WHERE rn = 1
     ),
-    nps AS (SELECT CAST(unnest([1, 2, 4]) AS INTEGER) AS nprobe),
+    nps AS (SELECT CAST(unnest([{', '.join(str(n) for n in _RECALL_NPROBES)}]) AS INTEGER) AS nprobe),
     pr AS (
       SELECT q.query_id, c.centroid_id, q.qv,
              ROW_NUMBER() OVER (PARTITION BY q.query_id
@@ -3761,7 +3783,7 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pr p
       JOIN assigned a ON a.centroid_id = p.centroid_id
       JOIN v v2 ON v2.vec_id = a.vec_id
-      WHERE a.vec_id <> p.query_id AND p.prn <= 4
+      WHERE a.vec_id <> p.query_id AND p.prn <= {max(_RECALL_NPROBES)}
     ),
     ivf AS (
       SELECT nprobe, query_id, vec_id FROM (
@@ -3816,14 +3838,16 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     sweep = similarity.ivf_topk_sweep(
-        emb, centroids, qs, k=5, nprobes=(1, 2, 4)
+        emb, centroids, qs, k=5, nprobes=_RECALL_NPROBES
     ).select("nprobe", "query_id", "neighbor_id")
     hits = (
         exact.join(sweep, ["query_id", "neighbor_id"])
         .groupBy("nprobe", "query_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
     )
-    np_df = spark.createDataFrame([(1,), (2,), (4,)], "nprobe int")
+    np_df = spark.createDataFrame(
+        [(int(n),) for n in _RECALL_NPROBES], "nprobe int"
+    )
     base = exact.select("query_id").distinct().crossJoin(F.broadcast(np_df))
     return base.join(hits, ["nprobe", "query_id"], "left").select(
         "query_id",

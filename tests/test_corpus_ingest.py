@@ -225,3 +225,43 @@ def test_containment_on_legacy_store_fails_loud(spark, tmp_path):
     ing = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
     with pytest.raises(ValueError, match="shingle"):
         ing.ingest(_df(spark, [(2, "a new batch needing the screen")]))
+
+
+def test_mismatched_minhash_family_store_fails_loud(spark, tmp_path):
+    """Signatures from a different minhash family can never band-collide
+    with this engine's — a mismatched (or legacy, pre-stamp) store must
+    refuse loudly instead of silently accepting every near-duplicate."""
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    ing = CorpusIngest(spark, str(tmp_path / "c"))
+    ing.ingest(_df(spark, _B1))
+    fp = VersionedParquetTable(spark, ing.fp_path)
+    fp.set_property("minhash.family", "md5-affine-m61-v1")  # legacy tag
+    with pytest.raises(RuntimeError, match="minhash family"):
+        CorpusIngest(spark, str(tmp_path / "c")).ingest(_df(spark, _B2))
+    # untagged store (pre-versioning build) refuses too
+    fp.unset_property("minhash.family")
+    with pytest.raises(RuntimeError, match="minhash family"):
+        CorpusIngest(spark, str(tmp_path / "c")).ingest(_df(spark, _B2))
+
+
+def test_plain_ingest_into_containment_store_keeps_shingles(spark, tmp_path):
+    """A containment=False ingest appending to a store that carries
+    shingle sets must still write them — a NULL-shingled row would pass
+    the column guard yet silently never serve as a container."""
+    ing1 = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
+    long_words = " ".join(f"x{i}" for i in range(120))
+    ing1.ingest(_df(spark, [(1, "unrelated seed content entirely")]))
+    # plain ingest (no containment flag) adds the long doc
+    CorpusIngest(spark, str(tmp_path / "c")).ingest(
+        _df(spark, [(2, long_words)])
+    )
+    fp = CorpusIngest(spark, str(tmp_path / "c"))._fingerprints()
+    assert fp.filter("doc_id = 2 AND shingles IS NULL").count() == 0
+    # and the containment screen sees doc 2 as a container
+    ing3 = CorpusIngest(spark, str(tmp_path / "c"), containment=True)
+    excerpt = " ".join(f"x{i}" for i in range(30, 40))
+    m = ing3.ingest(_df(spark, [(10, excerpt)]))
+    assert m.contained_vs_store == 1 and m.accepted == 0
