@@ -247,3 +247,48 @@ def cluster_keep_best(
         "cluster_size",
         (F.row_number().over(w) == 1).alias("is_kept"),
     )
+
+
+def cluster_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    *,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    id_col: str = "doc_id",
+    pair_a: str = "id_a",
+    pair_b: str = "id_b",
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: near-dup CLUSTERS are
+    the unit of splitting, so two near-duplicate documents can never
+    land on opposite sides of a train/eval boundary — the structural
+    fix for what ``split_leakage_audit`` measures (a doc-level random
+    split leaks every cross-split near-dup pair into evaluation).
+
+    Split choice is the engine's deterministic md5 keep-hash over the
+    cluster id against cumulative ``weights`` thresholds — reproducible
+    on any cluster shape, and adding corpus later keeps earlier
+    assignments stable (the hash depends only on the cluster id).
+    Output: ``(id_col, cluster_id, split)`` over every document
+    (singletons are their own cluster).
+
+    Scale: one distributed-CC pass over the pair edges plus a narrow
+    hash expression — no new corpus-wide structure beyond
+    :func:`cluster_documents`.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.hashing import keep_hash
+
+    if len(weights) != 3 or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be 3 shares summing to 1: {weights}")
+    mod = 1_000_000
+    t_train = int(round(weights[0] * mod))
+    t_val = int(round((weights[0] + weights[1]) * mod))
+    clustered = cluster_documents(docs, pairs, id_col, pair_a, pair_b)
+    h = keep_hash(F.col("cluster_id"), mod)
+    return clustered.select(
+        id_col,
+        "cluster_id",
+        F.when(h < t_train, F.lit("train"))
+        .when(h < t_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

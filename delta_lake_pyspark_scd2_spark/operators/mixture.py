@@ -341,3 +341,34 @@ def dsir_importance_scores_hashed(
         .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
     )
     return docs.select(id_col).join(scored, id_col, "left")
+
+
+def quality_filter_per_group(
+    df: DataFrame,
+    score: Column,
+    *,
+    keep_frac: float = 0.5,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group relative quality gate (the FineWeb-style recipe):
+    keep each group's top ``keep_frac`` of rows by ``score`` — a
+    per-LANGUAGE quantile, where a single global threshold would
+    silently drop whole low-resource languages whose score
+    distribution sits below the high-resource ones.
+
+    Membership is rank-based (``percent_rank`` over a fully
+    deterministic ordering: score descending, id ascending), so the
+    kept set is engine-stable with no float-threshold boundary.
+    One shuffle on ``group_col``; the window is the only pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        score.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__pr", F.percent_rank().over(w))
+        .filter(F.col("__pr") <= keep_frac)
+        .drop("__pr")
+    )

@@ -89,6 +89,9 @@ _TAIL_PRIORITY: list[str] = [
     "ann_recall_eval",
     "ann_pq_trained_topk",
     "ann_ivfpq_trained_topk",
+    "split_cluster_safe",
+    "quality_filter_per_lang",
+    "export_token_pack",
 ]
 
 

@@ -4341,3 +4341,143 @@ def vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price").cast("long").alias("sum_price"),
         )
     )
+
+
+_CC_CLUSTER_CTES = f"""
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+"""
+
+
+@register(
+    "split_cluster_safe",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    {_CC_CLUSTER_CTES},
+    lab AS (
+      SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 < 800000 THEN 'train'
+                WHEN ('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 1000000 < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lab
+    """,
+    doc="Leakage-free train/val/test split (80/10/10): near-dup "
+    "CLUSTERS (same Jaccard>=0.8 components as dedup_cluster_canonical) "
+    "are the splitting unit, so a near-duplicate pair can never "
+    "straddle a train/eval boundary -- the structural fix for what "
+    "split_leakage_audit measures on doc-level random splits. Split "
+    "choice is the deterministic md5 keep-hash over the cluster id: "
+    "reproducible on any cluster shape, and stable for earlier docs "
+    "as the corpus grows.",
+)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    return graph.cluster_safe_split(docs, pairs, weights=(0.8, 0.1, 0.1))
+
+
+@register(
+    "quality_filter_per_lang",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC) AS pr
+      FROM documents
+    ) WHERE pr <= 0.5
+    """,
+    doc="Per-language relative quality gate (the FineWeb-style recipe): "
+    "keep each language's top half by content length -- a per-group "
+    "quantile where one global threshold would silently drop whole "
+    "low-resource languages whose score distribution sits below the "
+    "high-resource ones. Rank-based membership (percent_rank over a "
+    "fully deterministic ordering), so the kept set is engine-stable "
+    "with no float-threshold boundary; one shuffle on lang.",
+)
+def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.mixture import (
+        quality_filter_per_group,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_filter_per_group(
+        docs, F.col("n_chars"), keep_frac=0.5, group_col="lang"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "export_token_pack",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS tok_before
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(tok_before / 2000.0) AS INT) AS shard_no
+    FROM c
+    """,
+    doc="Token-budget shard packing for training-data export: within "
+    "each source, docs are packed in id order into shards of ~2000 "
+    "whitespace tokens (shard = floor(cumulative-tokens-before / "
+    "budget)) -- the deterministic assignment a sequence-packing "
+    "export consumes. Packing is inherently sequential, so the "
+    "running sum is windowed PER SOURCE: sources pack in parallel and "
+    "no global ordering shuffle exists; exact integer sums, "
+    "engine-stable.",
+)
+def export_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = text.token_count_ws(F.col("text")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    return docs.select(
+        "doc_id",
+        "source",
+        toks.alias("n_tokens"),
+        F.floor(before / F.lit(2000.0)).cast("int").alias("shard_no"),
+    )

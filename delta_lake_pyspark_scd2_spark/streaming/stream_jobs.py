@@ -339,10 +339,14 @@ def corpus_ingest_stream(
     schema: str = "doc_id long, text string",
     on_batch: Callable[[int, object], None] | None = None,
     app_id: str = "corpus_ingest",
+    **ingest_opts,
 ) -> StreamingQuery:
     """Streaming corpus ingestion: new document files under
     ``source_dir`` flow through the incremental dedup pipeline
     (``pipeline.corpus_ingest.CorpusIngest``) per micro-batch.
+    ``ingest_opts`` pass through to :class:`CorpusIngest` — the opt-in
+    screens (``containment=True``, ``keep="best"``) work identically
+    streaming and batch.
 
     The continuous twin of batch ingestion: each micro-batch is deduped
     exactly (in-batch + against the fingerprint store) before landing
@@ -357,7 +361,7 @@ def corpus_ingest_stream(
     """
     from delta_lake_pyspark_scd2_spark.pipeline.corpus_ingest import CorpusIngest
 
-    ingest = CorpusIngest(spark, store_base)
+    ingest = CorpusIngest(spark, store_base, **ingest_opts)
 
     def _process(batch_df: DataFrame, batch_no: int) -> None:
         if not batch_df.isEmpty():

@@ -78,3 +78,39 @@ def test_hard_negatives_all_differ_and_match_numpy(spark):
             )
         ]
         assert got == want
+
+
+def test_cluster_safe_split_never_leaks_and_hits_shares(spark):
+    """The structural guarantee: every near-dup cluster lands WHOLE in
+    one split (zero cross-split near-dup pairs — the leakage the audit
+    measures on doc-level splits), and the split shares approximate
+    the 80/10/10 weights."""
+    from delta_lake_pyspark_scd2_spark.operators import dedup, graph
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    out = graph.cluster_safe_split(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())  # whole clusters
+    # no near-dup pair straddles a boundary
+    for p in pairs.collect():
+        assert split_of[p["id_a"]] == split_of[p["id_b"]]
+    n = len(out)
+    shares = {
+        s: sum(1 for v in split_of.values() if v == s) / n
+        for s in ("train", "val", "test")
+    }
+    assert 0.7 < shares["train"] < 0.9
+    assert 0.05 < shares["val"] < 0.16 and 0.05 < shares["test"] < 0.16
+    # deterministic: a second run assigns identically
+    again = {
+        r["doc_id"]: r["split"]
+        for r in graph.cluster_safe_split(docs, pairs).collect()
+    }
+    assert again == split_of
