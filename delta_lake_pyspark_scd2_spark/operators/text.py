@@ -742,7 +742,10 @@ def pmi_collocations(
     )
     dfreq = words.groupBy("word").agg(F.count(F.lit(1)).alias("__dfw"))
     frequent = dfreq.filter(F.col("__dfw") >= min_pair_docs)
-    fwords = words.join(F.broadcast(frequent.select("word")), "word")
+    # `frequent` is df-truncated but still VOCAB-scale at web size —
+    # no forced broadcast hint (round-4 verdict's "watch" class, same
+    # fix as the weak family): both sides are word-keyed, AQE decides.
+    fwords = words.join(frequent.select("word"), "word")
     pairs = (
         fwords.alias("a")
         .join(
@@ -765,8 +768,8 @@ def pmi_collocations(
         F.col("word").alias("word_b"), F.col("__dfw").alias("__dfb")
     )
     return (
-        pairs.join(F.broadcast(da), "word_a")
-        .join(F.broadcast(db), "word_b")
+        pairs.join(da, "word_a")
+        .join(db, "word_b")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "word_a",
@@ -826,7 +829,8 @@ def pmi_collocations_window(
     n_toks = toks.agg(F.count(F.lit(1)).alias("__n_toks"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("__cw"))
     frequent = counts.filter(F.col("__cw") >= min_pair)
-    ftoks = toks.join(F.broadcast(frequent.select("word")), "word")
+    # frequent is vocab-scale (df-truncated, unbounded) — no hint
+    ftoks = toks.join(frequent.select("word"), "word")
     left = ftoks.select(
         F.col(id_col),
         F.col("word"),
@@ -857,8 +861,8 @@ def pmi_collocations_window(
         F.col("word").alias("word_b"), F.col("__cw").alias("__cb")
     )
     return (
-        pairs.join(F.broadcast(ca), "word_a")
-        .join(F.broadcast(cb), "word_b")
+        pairs.join(ca, "word_a")
+        .join(cb, "word_b")
         .crossJoin(F.broadcast(n_toks))
         .select(
             "word_a",
