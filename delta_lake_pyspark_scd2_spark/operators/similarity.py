@@ -725,7 +725,7 @@ def ivfpq_topk(
     :func:`pq_encode` + the :func:`pq_topk` LUT fold with a bucket
     pre-filter.
     """
-    import numpy as np
+    import math
 
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col
@@ -734,19 +734,31 @@ def ivfpq_topk(
         assigned.select(id_col, "centroid_id"), id_col
     )
     # nprobe nearest centroids to the query, driver-side (centroids are
-    # small by definition)
-    q = np.asarray(query_vec, dtype=np.float64)
+    # small by definition) — under the shared 6-dp probe contract:
+    # dot/norm accumulate in strict left-to-right IEEE order
+    # (bit-identical to a SQL engine's sequential list_dot_product;
+    # numpy's BLAS/pairwise order is NOT), and the rounded cosine ties
+    # break to the lower centroid id, so an oracle cannot disagree on
+    # the probe-set boundary by a last-ulp difference.
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q = [float(x) for x in query_vec]
     cents = centroids.select(id_col, vec_col).collect()
-    qn = np.linalg.norm(q) or 1.0
+    qn = math.sqrt(_dot(q, q)) or 1.0
     sims = sorted(
         (
-            -float(
-                np.dot(q, np.asarray(r[vec_col]))
-                / (qn * (np.linalg.norm(r[vec_col]) or 1.0))
+            -_round_half_up(
+                _dot(q, cv) / (qn * (math.sqrt(_dot(cv, cv)) or 1.0)), 6
             ),
-            r[id_col],
+            cid,
         )
-        for r in cents
+        for cid, cv in (
+            (r[id_col], [float(x) for x in r[vec_col]]) for r in cents
+        )
     )
     probe_ids = [cid for _, cid in sims[:nprobe]]
     bucket = codes.filter(F.col("centroid_id").isin(probe_ids))

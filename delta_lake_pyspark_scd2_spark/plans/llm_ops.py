@@ -2953,9 +2953,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT centroid_id FROM (
         SELECT c.centroid_id,
                ROW_NUMBER() OVER (ORDER BY
-                 list_dot_product(q.qv, c.cv2) /
-                 (sqrt(list_dot_product(q.qv, q.qv)) *
-                  sqrt(list_dot_product(c.cv2, c.cv2))) DESC,
+                 {_COS.format(a='q.qv', b='c.cv2')} DESC,
                  c.centroid_id ASC) AS rn
         FROM q, cents c
       ) WHERE rn <= 3
