@@ -134,3 +134,71 @@ def count_min_estimate(
             .alias(estimate_col)
         )
     )
+
+
+def histogram_bucket(value: Column) -> Column:
+    """Log2 bucket of a non-negative integer value — the shared
+    Spark/DuckDB contract: ``floor(log2(v + 1))`` computed EXACTLY as
+    bit length (never float ``log``, whose boundary values differ by
+    ulp across engines): bucket b covers ``[2^b - 1, 2^(b+1) - 2]``.
+    NULL/negative values land in bucket -1 (an explicit "invalid" bin,
+    never silently dropped)."""
+    v = value.cast("long")
+    # length(bin(v+1)) - 1 == floor(log2(v+1)) for v >= 0 — pure
+    # integer/string arithmetic, identical in Spark and DuckDB (both
+    # bin() forms have no leading zeros)
+    return (
+        F.when(v.isNull() | (v < 0), F.lit(-1))
+        .otherwise((F.length(F.bin(v + 1)) - 1).cast("int"))
+    )
+
+
+def histogram_build(
+    df: DataFrame,
+    value: Column,
+) -> DataFrame:
+    """Mergeable log-histogram sketch of a value column: one row per
+    occupied log2 bucket, ``(bucket, cnt)``. Fixed size (≤ 64 rows for
+    int64 values) regardless of input size, mergeable by bucket-wise
+    sum — the quantile-monitoring half of the sketch family (CMS =
+    frequency, HLL = cardinality, histogram = distribution shape).
+    One map-side-combinable aggregation; nothing else.
+    """
+    return (
+        df.select(histogram_bucket(value).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(*sketches: DataFrame) -> DataFrame:
+    """Bucket-wise sum — sketches from any partitioning of the data
+    merge to the sketch of the union (exact, not approximate: the
+    histogram loses within-bucket detail, never counts)."""
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    return u.groupBy("bucket").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_quantile(sketch: DataFrame, q: float) -> DataFrame:
+    """Bucket containing the ``q``-quantile: smallest bucket whose
+    cumulative count reaches ``ceil(q * N)``. Returns one row
+    ``(bucket, lo, hi)`` — the value range the quantile falls in
+    (resolution = the log2 bucket, the sketch's accuracy contract).
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = sketch.agg(F.sum("cnt").alias("__n"))
+    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).crossJoin(
+        F.broadcast(tot)
+    )
+    hit = cum.filter(
+        F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__n"))
+    ).orderBy("bucket").limit(1)
+    return hit.select(
+        "bucket",
+        (F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("long").alias("lo"),
+        (F.pow(F.lit(2.0), F.col("bucket") + 1) - 2).cast("long").alias("hi"),
+    )

@@ -92,6 +92,7 @@ _TAIL_PRIORITY: list[str] = [
     "split_cluster_safe",
     "quality_filter_per_lang",
     "export_token_pack",
+    "sketch_token_histogram",
 ]
 
 

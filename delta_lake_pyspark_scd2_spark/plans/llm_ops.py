@@ -4479,3 +4479,35 @@ def export_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.alias("n_tokens"),
         F.floor(before / F.lit(2000.0)).cast("int").alias("shard_no"),
     )
+
+
+@register(
+    "sketch_token_histogram",
+    oracle=r"""
+    WITH t AS (
+      SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+'))
+                  END AS BIGINT) AS v
+      FROM documents
+    )
+    SELECT CAST(length(bin(v + 1)) - 1 AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM t GROUP BY 1
+    """,
+    doc="Mergeable log2-histogram sketch of per-doc token counts -- "
+    "the distribution-shape member of the sketch family (CMS = "
+    "frequency, HLL = cardinality): <= 64 rows regardless of corpus "
+    "size, mergeable by bucket-wise sum (per-day / per-partition "
+    "sketches combine without re-scanning history), quantile probes "
+    "are a cumulative pass over the tiny sketch. Bucketing is EXACT "
+    "integer arithmetic (length(bin(v+1)) - 1 == floor(log2(v+1))), "
+    "never float log, so both engines bin boundary values "
+    "identically. One map-side-combinable aggregation.",
+)
+def sketch_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_build,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_build(docs, text.token_count_ws(F.col("text")))

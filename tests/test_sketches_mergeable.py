@@ -90,3 +90,29 @@ def test_sketch_incremental_append(spark, sf_dir, tmp_path):
         .collect()
     }
     assert est == whole
+
+
+def test_histogram_sketch_merge_and_quantile(spark):
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_build,
+        histogram_merge,
+        histogram_quantile,
+    )
+    from pyspark.sql import functions as F
+
+    vals = list(range(100)) + [1000] * 5 + [-3, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    full = {r["bucket"]: r["cnt"] for r in histogram_build(df, F.col("v")).collect()}
+    # invalid bin holds the negative AND the null, never dropped
+    assert full[-1] == 2
+    assert sum(full.values()) == len(vals)
+    # bucket b covers [2^b - 1, 2^(b+1) - 2]: v=0 -> bucket 0; v=1,2 -> 1
+    assert full[0] == 1 and full[1] == 2
+    # merge of any split == sketch of the union (exact)
+    h1 = histogram_build(df.filter("v IS NULL OR v % 2 = 0"), F.col("v"))
+    h2 = histogram_build(df.filter("v IS NOT NULL AND v % 2 <> 0"), F.col("v"))
+    merged = {r["bucket"]: r["cnt"] for r in histogram_merge(h1, h2).collect()}
+    assert merged == full
+    # median of 0..99 + outliers falls in the bucket containing ~50
+    q = histogram_quantile(histogram_build(df.filter("v >= 0"), F.col("v")), 0.5).collect()[0]
+    assert q["lo"] <= 50 <= q["hi"]
