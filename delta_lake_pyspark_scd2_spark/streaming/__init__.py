@@ -2,6 +2,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     corpus_ingest_stream,
     count_min_stream,
     drift_monitor_stream,
+    histogram_stream,
     kmeans_model_stream,
     run_stream_once,
     scd2_stream,
@@ -12,6 +13,7 @@ __all__ = [
     "corpus_ingest_stream",
     "count_min_stream",
     "drift_monitor_stream",
+    "histogram_stream",
     "kmeans_model_stream",
     "run_stream_once",
     "scd2_stream",

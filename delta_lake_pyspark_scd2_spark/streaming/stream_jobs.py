@@ -838,3 +838,76 @@ def kmeans_model_stream(
         checkpoint_dir,
         _process,
     )
+
+
+def histogram_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    app_id: str = "hist_maintain",
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Streaming log2-histogram maintenance: document batches arriving
+    under ``source_dir`` fold their per-doc token-count histogram into
+    a persisted sketch — the online twin of
+    ``operators.sketches.histogram_build``, completing the maintained
+    sketch trio (CMS frequency, HLL cardinality, histogram shape).
+    A live quantile probe (``histogram_quantile``) over the maintained
+    table answers "what does the length distribution of everything
+    ingested so far look like" without scanning history.
+
+    Per-batch work: one map-side-combinable aggregation to the batch's
+    ≤ 64-row sketch, then a MERGE touching only those rows. Bucketing
+    has no geometry to pin (log2 bins are parameter-free), so unlike
+    the CMS stream there is no layout handshake. Exactly-once via the
+    ``(app_id, batch_no)`` writer txn; a batch id below the watermark
+    fails loud (counter addition is not idempotent).
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches, text
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(sketch_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame([], "bucket INT, cnt BIGINT"),
+            sketch_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = VersionedParquetTable(spark, sketch_path)
+        _txn_reset_guard(sk, app_id, batch_no, "sketch")
+        delta = sketches.histogram_build(
+            batch_df, text.token_count_ws(F.col(text_col))
+        ).withColumnRenamed("cnt", "__delta")
+        merged = delta.join(
+            sk.read().withColumnRenamed("cnt", "__cur"),
+            ["bucket"],
+            "left",
+        ).select(
+            "bucket",
+            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("cnt"),
+        )
+        m = sk.upsert(
+            merged,
+            ["bucket"],
+            operation="HIST_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(batch_no, m)
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )

@@ -116,3 +116,60 @@ def test_geometry_mismatch_fails_loud(spark, tmp_path):
         count_min_stream(
             spark, str(src), sketch_path, str(tmp_path / "ck2"), width=2048
         )
+
+
+def test_histogram_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
+    """The maintained histogram after N micro-batches equals the batch
+    sketch of all docs; a replayed batch does not double-count; a reset
+    checkpoint fails loud."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_build,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
+    from delta_lake_pyspark_scd2_spark.streaming import histogram_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sk_path, ck = str(tmp_path / "hist"), str(tmp_path / "ck")
+    batches = [
+        [(1, "a b c"), (2, "one two three four five six seven")],
+        [(3, ""), (4, "x " * 40)],
+        [(5, "lone")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, t in rows:
+                f.write(json.dumps({"doc_id": did, "text": t}) + "\n")
+        histogram_stream(spark, str(src), sk_path, ck)
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    want = {
+        r["bucket"]: r["cnt"]
+        for r in histogram_build(all_docs, token_count_ws(F.col("text"))).collect()
+    }
+    got = {
+        r["bucket"]: r["cnt"]
+        for r in VersionedParquetTable(spark, sk_path).read().collect()
+    }
+    assert got == want
+    # re-run with same checkpoint: nothing new, no double count
+    histogram_stream(spark, str(src), sk_path, ck)
+    got2 = {
+        r["bucket"]: r["cnt"]
+        for r in VersionedParquetTable(spark, sk_path).read().collect()
+    }
+    assert got2 == want
+    # fresh checkpoint against the kept sketch: loud failure
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException, Py4JJavaError),
+        match="checkpoint appears reset",
+    ):
+        histogram_stream(spark, str(src), sk_path, str(tmp_path / "ck2"))
