@@ -93,6 +93,7 @@ _TAIL_PRIORITY: list[str] = [
     "quality_filter_per_lang",
     "export_token_pack",
     "sketch_token_histogram",
+    "ann_pq_recall_eval",
 ]
 
 

@@ -2744,7 +2744,8 @@ def _pqt_iter(prev: str, a: str, g: str, new: str) -> str:
     )"""
 
 
-_PQT_HEAD = f"""
+# training only: v/ms/samp -> c2 (the trained per-subspace codebooks)
+_PQT_TRAIN = f"""
     v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
     ms AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS m),
     samp AS (SELECT vec_id, ve FROM v ORDER BY vec_id LIMIT 64),
@@ -2758,7 +2759,11 @@ _PQT_HEAD = f"""
         SELECT m, s, ROW_NUMBER() OVER (PARTITION BY m ORDER BY fid) AS rn
         FROM dd
       ) WHERE rn <= 16
-    ),{_pqt_iter('init', 'a1', 'g1', 'c1')},{_pqt_iter('c1', 'a2', 'g2', 'c2')},
+    ),{_pqt_iter('init', 'a1', 'g1', 'c1')},{_pqt_iter('c1', 'a2', 'g2', 'c2')}
+"""
+
+# the lowest-id vector's LUT (single-query search form)
+_PQT_QUERY_LUT = f"""
     q AS (SELECT ve AS qv FROM v ORDER BY vec_id LIMIT 1),
     qsub AS (SELECT ms.m, q.qv[ms.m*8+1:ms.m*8+8] AS s FROM q, ms),
     lut AS (
@@ -2766,6 +2771,8 @@ _PQT_HEAD = f"""
       FROM qsub JOIN c2 ON qsub.m = c2.m
     )
 """
+
+_PQT_HEAD = f"""{_PQT_TRAIN},{_PQT_QUERY_LUT}"""
 
 # assignment + ADC over a candidate CTE named `cand(vec_id, ve)`
 _PQT_TAIL = f"""
@@ -4511,3 +4518,183 @@ def sketch_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return histogram_build(docs, text.token_count_ws(F.col("text")))
+
+
+def _d2_terms(a: str, b: str, n: int) -> str:
+    """Explicit LEFT-ASSOCIATED squared-L2 over ``n``-element lists —
+    both engines produce the bit-identical double (shared contract
+    with similarity._d2_contract)."""
+    return " + ".join(
+        f"({a}[{j}] - {b}[{j}]) * ({a}[{j}] - {b}[{j}])"
+        for j in range(1, n + 1)
+    )
+
+
+@register(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {_PQT_TRAIN},
+    qs AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id >= 490),
+    qsubq AS (
+      SELECT qs.query_id, ms.m, qs.qv[ms.m*8+1:ms.m*8+8] AS s
+      FROM qs, ms
+    ),
+    lutq AS (
+      SELECT q.query_id, c2.m, c2.code,
+             round({_pqt_d2('q.s', 'c2.c')}, 9) AS d2
+      FROM qsubq q JOIN c2 ON q.m = c2.m
+    ),
+    subv AS (
+      SELECT v.vec_id, ms.m, v.ve[ms.m*8+1:ms.m*8+8] AS s FROM v, ms
+    ),
+    assign AS (
+      SELECT vec_id, m, code FROM (
+        SELECT subv.vec_id, subv.m, c2.code,
+               ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.m
+                 ORDER BY round({_pqt_d2('subv.s', 'c2.c')}, 9) ASC,
+                          c2.code ASC) AS rn
+        FROM subv JOIN c2 ON subv.m = c2.m
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id, round(sum(l.d2), 6) AS pq_dist
+      FROM assign a JOIN lutq l ON a.m = l.m AND a.code = l.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist ASC, vec_id ASC) AS rank
+        FROM adc
+      ) WHERE rank <= 10
+    ),
+    escored AS (
+      SELECT qs.query_id, v.vec_id,
+             round({_d2_terms('v.ve', 'qs.qv', 64)}, 6) AS d2
+      FROM v, qs WHERE v.vec_id <> qs.query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, vec_id ASC) AS rank
+        FROM escored
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT b.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM exact) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    doc="PQ index-quality evaluation as a query: per-query recall@10 "
+    "of the trained-PQ ADC search against exact squared-L2 brute "
+    "force -- extends the evaluation family (IVF recall, lang "
+    "confusion, embedding health) to the compressed index, measuring "
+    "exactly what 8x..64x memory compression costs in neighbor "
+    "fidelity before a pipeline adopts it. Both arms share the "
+    "left-associated/rounded distance contract, so recall is "
+    "engine-exact; all query LUTs ride ONE broadcast join over the "
+    "encoded corpus (no per-query pass).",
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    codes = persist_tracked(S.pq_encode_expr(emb, books))
+    qs = emb.filter(F.col("vec_id") >= 490)
+    q_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qs.collect()
+    ]
+    # one (query_id, m, code, d2) LUT frame for ALL queries: ADC for
+    # every query is a single broadcast join over the exploded codes
+    lut_rows = []
+    for qid, qv in q_rows:
+        for m in range(8):
+            qsl = qv[m * 8 : (m + 1) * 8]
+            for code, c in enumerate(books[m]):
+                lut_rows.append(
+                    (qid, m, code,
+                     S._round_half_up(S._d2_contract(qsl, c), 9))
+                )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2 double"
+    )
+    exploded = codes.select(
+        "vec_id",
+        F.posexplode("pq_codes").alias("m", "code"),
+    )
+    adc = (
+        exploded.join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    # exact arm: left-associated squared L2 over the full vectors
+    qdf = F.broadcast(
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__qv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    escored = (
+        emb.crossJoin(qdf)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("__d2"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        escored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
