@@ -192,3 +192,89 @@ def read_shards(spark, path: str, *, shards: list[int] | None = None) -> DataFra
     if shards is not None:
         df = df.filter(F.col("shard").isin(shards))
     return df
+
+
+def export_token_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    budget: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fmt: str = "json",
+) -> dict[str, Any]:
+    """Token-BUDGET sharded export: within each source, docs pack in id
+    order into shards of ~``budget`` whitespace tokens (the
+    ``export_token_pack`` assignment), written as
+    ``path/shard=<source>_<k>/`` with a manifest — what a
+    sequence-packing trainer consumes when it wants shards bounded by
+    tokens rather than balanced by row-hash.
+
+    Every shard except a source's last holds ≥ ``budget`` tokens'
+    worth of docs minus at most one overshoot doc (a doc is never
+    split). Packing is a per-source running-sum window, so sources
+    pack in parallel — no global ordering shuffle; shard count is
+    data-dependent, so stats use the one-hash-aggregate shape (the
+    same reasoning as the >256-shard hash path of
+    :func:`export_shards`).
+    """
+    if fmt not in ("json", "parquet"):
+        raise ValueError(f"unsupported export format: {fmt}")
+    from pyspark.sql import Window
+
+    toks = token_count_ws(F.col(text_col)).cast("long")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(toks).over(w), F.lit(0))
+    sharded = df.withColumn(
+        "shard",
+        F.concat_ws(
+            "_",
+            F.col(source_col),
+            F.floor(before / F.lit(float(budget))).cast("int"),
+        ),
+    )
+    (
+        sharded.repartition("shard")
+        .sortWithinPartitions("shard", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )
+    stat_rows = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(toks).cast("long").alias("tok"),
+        )
+        .collect()
+    )
+    manifest = {
+        "format": fmt,
+        "mode": "token_budget",
+        "token_budget": int(budget),
+        "num_shards": len(stat_rows),
+        "total_rows": int(sum(r["n"] for r in stat_rows)),
+        "rows_per_shard": {
+            r["shard"]: int(r["n"])
+            for r in sorted(stat_rows, key=lambda r: r["shard"])
+        },
+        "tokens_per_shard": {
+            r["shard"]: int(r["tok"] or 0)
+            for r in sorted(stat_rows, key=lambda r: r["shard"])
+        },
+        "columns": [c for c in df.columns],
+    }
+    from delta_lake_pyspark_scd2_spark.sources import fsio
+
+    fs = fsio.get_fs(path)
+    fs.write_text(
+        fsio.join(path, "manifest.json"),
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
+    return manifest

@@ -101,3 +101,41 @@ def test_many_shards_fallback_matches_observe_path(spark, sf_dir, tmp_path, monk
         text_col="text",
     )
     assert m_agg == m_obs
+
+
+def test_export_token_shards_respects_budget(spark, tmp_path):
+    """Token-budget export: shards hold whole docs packed to ~budget
+    tokens per source; only a shard's LAST doc may overshoot, and a
+    re-export is assignment-identical."""
+    from delta_lake_pyspark_scd2_spark.sources.export import (
+        export_token_shards,
+    )
+
+    rows = [
+        (i, "s1" if i < 30 else "s2", "tok " * ((i % 7) + 2))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = str(tmp_path / "exp")
+    man = export_token_shards(df, out, budget=20)
+    assert man["total_rows"] == 50
+    # every non-final shard of a source reached the budget before its
+    # last doc; no shard except via a single overshoot doc exceeds
+    # budget + max doc size
+    max_doc = 8
+    per_source: dict = {}
+    for shard, tok in man["tokens_per_shard"].items():
+        src, k = shard.rsplit("_", 1)
+        per_source.setdefault(src, {})[int(k)] = tok
+        assert tok <= 20 + max_doc
+    for src, shards in per_source.items():
+        last = max(shards)
+        assert sorted(shards) == list(range(last + 1))  # dense ids
+        for k, tok in shards.items():
+            if k != last:
+                assert tok >= 20 - max_doc  # filled before rolling over
+    # read-back completeness + determinism
+    back = spark.read.json(f"{out}/shard=*")
+    assert back.count() == 50
+    man2 = export_token_shards(df, str(tmp_path / "exp2"), budget=20)
+    assert man2["tokens_per_shard"] == man["tokens_per_shard"]
