@@ -94,6 +94,7 @@ _TAIL_PRIORITY: list[str] = [
     "export_token_pack",
     "sketch_token_histogram",
     "ann_pq_recall_eval",
+    "ann_ivfpq_recall_eval",
 ]
 
 

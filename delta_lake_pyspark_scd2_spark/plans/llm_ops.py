@@ -4698,3 +4698,227 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "ann_ivfpq_recall_eval",
+    oracle=f"""
+    WITH {_PQT_TRAIN},
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cv2 FROM v
+      WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT 12
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT v.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_COS.format(a='v.ve', b='c.cv2')} DESC,
+                          c.centroid_id ASC) AS rn
+        FROM v, cents c
+      ) WHERE rn = 1
+    ),
+    qs AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id >= 490),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT q.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 {_COS.format(a='q.qv', b='c.cv2')} DESC,
+                 c.centroid_id ASC) AS rn
+        FROM qs q, cents c
+      ) WHERE rn <= 3
+    ),
+    qsubq AS (
+      SELECT qs.query_id, ms.m, qs.qv[ms.m*8+1:ms.m*8+8] AS s
+      FROM qs, ms
+    ),
+    lutq AS (
+      SELECT q.query_id, c2.m, c2.code,
+             round({_pqt_d2('q.s', 'c2.c')}, 9) AS d2
+      FROM qsubq q JOIN c2 ON q.m = c2.m
+    ),
+    subv AS (
+      SELECT v.vec_id, ms.m, v.ve[ms.m*8+1:ms.m*8+8] AS s FROM v, ms
+    ),
+    assign AS (
+      SELECT vec_id, m, code FROM (
+        SELECT subv.vec_id, subv.m, c2.code,
+               ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.m
+                 ORDER BY round({_pqt_d2('subv.s', 'c2.c')}, 9) ASC,
+                          c2.code ASC) AS rn
+        FROM subv JOIN c2 ON subv.m = c2.m
+      ) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id, round(sum(l.d2), 6) AS pq_dist
+      FROM assign a
+      JOIN assigned b ON a.vec_id = b.vec_id
+      JOIN probes p ON b.centroid_id = p.centroid_id
+      JOIN lutq l ON a.m = l.m AND a.code = l.code
+                 AND l.query_id = p.query_id
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pq_dist ASC, vec_id ASC) AS rank
+        FROM adc
+      ) WHERE rank <= 10
+    ),
+    escored AS (
+      SELECT qs.query_id, v.vec_id,
+             round({_d2_terms('v.ve', 'qs.qv', 64)}, 6) AS d2
+      FROM v, qs WHERE v.vec_id <> qs.query_id
+    ),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY d2 ASC, vec_id ASC) AS rank
+        FROM escored
+      ) WHERE rank <= 10
+    ),
+    hits AS (
+      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact e JOIN approx a
+        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+      GROUP BY 1
+    )
+    SELECT b.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
+    FROM (SELECT DISTINCT query_id FROM exact) b
+    LEFT JOIN hits h USING (query_id)
+    """,
+    doc="IVF-PQ recall@10 vs exact squared-L2 -- completes the "
+    "index-selection matrix (brute force = 1.0 by definition, IVF "
+    "sweep per nprobe, bare PQ, composed IVF-PQ): the composed "
+    "index's misses come from BOTH bucket restriction and code "
+    "quantization, and only a measurement of the composition says "
+    "whether their errors overlap or compound. Same engine-exact "
+    "contracts as the other evaluation queries; per-query bucket "
+    "restriction joins assignment to probes, then one broadcast LUT "
+    "join scores the survivors.",
+)
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    books = S.pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    codes = persist_tracked(S.pq_encode_expr(emb, books))
+    assigned = S.assign_to_centroids(emb, cents).select(
+        "vec_id", "centroid_id"
+    )
+    qs = emb.filter(F.col("vec_id") >= 490)
+    # per-query probe sets (top-3 centroids, rounded-cosine contract)
+    cq = cents.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("__cv"),
+    ).withColumn("__cn", S.norm(F.col("__cv")))
+    qn = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+    ).withColumn("__qn", S.norm(F.col("__qv")))
+    qc = qn.crossJoin(F.broadcast(cq)).withColumn(
+        "__sim",
+        F.round(
+            S.cosine_prenormed(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qc.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= 3)
+        .select("query_id", "centroid_id")
+    )
+    q_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qs.collect()
+    ]
+    lut_rows = [
+        (qid, m, code,
+         S._round_half_up(
+             S._d2_contract(qv[m * 8 : (m + 1) * 8], c), 9))
+        for qid, qv in q_rows
+        for m in range(8)
+        for code, c in enumerate(books[m])
+    ]
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2 double"
+    )
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.select(
+            "query_id", "vec_id", F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    qdf = F.broadcast(
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv2"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__qv2"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    escored = (
+        emb.crossJoin(qdf)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("__d2"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        escored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
+        ).alias("recall_at_10"),
+    )
