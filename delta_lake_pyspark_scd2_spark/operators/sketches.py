@@ -202,3 +202,65 @@ def histogram_quantile(sketch: DataFrame, q: float) -> DataFrame:
         (F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("long").alias("lo"),
         (F.pow(F.lit(2.0), F.col("bucket") + 1) - 2).cast("long").alias("hi"),
     )
+
+
+def histogram_drift(
+    df: DataFrame,
+    value: Column,
+    group_col: str,
+) -> DataFrame:
+    """Per-group LENGTH-distribution drift: total-variation (L1/2 up to
+    a factor) distance between each group's log2-histogram shares and
+    the corpus-wide shares — the shape-drift companion of the unigram
+    KL monitor (KL sees *content* drift; a crawler that starts
+    emitting truncated pages has identical vocabulary but a collapsed
+    length histogram, which only this catches).
+
+    Output: ``(group_col, n, l1_distance)``. Cost: ONE
+    map-side-combinable (group, bucket) count — the per-group and
+    corpus histograms and both totals all derive from it; the distance
+    join is histogram-sized (groups × ≤65 buckets), never corpus-sized.
+
+    Cross-engine float contract: shares are single divisions of exact
+    int64 counts (bit-identical), per-bucket |p − q| terms round to
+    9 dp, the ≤65-term sum rounds to 6 dp.
+    """
+    gb = (
+        df.select(
+            F.col(group_col), histogram_bucket(value).alias("bucket")
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cgb"))
+    )
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    gb = persist_tracked(gb)
+    gt = gb.groupBy(group_col).agg(F.sum("__cgb").cast("long").alias("__ng"))
+    cb = gb.groupBy("bucket").agg(F.sum("__cgb").cast("long").alias("__cb"))
+    n_total = cb.agg(F.sum("__cb").cast("long").alias("__n"))
+    # every (group, bucket-with-corpus-mass) cell: groups missing a
+    # bucket contribute |0 − q_b| — cross join is groups × ≤65 buckets,
+    # histogram-sized by construction (broadcast-safe)
+    cells = (
+        gt.crossJoin(F.broadcast(cb))
+        .join(gb, [group_col, "bucket"], "left")
+        .crossJoin(F.broadcast(n_total))
+    )
+    term = F.round(
+        F.abs(
+            F.coalesce(F.col("__cgb"), F.lit(0)).cast("double")
+            / F.col("__ng")
+            - F.col("__cb").cast("double") / F.col("__n")
+        ),
+        9,
+    )
+    return (
+        cells.select(F.col(group_col), F.col("__ng"), term.alias("__t"))
+        .groupBy(group_col)
+        .agg(
+            F.min("__ng").cast("long").alias("n"),
+            F.round(F.sum("__t"), 6).alias("l1_distance"),
+        )
+    )

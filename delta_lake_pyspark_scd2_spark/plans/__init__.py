@@ -95,6 +95,7 @@ _TAIL_PRIORITY: list[str] = [
     "sketch_token_histogram",
     "ann_pq_recall_eval",
     "ann_ivfpq_recall_eval",
+    "source_length_drift",
 ]
 
 

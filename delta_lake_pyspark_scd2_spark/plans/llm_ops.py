@@ -4922,3 +4922,46 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "source_length_drift",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             CAST(length(bin(CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+                    END AS BIGINT) + 1)) - 1 AS INT) AS bucket
+      FROM documents
+    ),
+    gb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cgb
+           FROM t GROUP BY 1, 2),
+    gt AS (SELECT source, CAST(sum(cgb) AS BIGINT) AS ng FROM gb GROUP BY 1),
+    cb AS (SELECT bucket, CAST(sum(cgb) AS BIGINT) AS cb FROM gb GROUP BY 1),
+    n AS (SELECT CAST(sum(cb) AS BIGINT) AS nt FROM cb)
+    SELECT gt.source, CAST(min(gt.ng) AS BIGINT) AS n,
+           round(sum(round(abs(
+             CAST(COALESCE(gb.cgb, 0) AS DOUBLE) / gt.ng
+             - CAST(cb.cb AS DOUBLE) / nt), 9)), 6) AS l1_distance
+    FROM gt CROSS JOIN cb CROSS JOIN n
+    LEFT JOIN gb ON gb.source = gt.source AND gb.bucket = cb.bucket
+    GROUP BY 1
+    """,
+    doc="Per-source LENGTH-distribution drift: L1 distance between "
+    "each source's log2 token-count histogram shares and the corpus "
+    "shares -- the shape companion of source_drift_kl (KL sees "
+    "content drift; a crawler that starts emitting truncated pages "
+    "has identical vocabulary but a collapsed length histogram, which "
+    "only this catches). One (source, bucket) count; the distance "
+    "join is histogram-sized (sources x <=65 buckets). Exact-int "
+    "shares, 9-dp terms, 6-dp sums.",
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_drift,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_drift(
+        docs, text.token_count_ws(F.col("text")), "source"
+    )

@@ -139,7 +139,7 @@ def test_corpus_report_sections(tmp_path):
                     "### Ingest volume anomalies (per event_type/day z-score)",
                     "### Language-ID confusion (heuristic vs table labels)",
                     "### Embedding health (per label)",
-                    "### ANN index recall@5 (IVF vs exact, per nprobe)"):
+                    "### ANN index selection (recall vs exact)"):
         assert section in md
     assert "documents: 500" in md
     assert "nprobe=4: mean recall" in md

@@ -183,12 +183,22 @@ def build_report(spark, sf_dir: str) -> str:
     by_np: dict[int, list[float]] = {}
     for r in recall:
         by_np.setdefault(int(r["nprobe"]), []).append(r["recall_at_5"])
-    out += ["### ANN index recall@5 (IVF vs exact, per nprobe)", ""]
+    out += ["### ANN index selection (recall vs exact)", ""]
     out += [
-        f"- nprobe={np_}: mean recall {sum(v) / len(v):.3f}"
+        f"- IVF nprobe={np_}: mean recall@5 {sum(v) / len(v):.3f}"
         f" over {len(v)} queries"
         for np_, v in sorted(by_np.items())
     ]
+    for name, label in (
+        ("ann_pq_recall_eval", "PQ (16 codes x 8 subspaces)"),
+        ("ann_ivfpq_recall_eval", "IVF-PQ (nprobe=3)"),
+    ):
+        rows = _q(name)
+        rec = [r["recall_at_10"] for r in rows]
+        out.append(
+            f"- {label}: mean recall@10 {sum(rec) / len(rec):.3f}"
+            f" over {len(rec)} queries"
+        )
     out.append("")
 
     docs.unpersist()
