@@ -232,6 +232,17 @@ def histogram_drift(
         .groupBy(group_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("__cgb"))
     )
+    return histogram_drift_from_counts(gb, group_col)
+
+
+def histogram_drift_from_counts(
+    gb: DataFrame,
+    group_col: str,
+) -> DataFrame:
+    """The scoring half of :func:`histogram_drift`, over an
+    ALREADY-AGGREGATED ``(group_col, bucket, __cgb)`` count frame —
+    shared with the streaming maintainer, whose persisted count table
+    replaces the batch bucketing. Same plan and float contract."""
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )

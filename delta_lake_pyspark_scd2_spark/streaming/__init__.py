@@ -4,6 +4,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     drift_monitor_stream,
     histogram_stream,
     kmeans_model_stream,
+    length_drift_stream,
     run_stream_once,
     scd2_stream,
     windowed_event_agg,
@@ -15,6 +16,7 @@ __all__ = [
     "drift_monitor_stream",
     "histogram_stream",
     "kmeans_model_stream",
+    "length_drift_stream",
     "run_stream_once",
     "scd2_stream",
     "windowed_event_agg",

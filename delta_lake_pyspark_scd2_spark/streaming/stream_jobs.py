@@ -911,3 +911,89 @@ def histogram_stream(
         checkpoint_dir,
         _fold,
     )
+
+
+def length_drift_stream(
+    spark: SparkSession,
+    source_dir: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string, source string",
+    group_col: str = "source",
+    text_col: str = "text",
+    app_id: str = "lendrift_maintain",
+    on_batch: Callable[[int, list], None] | None = None,
+) -> StreamingQuery:
+    """Streaming LENGTH-distribution drift monitoring: batches fold
+    into a persisted per-(slice, log2-bucket) count table (≤ 65 rows
+    per slice — far smaller state than the KL monitor's vocab table),
+    and after each fold the per-slice L1 report is recomputed from it
+    (``operators.sketches.histogram_drift_from_counts``) — the shape
+    companion of :func:`drift_monitor_stream`, alive WHILE ingesting.
+
+    ``on_batch(batch_no, rows)`` receives each post-fold report
+    (``Row(group_col, n, l1_distance)``). Exactly-once via the writer
+    txn; a reset checkpoint fails loud (counter addition is not
+    idempotent).
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches, text
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(counts_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame(
+                [], f"{group_col} STRING, bucket INT, __cgb BIGINT"
+            ),
+            counts_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        tbl = VersionedParquetTable(spark, counts_path)
+        _txn_reset_guard(tbl, app_id, batch_no, "counts")
+        delta = (
+            batch_df.select(
+                F.col(group_col),
+                sketches.histogram_bucket(
+                    text.token_count_ws(F.col(text_col))
+                ).alias("bucket"),
+            )
+            .groupBy(group_col, "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("__delta"))
+        )
+        merged = delta.join(
+            tbl.read().withColumnRenamed("__cgb", "__cur"),
+            [group_col, "bucket"],
+            "left",
+        ).select(
+            group_col,
+            "bucket",
+            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("__cgb"),
+        )
+        tbl.upsert(
+            merged,
+            [group_col, "bucket"],
+            operation="LENDRIFT_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(
+                batch_no,
+                sketches.histogram_drift_from_counts(
+                    VersionedParquetTable(spark, counts_path).read(),
+                    group_col,
+                ).collect(),  # slice-count-sized
+            )
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )

@@ -173,3 +173,61 @@ def test_histogram_stream_matches_batch_and_is_exactly_once(spark, tmp_path):
         match="checkpoint appears reset",
     ):
         histogram_stream(spark, str(src), sk_path, str(tmp_path / "ck2"))
+
+
+def test_length_drift_stream_matches_batch(spark, tmp_path):
+    """The maintained per-(source, bucket) counts reproduce the batch
+    operator's drift report bit-for-bit after every micro-batch, and a
+    reset checkpoint fails loud."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_drift,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
+    from delta_lake_pyspark_scd2_spark.streaming import length_drift_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cp, ck = str(tmp_path / "counts"), str(tmp_path / "ck")
+    batches = [
+        [(1, "a b c", "s1"), (2, "x " * 30, "s2")],
+        [(3, "one two", "s1"), (4, "y " * 31, "s2"), (5, "", "s1")],
+    ]
+    reports = []
+    seen = []
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, t, s_ in rows:
+                f.write(
+                    json.dumps({"doc_id": did, "text": t, "source": s_})
+                    + "\n"
+                )
+        length_drift_stream(
+            spark, str(src), cp, ck,
+            on_batch=lambda n, r: seen.append((n, r)),
+        )
+        all_docs = spark.createDataFrame(
+            [r for b in batches[: i + 1] for r in b],
+            "doc_id long, text string, source string",
+        )
+        want = {
+            (r["source"], r["n"], r["l1_distance"])
+            for r in histogram_drift(
+                all_docs, token_count_ws(F.col("text")), "source"
+            ).collect()
+        }
+        got = {(r[0], r["n"], r["l1_distance"]) for r in seen[-1][1]}
+        assert got == want, f"batch {i}"
+        reports.append(got)
+    assert reports[0] != reports[1]  # the report really tracks folds
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException, Py4JJavaError),
+        match="checkpoint appears reset",
+    ):
+        length_drift_stream(spark, str(src), cp, str(tmp_path / "ck2"))
