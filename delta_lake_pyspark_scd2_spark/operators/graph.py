@@ -266,10 +266,14 @@ def cluster_safe_split(
 
     Split choice is the engine's deterministic md5 keep-hash over the
     cluster id against cumulative ``weights`` thresholds — reproducible
-    on any cluster shape, and adding corpus later keeps earlier
-    assignments stable (the hash depends only on the cluster id).
-    Output: ``(id_col, cluster_id, split)`` over every document
-    (singletons are their own cluster).
+    on any cluster shape. Adding corpus later keeps an earlier doc's
+    assignment stable AS LONG AS its cluster identity survives: a new
+    document that bridges two existing clusters merges them under the
+    smaller min-id, moving the other component's docs to that
+    cluster's split (re-audit with ``split_leakage_audit`` after
+    corpus growth; within any single corpus version the no-straddle
+    guarantee is absolute). Output: ``(id_col, cluster_id, split)``
+    over every document (singletons are their own cluster).
 
     Scale: one distributed-CC pass over the pair edges plus a narrow
     hash expression — no new corpus-wide structure beyond

@@ -699,6 +699,48 @@ def pq_topk(
     )
 
 
+def probe_centroids(
+    query_vec: list,
+    centroids: DataFrame,
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The ``nprobe`` nearest centroid ids to a query vector,
+    driver-side (centroids are small by definition) — THE cross-engine
+    probe contract, in one place: dot/norm accumulate in strict
+    left-to-right IEEE order (bit-identical to a SQL engine's
+    sequential ``list_dot_product``; numpy's BLAS/pairwise order is
+    NOT), the cosine rounds to 6 dp, and ties break to the lower
+    centroid id — so an oracle cannot disagree on the probe-set
+    boundary by a last-ulp difference. Shared by :func:`ivfpq_topk`
+    and the trained-IVFPQ registry queries."""
+    import math
+
+    def _dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    q = [float(x) for x in query_vec]
+    qn = math.sqrt(_dot(q, q)) or 1.0
+    sims = sorted(
+        (
+            -_round_half_up(
+                _dot(q, cv) / (qn * (math.sqrt(_dot(cv, cv)) or 1.0)), 6
+            ),
+            cid,
+        )
+        for cid, cv in (
+            (r[id_col], [float(x) for x in r[vec_col]])
+            for r in centroids.select(id_col, vec_col).collect()
+        )
+    )
+    return [cid for _, cid in sims[:nprobe]]
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -725,42 +767,15 @@ def ivfpq_topk(
     :func:`pq_encode` + the :func:`pq_topk` LUT fold with a bucket
     pre-filter.
     """
-    import math
-
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     )
     codes = pq_encode(corpus, codebooks, vec_col, id_col).join(
         assigned.select(id_col, "centroid_id"), id_col
     )
-    # nprobe nearest centroids to the query, driver-side (centroids are
-    # small by definition) — under the shared 6-dp probe contract:
-    # dot/norm accumulate in strict left-to-right IEEE order
-    # (bit-identical to a SQL engine's sequential list_dot_product;
-    # numpy's BLAS/pairwise order is NOT), and the rounded cosine ties
-    # break to the lower centroid id, so an oracle cannot disagree on
-    # the probe-set boundary by a last-ulp difference.
-    def _dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    q = [float(x) for x in query_vec]
-    cents = centroids.select(id_col, vec_col).collect()
-    qn = math.sqrt(_dot(q, q)) or 1.0
-    sims = sorted(
-        (
-            -_round_half_up(
-                _dot(q, cv) / (qn * (math.sqrt(_dot(cv, cv)) or 1.0)), 6
-            ),
-            cid,
-        )
-        for cid, cv in (
-            (r[id_col], [float(x) for x in r[vec_col]]) for r in cents
-        )
+    probe_ids = probe_centroids(
+        query_vec, centroids, nprobe, id_col=id_col, vec_col=vec_col
     )
-    probe_ids = [cid for _, cid in sims[:nprobe]]
     bucket = codes.filter(F.col("centroid_id").isin(probe_ids))
     return pq_topk(bucket, codebooks, query_vec, k=k, id_col=id_col)
 

@@ -180,28 +180,37 @@ def histogram_merge(*sketches: DataFrame) -> DataFrame:
 
 
 def histogram_quantile(sketch: DataFrame, q: float) -> DataFrame:
-    """Bucket containing the ``q``-quantile: smallest bucket whose
-    cumulative count reaches ``ceil(q * N)``. Returns one row
-    ``(bucket, lo, hi)`` — the value range the quantile falls in
-    (resolution = the log2 bucket, the sketch's accuracy contract).
+    """Bucket containing the ``q``-quantile OF THE VALID VALUES:
+    smallest bucket whose cumulative count reaches ``ceil(q * N)``,
+    with the invalid bin (bucket -1: NULL/negative inputs) excluded
+    from both the walk and N — a quantile over garbage rows is not a
+    quantile of the distribution. Returns one row ``(bucket, lo, hi)``
+    — the value range the quantile falls in (resolution = the log2
+    bucket, the sketch's accuracy contract). Bounds use exact integer
+    shifts (the bucketing contract), saturating at int64 max for the
+    top buckets where ``2^(b+1) - 2`` is unrepresentable.
     """
     from pyspark.sql import Window
 
+    valid = sketch.filter(F.col("bucket") >= 0)
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    tot = sketch.agg(F.sum("cnt").alias("__n"))
-    cum = sketch.withColumn("__cum", F.sum("cnt").over(w)).crossJoin(
+    tot = valid.agg(F.sum("cnt").alias("__n"))
+    cum = valid.withColumn("__cum", F.sum("cnt").over(w)).crossJoin(
         F.broadcast(tot)
     )
     hit = cum.filter(
         F.col("__cum") >= F.ceil(F.lit(float(q)) * F.col("__n"))
     ).orderBy("bucket").limit(1)
-    return hit.select(
-        "bucket",
-        (F.pow(F.lit(2.0), F.col("bucket")) - 1).cast("long").alias("lo"),
-        (F.pow(F.lit(2.0), F.col("bucket") + 1) - 2).cast("long").alias("hi"),
-    )
+    long_max = (1 << 63) - 1
+    # SQL shiftleft takes a column shift amount (the pyspark wrapper
+    # only accepts a literal int)
+    lo = F.expr("shiftleft(CAST(1 AS BIGINT), bucket)") - 1
+    hi = F.when(
+        F.col("bucket") >= 62, F.lit(long_max)
+    ).otherwise(F.expr("shiftleft(CAST(1 AS BIGINT), bucket + 1)") - 2)
+    return hit.select("bucket", lo.cast("long").alias("lo"), hi.alias("hi"))
 
 
 def histogram_drift(

@@ -41,6 +41,35 @@ _SHINGLES_CTE = f"""
     )
 """
 
+#: Jaccard>=0.8 connected components over the shared shingle CTE —
+#: used verbatim by dedup_cluster_canonical, dedup_keep_best, and
+#: split_cluster_safe so the three cannot drift.
+_CC_CLUSTER_CTES = """
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+"""
+
 _NUM_HASHES = 16
 _BANDS = 4
 _ROWS_PER_BAND = 4
@@ -1447,29 +1476,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_canonical",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id
-      JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    {_CC_CLUSTER_CTES}
     SELECT doc_id, cluster_id,
            COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
            (cluster_id = doc_id) AS is_canonical
@@ -2875,39 +2882,9 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
     assigned = S.assign_to_centroids(emb, cents)
-    # nprobe=3 probe choice, driver-side over the 12 centroids, under
-    # the shared 6-dp probe contract: dot/norm accumulate in strict
-    # left-to-right IEEE order (bit-identical to DuckDB's sequential
-    # list_dot_product — numpy's BLAS/pairwise order is NOT) and the
-    # rounded cosine ties break to the lower centroid id, so the two
-    # engines cannot disagree on the rank-3/rank-4 boundary.
-    import math
-
-    from delta_lake_pyspark_scd2_spark.operators.similarity import (
-        _round_half_up,
-    )
-
-    def _dot(a, b):
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + x * y
-        return acc
-
-    qv = [float(x) for x in q]
-    qn = math.sqrt(_dot(qv, qv)) or 1.0
-    sims = sorted(
-        (
-            -_round_half_up(
-                _dot(qv, cv) / (qn * (math.sqrt(_dot(cv, cv)) or 1.0)), 6
-            ),
-            cid,
-        )
-        for cid, cv in (
-            (r["vec_id"], [float(x) for x in r["embedding"]])
-            for r in cents.collect()
-        )
-    )
-    probe_ids = [cid for _, cid in sims[:3]]
+    # the ONE cross-engine probe contract (left-assoc IEEE dot, 6-dp
+    # rounding, lower-id ties) lives in similarity.probe_centroids
+    probe_ids = S.probe_centroids(list(q), cents, 3)
     bucket = emb.join(
         assigned.select("vec_id", "centroid_id"), "vec_id"
     ).filter(F.col("centroid_id").isin(probe_ids))
@@ -4189,29 +4166,7 @@ def retrieve_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_keep_best",
     oracle=f"""
     WITH RECURSIVE {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id
-      JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+    {_CC_CLUSTER_CTES},
     lab AS (
       SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
              d.n_chars
@@ -4348,31 +4303,6 @@ def vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CC_CLUSTER_CTES = f"""
-    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    pairs AS (
-      SELECT id_a, id_b
-      FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id
-      JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b, id_a FROM pairs
-    ),
-    reach(node, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-    ),
-    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
-"""
 
 
 @register(
@@ -4398,8 +4328,9 @@ _CC_CLUSTER_CTES = f"""
     "straddle a train/eval boundary -- the structural fix for what "
     "split_leakage_audit measures on doc-level random splits. Split "
     "choice is the deterministic md5 keep-hash over the cluster id: "
-    "reproducible on any cluster shape, and stable for earlier docs "
-    "as the corpus grows.",
+    "reproducible on any cluster shape; within one corpus version the "
+    "no-straddle guarantee is absolute (a later doc that bridges two "
+    "clusters merges them -- re-audit after growth).",
 )
 def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import graph
@@ -4497,7 +4428,7 @@ def export_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
                   END AS BIGINT) AS v
       FROM documents
     )
-    SELECT CAST(length(bin(v + 1)) - 1 AS INT) AS bucket,
+    SELECT CAST(COALESCE(length(bin(v + 1)) - 1, -1) AS INT) AS bucket,
            CAST(count(*) AS BIGINT) AS cnt
     FROM t GROUP BY 1
     """,
@@ -4530,10 +4461,9 @@ def _d2_terms(a: str, b: str, n: int) -> str:
     )
 
 
-@register(
-    "ann_pq_recall_eval",
-    oracle=f"""
-    WITH {_PQT_TRAIN},
+# -- shared halves of the PQ recall evaluations ------------------------------
+# per-query LUTs over the trained codebooks (all queries = vec_id >= 490)
+_PQT_EVAL_LUTS = f"""
     qs AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id >= 490),
     qsubq AS (
       SELECT qs.query_id, ms.m, qs.qv[ms.m*8+1:ms.m*8+8] AS s
@@ -4555,13 +4485,12 @@ def _d2_terms(a: str, b: str, n: int) -> str:
                           c2.code ASC) AS rn
         FROM subv JOIN c2 ON subv.m = c2.m
       ) WHERE rn = 1
-    ),
-    adc AS (
-      SELECT l.query_id, a.vec_id, round(sum(l.d2), 6) AS pq_dist
-      FROM assign a JOIN lutq l ON a.m = l.m AND a.code = l.code
-      WHERE a.vec_id <> l.query_id
-      GROUP BY 1, 2
-    ),
+    )
+"""
+
+# ADC ranking + exact arm + recall join, over an `adc(query_id, vec_id,
+# pq_dist)` CTE the caller provides
+_PQT_EVAL_TAIL = f"""
     approx AS (
       SELECT query_id, vec_id FROM (
         SELECT query_id, vec_id,
@@ -4594,18 +4523,14 @@ def _d2_terms(a: str, b: str, n: int) -> str:
            round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
     FROM (SELECT DISTINCT query_id FROM exact) b
     LEFT JOIN hits h USING (query_id)
-    """,
-    doc="PQ index-quality evaluation as a query: per-query recall@10 "
-    "of the trained-PQ ADC search against exact squared-L2 brute "
-    "force -- extends the evaluation family (IVF recall, lang "
-    "confusion, embedding health) to the compressed index, measuring "
-    "exactly what 8x..64x memory compression costs in neighbor "
-    "fidelity before a pipeline adopts it. Both arms share the "
-    "left-associated/rounded distance contract, so recall is "
-    "engine-exact; all query LUTs ride ONE broadcast join over the "
-    "encoded corpus (no per-query pass).",
-)
-def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _pq_eval_parts(spark: SparkSession, sf_dir: str):
+    """Spark-side shared halves: trained books, encoded corpus, query
+    set, the (query_id, m, code, d2) LUT frame (one broadcast join
+    scores ADC for every query), and the exact squared-L2 top-10 arm.
+    Returns ``(codes, qs, lut, exact)``."""
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )
@@ -4621,39 +4546,17 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in qs.collect()
     ]
-    # one (query_id, m, code, d2) LUT frame for ALL queries: ADC for
-    # every query is a single broadcast join over the exploded codes
-    lut_rows = []
-    for qid, qv in q_rows:
-        for m in range(8):
-            qsl = qv[m * 8 : (m + 1) * 8]
-            for code, c in enumerate(books[m]):
-                lut_rows.append(
-                    (qid, m, code,
-                     S._round_half_up(S._d2_contract(qsl, c), 9))
-                )
+    lut_rows = [
+        (qid, m, code,
+         S._round_half_up(
+             S._d2_contract(qv[m * 8 : (m + 1) * 8], c), 9))
+        for qid, qv in q_rows
+        for m in range(8)
+        for code, c in enumerate(books[m])
+    ]
     lut = spark.createDataFrame(
         lut_rows, "query_id long, m int, code int, d2 double"
     )
-    exploded = codes.select(
-        "vec_id",
-        F.posexplode("pq_codes").alias("m", "code"),
-    )
-    adc = (
-        exploded.join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("vec_id").asc()
-    )
-    approx = (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id")
-    )
-    # exact arm: left-associated squared L2 over the full vectors
     qdf = F.broadcast(
         qs.select(
             F.col("vec_id").alias("query_id"),
@@ -4685,6 +4588,20 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id")
     )
+    return codes, qs, lut, exact
+
+
+def _pq_recall_output(exact: DataFrame, adc: DataFrame) -> DataFrame:
+    """Rank the ADC scores, intersect with the exact arm, emit
+    ``(query_id, n_hit, recall_at_10)`` — shared by both evals."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("vec_id").asc()
+    )
+    approx = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
     hits = (
         exact.join(approx, ["query_id", "vec_id"])
         .groupBy("query_id")
@@ -4698,6 +4615,43 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
         ).alias("recall_at_10"),
     )
+
+
+@register(
+    "ann_pq_recall_eval",
+    oracle=f"""
+    WITH {_PQT_TRAIN},
+    {_PQT_EVAL_LUTS},
+    adc AS (
+      SELECT l.query_id, a.vec_id, round(sum(l.d2), 6) AS pq_dist
+      FROM assign a JOIN lutq l ON a.m = l.m AND a.code = l.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    {_PQT_EVAL_TAIL}
+    """,
+    doc="PQ index-quality evaluation as a query: per-query recall@10 "
+    "of the trained-PQ ADC search against exact squared-L2 brute "
+    "force -- extends the evaluation family (IVF recall, lang "
+    "confusion, embedding health) to the compressed index, measuring "
+    "exactly what 8x..64x memory compression costs in neighbor "
+    "fidelity before a pipeline adopts it. Both arms share the "
+    "left-associated/rounded distance contract, so recall is "
+    "engine-exact; all query LUTs ride ONE broadcast join over the "
+    "encoded corpus (no per-query pass).",
+)
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes, _qs, lut, exact = _pq_eval_parts(spark, sf_dir)
+    adc = (
+        codes.select(
+            "vec_id", F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    return _pq_recall_output(exact, adc)
 
 
 @register(
@@ -4717,7 +4671,7 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v, cents c
       ) WHERE rn = 1
     ),
-    qs AS (SELECT vec_id AS query_id, ve AS qv FROM v WHERE vec_id >= 490),
+    {_PQT_EVAL_LUTS},
     probes AS (
       SELECT query_id, centroid_id FROM (
         SELECT q.query_id, c.centroid_id,
@@ -4726,27 +4680,6 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  c.centroid_id ASC) AS rn
         FROM qs q, cents c
       ) WHERE rn <= 3
-    ),
-    qsubq AS (
-      SELECT qs.query_id, ms.m, qs.qv[ms.m*8+1:ms.m*8+8] AS s
-      FROM qs, ms
-    ),
-    lutq AS (
-      SELECT q.query_id, c2.m, c2.code,
-             round({_pqt_d2('q.s', 'c2.c')}, 9) AS d2
-      FROM qsubq q JOIN c2 ON q.m = c2.m
-    ),
-    subv AS (
-      SELECT v.vec_id, ms.m, v.ve[ms.m*8+1:ms.m*8+8] AS s FROM v, ms
-    ),
-    assign AS (
-      SELECT vec_id, m, code FROM (
-        SELECT subv.vec_id, subv.m, c2.code,
-               ROW_NUMBER() OVER (PARTITION BY subv.vec_id, subv.m
-                 ORDER BY round({_pqt_d2('subv.s', 'c2.c')}, 9) ASC,
-                          c2.code ASC) AS rn
-        FROM subv JOIN c2 ON subv.m = c2.m
-      ) WHERE rn = 1
     ),
     adc AS (
       SELECT l.query_id, a.vec_id, round(sum(l.d2), 6) AS pq_dist
@@ -4758,38 +4691,7 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.vec_id <> l.query_id
       GROUP BY 1, 2
     ),
-    approx AS (
-      SELECT query_id, vec_id FROM (
-        SELECT query_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY pq_dist ASC, vec_id ASC) AS rank
-        FROM adc
-      ) WHERE rank <= 10
-    ),
-    escored AS (
-      SELECT qs.query_id, v.vec_id,
-             round({_d2_terms('v.ve', 'qs.qv', 64)}, 6) AS d2
-      FROM v, qs WHERE v.vec_id <> qs.query_id
-    ),
-    exact AS (
-      SELECT query_id, vec_id FROM (
-        SELECT query_id, vec_id,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY d2 ASC, vec_id ASC) AS rank
-        FROM escored
-      ) WHERE rank <= 10
-    ),
-    hits AS (
-      SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hit
-      FROM exact e JOIN approx a
-        ON a.query_id = e.query_id AND a.vec_id = e.vec_id
-      GROUP BY 1
-    )
-    SELECT b.query_id,
-           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
-           round(COALESCE(h.n_hit, 0) / 10.0, 6) AS recall_at_10
-    FROM (SELECT DISTINCT query_id FROM exact) b
-    LEFT JOIN hits h USING (query_id)
+    {_PQT_EVAL_TAIL}
     """,
     doc="IVF-PQ recall@10 vs exact squared-L2 -- completes the "
     "index-selection matrix (brute force = 1.0 by definition, IVF "
@@ -4802,34 +4704,27 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join scores the survivors.",
 )
 def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_pyspark_scd2_spark.functions.caching import (
-        persist_tracked,
-    )
     from delta_lake_pyspark_scd2_spark.operators import similarity as S
 
+    codes, qs, lut, exact = _pq_eval_parts(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
-    books = S.pq_train_contract(
-        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
-    )
-    codes = persist_tracked(S.pq_encode_expr(emb, books))
     assigned = S.assign_to_centroids(emb, cents).select(
         "vec_id", "centroid_id"
     )
-    qs = emb.filter(F.col("vec_id") >= 490)
     # per-query probe sets (top-3 centroids, rounded-cosine contract)
     cq = cents.select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("__cv"),
     ).withColumn("__cn", S.norm(F.col("__cv")))
     qn = qs.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
-    ).withColumn("__qn", S.norm(F.col("__qv")))
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__q")
+    ).withColumn("__qn", S.norm(F.col("__q")))
     qc = qn.crossJoin(F.broadcast(cq)).withColumn(
         "__sim",
         F.round(
             S.cosine_prenormed(
-                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                F.col("__q"), F.col("__cv"), F.col("__qn"), F.col("__cn")
             ),
             6,
         ),
@@ -4841,21 +4736,6 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         qc.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= 3)
         .select("query_id", "centroid_id")
-    )
-    q_rows = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in qs.collect()
-    ]
-    lut_rows = [
-        (qid, m, code,
-         S._round_half_up(
-             S._d2_contract(qv[m * 8 : (m + 1) * 8], c), 9))
-        for qid, qv in q_rows
-        for m in range(8)
-        for code, c in enumerate(books[m])
-    ]
-    lut = spark.createDataFrame(
-        lut_rows, "query_id long, m int, code int, d2 double"
     )
     cand = (
         codes.join(assigned, "vec_id")
@@ -4870,58 +4750,7 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("vec_id").asc()
-    )
-    approx = (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id")
-    )
-    qdf = F.broadcast(
-        qs.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("__qv2"),
-        )
-    )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(
-                F.col("embedding"),
-                F.col("__qv2"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        ),
-        6,
-    )
-    escored = (
-        emb.crossJoin(qdf)
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", d2.alias("__d2"))
-    )
-    we = Window.partitionBy("query_id").orderBy(
-        F.col("__d2").asc(), F.col("vec_id").asc()
-    )
-    exact = (
-        escored.withColumn("rank", F.row_number().over(we))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id")
-    )
-    hits = (
-        exact.join(approx, ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
-    )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(10.0), 6
-        ).alias("recall_at_10"),
-    )
+    return _pq_recall_output(exact, adc)
 
 
 @register(
@@ -4929,9 +4758,10 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
       SELECT source,
-             CAST(length(bin(CAST(CASE WHEN trim(text) = '' THEN 0
+             CAST(COALESCE(
+               length(bin(CAST(CASE WHEN trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+'))
-                    END AS BIGINT) + 1)) - 1 AS INT) AS bucket
+                    END AS BIGINT) + 1)) - 1, -1) AS INT) AS bucket
       FROM documents
     ),
     gb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cgb

@@ -221,7 +221,14 @@ def export_token_shards(
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"unsupported export format: {fmt}")
+    if budget <= 0:
+        raise ValueError(f"token budget must be positive, got {budget}")
     from pyspark.sql import Window
+
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+        release_tracked,
+    )
 
     toks = token_count_ws(F.col(text_col)).cast("long")
     w = (
@@ -230,13 +237,18 @@ def export_token_shards(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     before = F.coalesce(F.sum(toks).over(w), F.lit(0))
-    sharded = df.withColumn(
-        "shard",
-        F.concat_ws(
-            "_",
-            F.col(source_col),
-            F.floor(before / F.lit(float(budget))).cast("int"),
-        ),
+    # the write and the manifest stats both consume the packed frame,
+    # and re-deriving it would replay the tokenize + per-source window
+    # (a corpus-scale sort, not a cheap hash) — persist across the two
+    sharded = persist_tracked(
+        df.withColumn(
+            "shard",
+            F.concat_ws(
+                "_",
+                F.col(source_col),
+                F.floor(before / F.lit(float(budget))).cast("int"),
+            ),
+        )
     )
     (
         sharded.repartition("shard")
@@ -277,4 +289,5 @@ def export_token_shards(
         fsio.join(path, "manifest.json"),
         json.dumps(manifest, indent=1, sort_keys=True),
     )
+    release_tracked()
     return manifest

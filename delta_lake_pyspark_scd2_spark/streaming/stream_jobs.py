@@ -984,13 +984,23 @@ def length_drift_stream(
             txn=(app_id, batch_no),
         )
         if on_batch is not None:
-            on_batch(
-                batch_no,
-                sketches.histogram_drift_from_counts(
-                    VersionedParquetTable(spark, counts_path).read(),
-                    group_col,
-                ).collect(),  # slice-count-sized
+            from delta_lake_pyspark_scd2_spark.functions.caching import (
+                release_tracked,
             )
+
+            try:
+                on_batch(
+                    batch_no,
+                    sketches.histogram_drift_from_counts(
+                        VersionedParquetTable(spark, counts_path).read(),
+                        group_col,
+                    ).collect(),  # slice-count-sized
+                )
+            finally:
+                # the scoring half persist_tracked's the count frame —
+                # a long-running stream must not accumulate one cached
+                # frame per micro-batch
+                release_tracked()
 
     return _run_foreach_stream(
         spark.readStream.schema(schema).json(source_dir),
