@@ -123,6 +123,11 @@ def _norm(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0:
+            # Signed zero: DuckDB abs(-0.0) keeps the sign bit, Spark
+            # clears it; SQL `=` treats them equal, so fold before
+            # rendering (judge-drawn: abs(-(l_discount)) at 0.0)
+            v = 0.0
         return f"{v:.9g}"
     return str(v)
 
@@ -149,3 +154,19 @@ def test_random_scalar_expressions_match_duckdb(q, spark, ddb):
         for r in ddb.sql(sql).fetchall()
     ]
     assert sorted(got) == sorted(want), sql
+
+
+def test_signed_zero_canonicalization(spark, ddb):
+    # Pinned replay of the judge-drawn hypothesis example: DuckDB's
+    # comparison-based abs keeps the sign bit of -0.0, Spark clears it.
+    # Both are legal (SQL `=` equates them); _norm must fold them.
+    sql = (
+        "SELECT l_orderkey, l_linenumber, abs(-(l_discount)) AS e "
+        "FROM lineitem WHERE l_discount = 0.0"
+    )
+    li = load_table(spark, SF, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    got = sorted(tuple(_norm(v) for v in r) for r in spark.sql(sql).collect())
+    want = sorted(tuple(_norm(v) for v in r) for r in ddb.sql(sql).fetchall())
+    assert got == want
+    assert _norm(-0.0) == _norm(0.0) == "0"

@@ -31,7 +31,14 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 s.astype("datetime64[us]").astype(str).str.replace(".000000", "", regex=False)
             )
         elif pd.api.types.is_float_dtype(s):
-            df[c] = s.map(lambda v: "NaN" if v is None or (isinstance(v, float) and math.isnan(v)) else f"{v:.9g}")
+            df[c] = s.map(
+                lambda v: "NaN"
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                # fold signed zero (-0.0 vs 0.0) before rendering: the
+                # engines disagree on abs(-0.0) but SQL `=` treats them
+                # equal, so value comparison must too
+                else f"{0.0 if v == 0 else v:.9g}"
+            )
         elif s.dtype == object:
             df[c] = s.map(
                 lambda v: (str(v).replace(".000000", "") if v is not None else "\0NULL")
