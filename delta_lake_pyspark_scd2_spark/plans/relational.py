@@ -839,7 +839,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast(T.DecimalType(25, 4))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -862,8 +862,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE r.r_name = 'ASIA'
     GROUP BY n.n_name
     """,
-    doc="TPC-H-Q5-shaped 6-way join; region/nation/supplier broadcast "
-    "(DIM_TABLES), fact-fact join shuffles once on orderkey.",
+    doc="TPC-H-Q5-shaped 6-way join; region/nation broadcast (bounded "
+    "dims), supplier left to AQE (SF-proportional side), fact-fact "
+    "join shuffles once on orderkey.",
     bench=True,
 )
 def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -880,7 +881,7 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1224,9 +1225,10 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c_custkey, o_orderkey
     """,
     doc="TPC-H Q18 shape: HAVING-filtered aggregate driving an IN "
-    "semi-join back onto the fact. Scale: the HAVING side reduces to "
-    "a tiny key list, so Catalyst turns the IN into a broadcast "
-    "left-semi; only qualifying orders reach the 3-way join.",
+    "semi-join back onto the fact. Scale: the HAVING side shrinks to "
+    "a short key list at any SF but still grows with the data, so the "
+    "hint is left to AQE (broadcast at bench scale, shuffle semi at "
+    "web scale); only qualifying orders reach the 3-way join.",
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1239,7 +1241,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey")
     )
     return (
-        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        li.join(big, "l_orderkey", "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy("c_custkey", "o_orderkey")
@@ -1261,8 +1263,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q16 shape: NOT-IN anti-join + distinct count per "
     "attribute pair. Scale: the NOT-IN list (negative-balance "
-    "suppliers) broadcasts as a null-aware anti-join; part is the "
-    "broadcast dim; the distinct expands to a two-stage partial "
+    "suppliers) and the filtered part side both grow with SF, so the "
+    "join strategy is AQE's call (broadcast at bench scale, SMJ at "
+    "web scale); the distinct expands to a two-stage partial "
     "aggregate on (brand, type, suppkey).",
 )
 def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1273,11 +1276,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        li.join(bad, "l_suppkey", "left_anti")
         .join(
-            F.broadcast(
-                part.filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10))
-            ),
+            part.filter((F.col("p_brand") != "Brand#1") & (F.col("p_size") >= 10)),
             li.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand", "p_type")
@@ -1301,8 +1302,9 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q14 shape: conditional-aggregate ratio (promo revenue "
     "share). Both sums are exact decimals; ONE double division on both "
-    "engines keeps the rounded ratio hash-identical. part broadcasts; "
-    "the month filter prunes the fact scan.",
+    "engines keeps the rounded ratio hash-identical. part is "
+    "SF-proportional so AQE picks the join strategy; the month filter "
+    "prunes the fact scan.",
 )
 def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -1318,7 +1320,7 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
         )
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.sum(promo).cast("double") / F.sum(rev).cast("double") * 100, 4

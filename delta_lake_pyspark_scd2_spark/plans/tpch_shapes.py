@@ -15,10 +15,16 @@ thresholds derived from aggregates use the identical IEEE expression
 (decimal-sum -> double, then the same divisions/multiplications) in
 Spark and DuckDB so boundary comparisons agree bit-for-bit.
 
-Scale notes inline per query; the common ones: every dimension side is
-broadcast, every filter is expressed on scan columns so it reaches the
-parquet reader, and aggregates pre-reduce before joins where the shape
-allows.
+Scale notes inline per query; the common ones: forced ``F.broadcast``
+hints appear ONLY on sides bounded by construction (nation/region,
+single-row scalar aggregates, query-id-filtered subsets — the repo's
+bounded-broadcast policy, see ``tests/test_broadcast_bounds.py``);
+SF-proportional sides (part/supplier/customer subsets under
+constant-selectivity filters) are left to AQE, which broadcasts them
+at bench scale and falls back to SMJ/SHJ when they outgrow the 8 GB
+broadcast cap. Every filter is expressed on scan columns so it reaches
+the parquet reader, and aggregates pre-reduce before joins where the
+shape allows.
 """
 
 from __future__ import annotations
@@ -82,12 +88,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
         .join(li, part.p_partkey == li.l_partkey)
         .join(
-            F.broadcast(
-                supplier.join(
-                    F.broadcast(euro_nations),
-                    supplier.s_nationkey == F.col("n_nationkey"),
-                    "left_semi",
-                )
+            supplier.join(
+                F.broadcast(euro_nations),
+                supplier.s_nationkey == F.col("n_nationkey"),
+                "left_semi",
             ),
             li.l_suppkey == supplier.s_suppkey,
         )
@@ -199,8 +203,9 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q8 shape (market share = conditional volume / total "
     "volume per year; nation joined twice under two roles). Share is "
     "an unrounded IEEE division of two exact decimal sums, identical "
-    "on both engines. Scale: region/nation/supplier broadcast; one "
-    "shuffle per fact hop; final agg is per-year tiny.",
+    "on both engines. Scale: region/nation broadcast; supplier is "
+    "SF-proportional so AQE picks its join; one shuffle per fact "
+    "hop; final agg is per-year tiny.",
 )
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -229,7 +234,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region.filter(F.col("r_name") == "ASIA")),
             F.col("n1_region") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(supplier), li.l_suppkey == F.col("s_suppkey"))
+        .join(supplier, li.l_suppkey == F.col("s_suppkey"))
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -261,8 +266,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q9 shape (profit by supplier nation x order year for "
     "parts matching a name pattern). No partsupp/ps_supplycost in the "
     "corpus, so profit = discounted revenue. Scale: the LIKE filter "
-    "shrinks part before its broadcast join; nation/supplier "
-    "broadcast; single shuffle to orders then one grouped agg.",
+    "shrinks part but both part and supplier stay SF-proportional, "
+    "so AQE picks those joins; nation broadcasts; single shuffle to "
+    "orders then one grouped agg.",
 )
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -272,10 +278,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         li.join(
-            F.broadcast(part.filter(F.col("p_name").like("%red%"))),
+            part.filter(F.col("p_name").like("%red%")),
             li.l_partkey == part.p_partkey,
         )
-        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -366,7 +372,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     v = (
-        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
         .join(
             F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
             F.col("s_nationkey") == nation.n_nationkey,
@@ -499,9 +505,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     best = revenue.agg(F.max("total_revenue").alias("__max_rev"))
     return (
-        supplier.join(
-            F.broadcast(revenue), supplier.s_suppkey == F.col("supplier_no")
-        )
+        supplier.join(revenue, supplier.s_suppkey == F.col("supplier_no"))
         .join(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("__max_rev"))
         .select("s_suppkey", "s_name", "total_revenue")
@@ -529,7 +533,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agrees. Scale: the per-part avg is a pre-aggregation to "
     "part-cardinality joined back (Spark side), exactly how the "
     "correlated subquery decorrelates; the brand filter shrinks part "
-    "before broadcast.",
+    "but the side stays SF-proportional, so AQE picks the join.",
 )
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -545,9 +549,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5))
-            ),
+            part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 5)),
             li.l_partkey == part.p_partkey,
         )
         .join(thresholds, li.l_partkey == F.col("t_partkey"))
@@ -604,7 +606,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(cond)
         .agg(F.round(F.sum(_vol()), 2).cast("double").alias("revenue"))
     )
@@ -631,9 +633,10 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q20 shape (nested IN chain: suppliers who moved enough "
     "volume of name-matched parts in a year). partsupp/availqty "
     "absent: the threshold applies to shipped quantity. The HAVING "
-    "compares exact decimals — no float boundary. Scale: part filter "
-    "broadcasts into lineitem; the grouped sum reduces to supplier "
-    "cardinality before the semi join; nation/region broadcast.",
+    "compares exact decimals — no float boundary. Scale: the part "
+    "filter shrinks the build side but it stays SF-proportional "
+    "(AQE decides); the grouped sum reduces to supplier cardinality "
+    "before the semi join; nation/region broadcast.",
 )
 def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier = load_table(spark, sf_dir, "supplier")
@@ -647,7 +650,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .join(
-            F.broadcast(part.filter(F.col("p_name").like("small%"))),
+            part.filter(F.col("p_name").like("small%")),
             li.l_partkey == part.p_partkey,
         )
         .groupBy("l_suppkey")
@@ -661,7 +664,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
             F.col("n_regionkey") == F.col("r_regionkey"),
         )
-        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", "n_name")
     )
 
@@ -694,7 +697,8 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipdate > orderdate + 45d. Scale: `late` pre-filters once and "
     "feeds both the probe and the NOT-EXISTS side; the semi/anti "
     "joins shuffle on l_orderkey (same key -> one exchange reused); "
-    "supplier broadcast; top-10 via TakeOrderedAndProject.",
+    "supplier join left to AQE (SF-proportional side); top-10 via "
+    "TakeOrderedAndProject.",
 )
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
@@ -730,7 +734,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole_late.join(F.broadcast(supplier), F.col("s_key") == F.col("s_suppkey"))
+        sole_late.join(supplier, F.col("s_key") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")

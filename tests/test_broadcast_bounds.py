@@ -106,6 +106,46 @@ def test_no_vocab_sized_forced_broadcasts(spark):
         release_tracked()
 
 
+_BOUNDED_PATTERNS = [
+    # nation / region sides (25 / 5 rows at every SF)
+    r"\bn_nationkey\b|\bn_name\b|\bn_regionkey\b",
+    r"\br_regionkey\b|\br_name\b",
+    # single-row scalar aggregate (global agg, keys=[])
+    r"keys=\[\],",
+]
+
+
+def test_tpch_forced_broadcasts_are_bounded(spark):
+    """Round-5 VERDICT #1: every remaining forced broadcast hint in the
+    22 TPC-H shapes sits on a side bounded BY CONSTRUCTION — nation /
+    region (fixed 25/5 rows at any SF) or a single-row scalar
+    aggregate. SF-proportional sides (part/supplier/customer subsets
+    under constant-selectivity filters) must carry NO hint: with
+    size-based broadcasts disabled below, any broadcast exchange in the
+    final plan comes from a forced hint, so each one's subtree must
+    match a bounded pattern."""
+    release_tracked()
+    tpch = sorted(n for n in REGISTRY if re.match(r"^q\d+_", n))
+    assert len(tpch) == 22, tpch
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in tpch:
+            df = REGISTRY[name].builder(spark, SF)
+            df.collect()
+            for block in _broadcast_subtrees(df):
+                assert any(
+                    re.search(p, block) for p in _BOUNDED_PATTERNS
+                ), (
+                    f"{name}: forced broadcast on a side not bounded by "
+                    f"construction:\n{block[:2000]}"
+                )
+            release_tracked()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        release_tracked()
+
+
 def test_dsir_hashed_matches_exact_ranking(spark):
     """The hashed-feature DSIR (fixed 10k-bucket model) must agree
     with the exact-unigram oracle variant on the test corpus: >= 45 of
