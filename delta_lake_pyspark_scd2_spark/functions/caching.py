@@ -37,6 +37,28 @@ def persist_tracked(df: DataFrame) -> DataFrame:
     return df
 
 
+class tracked_scope:
+    """Scoped variant for OPERATOR-internal caches: releases only the
+    frames persisted inside the ``with`` block, leaving a surrounding
+    caller's tracked frames alone (a global :func:`release_tracked`
+    from inside an operator would silently drop caches the caller
+    still needs — recomputation, not wrong results, but a scale cost).
+    Runs on exceptions too, so a failed write still frees its caches.
+    """
+
+    def __enter__(self) -> "tracked_scope":
+        self._base = len(_TRACKED)
+        return self
+
+    def __exit__(self, *exc) -> None:
+        while len(_TRACKED) > self._base:
+            df = _TRACKED.pop()
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing to free
+                pass
+
+
 def release_tracked() -> int:
     """Unpersist every tracked frame; returns how many were released.
     Safe to call at any query boundary — results already materialized

@@ -350,6 +350,8 @@ def quality_filter_per_group(
     keep_frac: float = 0.5,
     group_col: str = "lang",
     id_col: str = "doc_id",
+    exact: bool = False,
+    accuracy: int = 1_000_000,
 ) -> DataFrame:
     """Per-group relative quality gate (the FineWeb-style recipe):
     keep each group's top ``keep_frac`` of rows by ``score`` — a
@@ -357,18 +359,43 @@ def quality_filter_per_group(
     silently drop whole low-resource languages whose score
     distribution sits below the high-resource ones.
 
-    Membership is rank-based (``percent_rank`` over a fully
-    deterministic ordering: score descending, id ascending), so the
-    kept set is engine-stable with no float-threshold boundary.
-    One shuffle on ``group_col``; the window is the only pass.
-    """
-    from pyspark.sql import Window
+    Default (scale path, ``exact=False``): two-pass threshold —
+    ``groupBy(group).agg(percentile_approx(score, 1-keep_frac))``
+    (map-side combinable, bounded ``accuracy``-sized sketch state per
+    group), broadcast the ≤|groups|-row threshold table, then filter
+    ``score >= threshold``. NO per-group sort window anywhere, so the
+    dominant language of a 100 TB corpus never lands in one task.
+    Boundary semantics: every row tied with the threshold value is
+    kept (deterministic, id-independent); for groups smaller than
+    ``accuracy`` the sketch is exact and the threshold equals the
+    discrete ascending quantile ``sorted[ceil((1-keep_frac)*n)-1]``
+    (= DuckDB ``quantile_disc``), so the kept set is engine-stable.
 
-    w = Window.partitionBy(group_col).orderBy(
-        score.desc(), F.col(id_col).asc()
+    ``exact=True`` is the rank-based oracle twin: ``percent_rank``
+    over (score desc, id asc) — exact ``keep_frac`` membership with an
+    id tiebreak, at the cost of one sort task per group. Its kept set
+    is always a SUBSET of the scale path's (the threshold form only
+    adds boundary ties); ``tests/test_broadcast_bounds.py`` pins the
+    relationship.
+    """
+    if exact:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(group_col).orderBy(
+            score.desc(), F.col(id_col).asc()
+        )
+        return (
+            df.withColumn("__pr", F.percent_rank().over(w))
+            .filter(F.col("__pr") <= keep_frac)
+            .drop("__pr")
+        )
+    thresholds = df.groupBy(group_col).agg(
+        F.percentile_approx(score, F.lit(1.0 - keep_frac), F.lit(accuracy)).alias(
+            "__thr"
+        )
     )
     return (
-        df.withColumn("__pr", F.percent_rank().over(w))
-        .filter(F.col("__pr") <= keep_frac)
-        .drop("__pr")
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(score >= F.col("__thr"))
+        .drop("__thr")
     )

@@ -889,6 +889,11 @@ def pq_train_contract(
     """
     rows = df.select(id_col, vec_col).orderBy(id_col).limit(sample).collect()
     X = [[float(x) for x in r[1]] for r in rows]
+    if not X:
+        raise ValueError(
+            "pq_train_contract: empty training sample (input frame has "
+            "no rows) — a codebook needs at least one vector"
+        )
     dim = len(X[0])
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by m={m_subspaces}")

@@ -251,12 +251,19 @@ def histogram_drift_from_counts(
     """The scoring half of :func:`histogram_drift`, over an
     ALREADY-AGGREGATED ``(group_col, bucket, __cgb)`` count frame —
     shared with the streaming maintainer, whose persisted count table
-    replaces the batch bucketing. Same plan and float contract."""
+    replaces the batch bucketing. Same plan and float contract.
+
+    The invalid bin (bucket −1: NULL/negative inputs) is EXCLUDED,
+    matching :func:`histogram_quantile` — drift measures the shape of
+    the valid-value distribution, and garbage rows should surface via
+    the ingest screens, not skew every group's shares. (Token counts
+    are never NULL/negative, so for the length monitor this is purely
+    a consistency contract.)"""
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )
 
-    gb = persist_tracked(gb)
+    gb = persist_tracked(gb.filter(F.col("bucket") >= 0))
     gt = gb.groupBy(group_col).agg(F.sum("__cgb").cast("long").alias("__ng"))
     cb = gb.groupBy("bucket").agg(F.sum("__cgb").cast("long").alias("__cb"))
     n_total = cb.agg(F.sum("__cb").cast("long").alias("__n"))

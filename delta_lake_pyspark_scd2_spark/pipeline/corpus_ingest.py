@@ -159,19 +159,21 @@ class CorpusIngest:
         # the shingle→hash→min pipeline is referenced by every later
         # stage (counts, band buckets twice, final joins) — materialize
         # it once; unpersisted after the commits (clear job boundary)
+        # the containment emitters persist_tracked their shingle
+        # frames; a long-running ingest loop must not accumulate them —
+        # scoped, so a surrounding caller's tracked frames survive
+        from delta_lake_pyspark_scd2_spark.functions.caching import (
+            tracked_scope,
+        )
+
         cached = fps.persist()
         try:
-            return self._ingest_deduped(cached, batch, m, id_col, text_col, txn)
+            with tracked_scope():
+                return self._ingest_deduped(
+                    cached, batch, m, id_col, text_col, txn
+                )
         finally:
             cached.unpersist()
-            # the containment emitters persist_tracked their shingle
-            # frames; a long-running ingest loop must not accumulate
-            # them (clear job boundary, like the wrapper contract)
-            from delta_lake_pyspark_scd2_spark.functions.caching import (
-                release_tracked,
-            )
-
-            release_tracked()
 
     def _ingest_deduped(
         self,

@@ -4345,20 +4345,27 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_filter_per_lang",
     oracle="""
-    SELECT doc_id, lang, n_chars FROM (
-      SELECT doc_id, lang, n_chars,
-             PERCENT_RANK() OVER (PARTITION BY lang
-                                  ORDER BY n_chars DESC, doc_id ASC) AS pr
-      FROM documents
-    ) WHERE pr <= 0.5
+    WITH thr AS (
+      SELECT lang, quantile_disc(n_chars, 0.5) AS t
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang AS lang, n_chars
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    WHERE n_chars >= t
     """,
     doc="Per-language relative quality gate (the FineWeb-style recipe): "
     "keep each language's top half by content length -- a per-group "
     "quantile where one global threshold would silently drop whole "
     "low-resource languages whose score distribution sits below the "
-    "high-resource ones. Rank-based membership (percent_rank over a "
-    "fully deterministic ordering), so the kept set is engine-stable "
-    "with no float-threshold boundary; one shuffle on lang.",
+    "high-resource ones. Scale path (round-5 VERDICT #2): two-pass "
+    "threshold -- per-lang percentile_approx (map-side combinable, "
+    "bounded sketch state) broadcast back as a |langs|-row table, "
+    "then a filter; NO lang-partitioned sort window, so the dominant "
+    "language never lands in one task. For groups under the sketch "
+    "accuracy the threshold is the exact discrete quantile (= DuckDB "
+    "quantile_disc), boundary ties all kept -- engine-stable. The "
+    "rank-exact percent_rank form survives as the oracle twin "
+    "(quality_filter_per_group(exact=True)).",
 )
 def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators.mixture import (
@@ -4397,25 +4404,28 @@ def quality_filter_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each source, docs are packed in id order into shards of ~2000 "
     "whitespace tokens (shard = floor(cumulative-tokens-before / "
     "budget)) -- the deterministic assignment a sequence-packing "
-    "export consumes. Packing is inherently sequential, so the "
-    "running sum is windowed PER SOURCE: sources pack in parallel and "
-    "no global ordering shuffle exists; exact integer sums, "
-    "engine-stable.",
+    "export consumes. Scale (round-5 VERDICT #3): the per-source "
+    "running sum is a TWO-LEVEL chunked prefix sum "
+    "(sources.export.tokens_before) -- chunk-local windows in "
+    "parallel plus a bounded (<= 4096 rows/source) chunk-offset scan "
+    "broadcast back -- bit-identical to the single-window oracle "
+    "shape (exact integer sums, same total order), so a 50 TB source "
+    "packs across many tasks.",
 )
 def export_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.sources.export import tokens_before
+
     docs = load_table(spark, sf_dir, "documents")
     toks = text.token_count_ws(F.col("text")).cast("long")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    before = F.coalesce(F.sum(toks).over(w), F.lit(0))
-    return docs.select(
+    return tokens_before(
+        docs.select("doc_id", "source", "text"), toks
+    ).select(
         "doc_id",
         "source",
         toks.alias("n_tokens"),
-        F.floor(before / F.lit(2000.0)).cast("int").alias("shard_no"),
+        F.floor(F.col("tok_before") / F.lit(2000.0)).cast("int").alias(
+            "shard_no"
+        ),
     )
 
 
@@ -4765,7 +4775,7 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     gb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS cgb
-           FROM t GROUP BY 1, 2),
+           FROM t WHERE bucket >= 0 GROUP BY 1, 2),
     gt AS (SELECT source, CAST(sum(cgb) AS BIGINT) AS ng FROM gb GROUP BY 1),
     cb AS (SELECT bucket, CAST(sum(cgb) AS BIGINT) AS cb FROM gb GROUP BY 1),
     n AS (SELECT CAST(sum(cb) AS BIGINT) AS nt FROM cb)

@@ -985,10 +985,14 @@ def length_drift_stream(
         )
         if on_batch is not None:
             from delta_lake_pyspark_scd2_spark.functions.caching import (
-                release_tracked,
+                tracked_scope,
             )
 
-            try:
+            # the scoring half persist_tracked's the count frame — a
+            # long-running stream must not accumulate one cached frame
+            # per micro-batch; scoped, so frames a surrounding caller
+            # registered stay cached
+            with tracked_scope():
                 on_batch(
                     batch_no,
                     sketches.histogram_drift_from_counts(
@@ -996,11 +1000,6 @@ def length_drift_stream(
                         group_col,
                     ).collect(),  # slice-count-sized
                 )
-            finally:
-                # the scoring half persist_tracked's the count frame —
-                # a long-running stream must not accumulate one cached
-                # frame per micro-batch
-                release_tracked()
 
     return _run_foreach_stream(
         spark.readStream.schema(schema).json(source_dir),

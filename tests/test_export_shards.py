@@ -79,3 +79,67 @@ def test_balance_no_empty_shards(spark, tmp_path):
     counts = list(man["rows_per_shard"].values())
     assert min(counts) > 0
     assert max(counts) < 2 * (sum(counts) / len(counts))  # rough balance
+
+
+# ---------------------------------------------------------------------------
+# tokens_before: the two-level chunked prefix sum (round-5 VERDICT #3)
+# ---------------------------------------------------------------------------
+
+
+def test_tokens_before_matches_single_window_form(spark):
+    """The distributed two-level prefix sum must be bit-identical to
+    the naive per-source running-sum window (the oracle shape) —
+    same exact integer sums, same id total order."""
+    from pyspark.sql import Window
+
+    from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
+    from delta_lake_pyspark_scd2_spark.sources.export import tokens_before
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = token_count_ws(F.col("text")).cast("long")
+    got = {
+        r["doc_id"]: r["tok_before"]
+        # tiny n_chunks so level 2 (chunk offsets) is actually exercised
+        for r in tokens_before(docs, toks, n_chunks=7).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    want = {
+        r["doc_id"]: r["tb"]
+        for r in docs.select(
+            "doc_id",
+            F.coalesce(F.sum(toks).over(w), F.lit(0)).alias("tb"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_tokens_before_has_no_per_source_doc_window(spark):
+    """Scale pin: NO window over doc rows is partitioned by source
+    alone — doc-level windows must include the chunk key (parallel
+    within a source); the only source-partitioned window runs over the
+    bounded chunk-totals aggregate."""
+    import re
+
+    from delta_lake_pyspark_scd2_spark.operators.text import token_count_ws
+    from delta_lake_pyspark_scd2_spark.sources.export import tokens_before
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "source", "text"
+    )
+    out = tokens_before(docs, token_count_ws(F.col("text")))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # old weak shape: windowspecdefinition(source, doc_id ASC ...)
+    assert not re.search(
+        r"windowspecdefinition\(source#\d+, doc_id#\d+L? ASC", plan
+    ), plan
+    # new shape: the doc-level window keys on (source, __chunk)
+    assert re.search(
+        r"windowspecdefinition\(source#\d+, __chunk#\d+L?, doc_id#\d+L? ASC",
+        plan,
+    ), plan

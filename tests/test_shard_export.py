@@ -139,3 +139,45 @@ def test_export_token_shards_respects_budget(spark, tmp_path):
     assert back.count() == 50
     man2 = export_token_shards(df, str(tmp_path / "exp2"), budget=20)
     assert man2["tokens_per_shard"] == man["tokens_per_shard"]
+
+
+def test_export_token_shards_rejects_ambiguous_source_names(spark, tmp_path):
+    """Shard names are '<source>_<k>': a source containing '_' (or any
+    partition-path-escaped character) would make them ambiguous and
+    desync manifest keys from directory names — fail loud up front."""
+    import pytest
+
+    from delta_lake_pyspark_scd2_spark.sources.export import (
+        export_token_shards,
+    )
+
+    for bad_src in ("web_crawl", "a/b"):
+        df = spark.createDataFrame(
+            [(1, bad_src, "some text"), (2, "ok", "more text")],
+            "doc_id long, source string, text string",
+        )
+        with pytest.raises(ValueError, match="source values"):
+            export_token_shards(df, str(tmp_path / "x"), budget=10)
+
+
+def test_tracked_scope_releases_only_inner_frames(spark):
+    """tracked_scope frees frames persisted inside the block and
+    leaves a surrounding caller's tracked frames cached (round-5
+    ADVICE: an operator's global release silently dropped caller
+    caches)."""
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+        release_tracked,
+        tracked_scope,
+    )
+
+    outer = persist_tracked(spark.range(10).toDF("v"))
+    outer.count()
+    inner = None
+    with tracked_scope():
+        inner = persist_tracked(spark.range(5).toDF("w"))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # inner released at exit
+    assert outer.storageLevel.useMemory      # outer untouched
+    assert release_tracked() == 1            # outer still tracked

@@ -116,3 +116,38 @@ def test_histogram_sketch_merge_and_quantile(spark):
     # median of 0..99 + outliers falls in the bucket containing ~50
     q = histogram_quantile(histogram_build(df.filter("v >= 0"), F.col("v")), 0.5).collect()[0]
     assert q["lo"] <= 50 <= q["hi"]
+
+
+def test_histogram_drift_excludes_invalid_bin(spark):
+    """Consistent garbage-row semantics across the sketch's consumers
+    (round-5 ADVICE): drift, like histogram_quantile, excludes the
+    invalid bin (bucket -1, NULL/negative inputs) — it measures the
+    valid-value distribution's shape, so adding NULL rows to one group
+    must not change any group's L1 distance or counted n."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        release_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        histogram_drift,
+    )
+
+    base = [("a", v) for v in range(20)] + [("b", v * 7) for v in range(20)]
+    clean = spark.createDataFrame(base, "g string, v long")
+    dirty = clean.union(
+        spark.createDataFrame(
+            [("a", None), ("a", -5), ("b", None)], "g string, v long"
+        )
+    )
+    want = {
+        r["g"]: (r["n"], r["l1_distance"])
+        for r in histogram_drift(clean, F.col("v"), "g").collect()
+    }
+    release_tracked()
+    got = {
+        r["g"]: (r["n"], r["l1_distance"])
+        for r in histogram_drift(dirty, F.col("v"), "g").collect()
+    }
+    release_tracked()
+    assert got == want
