@@ -47,6 +47,13 @@ EXTRA_QUERIES = (
     "select_dsir_hashed",
     "events_volume_anomaly",
     "dedup_containment_prefix",
+    # round-5 additions (round-5 VERDICT #6), pinned after the round-6
+    # scale-path reworks (windowless quality gate, two-level packing):
+    "split_cluster_safe",
+    "quality_filter_per_lang",
+    "export_token_pack",
+    "sketch_token_histogram",
+    "ann_pq_recall_eval",
 )
 
 
