@@ -1447,20 +1447,52 @@ def arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deterministic stratified sample: exactly ceil(10%) of every "
     "stratum, rows chosen by content-hash order — reproducible on any "
     "cluster shape/partitioning (df.sampleBy is probabilistic per-row "
-    "and seed+partitioning dependent). One shuffle on the stratum key.",
+    "and seed+partitioning dependent). Scale (round 6): the rank is a "
+    "two-level chunked computation, NOT one sort task per stratum — "
+    "the md5 sort key's first two hex chars split each stratum into "
+    "256 uniform, ORDER-PRESERVING chunks (the chunk key is a prefix "
+    "of the sort key), chunk-local row_numbers run in parallel, and "
+    "the rank offset comes from a bounded (<=256 rows/stratum) "
+    "chunk-count scan broadcast back — identical ranks to the "
+    "single-window form (same oracle), so the dominant event_type of "
+    "a 100 TB stream never lands in one task.",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy(
-        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    h = F.md5(F.col("event_id").cast("string"))
+    chunked = ev.select(
+        "event_id",
+        "event_type",
+        h.alias("__h"),
+        F.substring(h, 1, 2).alias("__chunk"),
+    )
+    # chunk counts: tiny by construction (strata x 256 rows)
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("__chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     wn = Window.partitionBy("event_type")
+    offsets = (
+        chunked.groupBy("event_type", "__chunk")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "event_type",
+            "__chunk",
+            F.coalesce(F.sum("__cnt").over(wc), F.lit(0)).alias("__before"),
+            F.sum("__cnt").over(wn).alias("n"),
+        )
+    )
+    w_local = Window.partitionBy("event_type", "__chunk").orderBy(
+        "__h", "event_id"
+    )
     return (
-        ev.select(
+        chunked.join(F.broadcast(offsets), ["event_type", "__chunk"])
+        .select(
             "event_id",
             "event_type",
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(wn).alias("n"),
+            (F.col("__before") + F.row_number().over(w_local)).alias("rn"),
+            "n",
         )
         .filter(F.col("rn") <= F.ceil(F.col("n") * 0.1).cast("long"))
         .select("event_id", "event_type")
@@ -4330,7 +4362,10 @@ def vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "choice is the deterministic md5 keep-hash over the cluster id: "
     "reproducible on any cluster shape; within one corpus version the "
     "no-straddle guarantee is absolute (a later doc that bridges two "
-    "clusters merges them -- re-audit after growth).",
+    "clusters merges them -- re-audit after growth). Bench headline "
+    "since round 6: the heaviest corpus-scan query (pair emitter "
+    "dominates, ~25-30 s at sf0.1 -- BENCH_NOTES.md).",
+    bench=True,
 )
 def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import graph
@@ -4759,6 +4794,110 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    return _pq_recall_output(exact, adc)
+
+
+@register(
+    "ann_pq_adopted_recall_eval",
+    oracle=None,  # rows-only by design — see doc
+    doc="Recall@10 of the ADOPTED PQ configuration -- m=32 subspaces "
+    "x k=256 codes, production-trained (numpy Lloyd on the bounded "
+    "lowest-id sample, Arrow-batched encode) -- against exact squared "
+    "L2. The round-5 matrix measured the oracle-contract config (m=8, "
+    "k=16, 64-sample, 2-iter Lloyd -- sized for unrolled-CTE "
+    "verifiability, not fidelity) at recall 0.120; the sweep "
+    "(tools/pq_sweep.py, COVERAGE.md index matrix) shows recall is "
+    "code-budget-bound on these embeddings: 0.392 at 8x256, 0.594 at "
+    "16x256, 0.852 at 32x256 (8x memory cut at 64-dim float32), while "
+    "IVF-residual encoding adds only ~0.03 -- so the shippable "
+    "compressed index is raw PQ-32x256. Rows-only by design: the "
+    "trained codebooks come from float64 BLAS whose accumulation "
+    "order no SQL engine reproduces; the CONTRACT config twins "
+    "(ann_pq_trained_topk / ann_pq_recall_eval) carry the value-hash "
+    "proof that the ADC pipeline itself is engine-exact. Scale: 50 "
+    "fixed queries, one broadcast LUT join over the encoded corpus; "
+    "the eval is a sampled harness, the serving path stays "
+    "pq_topk/ivfpq_topk.",
+)
+def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_train(
+        emb, m_subspaces=32, k_codes=256, sample=2048, iters=8
+    )
+    m_sub, k_codes = len(books), len(books[0])
+    d_sub = 64 // m_sub
+    codes = persist_tracked(S.pq_encode(emb, books))
+    # 50 highest-id vectors are the query set (deterministic at any SF)
+    mx = emb.agg(F.max("vec_id").alias("__mx"))
+    qs = emb.crossJoin(F.broadcast(mx)).filter(
+        F.col("vec_id") > F.col("__mx") - 50
+    )
+    q_rows = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in qs.select("vec_id", "embedding").collect()
+    ]  # 50 rows by construction — bounded driver-side LUT build
+    import numpy as np
+
+    lut_rows = []
+    for qid, qv in q_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        for m in range(m_sub):
+            C = np.asarray(books[m], dtype=np.float64)
+            d2s = ((C - q[m * d_sub : (m + 1) * d_sub][None, :]) ** 2).sum(
+                axis=1
+            )
+            lut_rows.extend(
+                (qid, m, int(c), float(round(v, 9)))
+                for c, v in enumerate(d2s)
+            )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2 double"
+    )
+    adc = (
+        codes.select(
+            "vec_id", F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    qdf = F.broadcast(
+        qs.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("__qv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        ),
+        6,
+    )
+    escored = (
+        emb.crossJoin(qdf)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", d2.alias("__d2"))
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("__d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        escored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
     )
     return _pq_recall_output(exact, adc)
 

@@ -136,6 +136,7 @@ def test_corpus_report_sections(tmp_path):
     for section in ("## Volume", "### Language mix", "## Quality",
                     "## Duplication", "## Hygiene", "## Monitors",
                     "### Source drift (unigram KL vs corpus)",
+                    "### Source length-distribution drift (log2-histogram L1 vs corpus)",
                     "### Ingest volume anomalies (per event_type/day z-score)",
                     "### Language-ID confusion (heuristic vs table labels)",
                     "### Embedding health (per label)",
@@ -143,3 +144,4 @@ def test_corpus_report_sections(tmp_path):
         assert section in md
     assert "documents: 500" in md
     assert "nprobe=4: mean recall" in md
+    assert "PQ ADOPTED config (m=32 x k=256): mean recall@10" in md

@@ -710,3 +710,23 @@ def test_pq_trained_contract_jvm_encode_matches_python_reference(spark):
             ]
             want.append(dists.index(min(dists)))  # first min = lowest code
         assert got[r["vec_id"]] == want, r["vec_id"]
+
+
+def test_adopted_pq_config_clears_recall_bar(spark):
+    """The shippable compressed-index config (PQ m=32 x k=256, the
+    round-6 adoption answer to the round-5 'PQ measures itself out of
+    contention' finding) must hold recall@10 well above the 0.5
+    adoption bar on the real embeddings (measured: 0.898 at sf0.01,
+    0.850 at sf0.1 — the sweep matrix is tools/pq_sweep.py)."""
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        release_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.plans import REGISTRY
+
+    rows = REGISTRY["ann_pq_adopted_recall_eval"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    release_tracked()
+    assert len(rows) == 50
+    mean = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean >= 0.6, mean

@@ -75,3 +75,26 @@ def test_no_entries_lost_by_reorder():
     # the round-3 reorder started from 127 entries; growth is fine,
     # shrinkage means the _PRIORITY plumbing dropped something
     assert len(REGISTRY) >= 127
+
+
+def test_coverage_header_count_matches_registry():
+    """COVERAGE.md's header is the single authoritative registry
+    count (round-5 hygiene: hand-maintained tallies drifted); this
+    gate keeps it generated-in-effect."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..", "COVERAGE.md")
+    with open(path) as f:
+        head = f.read(600)
+    m = re.search(
+        r"Registry: (\d+) queries, (\d+) with full value-hash oracles",
+        head,
+    )
+    assert m, "COVERAGE.md header count line missing"
+    total = len(REGISTRY)
+    with_oracle = sum(1 for s in REGISTRY.values() if s.oracle)
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"COVERAGE.md header says {m.groups()}, registry is "
+        f"{(total, with_oracle)} — update the header"
+    )

@@ -5,7 +5,12 @@ parquet tables, then compares row count, column names, and
 order-insensitive values. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --tail --json=CORRECTNESS_TAIL_r06.json [sf_dir]
 
+``--tail`` checks only registry entries past the driver's 50-query
+correctness window; ``--json=PATH`` records per-query results in the
+driver's CORRECTNESS format, publishing oracle-green status for
+queries the driver window never reaches (round-5 ADVICE).
 Exit code 0 iff every checked query matches.
 """
 
@@ -49,8 +54,18 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    tail_only = False
+    if "--tail" in args:  # only registry entries past the driver's
+        args.remove("--tail")  # 50-query correctness window
+        tail_only = True
+    for a in list(args):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            args.remove(a)
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from delta_lake_pyspark_scd2_spark.functions.caching import release_tracked
     from delta_lake_pyspark_scd2_spark.plans import REGISTRY
@@ -64,7 +79,19 @@ def main() -> int:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
     failures: list[str] = []
-    for name, spec in REGISTRY.items():
+    results: dict[str, dict] = {}
+
+    def _rec(name, **kw):
+        results[name] = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None, **kw,
+        }
+
+    names = list(REGISTRY)
+    if tail_only:
+        names = names[50:]
+    for name in names:
+        spec = REGISTRY[name]
         if only and name not in only:
             continue
         t0 = time.time()
@@ -83,23 +110,30 @@ def main() -> int:
                 )
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            _rec(name, err=f"spark error: {str(e)[:400]}")
             print(f"FAIL {name}: spark error: {str(e)[:400]}")
             continue
         if spec.oracle is None:
+            _rec(name, rows_match="rows_only", spark_rows=len(sdf))
             print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
             odf = con.sql(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            _rec(name, err=f"duckdb error: {str(e)[:400]}")
             print(f"FAIL {name}: duckdb error: {str(e)[:400]}")
             continue
         if len(sdf) != len(odf):
             failures.append(name)
+            _rec(name, rows_match=False, spark_rows=len(sdf),
+                 oracle_rows=len(odf))
             print(f"FAIL {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append(name)
+            _rec(name, rows_match=True, schema_match=False,
+                 spark_rows=len(sdf), oracle_rows=len(odf))
             print(
                 f"FAIL {name}: columns spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
             )
@@ -109,6 +143,9 @@ def main() -> int:
             neq = (cs != co).any(axis=0)
             bad_cols = list(neq[neq].index)
             failures.append(name)
+            _rec(name, rows_match=True, schema_match=True, hash_match=False,
+                 spark_rows=len(sdf), oracle_rows=len(odf),
+                 err=f"value mismatch in {bad_cols}")
             print(f"FAIL {name}: value mismatch in columns {bad_cols}")
             diff_mask = (cs != co).any(axis=1)
             print(
@@ -118,8 +155,17 @@ def main() -> int:
                 ).to_string()
             )
             continue
+        _rec(name, rows_match=True, schema_match=True, hash_match=True,
+             spark_rows=len(sdf), oracle_rows=len(odf))
         print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

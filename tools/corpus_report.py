@@ -9,6 +9,7 @@ operators into a markdown dossier:
     window dedup), near-dup candidate rate (MinHash-LSH)
   * hygiene: PII hits (emails/phones)
   * monitors (the "evaluation as a query" family): per-source KL
+    and length-distribution (shape) drift
     drift, ingest-volume anomalies, language-ID confusion, embedding
     health, ANN recall@5 per nprobe
 
@@ -141,6 +142,16 @@ def build_report(spark, sf_dir: str) -> str:
     ]
     out.append("")
 
+    ldrift = sorted(
+        _q("source_length_drift"), key=lambda r: -r["l1_distance"]
+    )
+    out += ["### Source length-distribution drift (log2-histogram L1 vs corpus)", ""]
+    out += [
+        f"- {r['source']}: L1 {r['l1_distance']:.4f} ({int(r['n']):,} docs)"
+        for r in ldrift[:5]
+    ]
+    out.append("")
+
     anom = _q("events_volume_anomaly")
     flagged = [r for r in anom if r["is_anomaly"]]
     out += [
@@ -190,8 +201,9 @@ def build_report(spark, sf_dir: str) -> str:
         for np_, v in sorted(by_np.items())
     ]
     for name, label in (
-        ("ann_pq_recall_eval", "PQ (16 codes x 8 subspaces)"),
-        ("ann_ivfpq_recall_eval", "IVF-PQ (nprobe=3)"),
+        ("ann_pq_recall_eval", "PQ contract config (m=8 x k=16)"),
+        ("ann_ivfpq_recall_eval", "IVF-PQ contract config (nprobe=3)"),
+        ("ann_pq_adopted_recall_eval", "PQ ADOPTED config (m=32 x k=256)"),
     ):
         rows = _q(name)
         rec = [r["recall_at_10"] for r in rows]
