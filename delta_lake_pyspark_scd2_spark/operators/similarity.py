@@ -716,6 +716,17 @@ def probe_centroids(
     centroid id — so an oracle cannot disagree on the probe-set
     boundary by a last-ulp difference. Shared by :func:`ivfpq_topk`
     and the trained-IVFPQ registry queries."""
+    cent_rows = [
+        (r[id_col], [float(x) for x in r[vec_col]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    return _probe_from_rows(query_vec, cent_rows, nprobe)
+
+
+def _probe_from_rows(query_vec, cent_rows, nprobe: int) -> list:
+    """The :func:`probe_centroids` contract over ALREADY-COLLECTED
+    centroid rows — lets multi-query searchers collect the (small)
+    centroid table once instead of once per query."""
     import math
 
     def _dot(a, b):
@@ -733,10 +744,7 @@ def probe_centroids(
             ),
             cid,
         )
-        for cid, cv in (
-            (r[id_col], [float(x) for x in r[vec_col]])
-            for r in centroids.select(id_col, vec_col).collect()
-        )
+        for cid, cv in cent_rows
     )
     return [cid for _, cid in sims[:nprobe]]
 
@@ -778,6 +786,180 @@ def ivfpq_topk(
     )
     bucket = codes.filter(F.col("centroid_id").isin(probe_ids))
     return pq_topk(bucket, codebooks, query_vec, k=k, id_col=id_col)
+
+
+def codebooks_tag(codebooks: list) -> str:
+    """Content tag of a PQ codebook set. Stamped on a persisted index
+    and REFUSED on mismatch at search time: codes are meaningless
+    under any other codebooks, and a silent books/codes mismatch is
+    the same failure family as the round-5 minhash hash-family bug —
+    stored signatures must carry their family tag."""
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(codebooks, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: list,
+    index_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the COMPRESSED serving index: centroid assignment +
+    PQ codes committed as a :class:`VersionedParquetTable` partitioned
+    by ``centroid_id`` — no raw vectors stored, which IS the point:
+    with the adopted PQ-32x256 config a 64-dim float32 corpus shrinks
+    8x, and at 100 TB the probe working set shrinks by bucket
+    selectivity x PQ compression multiplied (a 2-of-4096-bucket probe
+    over 32-byte rows).
+
+    The codebooks ride the table as properties (``ivfpq.codebooks``
+    JSON + ``ivfpq.books_tag`` content hash), so the index is
+    self-describing and :func:`ivfpq_search_index` can refuse
+    mismatched books instead of silently scoring garbage. At real
+    scale the books JSON (m x k x d_sub floats, ~300 KB at 32x256x2)
+    stays manifest-sized — it does not grow with the corpus.
+    """
+    import json
+
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    assigned = assign_to_centroids(
+        corpus, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    rows = pq_encode(corpus, codebooks, vec_col, id_col).join(
+        assigned, id_col
+    )
+    return VersionedParquetTable.create(
+        corpus.sparkSession,
+        rows,
+        index_path,
+        partition_cols=["centroid_id"],
+        properties={
+            "ivfpq.codebooks": json.dumps(codebooks),
+            "ivfpq.books_tag": codebooks_tag(codebooks),
+            "ivfpq.m": str(len(codebooks)),
+            "ivfpq.k_codes": str(len(codebooks[0])),
+        },
+        metrics={"op": "IVFPQ_BUILD"},
+    )
+
+
+def ivfpq_search_index(
+    index,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 2,
+    codebooks: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF-PQ index (:func:`build_ivfpq_index`):
+    per-query probe sets via the shared :func:`probe_centroids`
+    contract, a manifest-pruned partition read of ONLY the probed
+    buckets, then one broadcast ADC-LUT join scores every query's
+    candidates without touching a single raw vector. Results are
+    identical to :func:`ivfpq_topk` at the same
+    ``(centroids, codebooks, nprobe, k)`` — the difference is the
+    probe cost (pruned scan of ~m-byte rows vs recomputing
+    assignment + codes per search).
+
+    ``codebooks`` defaults to the books stored on the index; passing
+    them explicitly cross-checks the content tag and raises on
+    mismatch (stored codes are meaningless under other books). The
+    query table is collected driver-side to build the LUTs — queries
+    are small by definition, the same bounded contract as
+    :func:`ivf_search_index`'s probe list.
+    """
+    import json
+
+    import numpy as np
+
+    props = index.properties()
+    stored_tag = props.get("ivfpq.books_tag")
+    if codebooks is None:
+        if "ivfpq.codebooks" not in props:
+            raise ValueError(
+                "ivfpq_search_index: index has no stored codebooks — "
+                "not an ivfpq index, or pass codebooks= explicitly"
+            )
+        codebooks = json.loads(props["ivfpq.codebooks"])
+    elif stored_tag is not None and codebooks_tag(codebooks) != stored_tag:
+        raise ValueError(
+            "ivfpq_search_index: supplied codebooks do not match the "
+            f"index's books_tag {stored_tag} — the stored codes were "
+            "encoded under different books; rebuild the index or pass "
+            "the original books"
+        )
+    m_sub = len(codebooks)
+    dim = m_sub * len(codebooks[0][0])
+    d_sub = dim // m_sub
+    spark = queries.sparkSession
+    q_rows = [
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in queries.select(id_col, vec_col).collect()
+    ]
+    cent_rows = [
+        (r[id_col], [float(x) for x in r[vec_col]])
+        for r in centroids.select(id_col, vec_col).collect()
+    ]
+    probe_rows = [
+        (qid, cid)
+        for qid, qv in q_rows
+        for cid in _probe_from_rows(qv, cent_rows, nprobe)
+    ]
+    lut_rows = []
+    for qid, qv in q_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        for m in range(m_sub):
+            C = np.asarray(codebooks[m], dtype=np.float64)
+            d2s = ((C - q[m * d_sub:(m + 1) * d_sub][None, :]) ** 2).sum(
+                axis=1
+            )
+            lut_rows.extend(
+                (qid, m, int(c), float(v)) for c, v in enumerate(d2s)
+            )
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id long"
+    )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, m int, code int, d2 double"
+    )
+    probed_ids = sorted({cid for _, cid in probe_rows})
+    bucket = index.read_partitions(
+        [{"centroid_id": str(c)} for c in probed_ids]
+    )
+    # no self-exclusion: identical candidate semantics to ivfpq_topk
+    # (callers drop the query id themselves when they want it gone)
+    cand = bucket.join(F.broadcast(probes), "centroid_id")
+    adc = (
+        cand.select(
+            "query_id", id_col, F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "pq_dist"
+        )
+    )
 
 
 def hard_negatives_topk(

@@ -4364,7 +4364,7 @@ def vtable_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "no-straddle guarantee is absolute (a later doc that bridges two "
     "clusters merges them -- re-audit after growth). Bench headline "
     "since round 6: the heaviest corpus-scan query (pair emitter "
-    "dominates, ~25-30 s at sf0.1 -- BENCH_NOTES.md).",
+    "dominates, ~3 s Spark-arm median at sf0.1 -- BENCH_NOTES.md).",
     bench=True,
 )
 def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -730,3 +730,59 @@ def test_adopted_pq_config_clears_recall_bar(spark):
     assert len(rows) == 50
     mean = sum(r["recall_at_10"] for r in rows) / len(rows)
     assert mean >= 0.6, mean
+
+
+def test_ivfpq_persisted_index_matches_inflight(spark, tmp_path):
+    """build_ivfpq_index + ivfpq_search_index == ivfpq_topk at the
+    same (centroids, codebooks, nprobe, k); the probe reads only the
+    probed buckets' files; mismatched codebooks are REFUSED via the
+    stored books tag (stored codes carry their family tag — the
+    round-5 minhash lesson applied to PQ)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id").between(10, 13))
+    books = S.pq_train(emb, m_subspaces=8, k_codes=16, sample=64)
+
+    index = S.build_ivfpq_index(emb, centroids, books, str(tmp_path / "pq"))
+    got = S.ivfpq_search_index(index, centroids, queries, k=5, nprobe=2)
+    rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.pq_dist)
+        for r in got.collect()
+    }
+    assert rows
+    for qrow in queries.collect():
+        exp = S.ivfpq_topk(
+            emb, centroids, books, list(qrow["embedding"]), k=5, nprobe=2
+        ).collect()
+        for rank, e in enumerate(exp, start=1):
+            assert rows[(qrow["vec_id"], rank)] == (
+                e["vec_id"], e["pq_dist"]
+            ), (qrow["vec_id"], rank)
+
+    # no raw vectors stored — codes + assignment only
+    assert set(index.read().columns) == {"vec_id", "pq_codes", "centroid_id"}
+
+    # books-tag refusal: different codebooks must not score stored codes
+    other = S.pq_train(emb, m_subspaces=8, k_codes=16, sample=32)
+    assert S.codebooks_tag(other) != S.codebooks_tag(books)
+    import pytest
+
+    with pytest.raises(ValueError, match="books_tag"):
+        S.ivfpq_search_index(
+            index, centroids, queries, k=5, nprobe=2, codebooks=other
+        )
+
+    # stored-books default path works and matches the explicit one
+    again = S.ivfpq_search_index(
+        index, centroids, queries, k=5, nprobe=2, codebooks=books
+    )
+    assert {
+        (r.query_id, r.rank): (r.neighbor_id, r.pq_dist)
+        for r in again.collect()
+    } == rows
