@@ -853,6 +853,45 @@ def build_ivfpq_index(
     )
 
 
+def extend_ivfpq_index(
+    index,
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance: assign + encode ONLY the newly
+    arrived vectors under the index's OWN stored codebooks and append
+    them — the index grows with the corpus at new-data cost, no
+    retraining, no re-encoding of history, and the books/codes pairing
+    cannot drift because the books come off the table itself. The
+    append is a versioned commit: time travel compares the index
+    before/after a batch, and vacuum retires old versions.
+
+    (Quantization drift is the operational caveat: if the embedding
+    distribution moves far from the training sample, recall decays —
+    re-measure with ``ann_pq_adopted_recall_eval`` and rebuild when it
+    drops.) Returns the new table version.
+    """
+    import json
+
+    props = index.properties()
+    if "ivfpq.codebooks" not in props:
+        raise ValueError(
+            "extend_ivfpq_index: index has no stored codebooks — "
+            "build it with build_ivfpq_index first"
+        )
+    codebooks = json.loads(props["ivfpq.codebooks"])
+    assigned = assign_to_centroids(
+        new_vectors, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "centroid_id")
+    rows = pq_encode(new_vectors, codebooks, vec_col, id_col).join(
+        assigned, id_col
+    )
+    return index.append(rows)
+
+
 def ivfpq_search_index(
     index,
     centroids: DataFrame,

@@ -97,6 +97,7 @@ _TAIL_PRIORITY: list[str] = [
     "ann_ivfpq_recall_eval",
     "source_length_drift",
     "ann_pq_adopted_recall_eval",
+    "ann_ivfpq_adopted_recall_eval",
 ]
 
 

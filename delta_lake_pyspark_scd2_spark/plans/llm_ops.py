@@ -4821,6 +4821,28 @@ def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pq_topk/ivfpq_topk.",
 )
 def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, _books, codes, _q_rows, lut, exact = _adopted_eval_parts(
+        spark, sf_dir
+    )
+    adc = (
+        codes.select(
+            "vec_id", F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
+    )
+    return _pq_recall_output(exact, adc)
+
+
+def _adopted_eval_parts(spark: SparkSession, sf_dir: str):
+    """Shared halves of the ADOPTED-config (PQ-32x256,
+    production-trained) recall evals: embeddings, books, encoded
+    corpus, the 50-highest-id query rows, the broadcast ADC LUT frame,
+    and the exact squared-L2 top-10 arm."""
+    import numpy as np
+
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )
@@ -4830,7 +4852,7 @@ def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = S.pq_train(
         emb, m_subspaces=32, k_codes=256, sample=2048, iters=8
     )
-    m_sub, k_codes = len(books), len(books[0])
+    m_sub = len(books)
     d_sub = 64 // m_sub
     codes = persist_tracked(S.pq_encode(emb, books))
     # 50 highest-id vectors are the query set (deterministic at any SF)
@@ -4842,8 +4864,6 @@ def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in qs.select("vec_id", "embedding").collect()
     ]  # 50 rows by construction — bounded driver-side LUT build
-    import numpy as np
-
     lut_rows = []
     for qid, qv in q_rows:
         q = np.asarray(qv, dtype=np.float64)
@@ -4858,15 +4878,6 @@ def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     lut = spark.createDataFrame(
         lut_rows, "query_id long, m int, code int, d2 double"
-    )
-    adc = (
-        codes.select(
-            "vec_id", F.posexplode("pq_codes").alias("m", "code")
-        )
-        .join(F.broadcast(lut), ["m", "code"])
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy("query_id", "vec_id")
-        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
     )
     qdf = F.broadcast(
         qs.select(
@@ -4898,6 +4909,60 @@ def ann_pq_adopted_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         escored.withColumn("rank", F.row_number().over(we))
         .filter(F.col("rank") <= 10)
         .select("query_id", "vec_id")
+    )
+    return emb, books, codes, q_rows, lut, exact
+
+
+@register(
+    "ann_ivfpq_adopted_recall_eval",
+    oracle=None,  # rows-only by design, like the bare adopted eval
+    doc="Recall@10 of the COMPOSED adopted index -- IVF bucket "
+    "restriction (the contract eval's 12 sampled centroids, top-3 "
+    "probes per query) over ADOPTED PQ-32x256 codes -- against exact "
+    "squared L2. Completes the adopted half of the index-selection "
+    "matrix: the contract-config composition showed quantization "
+    "DOMINATING bucket restriction (0.109 vs 0.120 bare); with "
+    "adopted codes the quantization term nearly vanishes (bare 0.85), "
+    "so this measures how much the probe restriction alone costs at "
+    "serving fidelity. Same probe contract as the trained-IVFPQ "
+    "oracle queries; one broadcast LUT join over the probed codes.",
+)
+def ann_ivfpq_adopted_recall_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    emb, _books, codes, q_rows, lut, exact = _adopted_eval_parts(
+        spark, sf_dir
+    )
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    assigned = S.assign_to_centroids(emb, cents).select(
+        "vec_id", "centroid_id"
+    )
+    cent_rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in cents.select("vec_id", "embedding").collect()
+    ]
+    probes = spark.createDataFrame(
+        [
+            (qid, cid)
+            for qid, qv in q_rows
+            for cid in S._probe_from_rows(qv, cent_rows, 3)
+        ],
+        "query_id long, centroid_id long",
+    )
+    cand = (
+        codes.join(assigned, "vec_id")
+        .join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    adc = (
+        cand.select(
+            "query_id", "vec_id", F.posexplode("pq_codes").alias("m", "code")
+        )
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("pq_dist"))
     )
     return _pq_recall_output(exact, adc)
 

@@ -786,3 +786,39 @@ def test_ivfpq_persisted_index_matches_inflight(spark, tmp_path):
         (r.query_id, r.rank): (r.neighbor_id, r.pq_dist)
         for r in again.collect()
     } == rows
+
+
+def test_ivfpq_index_extends_incrementally(spark, tmp_path):
+    """extend_ivfpq_index appends new vectors encoded under the
+    index's stored books: the extended index searches identically to
+    one built on the full corpus at once, and the append is a
+    versioned commit (time travel sees the pre-extension index)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id").between(10, 12))
+    books = S.pq_train(emb, m_subspaces=8, k_codes=16, sample=64)
+
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    grown = S.build_ivfpq_index(old, centroids, books, str(tmp_path / "g"))
+    v0_rows = grown.read().count()
+    v1 = S.extend_ivfpq_index(grown, new, centroids)
+    full = S.build_ivfpq_index(emb, centroids, books, str(tmp_path / "f"))
+
+    key = lambda df: {
+        (r.query_id, r.rank): (r.neighbor_id, r.pq_dist)
+        for r in df.collect()
+    }
+    got = key(S.ivfpq_search_index(grown, centroids, queries, k=5, nprobe=2))
+    want = key(S.ivfpq_search_index(full, centroids, queries, k=5, nprobe=2))
+    assert got == want and got
+    # versioned: the pre-extension index is still addressable
+    assert v1 >= 1
+    assert grown.read(version=0).count() == v0_rows == old.count()
+    assert grown.read().count() == emb.count()

@@ -204,6 +204,7 @@ def build_report(spark, sf_dir: str) -> str:
         ("ann_pq_recall_eval", "PQ contract config (m=8 x k=16)"),
         ("ann_ivfpq_recall_eval", "IVF-PQ contract config (nprobe=3)"),
         ("ann_pq_adopted_recall_eval", "PQ ADOPTED config (m=32 x k=256)"),
+        ("ann_ivfpq_adopted_recall_eval", "IVF-PQ adopted composition (nprobe=3)"),
     ):
         rows = _q(name)
         rec = [r["recall_at_10"] for r in rows]
