@@ -26,47 +26,72 @@ from pyspark.sql import DataFrame
 # Python DataFrame object (a weak ref would vanish when the operator
 # returns, leaving the CacheManager entry unreachable). The list is
 # bounded by one query's intermediates and emptied on every release.
-_TRACKED: list[DataFrame] = []
+# Each entry carries the registering thread's ident so tracked_scope
+# can stay correct when a streaming micro-batch thread and the driver
+# thread hold scopes concurrently (index-based popping would let one
+# thread's scope exit steal the other's frames).
+_TRACKED: list[tuple[DataFrame, int]] = []
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK) and register it for
     :func:`release_tracked` cleanup."""
+    import threading
+
     df.persist()
-    _TRACKED.append(df)
+    _TRACKED.append((df, threading.get_ident()))
     return df
 
 
 class tracked_scope:
     """Scoped variant for OPERATOR-internal caches: releases only the
-    frames persisted inside the ``with`` block, leaving a surrounding
-    caller's tracked frames alone (a global :func:`release_tracked`
-    from inside an operator would silently drop caches the caller
-    still needs — recomputation, not wrong results, but a scale cost).
-    Runs on exceptions too, so a failed write still frees its caches.
+    frames THIS THREAD persisted inside the ``with`` block, leaving a
+    surrounding caller's tracked frames — and any other thread's (a
+    foreachBatch micro-batch runs on Spark's microBatchThread while
+    the driver thread may hold its own scope) — alone. A global
+    :func:`release_tracked` from inside an operator would silently
+    drop caches the caller still needs: recomputation, not wrong
+    results, but a scale cost. Runs on exceptions too, so a failed
+    write still frees its caches.
     """
 
     def __enter__(self) -> "tracked_scope":
-        self._base = len(_TRACKED)
+        import threading
+
+        self._ident = threading.get_ident()
+        self._seen = {
+            id(df) for df, ident in _TRACKED if ident == self._ident
+        }
         return self
 
     def __exit__(self, *exc) -> None:
-        while len(_TRACKED) > self._base:
-            df = _TRACKED.pop()
+        # identity-based removal (never ==: DataFrame equality is not
+        # a value comparison), downward scan so same-list deletes
+        # cannot skip entries
+        i = len(_TRACKED) - 1
+        while i >= 0:
             try:
-                df.unpersist()
-            except Exception:  # session already stopped — nothing to free
-                pass
+                df, ident = _TRACKED[i]
+            except IndexError:  # a concurrent global release shrank us
+                i = len(_TRACKED) - 1
+                continue
+            if ident == self._ident and id(df) not in self._seen:
+                del _TRACKED[i]
+                try:
+                    df.unpersist()
+                except Exception:  # session already stopped
+                    pass
+            i -= 1
 
 
 def release_tracked() -> int:
-    """Unpersist every tracked frame; returns how many were released.
-    Safe to call at any query boundary — results already materialized
-    by the caller are plain data, and a re-execution would simply
-    recompute."""
+    """Unpersist every tracked frame (ALL threads' — this is the
+    harness-boundary cleanup); returns how many were released. Safe to
+    call at any query boundary — results already materialized by the
+    caller are plain data, and a re-execution would simply recompute."""
     n = 0
     while _TRACKED:
-        df = _TRACKED.pop()
+        df, _ident = _TRACKED.pop()
         try:
             df.unpersist()
             n += 1

@@ -389,13 +389,19 @@ def quality_filter_per_group(
             .filter(F.col("__pr") <= keep_frac)
             .drop("__pr")
         )
-    thresholds = df.groupBy(group_col).agg(
+    thresholds = df.groupBy(F.col(group_col).alias("__tgrp")).agg(
         F.percentile_approx(score, F.lit(1.0 - keep_frac), F.lit(accuracy)).alias(
             "__thr"
         )
     )
+    # null-safe group join: a NULL group (unclassified docs) is its own
+    # quantile population, exactly as the percent_rank twin treats its
+    # NULL window partition — a plain equi-join would silently drop it
     return (
-        df.join(F.broadcast(thresholds), group_col)
+        df.join(
+            F.broadcast(thresholds),
+            F.col(group_col).eqNullSafe(F.col("__tgrp")),
+        )
         .filter(score >= F.col("__thr"))
-        .drop("__thr")
+        .drop("__tgrp", "__thr")
     )

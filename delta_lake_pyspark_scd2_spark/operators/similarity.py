@@ -788,6 +788,43 @@ def ivfpq_topk(
     return pq_topk(bucket, codebooks, query_vec, k=k, id_col=id_col)
 
 
+def adc_lut_rows(
+    q_rows: list, codebooks: list, *, round_dp: int | None = None
+) -> list:
+    """Driver-side ADC lookup tables for a (small) query set:
+    ``(query_id, m, code, d2)`` rows, one per query x subspace x code
+    — THE one place the per-subspace squared-L2 LUT math lives, shared
+    by :func:`ivfpq_search_index` and the adopted-config recall evals
+    so a contract change (e.g. rounding policy) cannot drift between
+    the searcher and the eval harness. ``round_dp`` applies the eval
+    contract's per-term rounding; the searcher keeps full precision.
+    Sub-dimension comes from the books themselves, never a hardcoded
+    embedding dim.
+    """
+    import numpy as np
+
+    m_sub = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    rows = []
+    for qid, qv in q_rows:
+        q = np.asarray(qv, dtype=np.float64)
+        for m in range(m_sub):
+            C = np.asarray(codebooks[m], dtype=np.float64)
+            d2s = ((C - q[m * d_sub:(m + 1) * d_sub][None, :]) ** 2).sum(
+                axis=1
+            )
+            rows.extend(
+                (
+                    qid,
+                    m,
+                    int(c),
+                    float(v) if round_dp is None else float(round(v, round_dp)),
+                )
+                for c, v in enumerate(d2s)
+            )
+    return rows
+
+
 def codebooks_tag(codebooks: list) -> str:
     """Content tag of a PQ codebook set. Stamped on a persisted index
     and REFUSED on mismatch at search time: codes are meaningless
@@ -800,6 +837,42 @@ def codebooks_tag(codebooks: list) -> str:
     return hashlib.md5(
         json.dumps(codebooks, separators=(",", ":")).encode()
     ).hexdigest()[:16]
+
+
+def centroids_tag(
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Content tag of a coarse-centroid set (bounded collect — the
+    centroid table is small by definition). Stamped at build and
+    enforced on extend/search: bucket assignments are meaningless
+    under a different centroid set, the same family-tag discipline as
+    :func:`codebooks_tag`."""
+    import hashlib
+    import json
+
+    rows = sorted(
+        (int(r[id_col]), [float(x) for x in r[vec_col]])
+        for r in centroids.select(id_col, vec_col).collect()
+    )
+    return hashlib.md5(
+        json.dumps(rows, separators=(",", ":")).encode()
+    ).hexdigest()[:16]
+
+
+def _check_centroids_tag(props: dict, centroids, id_col, vec_col, op: str):
+    stored = props.get("ivfpq.centroids_tag")
+    if stored is not None and centroids_tag(
+        centroids, id_col=id_col, vec_col=vec_col
+    ) != stored:
+        raise ValueError(
+            f"{op}: supplied centroids do not match the index's "
+            f"centroids_tag {stored} — stored bucket assignments were "
+            "made against a different coarse-centroid set; rebuild the "
+            "index or pass the original centroids"
+        )
 
 
 def build_ivfpq_index(
@@ -846,6 +919,9 @@ def build_ivfpq_index(
         properties={
             "ivfpq.codebooks": json.dumps(codebooks),
             "ivfpq.books_tag": codebooks_tag(codebooks),
+            "ivfpq.centroids_tag": centroids_tag(
+                centroids, id_col=id_col, vec_col=vec_col
+            ),
             "ivfpq.m": str(len(codebooks)),
             "ivfpq.k_codes": str(len(codebooks[0])),
         },
@@ -883,6 +959,11 @@ def extend_ivfpq_index(
             "build it with build_ivfpq_index first"
         )
     codebooks = json.loads(props["ivfpq.codebooks"])
+    # mis-bucketing under a different centroid set is the silent twin
+    # of the books mismatch — refuse it the same way
+    _check_centroids_tag(
+        props, centroids, id_col, vec_col, "extend_ivfpq_index"
+    )
     assigned = assign_to_centroids(
         new_vectors, centroids, id_col=id_col, vec_col=vec_col
     ).select(id_col, "centroid_id")
@@ -922,8 +1003,6 @@ def ivfpq_search_index(
     """
     import json
 
-    import numpy as np
-
     props = index.properties()
     stored_tag = props.get("ivfpq.books_tag")
     if codebooks is None:
@@ -940,9 +1019,9 @@ def ivfpq_search_index(
             "encoded under different books; rebuild the index or pass "
             "the original books"
         )
-    m_sub = len(codebooks)
-    dim = m_sub * len(codebooks[0][0])
-    d_sub = dim // m_sub
+    _check_centroids_tag(
+        props, centroids, id_col, vec_col, "ivfpq_search_index"
+    )
     spark = queries.sparkSession
     q_rows = [
         (int(r[id_col]), [float(x) for x in r[vec_col]])
@@ -957,17 +1036,7 @@ def ivfpq_search_index(
         for qid, qv in q_rows
         for cid in _probe_from_rows(qv, cent_rows, nprobe)
     ]
-    lut_rows = []
-    for qid, qv in q_rows:
-        q = np.asarray(qv, dtype=np.float64)
-        for m in range(m_sub):
-            C = np.asarray(codebooks[m], dtype=np.float64)
-            d2s = ((C - q[m * d_sub:(m + 1) * d_sub][None, :]) ** 2).sum(
-                axis=1
-            )
-            lut_rows.extend(
-                (qid, m, int(c), float(v)) for c, v in enumerate(d2s)
-            )
+    lut_rows = adc_lut_rows(q_rows, codebooks)
     probes = spark.createDataFrame(
         probe_rows, "query_id long, centroid_id long"
     )

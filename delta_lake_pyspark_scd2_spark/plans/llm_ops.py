@@ -1468,17 +1468,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # chunk counts: tiny by construction (strata x 256 rows)
     wc = (
-        Window.partitionBy("event_type")
-        .orderBy("__chunk")
+        Window.partitionBy("__oet")
+        .orderBy("__ochunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    wn = Window.partitionBy("event_type")
+    wn = Window.partitionBy("__oet")
     offsets = (
-        chunked.groupBy("event_type", "__chunk")
+        chunked.groupBy(
+            F.col("event_type").alias("__oet"),
+            F.col("__chunk").alias("__ochunk"),
+        )
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .select(
-            "event_type",
-            "__chunk",
+            "__oet",
+            "__ochunk",
             F.coalesce(F.sum("__cnt").over(wc), F.lit(0)).alias("__before"),
             F.sum("__cnt").over(wn).alias("n"),
         )
@@ -1487,7 +1490,13 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__h", "event_id"
     )
     return (
-        chunked.join(F.broadcast(offsets), ["event_type", "__chunk"])
+        # null-safe stratum join: a NULL event_type is a stratum of its
+        # own under the window form — a plain equi-join would drop it
+        chunked.join(
+            F.broadcast(offsets),
+            F.col("event_type").eqNullSafe(F.col("__oet"))
+            & F.col("__chunk").eqNullSafe(F.col("__ochunk")),
+        )
         .select(
             "event_id",
             "event_type",
@@ -4385,7 +4394,7 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents GROUP BY lang
     )
     SELECT doc_id, d.lang AS lang, n_chars
-    FROM documents d JOIN thr ON d.lang = thr.lang
+    FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
     WHERE n_chars >= t
     """,
     doc="Per-language relative quality gate (the FineWeb-style recipe): "
@@ -4841,8 +4850,6 @@ def _adopted_eval_parts(spark: SparkSession, sf_dir: str):
     production-trained) recall evals: embeddings, books, encoded
     corpus, the 50-highest-id query rows, the broadcast ADC LUT frame,
     and the exact squared-L2 top-10 arm."""
-    import numpy as np
-
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )
@@ -4852,8 +4859,6 @@ def _adopted_eval_parts(spark: SparkSession, sf_dir: str):
     books = S.pq_train(
         emb, m_subspaces=32, k_codes=256, sample=2048, iters=8
     )
-    m_sub = len(books)
-    d_sub = 64 // m_sub
     codes = persist_tracked(S.pq_encode(emb, books))
     # 50 highest-id vectors are the query set (deterministic at any SF)
     mx = emb.agg(F.max("vec_id").alias("__mx"))
@@ -4864,18 +4869,9 @@ def _adopted_eval_parts(spark: SparkSession, sf_dir: str):
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in qs.select("vec_id", "embedding").collect()
     ]  # 50 rows by construction — bounded driver-side LUT build
-    lut_rows = []
-    for qid, qv in q_rows:
-        q = np.asarray(qv, dtype=np.float64)
-        for m in range(m_sub):
-            C = np.asarray(books[m], dtype=np.float64)
-            d2s = ((C - q[m * d_sub : (m + 1) * d_sub][None, :]) ** 2).sum(
-                axis=1
-            )
-            lut_rows.extend(
-                (qid, m, int(c), float(round(v, 9)))
-                for c, v in enumerate(d2s)
-            )
+    # shared LUT contract (similarity.adc_lut_rows); sub-dim comes from
+    # the books, the eval keeps its 9-dp per-term rounding
+    lut_rows = S.adc_lut_rows(q_rows, books, round_dp=9)
     lut = spark.createDataFrame(
         lut_rows, "query_id long, m int, code int, d2 double"
     )

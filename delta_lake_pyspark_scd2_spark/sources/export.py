@@ -218,12 +218,25 @@ def tokens_before(
     — bit-identical to the single-window form (exact integer sums,
     same total order), which remains the oracle shape.
 
+    ``id_col`` must be numeric (the chunk split is integer arithmetic
+    on the id — fail loud rather than silently mis-chunk); NULL keys
+    (source or id) survive via null-safe joins, matching what the
+    single-window form's NULL partitions/NULLS FIRST ordering kept.
+
     Returns ``df`` plus a ``tok_before`` long column.
     """
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise ValueError(
+            f"tokens_before: id_col {id_col!r} must be numeric for the "
+            f"chunked prefix sum, got {id_type.simpleString()} — map "
+            "string ids to a numeric surrogate first"
+        )
     toks = toks.cast("long")
-    bounds = df.groupBy(source_col).agg(
+    bounds = df.groupBy(F.col(source_col).alias("__bsrc")).agg(
         F.min(id_col).alias("__min_id"),
         F.max(id_col).alias("__max_id"),
     )
@@ -234,12 +247,15 @@ def tokens_before(
         + F.lit(1).cast("long")
     )
     chunked = (
-        df.join(F.broadcast(bounds), source_col)
+        df.join(
+            F.broadcast(bounds),
+            F.col(source_col).eqNullSafe(F.col("__bsrc")),
+        )
         .withColumn(
             "__chunk",
             F.floor((F.col(id_col) - F.col("__min_id")) / span).cast("long"),
         )
-        .drop("__min_id", "__max_id")
+        .drop("__bsrc", "__min_id", "__max_id")
     )
     w_local = (
         Window.partitionBy(source_col, "__chunk")
@@ -249,12 +265,15 @@ def tokens_before(
     local = F.coalesce(F.sum(toks).over(w_local), F.lit(0).cast("long"))
     # chunk totals: tiny by construction (<= n_chunks rows per source)
     w_chunks = (
-        Window.partitionBy(source_col)
-        .orderBy("__chunk")
+        Window.partitionBy("__osrc")
+        .orderBy("__ochunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
-        chunked.groupBy(source_col, "__chunk")
+        chunked.groupBy(
+            F.col(source_col).alias("__osrc"),
+            F.col("__chunk").alias("__ochunk"),
+        )
         .agg(F.sum(toks).alias("__chunk_tok"))
         .withColumn(
             "__chunk_before",
@@ -265,11 +284,15 @@ def tokens_before(
         .drop("__chunk_tok")
     )
     return (
-        chunked.join(F.broadcast(offsets), [source_col, "__chunk"])
+        chunked.join(
+            F.broadcast(offsets),
+            F.col(source_col).eqNullSafe(F.col("__osrc"))
+            & F.col("__chunk").eqNullSafe(F.col("__ochunk")),
+        )
         .withColumn(
             "tok_before", (F.col("__chunk_before") + local).cast("long")
         )
-        .drop("__chunk", "__chunk_before")
+        .drop("__osrc", "__ochunk", "__chunk", "__chunk_before")
     )
 
 
@@ -316,7 +339,11 @@ def export_token_shards(
     bad = (
         df.select(F.col(source_col).alias("__s"))
         .distinct()
-        .filter(~F.col("__s").rlike(r"^[A-Za-z0-9.+-]+$"))
+        # isNull explicitly: rlike(NULL) is NULL, which a bare negation
+        # would silently pass through the "fail loud" screen
+        .filter(
+            F.col("__s").isNull() | ~F.col("__s").rlike(r"^[A-Za-z0-9.+-]+$")
+        )
         .take(3)
     )
     if bad:

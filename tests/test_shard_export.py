@@ -181,3 +181,39 @@ def test_tracked_scope_releases_only_inner_frames(spark):
     assert not inner.storageLevel.useMemory  # inner released at exit
     assert outer.storageLevel.useMemory      # outer untouched
     assert release_tracked() == 1            # outer still tracked
+
+
+def test_tracked_scope_is_thread_scoped(spark):
+    """A scope exiting on one thread must not release frames another
+    thread persisted during its window (a streaming micro-batch thread
+    and the driver thread can hold scopes concurrently)."""
+    import threading
+
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+        release_tracked,
+        tracked_scope,
+    )
+
+    entered = threading.Event()
+    finish = threading.Event()
+
+    def other_thread():
+        with tracked_scope():
+            persist_tracked(spark.range(3).toDF("a")).count()
+            entered.set()
+            finish.wait(timeout=30)
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    assert entered.wait(timeout=30)
+    mine = persist_tracked(spark.range(4).toDF("b"))
+    mine.count()
+    with tracked_scope():
+        inner = persist_tracked(spark.range(5).toDF("c"))
+        inner.count()
+        finish.set()   # other thread's scope exits DURING ours
+        t.join(timeout=30)
+    assert not inner.storageLevel.useMemory   # my scope freed mine
+    assert mine.storageLevel.useMemory        # pre-scope frame survives
+    assert release_tracked() == 1             # only `mine` left tracked

@@ -89,7 +89,11 @@ def main() -> int:
 
     names = list(REGISTRY)
     if tail_only:
-        names = names[50:]
+        # the window is DEFINED by _PRIORITY's length, not a literal —
+        # a future head resize must move this boundary with it
+        from delta_lake_pyspark_scd2_spark.plans import _PRIORITY
+
+        names = names[len(_PRIORITY):]
     for name in names:
         spec = REGISTRY[name]
         if only and name not in only:

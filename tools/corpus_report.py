@@ -9,9 +9,9 @@ operators into a markdown dossier:
     window dedup), near-dup candidate rate (MinHash-LSH)
   * hygiene: PII hits (emails/phones)
   * monitors (the "evaluation as a query" family): per-source KL
-    and length-distribution (shape) drift
-    drift, ingest-volume anomalies, language-ID confusion, embedding
-    health, ANN recall@5 per nprobe
+    drift and length-distribution (shape) drift, ingest-volume
+    anomalies, language-ID confusion, embedding health, ANN recall@5
+    per nprobe plus the PQ recall rows
 
 Usage::
 
