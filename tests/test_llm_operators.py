@@ -822,3 +822,25 @@ def test_ivfpq_index_extends_incrementally(spark, tmp_path):
     assert v1 >= 1
     assert grown.read(version=0).count() == v0_rows == old.count()
     assert grown.read().count() == emb.count()
+
+
+def test_ivfpq_index_refuses_foreign_centroids(spark, tmp_path):
+    """extend/search against a different coarse-centroid set must fail
+    loud (centroids_tag): appended vectors would otherwise land in
+    buckets the searcher never probes — silent recall decay."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    other = emb.filter(F.col("vec_id").between(1, 8))
+    books = S.pq_train(emb, m_subspaces=8, k_codes=16, sample=64)
+    index = S.build_ivfpq_index(emb, cents, books, str(tmp_path / "t"))
+    with pytest.raises(ValueError, match="centroids_tag"):
+        S.extend_ivfpq_index(index, emb.limit(5), other)
+    with pytest.raises(ValueError, match="centroids_tag"):
+        S.ivfpq_search_index(index, other, emb.limit(2), k=3, nprobe=1)
