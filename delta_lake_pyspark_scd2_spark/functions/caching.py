@@ -59,9 +59,17 @@ class tracked_scope:
         import threading
 
         self._ident = threading.get_ident()
-        self._seen = {
-            id(df) for df, ident in _TRACKED if ident == self._ident
-        }
+        # hold STRONG refs to the pre-existing frames for the scope's
+        # lifetime, not just their id()s: a concurrent release_tracked
+        # can drop _TRACKED's own ref mid-scope, the frame gets GC'd,
+        # and a NEW inner frame allocated at the recycled id would be
+        # silently skipped at exit (round-6 ADVICE). The ref list is
+        # bounded by one caller's live intermediates and dropped at
+        # exit.
+        self._seen_refs = [
+            df for df, ident in _TRACKED if ident == self._ident
+        ]
+        self._seen = {id(df) for df in self._seen_refs}
         return self
 
     def __exit__(self, *exc) -> None:
@@ -82,6 +90,7 @@ class tracked_scope:
                 except Exception:  # session already stopped
                     pass
             i -= 1
+        self._seen_refs = []  # release the pre-existing frames' refs
 
 
 def release_tracked() -> int:

@@ -373,10 +373,16 @@ def quality_filter_per_group(
 
     ``exact=True`` is the rank-based oracle twin: ``percent_rank``
     over (score desc, id asc) — exact ``keep_frac`` membership with an
-    id tiebreak, at the cost of one sort task per group. Its kept set
-    is always a SUBSET of the scale path's (the threshold form only
-    adds boundary ties); ``tests/test_broadcast_bounds.py`` pins the
-    relationship.
+    id tiebreak, at the cost of one sort task per group. Subset
+    guarantee, scoped (round-6 ADVICE): for groups ≤ ``accuracy`` the
+    sketch is exact, so the exact path's kept set is a SUBSET of the
+    scale path's (the threshold form only adds boundary ties) —
+    ``tests/test_broadcast_bounds.py`` pins that relationship at test
+    sizes. For groups LARGER than ``accuracy`` the approximate
+    threshold may sit up to the sketch's rank-error above the true
+    quantile, so the scale path can drop rows the exact path keeps;
+    raise ``accuracy`` (state is O(accuracy) per group) when the kept
+    sets must nest at scale.
     """
     if exact:
         from pyspark.sql import Window

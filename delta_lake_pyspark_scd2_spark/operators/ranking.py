@@ -1,0 +1,173 @@
+"""Distributed exact total-order ranking (scale path for global
+analytic functions).
+
+A plain ordered window with no ``partitionBy`` funnels the
+whole input through ONE task — fine for bounded inputs, a scale-killer
+at the 100 TB north star (~10^9 per-customer rows through a single
+sort). This module computes the *exact* global ``row_number`` with a
+two-level range-bucketed plan instead:
+
+1. **Bucket split** — ``percentile_approx`` thresholds over the order
+   value give ~equal-height buckets. Correctness does NOT depend on
+   percentile accuracy: any *monotone* split of the value domain is
+   order-consistent (every row in bucket ``i`` sorts before every row
+   in bucket ``i+1``), because the bucket id is a monotone function of
+   the value alone, and equal values always share a bucket. Accuracy
+   only affects balance.
+2. **Local rank** — ``row_number`` over ``Window.partitionBy(bucket)``
+   sorts each bucket in parallel.
+3. **Offsets** — per-bucket counts reduce to ≤ ``n_buckets`` rows; the
+   exclusive prefix sum over that tiny table broadcasts back, and
+   ``global rank = bucket offset + local rank``.
+
+The same shape powers ``export.export_token_shards``'s chunked prefix
+sum and ``llm_ops.sample_stratified``'s md5-chunked per-stratum rank;
+this is the *ordered* variant (range buckets preserve sort order,
+hash chunks do not).
+
+``ntile_from_rank`` / ``percent_rank_from_rank`` derive the SQL
+analytic functions from ``(rank, n)`` with their exact semantics, so
+``NTILE(k) OVER (ORDER BY ...)`` and ``PERCENT_RANK()`` need no global
+window at all.
+
+Scale extension beyond the reference (its window inventory stops at
+per-key ``lead`` chains: header_etl.py:104-111); cited in
+SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "distributed_total_rank",
+    "ntile_from_rank",
+    "percent_rank_from_rank",
+]
+
+
+def distributed_total_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    *,
+    descending: bool = True,
+    n_buckets: int = 64,
+    rank_col: str = "__rank",
+    total_col: str = "__n",
+) -> DataFrame:
+    """Exact global ``row_number`` over ``(value_col, *tiebreak_cols)``
+    without a single-task sort.
+
+    Adds ``rank_col`` (1-based, dense, unique — the tiebreaks must make
+    the order total) and ``total_col`` (the global row count) to ``df``.
+
+    ``value_col`` must be non-NULL: Spark and DuckDB disagree on the
+    default NULL sort position under ``DESC``, so a NULL order key has
+    no cross-engine contract here (callers aggregate it away first).
+    """
+    if not tiebreak_cols:
+        raise ValueError(
+            "distributed_total_rank needs >=1 tiebreak column to make "
+            "the order total (rank must be unique per row)"
+        )
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    # bounded collect: n_buckets - 1 scalars (the split thresholds)
+    row = df.select(
+        F.percentile_approx(F.col(value_col), probs, 10_000).alias("__t")
+    ).first()
+    raw = row["__t"] if row is not None else None
+    thresholds = sorted({t for t in (raw or []) if t is not None})
+    if descending:
+        thresholds = list(reversed(thresholds))
+
+    v = F.col(value_col)
+    # monotone bucket id along the sort order: # thresholds that sort
+    # strictly before v. A sum of literal comparisons stays inside
+    # whole-stage codegen (an array HOF here is interpreted per element
+    # AND trips attribute rebinding when the plan branches for the
+    # offsets aggregate); cost is len(thresholds) comparisons per row.
+    bucket = F.lit(0)
+    for t in thresholds:
+        hit = F.lit(t) > v if descending else F.lit(t) < v
+        bucket = bucket + F.when(hit, 1).otherwise(0)
+
+    order = [v.desc() if descending else v.asc()]
+    order += [F.col(c).asc() for c in tiebreak_cols]
+
+    chunked = df.withColumn("__bucket", bucket)
+    w_local = Window.partitionBy("__bucket").orderBy(*order)
+    # global-window-ok: offsets table is <= n_buckets rows by
+    # construction (one row per bucket) — bounded input
+    w_before = Window.orderBy("__obucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # global-window-ok: same <= n_buckets-row table
+    w_all = Window.orderBy("__obucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        chunked.groupBy(F.col("__bucket").alias("__obucket"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__obucket",
+            F.coalesce(F.sum("__cnt").over(w_before), F.lit(0)).alias(
+                "__before"
+            ),
+            F.sum("__cnt").over(w_all).alias(total_col),
+        )
+    )
+    return (
+        chunked.join(
+            F.broadcast(offsets), F.col("__bucket") == F.col("__obucket")
+        )
+        .withColumn(
+            rank_col, F.col("__before") + F.row_number().over(w_local)
+        )
+        .drop("__bucket", "__obucket", "__before")
+    )
+
+
+def percent_rank_from_rank(rank: Column, n: Column) -> Column:
+    """``PERCENT_RANK()`` from a unique 1-based rank: ``(r-1)/(n-1)``,
+    0.0 for a single row (the SQL definition). Double division matches
+    Spark's and DuckDB's internal percent_rank arithmetic exactly."""
+    return (
+        F.when(
+            n > F.lit(1),
+            (rank - F.lit(1)).cast("double") / (n - F.lit(1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """``NTILE(k)`` from a unique 1-based rank.
+
+    SQL semantics: the first ``n % k`` tiles hold ``ceil(n/k)`` rows,
+    the rest ``floor(n/k)``. With ``q = n div k`` and
+    ``cutoff = (n % k) * (q + 1)``::
+
+        tile = floor((r-1) / (q+1)) + 1                 if r <= cutoff
+             = (n % k) + floor((r-cutoff-1) / q) + 1    otherwise
+
+    When ``n < k`` (``q == 0``) every row is ``r <= cutoff``, so the
+    second branch never evaluates; ``greatest(q, 1)`` still guards the
+    divisor for ANSI mode.
+    """
+    if k < 1:
+        raise ValueError(f"ntile requires k >= 1, got {k}")
+    q = F.floor(n / F.lit(k)).cast("long")
+    big = (n % F.lit(k)).cast("long")
+    cutoff = big * (q + F.lit(1))
+    first = F.floor((rank - F.lit(1)) / (q + F.lit(1))) + F.lit(1)
+    rest = (
+        big
+        + F.floor((rank - cutoff - F.lit(1)) / F.greatest(q, F.lit(1)))
+        + F.lit(1)
+    )
+    return F.when(rank <= cutoff, first).otherwise(rest).cast("int")

@@ -936,6 +936,7 @@ def extend_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Incremental index maintenance: assign + encode ONLY the newly
     arrived vectors under the index's OWN stored codebooks and append
@@ -949,6 +950,12 @@ def extend_ivfpq_index(
     distribution moves far from the training sample, recall decays —
     re-measure with ``ann_pq_adopted_recall_eval`` and rebuild when it
     drops.) Returns the new table version.
+
+    ``txn=(app_id, txn_version)`` passes through to the versioned
+    append (Delta ``txnAppId``/``txnVersion`` semantics): a replayed
+    ingest batch — a streaming sink retry, a re-run backfill — becomes
+    a no-op instead of double-inserting the same codes (round-6
+    ADVICE: the index writer had no idempotency handle).
     """
     import json
 
@@ -970,7 +977,7 @@ def extend_ivfpq_index(
     rows = pq_encode(new_vectors, codebooks, vec_col, id_col).join(
         assigned, id_col
     )
-    return index.append(rows)
+    return index.append(rows, txn=txn)
 
 
 def ivfpq_search_index(
@@ -988,11 +995,16 @@ def ivfpq_search_index(
     per-query probe sets via the shared :func:`probe_centroids`
     contract, a manifest-pruned partition read of ONLY the probed
     buckets, then one broadcast ADC-LUT join scores every query's
-    candidates without touching a single raw vector. Results are
-    identical to :func:`ivfpq_topk` at the same
-    ``(centroids, codebooks, nprobe, k)`` — the difference is the
-    probe cost (pruned scan of ~m-byte rows vs recomputing
-    assignment + codes per search).
+    candidates without touching a single raw vector. Results match
+    :func:`ivfpq_topk` at the same ``(centroids, codebooks, nprobe,
+    k)`` up to the 6-dp ADC rounding contract: the per-query distance
+    is a float sum whose partition order differs between the two
+    paths, so a sum landing within an ulp of a rounding boundary can
+    round differently and flip an exact ``pq_dist`` tie (round-6
+    ADVICE scoping — equality of the top-k SET is the contract the
+    tests pin; rank order is deterministic within each path via the id
+    tiebreak). The difference is the probe cost (pruned scan of
+    ~m-byte rows vs recomputing assignment + codes per search).
 
     ``codebooks`` defaults to the books stored on the index; passing
     them explicitly cross-checks the content tag and raises on

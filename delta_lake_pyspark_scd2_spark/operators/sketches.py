@@ -193,6 +193,8 @@ def histogram_quantile(sketch: DataFrame, q: float) -> DataFrame:
     from pyspark.sql import Window
 
     valid = sketch.filter(F.col("bucket") >= 0)
+    # global-window-ok: a log2 histogram has <= 64 buckets by
+    # construction — bounded input
     w = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

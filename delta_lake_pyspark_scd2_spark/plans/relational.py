@@ -21,6 +21,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from delta_lake_pyspark_scd2_spark.operators.ranking import (
+    distributed_total_rank,
+    ntile_from_rank,
+    percent_rank_from_rank,
+)
 from delta_lake_pyspark_scd2_spark.plans.registry import register
 from delta_lake_pyspark_scd2_spark.sources.tables import load_table
 
@@ -1022,20 +1027,25 @@ def g_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (ORDER BY spend DESC, c_custkey ASC)
     """,
     doc="Global analytic ranking (ntile + percent_rank) over per-key "
-    "aggregates. The global window is a deliberate single-partition "
-    "stage over one row per customer (post-agg, small); rank-within-"
-    "group variants shuffle on the group key instead.",
+    "aggregates — computed WITHOUT the single-task global sort window: "
+    "operators/ranking.distributed_total_rank range-buckets on "
+    "percentile_approx thresholds, ranks each bucket in parallel, and "
+    "derives NTILE/PERCENT_RANK arithmetically from (rank, n). The SQL "
+    "oracle keeps the textbook global-window form as the semantic twin.",
 )
 def w_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").desc(), F.col("c_custkey").asc())
-    return spend.select(
+    ranked = distributed_total_rank(
+        spend, "spend", ["c_custkey"], descending=True, n_buckets=64
+    )
+    r, n = F.col("__rank"), F.col("__n")
+    return ranked.select(
         "c_custkey",
-        F.ntile(4).over(w).alias("spend_quartile"),
-        F.percent_rank().over(w).cast("double").alias("pr"),
+        ntile_from_rank(r, n, 4).alias("spend_quartile"),
+        percent_rank_from_rank(r, n).alias("pr"),
     )
 
 

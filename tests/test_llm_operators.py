@@ -824,6 +824,34 @@ def test_ivfpq_index_extends_incrementally(spark, tmp_path):
     assert grown.read().count() == emb.count()
 
 
+def test_ivfpq_index_extend_txn_idempotent(spark, tmp_path):
+    """extend_ivfpq_index(txn=...) lands exactly once: a replayed
+    batch (sink retry, re-run backfill) is a no-op returning the
+    current version instead of double-inserting codes (round-6
+    ADVICE: the index writer had no idempotency handle)."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8)
+    books = S.pq_train(emb, m_subspaces=8, k_codes=16, sample=64)
+    idx = S.build_ivfpq_index(
+        emb.filter(F.col("vec_id") < 400), cents, books, str(tmp_path / "i")
+    )
+    new = emb.filter(F.col("vec_id") >= 400)
+    v1 = S.extend_ivfpq_index(idx, new, cents, txn=("ingest", 1))
+    n = idx.read().count()
+    v2 = S.extend_ivfpq_index(idx, new, cents, txn=("ingest", 1))
+    assert v2 == v1 and idx.read().count() == n  # replay was a no-op
+    v3 = S.extend_ivfpq_index(
+        idx, new.limit(3), cents, txn=("ingest", 2)
+    )  # a NEW batch still lands
+    assert v3 > v1 and idx.read().count() == n + 3
+
+
 def test_ivfpq_index_refuses_foreign_centroids(spark, tmp_path):
     """extend/search against a different coarse-centroid set must fail
     loud (centroids_tag): appended vectors would otherwise land in
