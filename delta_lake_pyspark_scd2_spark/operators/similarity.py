@@ -23,6 +23,33 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# Adopted serving configs — the COVERAGE.md index-selection matrix
+# winners, stamped here so deployments import ONE surface instead of
+# re-reading the docs (round-6 VERDICT directive #6). Selection
+# measurements: tools/pq_sweep.py (PQ grid, round 6) and
+# tools/ivfpq_probe_sweep.py (composed probe sweep, round 8); the
+# in-pipeline twins are the ann_*_adopted_recall_eval registry queries.
+# tests/test_llm_operators.py pins these == the COVERAGE.md matrix.
+ADOPTED_PQ = {"m_subspaces": 32, "k_codes": 256}  # 0.852 @10, 8x cut
+ADOPTED_IVF = {"nprobe": 4}  # 0.712 @5 at ~4/8 scan, full vectors
+ADOPTED_IVFPQ = {"n_centroids": 32, "nprobe": 12}  # 0.740 @10, ~38% scan
+
+
+def adopted_defaults() -> dict:
+    """The measured serving defaults as one dict: ``pq`` (compressed
+    codes: pass to :func:`pq_train` / :func:`build_ivfpq_index`),
+    ``ivf`` (uncompressed probing: :func:`ivf_topk` ``nprobe``), and
+    ``ivfpq`` (composed index: coarse-quantizer size for
+    :func:`~delta_lake_pyspark_scd2_spark.operators.clustering.kmeans_fit`
+    plus ``nprobe`` for :func:`ivfpq_search_index`). Copies, so callers
+    can tweak without mutating the adopted record."""
+    return {
+        "pq": dict(ADOPTED_PQ),
+        "ivf": dict(ADOPTED_IVF),
+        "ivfpq": dict(ADOPTED_IVFPQ),
+    }
+
+
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition ahead of per-row-heavy vector math — a compact
     upstream scan (single row-group) would pin the scoring loop to one

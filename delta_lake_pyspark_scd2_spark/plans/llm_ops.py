@@ -4912,26 +4912,32 @@ def _adopted_eval_parts(spark: SparkSession, sf_dir: str):
 @register(
     "ann_ivfpq_adopted_recall_eval",
     oracle=None,  # rows-only by design, like the bare adopted eval
-    doc="Recall@10 of the COMPOSED adopted index -- IVF bucket "
-    "restriction (the contract eval's 12 sampled centroids, top-3 "
-    "probes per query) over ADOPTED PQ-32x256 codes -- against exact "
-    "squared L2. Completes the adopted half of the index-selection "
-    "matrix: the contract-config composition showed quantization "
-    "DOMINATING bucket restriction (0.109 vs 0.120 bare); with "
-    "adopted codes the quantization term nearly vanishes (bare 0.85), "
-    "so this measures how much the probe restriction alone costs at "
-    "serving fidelity. Same probe contract as the trained-IVFPQ "
-    "oracle queries; one broadcast LUT join over the probed codes.",
+    doc="Recall@10 of the ADOPTED COMPOSED serving config -- "
+    "kmeans-32 coarse quantizer, top-12 probes per query (~38% of the "
+    "corpus scanned, measured), over ADOPTED PQ-32x256 codes -- "
+    "against exact squared L2. Config selected by "
+    "tools/ivfpq_probe_sweep.py (round-8 sweep, COVERAGE.md matrix): "
+    "on these near-uniform synthetic embeddings recall tracks scanned "
+    "fraction almost linearly for EVERY coarse quantizer, so "
+    "kmeans32/nprobe12 is the cheapest composition clearing the 0.7 "
+    "adoption bar (0.740 @10 at sf0.01 AND sf0.1 offline; the "
+    "in-pipeline number this query measures uses the engine's "
+    "deterministic lowest-id-seeded kmeans_fit). Same probe contract "
+    "as the trained-IVFPQ oracle queries; one broadcast LUT join over "
+    "the probed codes.",
 )
 def ann_ivfpq_adopted_recall_eval(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.operators.clustering import kmeans_fit
 
     emb, _books, codes, q_rows, lut, exact = _adopted_eval_parts(
         spark, sf_dir
     )
-    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    cents = kmeans_fit(
+        emb, k=S.ADOPTED_IVFPQ["n_centroids"], iters=4, dim=64
+    )
     assigned = S.assign_to_centroids(emb, cents).select(
         "vec_id", "centroid_id"
     )
@@ -4943,7 +4949,9 @@ def ann_ivfpq_adopted_recall_eval(
         [
             (qid, cid)
             for qid, qv in q_rows
-            for cid in S._probe_from_rows(qv, cent_rows, 3)
+            for cid in S._probe_from_rows(
+                qv, cent_rows, S.ADOPTED_IVFPQ["nprobe"]
+            )
         ],
         "query_id long, centroid_id long",
     )

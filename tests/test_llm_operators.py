@@ -732,6 +732,51 @@ def test_adopted_pq_config_clears_recall_bar(spark):
     assert mean >= 0.6, mean
 
 
+def test_adopted_ivfpq_composed_clears_recall_bar(spark):
+    """The adopted COMPOSED serving config (kmeans-32 coarse, top-12
+    probes, PQ-32x256 — round-8 sweep answer to the round-6 'no
+    measured composed config >= 0.7' finding) must hold recall@10
+    above the adoption bar in-pipeline (measured: 0.700 at sf0.01,
+    0.718 at sf0.1; offline sweep 0.740 at both —
+    tools/ivfpq_probe_sweep.py)."""
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        release_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.plans import REGISTRY
+
+    rows = REGISTRY["ann_ivfpq_adopted_recall_eval"].builder(
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    release_tracked()
+    assert len(rows) == 50
+    mean = sum(r["recall_at_10"] for r in rows) / len(rows)
+    assert mean >= 0.65, mean
+
+
+def test_adopted_defaults_match_coverage_matrix():
+    """similarity.adopted_defaults() is the one serving surface; it
+    must stay in lockstep with the COVERAGE.md index matrix (round-6
+    directive #6). The values here ARE the matrix winners — change
+    either only with a re-measured sweep."""
+    import pathlib
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+
+    d = S.adopted_defaults()
+    assert d == {
+        "pq": {"m_subspaces": 32, "k_codes": 256},
+        "ivf": {"nprobe": 4},
+        "ivfpq": {"n_centroids": 32, "nprobe": 12},
+    }
+    d["pq"]["m_subspaces"] = 1  # returned dicts are copies
+    assert S.ADOPTED_PQ["m_subspaces"] == 32
+    cov = (
+        pathlib.Path(__file__).resolve().parents[1] / "COVERAGE.md"
+    ).read_text()
+    assert "kmeans-32 coarse, nprobe=12, PQ-32×256 (ADOPTED COMPOSED" in cov
+    assert "PQ m=32 × k=256 (ADOPTED" in cov
+
+
 def test_ivfpq_persisted_index_matches_inflight(spark, tmp_path):
     """build_ivfpq_index + ivfpq_search_index == ivfpq_topk at the
     same (centroids, codebooks, nprobe, k); the probe reads only the
