@@ -910,6 +910,7 @@ def build_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    encoder=None,
 ):
     """Materialize the COMPRESSED serving index: centroid assignment +
     PQ codes committed as a :class:`VersionedParquetTable` partitioned
@@ -925,6 +926,14 @@ def build_ivfpq_index(
     mismatched books instead of silently scoring garbage. At real
     scale the books JSON (m x k x d_sub floats, ~300 KB at 32x256x2)
     stays manifest-sized — it does not grow with the corpus.
+
+    ``encoder`` (default :func:`pq_encode`, the Arrow-batched matmul
+    path) lets contract consumers build stored codes under the
+    cross-engine trained-PQ arithmetic instead
+    (:func:`pq_encode_expr`): raw-float argmin and 9-dp-rounded argmin
+    can disagree on a near-tie, and stored codes must match whichever
+    contract the caller's verification oracle unrolls. Signature:
+    ``encoder(df, codebooks, vec_col, id_col) -> (id_col, pq_codes)``.
     """
     import json
 
@@ -935,7 +944,8 @@ def build_ivfpq_index(
     assigned = assign_to_centroids(
         corpus, centroids, id_col=id_col, vec_col=vec_col
     ).select(id_col, "centroid_id")
-    rows = pq_encode(corpus, codebooks, vec_col, id_col).join(
+    enc = encoder if encoder is not None else pq_encode
+    rows = enc(corpus, codebooks, vec_col, id_col).join(
         assigned, id_col
     )
     return VersionedParquetTable.create(

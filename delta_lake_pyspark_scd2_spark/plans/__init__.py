@@ -84,6 +84,7 @@ _PRIORITY: list[str] = [
 # local gate re-runs first. The driver window stays exactly _PRIORITY;
 # these are the newest flagships queued for any future head swap.
 _TAIL_PRIORITY: list[str] = [
+    "ann_ivfpq_index_topk",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

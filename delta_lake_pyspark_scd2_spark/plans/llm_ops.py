@@ -2875,9 +2875,11 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_adc_topk_contract(codes, books, [float(x) for x in q], k=10)
 
 
-@register(
-    "ann_ivfpq_trained_topk",
-    oracle=f"""
+# shared by ann_ivfpq_trained_topk (in-flight encode) and
+# ann_ivfpq_index_topk (stored-codes read path): the persistent index
+# at the same (cents, books, nprobe) must produce byte-identical
+# results, so it shares the oracle verbatim
+_IVFPQ_TRAINED_ORACLE = f"""
     WITH {_PQT_HEAD},
     cents AS (
       SELECT vec_id AS centroid_id, ve AS cv2 FROM v
@@ -2907,7 +2909,12 @@ def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN probes p ON a.centroid_id = p.centroid_id
     ),
     {_PQT_TAIL}
-    """,
+    """
+
+
+@register(
+    "ann_ivfpq_trained_topk",
+    oracle=_IVFPQ_TRAINED_ORACLE,
     doc="IVF-PQ ADC top-k with k-means-trained codebooks, value-hash "
     "checked end-to-end: nprobe=3 cosine bucket restriction over the "
     "trained-PQ scoring path — the FAISS IVFx,PQy shape with BOTH "
@@ -2931,6 +2938,48 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("centroid_id").isin(probe_ids))
     codes = S.pq_encode_expr(bucket, books)
     return S.pq_adc_topk_contract(codes, books, [float(x) for x in q], k=10)
+
+
+@register(
+    "ann_ivfpq_index_topk",
+    oracle=_IVFPQ_TRAINED_ORACLE,
+    doc="Persistent IVF-PQ index READ path, value-hash checked "
+    "(round-6 directive #4: ivfpq_search_index was pytest-proven but "
+    "no oracle row ever exercised stored-codes search): builds the "
+    "trained-contract index into process scratch (contract encoder "
+    "pq_encode_expr — stored codes must match the arithmetic the "
+    "oracle unrolls), then answers the query from the TABLE: "
+    "manifest-pruned read of only the 3 probed centroid partitions, "
+    "ADC fold over the stored codes, never touching a raw vector or "
+    "re-encoding. Shares ann_ivfpq_trained_topk's oracle verbatim — "
+    "the persisted index at the same (cents, books, nprobe) must be "
+    "indistinguishable from the in-flight path.",
+)
+def ann_ivfpq_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
+    books = S.pq_train_contract(
+        emb, m_subspaces=8, k_codes=16, sample=64, iters=2
+    )
+    index = S.build_ivfpq_index(
+        emb,
+        cents,
+        books,
+        scratch_path("ann_ivfpq_index_topk"),
+        encoder=S.pq_encode_expr,
+    )
+    q = [
+        float(x)
+        for x in emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+    ]
+    probe_ids = S.probe_centroids(q, cents, 3)
+    stored = index.read_partitions(
+        [{"centroid_id": str(c)} for c in sorted(probe_ids)]
+    )
+    return S.pq_adc_topk_contract(stored, books, q, k=10)
 
 
 @register(
