@@ -1068,3 +1068,146 @@ def remove_duplicate_spans(
             F.transform(keep_idx, lambda i: F.element_at("_w", i)), " "
         ).alias("clean_text"),
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    threshold: float = 0.3,
+    keep: str = "lowest_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then search for
+    near-duplicates ONLY within each cluster — the O(n²) cosine scan
+    becomes k independent, locally-quadratic bucket joins shuffling on
+    ``cluster_id``, the same blocked shape as every LSH dedup here (at
+    100 TB, k scales with the corpus so clusters stay bounded, and the
+    pair join never leaves a partition).
+
+    Training reuses the :func:`~delta_lake_pyspark_scd2_spark.operators
+    .clustering.kmeans_fit` cross-engine contract (6-dp rounded scores
+    and means, lowest-id seeds, ties to the lower centroid) and the
+    pair cosine uses the shared 6-dp rounding, so the WHOLE pipeline —
+    iterative training included — is value-hash-oracle-able.
+
+    ``keep`` picks the survivor inside a violating pair:
+
+    - ``"lowest_id"`` (default): drop a row iff a LOWER-id member of
+      its cluster matches at ``cos >= threshold``. Deterministic and
+      id-stable — the oracle twin.
+    - ``"centroid_far"``: the paper's rule — keep the member LESS
+      similar to its centroid (they keep outliers to preserve
+      diversity); ties fall back to the lower id.
+
+    Output: ``(id_col, cluster_id, is_kept int)`` — one row per input
+    row, survivors flagged 1 (callers filter; keeping the full frame
+    makes drop-rate monitoring one aggregation away).
+    """
+    if keep not in ("lowest_id", "centroid_far"):
+        raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
+    from delta_lake_pyspark_scd2_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+        cosine_prenormed,
+        norm,
+    )
+
+    cents = kmeans_fit(
+        df, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    memb = df.select(F.col(id_col), F.col(vec_col)).join(
+        assign_to_centroids(
+            df, cents, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "centroid_id"),
+        id_col,
+    )
+    if keep == "centroid_far":
+        # per-member similarity to its own centroid (the paper's
+        # keep-outliers ordering key), via the broadcast centroid table
+        csim = memb.join(
+            F.broadcast(
+                cents.select(
+                    F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("__cv"),
+                )
+            ),
+            "centroid_id",
+        ).withColumn(
+            "__csim",
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col),
+                    F.col("__cv"),
+                    norm(F.col(vec_col)),
+                    norm(F.col("__cv")),
+                ),
+                6,
+            ),
+        )
+        side = csim.select(
+            id_col, "centroid_id", vec_col, "__csim"
+        )
+    else:
+        side = memb
+    a = _spread(
+        side.select(
+            F.col(id_col).alias("id_a"),
+            F.col("centroid_id").alias("__ca"),
+            F.col(vec_col).alias("__va"),
+            *(["__csim"] if keep == "centroid_far" else []),
+        ).withColumnsRenamed({"__csim": "__csa"}),
+        "id_a",
+        jvm_only=True,
+    ).withColumn("__na", norm(F.col("__va")))
+    b = side.select(
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_id").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+        *(["__csim"] if keep == "centroid_far" else []),
+    ).withColumnsRenamed({"__csim": "__csb"})
+    b = b.withColumn("__nb", norm(F.col("__vb")))
+    if keep == "centroid_far":
+        # a survives, b drops: a is FARTHER from the centroid (lower
+        # __csim), ties to the lower id
+        order = (F.col("__csa") < F.col("__csb")) | (
+            (F.col("__csa") == F.col("__csb"))
+            & (F.col("id_a") < F.col("id_b"))
+        )
+    else:
+        order = F.col("id_a") < F.col("id_b")
+    pairs = (
+        a.join(b, F.col("__ca") == F.col("__cb"))
+        .filter(order)
+        .withColumn(
+            "__cos",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    dropped = pairs.select(
+        F.col("id_b").alias(id_col), F.lit(1).alias("__drop")
+    ).distinct()
+    return (
+        memb.select(id_col, F.col("centroid_id").alias("cluster_id"))
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            F.when(F.col("__drop").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )

@@ -85,6 +85,7 @@ _PRIORITY: list[str] = [
 # these are the newest flagships queued for any future head swap.
 _TAIL_PRIORITY: list[str] = [
     "ann_ivfpq_index_topk",
+    "dedup_semantic",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

@@ -3185,6 +3185,44 @@ def kmeans_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_cluster(emb, k=8, iters=2, dim=64)
 
 
+_SEMDEDUP_CTES = ",\n    ".join(_kmeans_ctes(8, 2, 64))
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_SEMDEDUP_CTES},
+    dropd AS (
+      SELECT DISTINCT b.vec_id AS drop_id
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE {_COS.format(a='va.ve', b='vb.ve')} >= 0.3
+    )
+    SELECT a2.vec_id, a2.cid AS cluster_id,
+           CAST(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_kept
+    FROM a2 LEFT JOIN dropd d ON a2.vec_id = d.drop_id
+    """,
+    doc="SemDeDup-style semantic deduplication (Abbas et al. 2023): "
+    "k-means-cluster the embeddings (the kmeans_cluster contract, "
+    "training oracle-verified via the same unrolled Lloyd CTEs), then "
+    "drop any row with a lower-id same-CLUSTER neighbor at rounded "
+    "cosine >= 0.3 — the O(n^2) cosine scan becomes k locally-"
+    "quadratic bucket joins shuffling on cluster_id, the blocked "
+    "shape every LSH dedup here uses. One row per input with an "
+    "is_kept flag, so drop-rate monitoring is one aggregation away. "
+    "The paper-faithful keep-outliers rule (keep the member FARTHER "
+    "from its centroid) ships as semantic_dedup(keep='centroid_far'), "
+    "pytest-pinned.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.semantic_dedup(
+        emb, k=8, iters=2, dim=64, threshold=0.3
+    )
+
+
 @register(
     "dedup_incremental_lsh",
     oracle=f"""

@@ -917,3 +917,75 @@ def test_ivfpq_index_refuses_foreign_centroids(spark, tmp_path):
         S.extend_ivfpq_index(index, emb.limit(5), other)
     with pytest.raises(ValueError, match="centroids_tag"):
         S.ivfpq_search_index(index, other, emb.limit(2), k=3, nprobe=1)
+
+
+def test_semantic_dedup_keep_rules(spark):
+    """semantic_dedup invariants for both survivor rules: with
+    threshold=-1 (everything within a cluster pairs) exactly one row
+    per cluster survives — the lowest id under "lowest_id", the
+    (centroid_sim, id)-minimal member under "centroid_far" (the
+    SemDeDup paper keeps outliers); with threshold > 1 nothing pairs
+    and every row survives. One output row per input row always."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import similarity as S
+    from delta_lake_pyspark_scd2_spark.operators.clustering import kmeans_fit
+    from delta_lake_pyspark_scd2_spark.operators.dedup import semantic_dedup
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+
+    out_all = semantic_dedup(emb, k=4, iters=1, dim=64, threshold=1.1)
+    rows = out_all.collect()
+    assert len(rows) == n and all(r["is_kept"] == 1 for r in rows)
+
+    out_low = semantic_dedup(emb, k=4, iters=1, dim=64, threshold=-1.0)
+    kept = [r for r in out_low.collect() if r["is_kept"] == 1]
+    by_cluster = {}
+    for r in out_low.collect():
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(kept) == len(by_cluster)  # exactly one per cluster
+    for cid, members in by_cluster.items():
+        lo = min(m["vec_id"] for m in members)
+        assert [m["vec_id"] for m in members if m["is_kept"] == 1] == [lo]
+
+    out_far = semantic_dedup(
+        emb, k=4, iters=1, dim=64, threshold=-1.0, keep="centroid_far"
+    )
+    # survivor per cluster = (rounded centroid-sim, id)-minimal member
+    cents = kmeans_fit(emb, k=4, iters=1, dim=64)
+    csim = (
+        S.assign_to_centroids(emb, cents)
+        .join(
+            cents.select(
+                F.col("vec_id").alias("centroid_id"),
+                F.col("embedding").alias("__cv"),
+            ),
+            "centroid_id",
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(
+                S.cosine(F.col("embedding"), F.col("__cv")), 6
+            ).alias("cs"),
+        )
+    )
+    want = {}
+    for r in csim.collect():
+        key = r["centroid_id"]
+        cand = (r["cs"], r["vec_id"])
+        if key not in want or cand < want[key]:
+            want[key] = cand
+    got = {
+        r["cluster_id"]: r["vec_id"]
+        for r in out_far.collect()
+        if r["is_kept"] == 1
+    }
+    assert got == {cid: vid for cid, (_, vid) in want.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep rule"):
+        semantic_dedup(emb, k=4, iters=1, dim=64, keep="nope")

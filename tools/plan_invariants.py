@@ -57,6 +57,9 @@ EXTRA_QUERIES = (
     # round-8: distributed global ranking replaced the last single-task
     # sort window — pin its bucketed shape
     "w_ntile_rank",
+    # round-8: cluster-scoped SemDeDup — pin the per-cluster-local pair
+    # join (equi on cluster_id + residual, never a cartesian)
+    "dedup_semantic",
 )
 
 
