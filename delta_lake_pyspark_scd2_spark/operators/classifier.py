@@ -173,3 +173,64 @@ def quality_filter_scores(
         "score",
         (F.col("score") > 0.5).cast("int").alias("pred"),
     )
+
+
+def auc(
+    df: DataFrame,
+    *,
+    score_col: str = "score",
+    label_col: str = "label",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tie-aware ROC-AUC (Mann-Whitney U over rank statistics) as a
+    fully distributed plan — the model-eval half a quality-classifier
+    pipeline needs next to :func:`train_logreg`/:func:`predict`.
+
+    Ranks ascend by score via
+    :func:`~delta_lake_pyspark_scd2_spark.operators.ranking
+    .distributed_total_rank` (range-bucketed — no single-task global
+    sort), tied scores take their group's average rank (a window over
+    the score partition: one shuffle on the score key), and
+
+        AUC = (Σ avg-rank(positives) − n₊(n₊+1)/2) / (n₊ · n₋)
+
+    Exactness note: a tie group's average of consecutive integer ranks
+    is always a multiple of 0.5, exactly representable — so the sums
+    are order-independent and the 6-dp rounding is engine-stable.
+    Returns one row ``(n_pos, n_neg, auc)``; ``auc`` is NULL when a
+    class is empty (undefined, not 0).
+    """
+    from pyspark.sql import Window
+
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+    )
+
+    ranked = distributed_total_rank(
+        df.select(id_col, score_col, label_col),
+        score_col,
+        [id_col],
+        descending=False,
+    )
+    avgr = ranked.withColumn(
+        "__ar", F.avg("__rank").over(Window.partitionBy(score_col))
+    )
+    y = F.col(label_col).cast("int")
+    agg = avgr.agg(
+        F.sum(F.when(y == 1, F.col("__ar"))).alias("__sr"),
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (np_ > 0) & (nn > 0),
+            F.round(
+                (F.col("__sr") - np_ * (np_ + F.lit(1)) / F.lit(2.0))
+                / (np_ * nn),
+                6,
+            ),
+        ).alias("auc"),
+    )

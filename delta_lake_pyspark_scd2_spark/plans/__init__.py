@@ -86,6 +86,7 @@ _PRIORITY: list[str] = [
 _TAIL_PRIORITY: list[str] = [
     "ann_ivfpq_index_topk",
     "dedup_semantic",
+    "quality_auc_eval",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

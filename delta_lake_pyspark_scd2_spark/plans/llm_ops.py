@@ -2037,6 +2037,104 @@ _PHONE_RE = text.PHONE_RE
 
 
 @register(
+    "quality_auc_eval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 2
+    ),
+    words AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    big AS (
+      SELECT doc_id,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    lm AS (
+      SELECT m.doc_id,
+             ROUND(EXP(-SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                       / SUM(m.m)), 4) AS ppl
+      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(regexp_extract_all(text,
+                       '(?i)\\b(the|and|of|with|a|to|in|is)\\b'))
+                   / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                   4) AS stopword_ratio
+      FROM documents
+    ),
+    j AS (
+      SELECT q.doc_id, -lm.ppl AS score,
+             CASE WHEN q.n_tokens BETWEEN 30 AND 5000
+                   AND q.stopword_ratio >= 0.02
+                  THEN 1 ELSE 0 END AS label
+      FROM q JOIN lm USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, score, label,
+             ROW_NUMBER() OVER (ORDER BY score ASC, doc_id ASC) AS rnk
+      FROM j
+    ),
+    ar AS (
+      SELECT label, AVG(rnk) OVER (PARTITION BY score) AS arnk FROM r
+    )
+    SELECT CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pos,
+           CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg,
+           CASE WHEN sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) > 0
+                 AND sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) > 0
+                THEN round((sum(CASE WHEN label = 1 THEN arnk END)
+                      - sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                        * (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) + 1)
+                        / 2.0)
+                     / (sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)
+                        * sum(CASE WHEN label = 0 THEN 1 ELSE 0 END)), 6)
+           END AS auc
+    FROM ar
+    """,
+    doc="Model-eval operator: tie-aware ROC-AUC (Mann-Whitney rank "
+    "form) of the corpus-trained bigram-LM quality signal (score = "
+    "-ppl) against the heuristic quality label (token count in "
+    "[30,5000] AND stopword ratio >= 0.02) — does the expensive "
+    "signal agree with the cheap gate? Fully distributed: ranks via "
+    "operators/ranking.distributed_total_rank (range-bucketed, no "
+    "single-task sort), tie-averaging as one window over the score "
+    "partition; a tie group's average of consecutive integer ranks "
+    "is a multiple of 0.5, exactly representable, so the rank sums "
+    "are summation-order-independent and the 6-dp rounding is "
+    "engine-stable. Value-hash oracled end-to-end including the LM.",
+)
+def quality_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = text.quality_features(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    lm = text.bigram_lm_scores(docs).select("doc_id", "ppl")
+    j = heur.join(lm, "doc_id").select(
+        "doc_id",
+        (-F.col("ppl")).alias("score"),
+        F.when(
+            F.col("n_tokens").between(30, 5000)
+            & (F.col("stopword_ratio") >= 0.02),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    return classifier.auc(j, score_col="score", label_col="label")
+
+
+@register(
     "pii_redact",
     oracle=f"""
     WITH t AS (

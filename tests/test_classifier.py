@@ -79,3 +79,30 @@ def test_sample_predicate_is_deterministic_and_proportional(spark):
     # same rows every time, independent of partitioning
     b = df.repartition(7).filter(sample_predicate("doc_id", 0.25))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_auc_known_values_and_ties(spark):
+    """auc() against hand-computable cases: perfect separation = 1.0,
+    perfect inversion = 0.0, all-tied = 0.5, a mixed-tie case computed
+    by the textbook tie-averaged Mann-Whitney formula, and a
+    single-class frame = NULL (undefined, not 0)."""
+    from delta_lake_pyspark_scd2_spark.operators.classifier import auc
+
+    def run(scores, labels):
+        df = spark.createDataFrame(
+            [(i, float(s), l) for i, (s, l) in enumerate(zip(scores, labels))],
+            "doc_id long, score double, label int",
+        )
+        return auc(df).collect()[0]
+
+    r = run([0.1, 0.2, 0.8, 0.9], [0, 0, 1, 1])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+    assert run([0.1, 0.2, 0.8, 0.9], [1, 1, 0, 0])["auc"] == 0.0
+    assert run([0.5, 0.5, 0.5, 0.5], [0, 1, 0, 1])["auc"] == 0.5
+    # ties [1,1,2,2] labels [0,1,0,1]: avg ranks 1.5,1.5,3.5,3.5 ->
+    # AUC = (5 - 2*3/2) / (2*2) = 0.5
+    assert run([1, 1, 2, 2], [0, 1, 0, 1])["auc"] == 0.5
+    # mixed: scores 1..6, pos = {2,5,6}: R+ = 2+5+6 = 13 ->
+    # (13 - 6) / 9 = 0.777778
+    assert run([1, 2, 3, 4, 5, 6], [0, 1, 0, 0, 1, 1])["auc"] == 0.777778
+    assert run([0.1, 0.9], [1, 1])["auc"] is None
