@@ -1211,3 +1211,116 @@ def semantic_dedup(
             .alias("is_kept"),
         )
     )
+
+
+def build_semantic_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the stored half of incremental semantic dedup: the
+    corpus' (id, vector, cluster_id) rows as a versioned table
+    partitioned by ``cluster_id`` — the same layout the IVF probes
+    use, so an incoming batch reads ONLY its own clusters' partitions
+    (manifest-pruned) and the corpus is never rescanned."""
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    rows = df.select(F.col(id_col), F.col(vec_col)).join(
+        assign_to_centroids(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, F.col("centroid_id").alias("cluster_id")),
+        id_col,
+    )
+    return VersionedParquetTable.create(
+        df.sparkSession,
+        rows,
+        path,
+        partition_cols=["cluster_id"],
+        metrics={"op": "SEMANTIC_INDEX_BUILD"},
+    )
+
+
+def semantic_dedup_incremental(
+    index,
+    batch: DataFrame,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup against a persisted cluster index (the
+    semantic-family counterpart of the minhash
+    ``incremental LSH`` path — dedup_incremental_lsh): assign ONLY the
+    incoming batch to the stored centroids, read ONLY the batch's
+    clusters' partitions from the index (manifest-pruned), and emit
+    near-duplicate pairs involving a new vector — batch×stored AND
+    batch×batch, both within-cluster. Ingest cost is O(batch + probed
+    partitions); stored vectors are never re-clustered or rescanned
+    corpus-wide.
+
+    Output ``(id_a, id_b, cos_sim)`` with ``id_a < id_b`` — the
+    oracle twin is the FULL semantic pair set (trained on the stored
+    subset) restricted to pairs involving a new id, proving the index
+    path finds exactly the same candidates.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+        cosine_prenormed,
+        norm,
+    )
+
+    ba = batch.select(F.col(id_col), F.col(vec_col)).join(
+        assign_to_centroids(
+            batch, centroids, id_col=id_col, vec_col=vec_col
+        ).select(id_col, F.col("centroid_id").alias("cluster_id")),
+        id_col,
+    ).withColumn("__new", F.lit(1))
+    # bounded collect: <= k cluster ids present in the batch
+    probed = sorted(
+        r["cluster_id"] for r in ba.select("cluster_id").distinct().collect()
+    )
+    stored = index.read_partitions(
+        [{"cluster_id": str(c)} for c in probed]
+    ).select(id_col, vec_col, "cluster_id").withColumn("__new", F.lit(0))
+    both = stored.unionByName(ba)
+    a = _spread(
+        both.select(
+            F.col(id_col).alias("id_a"),
+            F.col("cluster_id").alias("__ca"),
+            F.col(vec_col).alias("__va"),
+            F.col("__new").alias("__newa"),
+        ),
+        "id_a",
+        jvm_only=True,
+    ).withColumn("__na", norm(F.col("__va")))
+    b = both.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__new").alias("__newb"),
+    ).withColumn("__nb", norm(F.col("__vb")))
+    return (
+        a.join(b, F.col("__ca") == F.col("__cb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("__newa") == 1) | (F.col("__newb") == 1))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -87,6 +87,7 @@ _TAIL_PRIORITY: list[str] = [
     "ann_ivfpq_index_topk",
     "dedup_semantic",
     "quality_auc_eval",
+    "dedup_incremental_semantic",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

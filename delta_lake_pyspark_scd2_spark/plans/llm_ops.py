@@ -3213,21 +3213,26 @@ def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _kmeans_ctes(k: int, iters: int, dim: int) -> list:
+def _kmeans_ctes(k: int, iters: int, dim: int, where: str = "") -> list:
     """Unrolled Lloyd's in SQL: one (score → assign → recenter) CTE
     block per iteration plus the final assignment — exactly the
     computation operators/clustering.py runs, with the shared 6-dp
     rounding on scores and means so both engines chain bit-identical
     centroid literals. Returns the CTE list (ending with centroids
     ``c{iters}`` and assignment ``a{iters}``) so compositions — e.g.
-    the trained-IVF ANN oracle — can build on the trained model."""
+    the trained-IVF ANN oracle — can build on the trained model.
+    ``where`` restricts the TRAINING corpus ``v`` (incremental
+    variants train on the stored subset only); default trains on
+    everything, byte-identical to the pre-parameter SQL."""
     cos = (
         "round(list_dot_product(v.ve, c.cv) / "
         "(sqrt(list_dot_product(v.ve, v.ve)) * "
         "sqrt(list_dot_product(c.cv, c.cv))), 6)"
     )
     parts = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings)",
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings"
+        + ((" " + where) if where else "")
+        + ")",
         f"c0 AS (SELECT vec_id AS cid, ve AS cv FROM v ORDER BY vec_id LIMIT {k})",
     ]
     for it in range(iters + 1):
@@ -3318,6 +3323,68 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.semantic_dedup(
         emb, k=8, iters=2, dim=64, threshold=0.3
+    )
+
+
+_SEMINC_CTES = ",\n    ".join(
+    _kmeans_ctes(8, 2, 64, where="WHERE vec_id % 5 < 3")
+)
+
+
+@register(
+    "dedup_incremental_semantic",
+    oracle=f"""
+    WITH {_SEMINC_CTES},
+    vall AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+    sall AS (
+      SELECT vall.vec_id, c.cid,
+             {_COS.format(a='vall.ve', b='c.cv')} AS sim
+      FROM vall CROSS JOIN c2 c
+    ),
+    aall AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER
+          (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM sall
+      ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_COS.format(a='va.ve', b='vb.ve')} AS cos_sim
+    FROM aall a
+    JOIN aall b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    JOIN vall va ON va.vec_id = a.vec_id
+    JOIN vall vb ON vb.vec_id = b.vec_id
+    WHERE {_COS.format(a='va.ve', b='vb.ve')} >= 0.3
+      AND (a.vec_id % 5 >= 3 OR b.vec_id % 5 >= 3)
+    """,
+    doc="Incremental SemDeDup against a PERSISTED cluster index (the "
+    "semantic-family twin of dedup_incremental_lsh): the stored "
+    "corpus (vec_id%5<3) lives as (id, vector, cluster_id) rows "
+    "partitioned by cluster_id in a versioned table, centroids "
+    "trained on the stored subset only (kmeans contract); an "
+    "incoming batch (vec_id%5>=3) assigns itself to the stored "
+    "centroids, reads ONLY its clusters' partitions (manifest-"
+    "pruned), and emits within-cluster near-dup pairs involving a "
+    "new vector — ingest cost O(batch + probed partitions). Oracle: "
+    "the full stored-trained semantic pair set restricted to pairs "
+    "with a new id, proving the index path finds exactly the same "
+    "candidates.",
+)
+def dedup_incremental_semantic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.clustering import kmeans_fit
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 5 < 3)
+    batch = emb.filter(F.col("vec_id") % 5 >= 3)
+    cents = kmeans_fit(stored, k=8, iters=2, dim=64)
+    index = dedup.build_semantic_index(
+        stored, cents, scratch_path("dedup_incremental_semantic")
+    )
+    return dedup.semantic_dedup_incremental(
+        index, batch, cents, threshold=0.3
     )
 
 

@@ -79,3 +79,68 @@ def test_index_append_then_next_batch(spark, docs, tmp_path):
     b0 = {r["doc_id"] for r in batches[0].select("doc_id").collect()}
     want = {(a, b) for a, b in full if not (a in b0 and b in b0)}
     assert got == want
+
+
+def test_incremental_semantic_probes_only_batch_clusters(spark, tmp_path):
+    """semantic_dedup_incremental reads ONLY the batch's clusters'
+    partitions from the stored index (manifest-level pruning), and its
+    pair set equals the full within-cluster pair set restricted to
+    pairs involving a batch id."""
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import dedup
+    from delta_lake_pyspark_scd2_spark.operators.clustering import kmeans_fit
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    stored_df = emb.filter(F.col("vec_id") >= 10)
+    batch = emb.filter(F.col("vec_id") < 3)  # tiny batch, few clusters
+    cents = kmeans_fit(stored_df, k=8, iters=1, dim=64)
+    index = dedup.build_semantic_index(
+        stored_df, cents, str(tmp_path / "sem")
+    )
+    batch_clusters = {
+        r["centroid_id"]
+        for r in assign_to_centroids(batch, cents)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    }
+    # manifest pruning: the probed read lists only those partitions
+    m = index._load_manifest(index.latest_version())
+    all_parts = {f["partition"]["cluster_id"] for f in m["files"]}
+    assert len(batch_clusters) < len(all_parts)
+    probed = index.read_partitions(
+        [{"cluster_id": str(c)} for c in sorted(batch_clusters)]
+    )
+    got_parts = {
+        r["cluster_id"]
+        for r in probed.select("cluster_id").distinct().collect()
+    }
+    assert got_parts <= {int(p) for p in all_parts}
+    assert got_parts == {
+        int(c) for c in batch_clusters if str(c) in all_parts
+    }
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.semantic_dedup_incremental(
+            index, batch, cents, threshold=-1.0
+        ).collect()
+    }
+    # brute-force twin: all within-cluster pairs involving a batch id
+    assign_all = assign_to_centroids(
+        stored_df.unionByName(batch), cents
+    ).select("vec_id", "centroid_id")
+    rows = {r["vec_id"]: r["centroid_id"] for r in assign_all.collect()}
+    bids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    want = {
+        (a, b)
+        for a in rows
+        for b in rows
+        if a < b and rows[a] == rows[b] and (a in bids or b in bids)
+    }
+    assert got == want and got
