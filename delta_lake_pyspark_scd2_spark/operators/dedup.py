@@ -1288,9 +1288,17 @@ def semantic_dedup_incremental(
     probed = sorted(
         r["cluster_id"] for r in ba.select("cluster_id").distinct().collect()
     )
-    stored = index.read_partitions(
-        [{"cluster_id": str(c)} for c in probed]
-    ).select(id_col, vec_col, "cluster_id").withColumn("__new", F.lit(0))
+    stored = (
+        index.read_partitions([{"cluster_id": str(c)} for c in probed])
+        .select(id_col, vec_col, "cluster_id")
+        # anti-join the batch's own ids out of the stored side: a no-op
+        # when ids are disjoint (the normal flow), and it makes a
+        # STREAMING replay safe when the batch's index append committed
+        # but the pair emission did not — without it the replayed batch
+        # would pair against its own stored copy and emit duplicates
+        .join(ba.select(id_col), id_col, "left_anti")
+        .withColumn("__new", F.lit(0))
+    )
     both = stored.unionByName(ba)
     a = _spread(
         both.select(

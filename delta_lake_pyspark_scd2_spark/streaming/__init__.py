@@ -7,6 +7,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     length_drift_stream,
     run_stream_once,
     scd2_stream,
+    semantic_index_stream,
     windowed_event_agg,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "length_drift_stream",
     "run_stream_once",
     "scd2_stream",
+    "semantic_index_stream",
     "windowed_event_agg",
 ]

@@ -840,6 +840,92 @@ def kmeans_model_stream(
     )
 
 
+def semantic_index_stream(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_dir: str,
+    centroids: DataFrame,
+    *,
+    threshold: float = 0.3,
+    schema: str = "vec_id long, embedding array<double>",
+    app_id: str = "semantic_index",
+    on_batch: "Callable[[int, int], None] | None" = None,
+) -> StreamingQuery:
+    """Streaming incremental SemDeDup — the online twin of
+    ``operators.dedup.semantic_dedup_incremental``: each embedding
+    micro-batch (1) emits its near-duplicate pairs — batch x the
+    already-ingested corpus, reading ONLY the batch's clusters'
+    partitions, plus batch x batch — into a pairs table, then (2)
+    appends itself (with its cluster assignment) into the index, so
+    every later batch dedups against it. Centroids are FROZEN serving
+    state (retrain offline and rebuild on drift — the
+    ``extend_ivfpq_index`` caveat applies verbatim).
+
+    Exactly-once: the pair append and the index append carry separate
+    ``(app_id, batch_no)`` writer txns — a micro-batch replayed after
+    a crash BETWEEN the two writes completes the missing half without
+    duplicating the committed one, and the operator's stored-side
+    anti-join on the batch's own ids keeps the recomputed pairs
+    identical even when the index append already landed. Per-batch
+    cost: O(batch + probed partitions); the corpus is never rescanned.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.dedup import (
+        semantic_dedup_incremental,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    idx_schema = "vec_id long, embedding array<double>, cluster_id long"
+    pair_schema = "id_a long, id_b long, cos_sim double"
+
+    def _process(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not VersionedParquetTable.is_table(index_path):
+            VersionedParquetTable.create(
+                spark,
+                spark.createDataFrame([], idx_schema),
+                index_path,
+                partition_cols=["cluster_id"],
+            )
+        if not VersionedParquetTable.is_table(pairs_path):
+            VersionedParquetTable.create(
+                spark, spark.createDataFrame([], pair_schema), pairs_path
+            )
+        index = VersionedParquetTable(spark, index_path)
+        pairs_t = VersionedParquetTable(spark, pairs_path)
+        _txn_reset_guard(index, app_id, batch_no, "index")
+        _txn_reset_guard(pairs_t, app_id, batch_no, "pairs")
+        if (pairs_t.last_txn_version(app_id) or -1) < batch_no:
+            pairs = semantic_dedup_incremental(
+                index, batch_df, centroids, threshold=threshold
+            )
+            pairs_t.append(pairs, txn=(app_id, batch_no))
+        n_pairs = pairs_t.read().count()  # cumulative — small table
+        if (index.last_txn_version(app_id) or -1) < batch_no:
+            rows = batch_df.select("vec_id", "embedding").join(
+                assign_to_centroids(batch_df, centroids).select(
+                    "vec_id", F.col("centroid_id").alias("cluster_id")
+                ),
+                "vec_id",
+            )
+            index.append(rows, txn=(app_id, batch_no))
+        if on_batch is not None:
+            on_batch(batch_no, n_pairs)
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _process,
+    )
+
+
 def histogram_stream(
     spark: SparkSession,
     source_dir: str,
