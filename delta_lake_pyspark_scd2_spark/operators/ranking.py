@@ -56,7 +56,7 @@ def distributed_total_rank(
     tiebreak_cols: Sequence[str],
     *,
     descending: bool = True,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     rank_col: str = "__rank",
     total_col: str = "__n",
 ) -> DataFrame:
@@ -66,6 +66,12 @@ def distributed_total_rank(
     Adds ``rank_col`` (1-based, dense, unique — the tiebreaks must make
     the order total) and ``total_col`` (the global row count) to ``df``.
 
+    ``n_buckets`` bounds per-task sort size at ~rows/n_buckets (plus
+    value skew: equal values share a bucket). The default tracks
+    ``spark.sql.shuffle.partitions`` (min 64) so the per-bucket sorts
+    match the session's parallelism; size it to rows/target-partition
+    explicitly when ranking at the 100 TB end.
+
     ``value_col`` must be non-NULL: Spark and DuckDB disagree on the
     default NULL sort position under ``DESC``, so a NULL order key has
     no cross-engine contract here (callers aggregate it away first).
@@ -74,6 +80,13 @@ def distributed_total_rank(
         raise ValueError(
             "distributed_total_rank needs >=1 tiebreak column to make "
             "the order total (rank must be unique per row)"
+        )
+    if n_buckets is None:
+        n_buckets = max(
+            64,
+            int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+            ),
         )
     probs = [i / n_buckets for i in range(1, n_buckets)]
     # bounded collect: n_buckets - 1 scalars (the split thresholds)
