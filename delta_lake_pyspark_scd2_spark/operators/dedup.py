@@ -1070,6 +1070,90 @@ def remove_duplicate_spans(
     )
 
 
+def _semantic_membership(df, k, iters, dim, id_col, vec_col):
+    """Shared front half of the SemDeDup family: train the kmeans
+    contract on ``df`` and return ``(centroids, membership)`` where
+    membership is ``(id_col, vec_col, centroid_id)``."""
+    from delta_lake_pyspark_scd2_spark.operators.clustering import (
+        kmeans_fit,
+    )
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        assign_to_centroids,
+    )
+
+    cents = kmeans_fit(
+        df, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
+    )
+    memb = df.select(F.col(id_col), F.col(vec_col)).join(
+        assign_to_centroids(
+            df, cents, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "centroid_id"),
+        id_col,
+    )
+    return cents, memb
+
+
+def _memb_pairs(memb, *, threshold, id_col, vec_col):
+    """Within-cluster pairs (id_a < id_b, rounded cos >= threshold)
+    from a membership frame — locally quadratic per cluster, shuffles
+    on the cluster key only."""
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        cosine_prenormed,
+        norm,
+    )
+
+    a = _spread(
+        memb.select(
+            F.col(id_col).alias("id_a"),
+            F.col("centroid_id").alias("__ca"),
+            F.col(vec_col).alias("__va"),
+        ),
+        "id_a",
+        jvm_only=True,
+    ).withColumn("__na", norm(F.col("__va")))
+    b = memb.select(
+        F.col(id_col).alias("id_b"),
+        F.col("centroid_id").alias("__cb"),
+        F.col(vec_col).alias("__vb"),
+    ).withColumn("__nb", norm(F.col("__vb")))
+    return (
+        a.join(b, F.col("__ca") == F.col("__cb"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                cosine_prenormed(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def semantic_pairs(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    dim: int,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Within-cluster semantic near-duplicate pairs under the kmeans
+    contract — the pair emitter the SemDeDup family composes:
+    :func:`semantic_dedup` derives drop flags from it,
+    ``dedup_semantic_canonical`` feeds it to connected components.
+    Output: ``(id_a, id_b, cos_sim)`` with ``id_a < id_b``."""
+    _, memb = _semantic_membership(df, k, iters, dim, id_col, vec_col)
+    return _memb_pairs(
+        memb, threshold=threshold, id_col=id_col, vec_col=vec_col
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     *,
@@ -1110,24 +1194,32 @@ def semantic_dedup(
     """
     if keep not in ("lowest_id", "centroid_far"):
         raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
-    from delta_lake_pyspark_scd2_spark.operators.clustering import (
-        kmeans_fit,
-    )
     from delta_lake_pyspark_scd2_spark.operators.similarity import (
-        assign_to_centroids,
         cosine_prenormed,
         norm,
     )
 
-    cents = kmeans_fit(
-        df, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
-    )
-    memb = df.select(F.col(id_col), F.col(vec_col)).join(
-        assign_to_centroids(
-            df, cents, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "centroid_id"),
-        id_col,
-    )
+    cents, memb = _semantic_membership(df, k, iters, dim, id_col, vec_col)
+    if keep == "lowest_id":
+        dropped = (
+            _memb_pairs(
+                memb, threshold=threshold, id_col=id_col, vec_col=vec_col
+            )
+            .select(F.col("id_b").alias(id_col), F.lit(1).alias("__drop"))
+            .distinct()
+        )
+        return (
+            memb.select(id_col, F.col("centroid_id").alias("cluster_id"))
+            .join(dropped, id_col, "left")
+            .select(
+                id_col,
+                "cluster_id",
+                F.when(F.col("__drop").isNull(), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("is_kept"),
+            )
+        )
     if keep == "centroid_far":
         # per-member similarity to its own centroid (the paper's
         # keep-outliers ordering key), via the broadcast centroid table
@@ -1154,15 +1246,13 @@ def semantic_dedup(
         side = csim.select(
             id_col, "centroid_id", vec_col, "__csim"
         )
-    else:
-        side = memb
     a = _spread(
         side.select(
             F.col(id_col).alias("id_a"),
             F.col("centroid_id").alias("__ca"),
             F.col(vec_col).alias("__va"),
-            *(["__csim"] if keep == "centroid_far" else []),
-        ).withColumnsRenamed({"__csim": "__csa"}),
+            F.col("__csim").alias("__csa"),
+        ),
         "id_a",
         jvm_only=True,
     ).withColumn("__na", norm(F.col("__va")))
@@ -1170,18 +1260,14 @@ def semantic_dedup(
         F.col(id_col).alias("id_b"),
         F.col("centroid_id").alias("__cb"),
         F.col(vec_col).alias("__vb"),
-        *(["__csim"] if keep == "centroid_far" else []),
-    ).withColumnsRenamed({"__csim": "__csb"})
-    b = b.withColumn("__nb", norm(F.col("__vb")))
-    if keep == "centroid_far":
-        # a survives, b drops: a is FARTHER from the centroid (lower
-        # __csim), ties to the lower id
-        order = (F.col("__csa") < F.col("__csb")) | (
-            (F.col("__csa") == F.col("__csb"))
-            & (F.col("id_a") < F.col("id_b"))
-        )
-    else:
-        order = F.col("id_a") < F.col("id_b")
+        F.col("__csim").alias("__csb"),
+    ).withColumn("__nb", norm(F.col("__vb")))
+    # a survives, b drops: a is FARTHER from the centroid (lower
+    # __csim), ties to the lower id
+    order = (F.col("__csa") < F.col("__csb")) | (
+        (F.col("__csa") == F.col("__csb"))
+        & (F.col("id_a") < F.col("id_b"))
+    )
     pairs = (
         a.join(b, F.col("__ca") == F.col("__cb"))
         .filter(order)

@@ -88,6 +88,8 @@ _TAIL_PRIORITY: list[str] = [
     "dedup_semantic",
     "quality_auc_eval",
     "dedup_incremental_semantic",
+    "dedup_semantic_canonical",
+    "w_exact_quantiles",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

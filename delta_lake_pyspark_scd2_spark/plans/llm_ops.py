@@ -3326,6 +3326,56 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_semantic_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_CTES},
+    sp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE {_COS.format(a='va.ve', b='vb.ve')} >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM sp
+      UNION SELECT id_b, id_a FROM sp
+    ),
+    reach(node, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (cluster_id = vec_id) AS is_canonical
+    FROM (
+      SELECT e.vec_id, COALESCE(c.cluster_id, e.vec_id) AS cluster_id
+      FROM v e LEFT JOIN comp c ON e.vec_id = c.node
+    )
+    """,
+    doc="Semantic near-dup CLUSTERING: the SemDeDup within-cluster "
+    "pair graph (dedup.semantic_pairs — kmeans-bucketed, locally "
+    "quadratic) feeds the same distributed connected-components used "
+    "by dedup_cluster_canonical, labeling every vector with its "
+    "component's min id; the canonical keeper is the label owner. "
+    "Completes the semantic family to parity with the minhash family "
+    "(pairs -> incremental -> streaming -> canonical clustering). "
+    "Oracle recomputes components with a recursive CTE over the "
+    "unrolled-Lloyd pair set — iterative training AND iterative "
+    "clustering both value-hash proven.",
+)
+def dedup_semantic_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import graph
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.semantic_pairs(
+        emb, k=8, iters=2, dim=64, threshold=0.3
+    ).select("id_a", "id_b")
+    return graph.cluster_documents(emb, pairs, id_col="vec_id")
+
+
 _SEMINC_CTES = ",\n    ".join(
     _kmeans_ctes(8, 2, 64, where="WHERE vec_id % 5 < 3")
 )

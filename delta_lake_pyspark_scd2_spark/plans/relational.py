@@ -1050,6 +1050,60 @@ def w_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w_exact_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT spend, c_custkey,
+             ROW_NUMBER() OVER (ORDER BY spend ASC, c_custkey ASC) AS rnk,
+             COUNT(*) OVER () AS n
+      FROM s
+    )
+    SELECT CAST(t.q AS DOUBLE) AS q,
+           round(CAST(spend AS DOUBLE), 2) AS spend_at_q
+    FROM r JOIN (VALUES (0.25), (0.5), (0.75), (0.9)) t(q)
+      ON rnk = CEIL(CAST(t.q AS DOUBLE) * n)
+    """,
+    doc="EXACT global quantiles (discrete: value at rank ceil(q*n)) "
+    "of per-customer spend — what percentile_approx cannot promise — "
+    "without a single-task sort: operators/ranking."
+    "distributed_total_rank range-buckets the spend domain, ranks "
+    "each bucket in parallel, and the quantile rows fall out of a "
+    "rank-set filter. Both engines compute ceil(q*n) in DOUBLE so the "
+    "0.9*n ulp artifact lands identically. Scale: the only global "
+    "structure is the <= n_buckets offsets table.",
+)
+def w_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(T.DecimalType(18, 2))).alias("spend")
+    )
+    ranked = distributed_total_rank(
+        spend, "spend", ["c_custkey"], descending=False
+    )
+    qs = [0.25, 0.5, 0.75, 0.9]
+    r, n = F.col("__rank"), F.col("__n")
+    # one pass: each row carries the (possibly several, when n is
+    # small) q's whose rank it owns; explode drops non-quantile rows
+    hits = F.array(
+        *[
+            F.when(
+                r == F.ceil(F.lit(float(q)) * n), F.lit(float(q))
+            ).otherwise(F.lit(None).cast("double"))
+            for q in qs
+        ]
+    )
+    return ranked.select(
+        F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("q"),
+        F.round(F.col("spend").cast("double"), 2).alias("spend_at_q"),
+    )
+
+
+@register(
     "f_higher_order_arrays",
     oracle="""
     SELECT o_orderkey,

@@ -60,6 +60,7 @@ EXTRA_QUERIES = (
     # round-8: cluster-scoped SemDeDup — pin the per-cluster-local pair
     # join (equi on cluster_id + residual, never a cartesian)
     "dedup_semantic",
+    "dedup_semantic_canonical",
 )
 
 
