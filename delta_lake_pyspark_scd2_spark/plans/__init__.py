@@ -90,6 +90,7 @@ _TAIL_PRIORITY: list[str] = [
     "dedup_incremental_semantic",
     "dedup_semantic_canonical",
     "w_exact_quantiles",
+    "text_vocab_coverage",
     "select_dsir_hashed",
     "ann_ivf_multiprobe_topk",
     "ann_recall_eval",

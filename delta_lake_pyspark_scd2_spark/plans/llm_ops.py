@@ -3327,6 +3327,80 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY 1
+    ),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS rnk
+      FROM tf
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM tf
+    )
+    SELECT CAST(k.top_k AS BIGINT) AS top_k,
+           tot.vocab_size, tot.total_tokens,
+           round(CAST(sum(CASE WHEN r.rnk <= k.top_k THEN r.c ELSE 0 END)
+                      AS DOUBLE) / min(tot.total_tokens), 6)
+             AS covered_frac
+    FROM r CROSS JOIN tot
+    CROSS JOIN (VALUES (10), (100), (1000)) k(top_k)
+    GROUP BY 1, 2, 3
+    """,
+    doc="Vocabulary coverage curve — the tokenizer-sizing signal a "
+    "pretraining pipeline reads before fixing a vocab: the fraction "
+    "of all token occurrences covered by the top-K most frequent "
+    "terms (K = 10/100/1000). Term ranks via operators/ranking."
+    "distributed_total_rank over the shared word_counts tokenizer "
+    "contract — no single-task vocabulary sort (a web-scale corpus "
+    "has a billion-term vocabulary); coverage at each K is one "
+    "conditional aggregation over exact BIGINT sums, divided once, "
+    "so the 6-dp rounding is engine-stable.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = text.word_counts(docs)
+    ranked = distributed_total_rank(tf, "c", ["word"], descending=True)
+    tot = tf.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "top_k long")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("top_k")
+        .agg(
+            F.sum(
+                F.when(F.col("__rank") <= F.col("top_k"), F.col("c"))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("__cov")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "top_k",
+            "vocab_size",
+            "total_tokens",
+            F.round(
+                F.col("__cov").cast("double") / F.col("total_tokens"), 6
+            ).alias("covered_frac"),
+        )
+    )
+
+
+@register(
     "dedup_semantic_canonical",
     oracle=f"""
     WITH RECURSIVE {_SEMDEDUP_CTES},
