@@ -162,3 +162,73 @@ def embedding_contamination(
             F.max("__sim") >= F.lit(threshold), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def contamination_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int | None = None,
+    hashes: int | None = None,
+) -> DataFrame:
+    """Two-stage eval-set screen: Bloom prefilter, then exact confirm.
+
+    The broadcast in :func:`contamination` carries the eval set's RAW
+    distinct n-gram strings — fine for a benchmark suite, but a
+    consolidated eval registry (every benchmark + their train splits)
+    can reach GBs of grams, past comfortable per-executor broadcast.
+    This variant compresses stage 1 to a FIXED-size Bloom bitmap
+    (``bits`` bits — KBs at any member count, shipped as a plain
+    string literal): every corpus doc probes its grams with pure JVM
+    expressions (zero joins, zero extra shuffle —
+    :func:`~delta_lake_pyspark_scd2_spark.operators.sketches.bloom_hit_expr`),
+    and only the docs with at least one all-bits-set gram — the Bloom
+    can false-positive but NEVER false-negative, so this set contains
+    every truly contaminated doc — pay the stage-2 exact gram join.
+    At a healthy FP rate stage 2 touches a sliver of the corpus.
+
+    Returns ``(id_col, bloom_hit, contaminated)`` covering every row
+    of ``docs``; ``contaminated`` is EXACT (identical to
+    :func:`contamination`'s flag — the no-false-negative guarantee is
+    what makes restricting stage 2 to ``bloom_hit`` lossless).
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+
+    bits = sketches.BLOOM_BITS if bits is None else bits
+    hashes = sketches.BLOOM_HASHES if hashes is None else hashes
+    bloom = sketches.bloom_build(
+        eval_ngrams(eval_docs, n, text_col), "gram", bits=bits, hashes=hashes
+    )
+    bitmap = sketches.bloom_bitstring(bloom, bits)
+    gram_hit = sketches.bloom_hit_expr(
+        F.col("gram"), bitmap, bits=bits, hashes=hashes
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), n)).alias("gram"),
+        )
+        .select(F.col(id_col), gram_hit.alias("__h"))
+        .groupBy(id_col)
+        .agg(F.max("__h").alias("bloom_hit"))
+    )
+    # docs with no grams at all (empty text) never reach per_doc —
+    # they are trivially clean
+    flagged = docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+    )
+    survivors_to_confirm = docs.join(
+        flagged.filter(F.col("bloom_hit")).select(id_col), id_col, "left_semi"
+    )
+    exact = contamination(survivors_to_confirm, eval_docs, n, text_col, id_col)
+    return flagged.join(
+        exact.select(F.col(id_col), "contaminated"), id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.col("bloom_hit"),
+        F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+    )

@@ -293,3 +293,149 @@ def histogram_drift_from_counts(
             F.round(F.sum("__t"), 6).alias("l1_distance"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the membership sketch
+# ---------------------------------------------------------------------------
+
+#: Default geometry: 4 hashes x 16384 bits -> FP rate ~2.4% at 2,000
+#: members, ~0.24% at 1,000 (p = (1 - e^(-kn/m))^k).
+BLOOM_BITS = 16384
+BLOOM_HASHES = 4
+
+
+def bloom_bit(item: Column, hash_row: Column, bits: int = BLOOM_BITS) -> Column:
+    """Bit position of ``item`` under hash row ``hash_row`` — the
+    shared Spark/DuckDB contract:
+    ``md5_prefix_long('b' || hash_row || ':' || item) % bits``.
+    The ``'b'`` salt keeps the family disjoint from the count-min
+    buckets (:func:`cms_bucket` hashes ``d || ':' || item``)."""
+    return (
+        md5_prefix_long(
+            F.concat(
+                F.lit("b"),
+                hash_row.cast("string"),
+                F.lit(":"),
+                item.cast("string"),
+            )
+        )
+        % bits
+    )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    *,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter over the item column: the SPARSE form, one
+    row per SET bit position (``pos``) — at most ``bits`` rows (KBs)
+    regardless of member-set size.
+
+    Completes the mergeable-sketch family's classic quartet: HLL = how
+    many distinct, CMS = how often, log2-histogram = distribution
+    shape, Bloom = **is this one a member** — with the membership
+    guarantee the others can't give: a probe may false-POSITIVE
+    (collisions set shared bits) but never false-negative, so it is a
+    sound PREFILTER for any expensive exact membership join.
+
+    The ``hashes``-way explode multiplies rows of the *member set*
+    (typically the small side — an eval suite, a blocklist, a seen-URL
+    day), never a corpus.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("d")
+    return (
+        items.select(F.col(item_col).alias("__i"), d)
+        .select(bloom_bit(F.col("__i"), F.col("d"), bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the same geometry: bit-set UNION.
+
+    Unlike the counter sketches (CMS/histogram), the fold is
+    **idempotent** — re-merging a batch is a no-op, so streaming
+    maintenance needs no writer-transaction replay guard; set union is
+    exactly-once by construction."""
+    u = reduce(lambda a, b: a.unionByName(b), blooms)
+    return u.distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    *,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+    flag_col: str = "might_contain",
+) -> DataFrame:
+    """Membership flag per DISTINCT item value: ``flag_col`` is true
+    iff all ``hashes`` of the item's bit positions are set.
+
+    The sketch side is broadcast (≤ ``bits`` rows); the probe explode
+    is ``hashes`` rows per item and the only aggregation is the
+    per-item match count. Never a false negative; a true flag means
+    "member OR collision" at the geometry's FP rate.
+
+    The match is counted as DISTINCT matched hash rows, so a sketch
+    frame carrying duplicate ``pos`` rows (e.g. a raw union that was
+    never re-distincted) degrades to a fanned-out join, never to a
+    wrong flag — a plain count would exceed ``hashes`` there and flip
+    a true member to False, the one error class a Bloom filter must
+    never make.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(hashes - 1))).alias("d")
+    probes = items.select(F.col(item_col), d).withColumn(
+        "pos", bloom_bit(F.col(item_col), F.col("d"), bits)
+    )
+    marked = bloom.select("pos", F.lit(1).alias("__set"))
+    matched_row = F.when(F.col("__set").isNotNull(), F.col("d"))
+    return (
+        probes.join(F.broadcast(marked), "pos", "left")
+        .groupBy(item_col)
+        .agg((F.countDistinct(matched_row) == hashes).alias(flag_col))
+    )
+
+
+def bloom_bitstring(bloom: DataFrame, bits: int = BLOOM_BITS) -> str:
+    """Materialize the sparse Bloom rows as a ``bits``-character
+    '0'/'1' string — character ``p`` (0-based) is bit ``p``.
+
+    This is the ZERO-JOIN probe form: the string is KBs (16 KiB at
+    the default geometry), so it ships to every task as a plain column
+    LITERAL and membership becomes a pure JVM expression
+    (:func:`bloom_hit_expr`) — no broadcast join, no extra shuffle on
+    the probe side at all. The ``collect()`` here is bits-bounded (≤
+    ``bits`` rows of one int) by construction, never data-sized.
+    """
+    chars = ["0"] * bits
+    for row in bloom.select("pos").collect():
+        chars[int(row["pos"])] = "1"
+    return "".join(chars)
+
+
+def bloom_hit_expr(
+    item: Column,
+    bitmap: str,
+    *,
+    bits: int = BLOOM_BITS,
+    hashes: int = BLOOM_HASHES,
+) -> Column:
+    """Pure-expression membership test against a bit-string from
+    :func:`bloom_bitstring`: AND over the item's ``hashes`` bit
+    lookups, each ONE ``substr`` on the literal — whole-stage-codegen
+    friendly, zero joins.
+    """
+    lit_bitmap = F.lit(bitmap)
+    hit = F.lit(True)
+    for d in range(hashes):
+        pos = bloom_bit(item, F.lit(d), bits)
+        hit = hit & (
+            F.substr(lit_bitmap, (pos + 1).cast("int"), F.lit(1)) == "1"
+        )
+    return hit

@@ -5389,3 +5389,239 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_drift(
         docs, text.token_count_ws(F.col("text")), "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: the membership sketch + its decontamination prefilter
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sketch_bloom",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    counts AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY 1
+    ),
+    member AS (
+      SELECT DISTINCT word FROM words WHERE source = 'src0' AND word <> ''
+    ),
+    ds AS (SELECT unnest(range(4)) AS d),
+    bloom AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('b' || CAST(d AS VARCHAR) || ':' || word), 1, 8))::BIGINT
+          % 16384 AS pos
+      FROM member CROSS JOIN ds
+    ),
+    topk AS (SELECT word, c FROM counts ORDER BY c DESC, word LIMIT 20),
+    probes AS (
+      SELECT t.word, t.c, ds.d,
+        ('0x' || substr(md5('b' || CAST(ds.d AS VARCHAR) || ':' || t.word), 1, 8))::BIGINT
+          % 16384 AS pos
+      FROM topk t CROSS JOIN ds
+    )
+    SELECT p.word,
+           CAST(min(p.c) AS BIGINT) AS exact_count,
+           count(b.pos) = 4 AS might_contain,
+           CAST(max(CASE WHEN m.word IS NOT NULL THEN 1 ELSE 0 END) AS BOOLEAN)
+             AS truly_present
+    FROM probes p
+    LEFT JOIN bloom b ON b.pos = p.pos
+    LEFT JOIN member m ON m.word = p.word
+    GROUP BY 1
+    """,
+    doc="Bloom filter membership sketch (Bloom 1970), completing the "
+    "mergeable-sketch quartet (HLL = how many distinct, CMS = how "
+    "often, log2-histogram = shape, Bloom = is this one a member): "
+    "the src0 slice's vocabulary folds into a fixed 4x16384-bit "
+    "filter (KBs at any member count, merge = idempotent bit union), "
+    "probed here at the corpus top-20 words next to exact membership "
+    "-- may false-positive, can never false-negative. Bit positions "
+    "ride the shared md5 primitive, so the oracle rebuilds the "
+    "identical filter bit-for-bit.",
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = persist_tracked(text.word_counts(docs))
+    member = text.word_counts(docs.filter(F.col("source") == "src0")).select(
+        "word"
+    )
+    bloom = sketches.bloom_build(member, "word")
+    topk = counts.orderBy(F.desc("c"), "word").limit(20)
+    flags = sketches.bloom_might_contain(bloom, topk.select("word"), "word")
+    return (
+        topk.join(flags, "word")
+        .join(
+            F.broadcast(member.withColumn("__m", F.lit(1))), "word", "left"
+        )
+        .select(
+            "word",
+            F.col("c").alias("exact_count"),
+            "might_contain",
+            F.col("__m").isNotNull().alias("truly_present"),
+        )
+    )
+
+
+@register(
+    "decontam_bloom",
+    oracle=f"""
+    WITH {_DECON_CTE},
+    ds AS (SELECT unnest(range(4)) AS d),
+    bloom AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('b' || CAST(d AS VARCHAR) || ':' || gram), 1, 8))::BIGINT
+          % 16384 AS pos
+      FROM egrams CROSS JOIN ds
+    ),
+    tprobe AS (
+      SELECT g.doc_id, g.gram, ds.d,
+        ('0x' || substr(md5('b' || CAST(ds.d AS VARCHAR) || ':' || g.gram), 1, 8))::BIGINT
+          % 16384 AS pos
+      FROM dgrams g CROSS JOIN ds WHERE g.source <> 'src0'
+    ),
+    gram_hits AS (
+      SELECT doc_id, gram, count(b.pos) = 4 AS hit
+      FROM tprobe LEFT JOIN bloom b USING (pos)
+      GROUP BY 1, 2
+    ),
+    doc_bloom AS (SELECT doc_id, max(hit) AS bloom_hit FROM gram_hits GROUP BY 1),
+    exact AS (
+      SELECT DISTINCT g.doc_id
+      FROM dgrams g JOIN egrams USING (gram)
+      WHERE g.source <> 'src0'
+    )
+    SELECT d.doc_id,
+           COALESCE(b.bloom_hit, FALSE) AS bloom_hit,
+           d.doc_id IN (SELECT doc_id FROM exact) AS contaminated
+    FROM documents d LEFT JOIN doc_bloom b USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    doc="Two-stage eval-set decontamination: the benchmark slice's "
+    "13-grams fold into a fixed 4x16384-bit Bloom bitmap shipped as a "
+    "STRING LITERAL (KBs at any eval-suite size -- the screen for a "
+    "consolidated eval registry whose raw gram set outgrows "
+    "broadcast), stage-1 probes are pure JVM bit expressions (zero "
+    "joins), and only bloom-hit docs pay the stage-2 exact gram "
+    "confirm. No false negatives, so restricting stage 2 to the "
+    "prefilter survivors is lossless -- the oracle proves it by "
+    "computing the exact flag unrestricted.",
+)
+def decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import decontam
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontam.contamination_bloom(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=_DECON_N,
+    )
+
+
+@register(
+    "dedup_recall_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared / (sa.set_size + sb.set_size - shared) >= 0.8
+    ),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+           {_MIN_EXPRS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    ),
+    j AS (
+      SELECT t.id_a AS t_mark, c.id_a AS c_mark
+      FROM truth t FULL OUTER JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ),
+    agg AS (
+      SELECT CAST(count(t_mark) AS BIGINT) AS n_truth,
+             CAST(count(c_mark) AS BIGINT) AS n_candidates,
+             CAST(count(CASE WHEN t_mark IS NOT NULL AND c_mark IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_hits
+      FROM j
+    )
+    SELECT n_truth, n_candidates, n_hits,
+           CASE WHEN n_truth > 0
+                THEN round(CAST(n_hits AS DOUBLE) / n_truth, 6) END AS recall,
+           CASE WHEN n_candidates > 0
+                THEN round(CAST(n_hits AS DOUBLE) / n_candidates, 6)
+           END AS candidate_precision
+    FROM agg
+    """,
+    doc="Candidate-recall evaluation of the MinHash-LSH blocker vs the "
+    "exact Jaccard>=0.8 ground truth -- the dedup family's twin of "
+    "ann_recall_eval: recall = the fraction of true near-dup pairs the "
+    "16-hash/4-band banding surfaces (what tunes bands x rows before a "
+    "100 TB run), candidate_precision = how much of the candidate "
+    "stream survives exact verification (the wasted-verify cost). "
+    "Both arms are deterministic md5 constructions, so the whole "
+    "evaluation value-hashes.",
+)
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b"
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingle_n=3)
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    j = truth.withColumn("__t", F.lit(1)).join(
+        cand.withColumn("__c", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.count("__t").cast("long").alias("n_truth"),
+        F.count("__c").cast("long").alias("n_candidates"),
+        F.count(
+            F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1)
+        )
+        .cast("long")
+        .alias("n_hits"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.when(
+            F.col("n_truth") > 0,
+            F.round(F.col("n_hits").cast("double") / F.col("n_truth"), 6),
+        ).alias("recall"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_candidates"), 6
+            ),
+        ).alias("candidate_precision"),
+    )

@@ -1,5 +1,6 @@
 from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
     corpus_ingest_stream,
+    bloom_stream,
     count_min_stream,
     drift_monitor_stream,
     histogram_stream,
@@ -13,6 +14,7 @@ from delta_lake_pyspark_scd2_spark.streaming.stream_jobs import (
 
 __all__ = [
     "corpus_ingest_stream",
+    "bloom_stream",
     "count_min_stream",
     "drift_monitor_stream",
     "histogram_stream",

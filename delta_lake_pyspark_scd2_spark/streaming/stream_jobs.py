@@ -1092,3 +1092,95 @@ def length_drift_stream(
         checkpoint_dir,
         _fold,
     )
+
+
+def bloom_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    bits: int | None = None,
+    hashes: int | None = None,
+    app_id: str = "bloom_maintain",
+    on_batch: Callable[[int, int], None] | None = None,
+) -> StreamingQuery:
+    """Streaming Bloom-filter maintenance (``on_batch`` receives
+    ``(batch_no, committed_table_version)`` after each fold): each micro-batch folds its
+    docs' exact-content fingerprints (md5 of the normalized text) into
+    a persisted seen-content filter — the online membership twin of
+    ``operators.sketches.bloom_build`` and the fourth maintained
+    sketch (CMS frequency, HLL cardinality, histogram shape, Bloom
+    membership). A live probe over the maintained table answers "has
+    this content been ingested before, ever" in KBs of state at any
+    corpus history, the constant-size prefilter in front of the exact
+    fingerprint-store lookup that ``CorpusIngest`` does.
+
+    Per-batch work: one bounded fold — the batch's ≤ bits-row position
+    set, anti-joined against the stored positions so each commit
+    appends only NEW bits (the table stays ≤ ``bits`` rows forever).
+
+    Exactly-once comes FREE here, and that is the point of contrast
+    with the counter maintainers: set union is idempotent, so a
+    replayed micro-batch (crash between append and checkpoint commit)
+    re-derives positions that all anti-join away — no writer
+    transaction, no reset guard; even a fully RESET checkpoint merely
+    re-folds history into a no-op instead of corrupting the sketch.
+    (Counter addition has no such luck: CMS/histogram folds carry
+    ``(app_id, batch_no)`` txns and fail loud on reset.) Should two
+    concurrent folds ever race the same new position past the
+    anti-join, the blind-append rebase lands both — duplicate ``pos``
+    rows degrade the probe's join fanout, never its answer
+    (``bloom_might_contain`` counts distinct matched hash rows).
+
+    Geometry IS layout (a position from a 4×16384 build means nothing
+    in a 2×1024 filter), so like the CMS stream the table pins
+    ``bloom.bits`` / ``bloom.hashes`` as properties at create time and
+    a reconfigured restart fails loud; an untagged handed-over table
+    adopts the configured geometry.
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+    from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    bits = sketches.BLOOM_BITS if bits is None else bits
+    hashes = sketches.BLOOM_HASHES if hashes is None else hashes
+    geometry = {"bloom.bits": str(bits), "bloom.hashes": str(hashes)}
+    if not VersionedParquetTable.is_table(sketch_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame([], "pos BIGINT"),
+            sketch_path,
+            properties=geometry,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = VersionedParquetTable(spark, sketch_path)
+        props = sk.properties()
+        have = {k: props.get(k) for k in geometry}
+        if any(v is not None for v in have.values()) and have != geometry:
+            raise ValueError(
+                f"bloom at {sketch_path} has geometry {have}, stream "
+                f"is configured {geometry}: bit layouts are "
+                "incompatible; rebuild the filter or match the config"
+            )
+        fps = batch_df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("fp")
+        )
+        delta = sketches.bloom_build(fps, "fp", bits=bits, hashes=hashes)
+        new_bits = delta.join(sk.read(), ["pos"], "left_anti")
+        version = sk.append(new_bits)
+        if on_batch is not None:
+            on_batch(batch_no, version)
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )

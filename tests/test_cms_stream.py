@@ -231,3 +231,65 @@ def test_length_drift_stream_matches_batch(spark, tmp_path):
         match="checkpoint appears reset",
     ):
         length_drift_stream(spark, str(src), cp, str(tmp_path / "ck2"))
+
+
+def test_bloom_stream_matches_batch_and_replay_is_free(spark, tmp_path):
+    """The maintained seen-content filter after N micro-batches equals
+    the batch bloom of all docs' fingerprints; a replayed checkpoint
+    adds nothing; and — unlike the counter maintainers — even a fully
+    RESET checkpoint converges (set union is idempotent) instead of
+    failing loud. A true member probes as might_contain; geometry
+    mismatch on restart fails loud."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+    from delta_lake_pyspark_scd2_spark.operators.text import normalize_text
+    from delta_lake_pyspark_scd2_spark.streaming import bloom_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    sk_path, ck = str(tmp_path / "bloom"), str(tmp_path / "ck")
+    batches = [
+        [(1, "alpha beta gamma"), (2, "one two three")],
+        [(3, "alpha beta gamma"), (4, "fresh content here")],
+        [(5, "lone doc")],
+    ]
+    for i, rows in enumerate(batches):
+        with open(src / f"b{i}.json", "w") as f:
+            for did, t in rows:
+                f.write(json.dumps({"doc_id": did, "text": t}) + "\n")
+        bloom_stream(spark, str(src), sk_path, ck)
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], "doc_id long, text string"
+    )
+    fps = all_docs.select(F.md5(normalize_text(F.col("text"))).alias("fp"))
+    want = {r["pos"] for r in sketches.bloom_build(fps, "fp").collect()}
+    stored = VersionedParquetTable(spark, sk_path)
+    got = {r["pos"] for r in stored.read().collect()}
+    assert got == want
+    assert stored.read().count() == len(want)  # no duplicate rows
+    # replay with the same checkpoint: no new rows
+    bloom_stream(spark, str(src), sk_path, ck)
+    assert {r["pos"] for r in stored.read().collect()} == want
+    # RESET checkpoint: the idempotent fold converges, no guard needed
+    bloom_stream(spark, str(src), sk_path, str(tmp_path / "ck2"))
+    assert {r["pos"] for r in stored.read().collect()} == want
+    assert stored.read().count() == len(want)
+    # membership: every ingested fingerprint probes True
+    flags = sketches.bloom_might_contain(stored.read(), fps.distinct(), "fp")
+    assert all(r["might_contain"] for r in flags.collect())
+    # geometry mismatch fails loud
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with open(src / "b9.json", "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "later batch"}) + "\n")
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException, Py4JJavaError, ValueError),
+        match="geometry",
+    ):
+        bloom_stream(
+            spark, str(src), sk_path, str(tmp_path / "ck3"), bits=1024
+        )

@@ -271,3 +271,137 @@ def test_embedding_health_flags_each_defect_class(spark):
     assert (g["n"], g["n_wrong_dim"], g["n_zero_norm"], g["n_nonfinite"]) == (
         6, 2, 1, 2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _words_df(spark, docs):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "id INT, text STRING"
+    )
+    return (
+        df.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+
+
+def test_bloom_never_false_negative(spark):
+    """Every true member probes as might_contain — the guarantee that
+    makes the bloom a sound prefilter."""
+    members = _words_df(spark, DOCS)
+    bloom = sketches.bloom_build(members, "word")
+    flags = {
+        r["word"]: r["might_contain"]
+        for r in sketches.bloom_might_contain(bloom, members, "word").collect()
+    }
+    assert flags and all(flags.values())
+
+
+def test_bloom_merge_is_idempotent_union_and_matches_whole(spark):
+    """Sketches of disjoint halves union-merge to exactly the
+    whole-corpus sketch, and re-merging a half is a no-op (set union
+    is idempotent — no replay guard needed, unlike the counters)."""
+    a = sketches.bloom_build(_words_df(spark, DOCS[:2]), "word")
+    b = sketches.bloom_build(_words_df(spark, DOCS[2:]), "word")
+    whole = {
+        r["pos"]
+        for r in sketches.bloom_build(_words_df(spark, DOCS), "word").collect()
+    }
+    merged = {r["pos"] for r in sketches.bloom_merge(a, b).collect()}
+    remerged = {r["pos"] for r in sketches.bloom_merge(a, b, a).collect()}
+    assert merged == whole
+    assert remerged == whole
+
+
+def test_bloom_absent_items_mostly_rejected(spark):
+    """At this geometry (4 x 16384 bits, tens of members) the FP rate
+    is far below 1, so a batch of absent probes must be dominated by
+    False flags — and any True among them is a collision, never an
+    error the exact confirm can't absorb."""
+    members = _words_df(spark, DOCS)
+    bloom = sketches.bloom_build(members, "word")
+    absent = spark.createDataFrame(
+        [(f"absent-token-{i}",) for i in range(200)], "word STRING"
+    )
+    flags = [
+        r["might_contain"]
+        for r in sketches.bloom_might_contain(bloom, absent, "word").collect()
+    ]
+    assert len(flags) == 200
+    assert sum(flags) <= 2  # expected ~0 at p ~ (kn/m)^k
+
+
+def test_bloom_bitstring_expr_matches_join_probe(spark):
+    """The zero-join literal-bitmap probe (bloom_hit_expr) and the
+    broadcast-join probe (bloom_might_contain) are the same function."""
+    members = _words_df(spark, DOCS[:3])
+    bloom = sketches.bloom_build(members, "word")
+    bitmap = sketches.bloom_bitstring(bloom)
+    probes = _words_df(spark, DOCS)  # members + non-members
+    via_join = {
+        r["word"]: r["might_contain"]
+        for r in sketches.bloom_might_contain(bloom, probes, "word").collect()
+    }
+    via_expr = {
+        r["word"]: r["hit"]
+        for r in probes.select(
+            "word", sketches.bloom_hit_expr(F.col("word"), bitmap).alias("hit")
+        ).collect()
+    }
+    assert via_expr == via_join
+    member_words = {r["word"] for r in members.collect()}
+    assert all(via_expr[w] for w in member_words)
+
+
+def test_bloom_decontam_two_stage_matches_exact(spark):
+    """contamination_bloom's exact flag == contamination's flag on
+    every doc, and bloom_hit is a superset of contaminated (no false
+    negatives); stage 2 only ever runs on bloom-hit docs."""
+    from delta_lake_pyspark_scd2_spark.operators import decontam
+
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog today ok fine yes")],
+        "doc_id LONG, text STRING",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # shares a 13-gram window? n=5 here for short texts
+            (1, "the quick brown fox jumps over the lazy dog today ok"),
+            (2, "completely unrelated content about merge sort and tables"),
+            (3, "another clean document with no overlap whatsoever here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.contamination(corpus, eval_docs, n=5).collect()
+    }
+    two_stage = {
+        r["doc_id"]: (r["bloom_hit"], r["contaminated"])
+        for r in decontam.contamination_bloom(corpus, eval_docs, n=5).collect()
+    }
+    assert set(two_stage) == set(exact)
+    for doc_id, (bloom_hit, contaminated) in two_stage.items():
+        assert contaminated == exact[doc_id]
+        if contaminated:
+            assert bloom_hit  # no false negatives
+    assert two_stage[1][1] and not two_stage[2][1] and not two_stage[3][1]
+
+
+def test_bloom_probe_tolerates_duplicate_pos_rows(spark):
+    """A sketch frame with duplicate set-bit rows (raw union, never
+    re-distincted) must not flip members to False via join fanout."""
+    members = _words_df(spark, DOCS)
+    bloom = sketches.bloom_build(members, "word")
+    doubled = bloom.unionByName(bloom)  # every pos twice
+    flags = {
+        r["word"]: r["might_contain"]
+        for r in sketches.bloom_might_contain(
+            doubled, members, "word"
+        ).collect()
+    }
+    assert flags and all(flags.values())
