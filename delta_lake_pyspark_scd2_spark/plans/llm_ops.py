@@ -5625,3 +5625,242 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("candidate_precision"),
     )
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    tf AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS c
+      FROM words WHERE word <> '' GROUP BY 1
+    ),
+    r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS rnk
+      FROM tf
+    ),
+    terms AS (
+      SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+             round(ln(CAST(c AS DOUBLE)), 9) AS y
+      FROM r
+    ),
+    t2 AS (
+      SELECT x, y,
+             round(x * y, 9) AS xy,
+             round(x * x, 9) AS xx,
+             round(y * y, 9) AS yy
+      FROM terms
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+             round(sum(x), 6) AS sx,
+             round(sum(y), 6) AS sy,
+             round(sum(xy), 6) AS sxy,
+             round(sum(xx), 6) AS sxx,
+             round(sum(yy), 6) AS syy
+      FROM t2
+    ),
+    fit AS (
+      SELECT vocab_size, sx, sy, syy,
+             CAST(vocab_size AS DOUBLE) * sxy - sx * sy AS num,
+             CAST(vocab_size AS DOUBLE) * sxx - sx * sx AS den,
+             CAST(vocab_size AS DOUBLE) * syy - sy * sy AS den_y
+      FROM s
+    ),
+    sl AS (
+      SELECT vocab_size, sx, sy, num, den, den_y,
+             CASE WHEN den <> 0 THEN round(num / den, 6) END AS zipf_slope
+      FROM fit
+    )
+    SELECT vocab_size, zipf_slope,
+           CASE WHEN zipf_slope IS NOT NULL
+                THEN round((sy - zipf_slope * sx) / vocab_size, 6)
+           END AS intercept,
+           CASE WHEN den <> 0 AND den_y <> 0
+                THEN round((num * num) / (den * den_y), 6)
+           END AS r2
+    FROM sl
+    """,
+    doc="Zipf's-law fit of the corpus vocabulary: closed-form OLS of "
+    "ln(frequency) on ln(rank) -- slope ~ -1 is the healthy-natural-"
+    "text signature, a flattened slope flags template/boilerplate "
+    "corpora and a steep one vocabulary collapse; with r2 as the "
+    "power-law goodness. The corpus-health companion of "
+    "text_vocab_coverage, sharing its machinery: exact ranks via "
+    "distributed_total_rank (never a single-task vocabulary sort), "
+    "then ONE map-side-combinable aggregation over the vocab-sized "
+    "term table. Cross-engine float contract: ln terms and products "
+    "at 9 dp, sums at 6 dp, the slope/intercept/r2 divisions computed "
+    "from those rounded sums.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = text.word_counts(docs)
+    ranked = distributed_total_rank(tf, "c", ["word"], descending=True)
+    t2 = ranked.select(
+        F.round(F.log(F.col("__rank").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 9).alias("y"),
+    ).select(
+        "x",
+        "y",
+        F.round(F.col("x") * F.col("y"), 9).alias("xy"),
+        F.round(F.col("x") * F.col("x"), 9).alias("xx"),
+        F.round(F.col("y") * F.col("y"), 9).alias("yy"),
+    )
+    s = t2.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum("xy"), 6).alias("sxy"),
+        F.round(F.sum("xx"), 6).alias("sxx"),
+        F.round(F.sum("yy"), 6).alias("syy"),
+    )
+    n_d = F.col("vocab_size").cast("double")
+    fit = s.select(
+        "vocab_size",
+        "sx",
+        "sy",
+        "syy",
+        (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+        (n_d * F.col("syy") - F.col("sy") * F.col("sy")).alias("den_y"),
+    )
+    sl = fit.select(
+        "vocab_size",
+        "sx",
+        "sy",
+        "num",
+        "den",
+        "den_y",
+        F.when(
+            F.col("den") != 0, F.round(F.col("num") / F.col("den"), 6)
+        ).alias("zipf_slope"),
+    )
+    return sl.select(
+        "vocab_size",
+        "zipf_slope",
+        F.when(
+            F.col("zipf_slope").isNotNull(),
+            F.round(
+                (F.col("sy") - F.col("zipf_slope") * F.col("sx"))
+                / F.col("vocab_size").cast("double"),
+                6,
+            ),
+        ).alias("intercept"),
+        F.when(
+            (F.col("den") != 0) & (F.col("den_y") != 0),
+            F.round(
+                (F.col("num") * F.col("num"))
+                / (F.col("den") * F.col("den_y")),
+                6,
+            ),
+        ).alias("r2"),
+    )
+
+
+@register(
+    "embed_diversity",
+    oracle="""
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS ev,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+               AS nrm
+      FROM embeddings
+    ),
+    comps AS (
+      SELECT label, t.i AS idx, round(ev[t.i] / nrm, 9) AS c
+      FROM e, UNNEST(range(1, len(ev) + 1)) AS t(i)
+      WHERE nrm > 0
+    ),
+    n_per AS (
+      SELECT label, CAST(count(*) AS BIGINT) AS n FROM e WHERE nrm > 0
+      GROUP BY 1
+    ),
+    sums AS (
+      SELECT label, idx, round(sum(c), 6) AS s FROM comps GROUP BY 1, 2
+    ),
+    ssq AS (
+      SELECT label, round(sum(round(s * s, 9)), 6) AS ssq
+      FROM sums GROUP BY 1
+    ),
+    qsum AS (
+      SELECT label, round(sum(round(c * c, 9)), 6) AS q
+      FROM comps GROUP BY 1
+    )
+    SELECT n_per.label, n_per.n,
+           CASE WHEN n_per.n > 1
+                THEN round((ssq.ssq - qsum.q)
+                           / (CAST(n_per.n AS DOUBLE) * (n_per.n - 1)), 6)
+           END AS mean_pairwise_cos
+    FROM n_per JOIN ssq USING (label) JOIN qsum USING (label)
+    """,
+    doc="Per-group embedding diversity WITHOUT a pair join: mean "
+    "pairwise cosine of the unit-normalized vectors via the aggregate-"
+    "vector identity sum_{i<>j} cos(vi,vj) = |sum v|^2 - sum |v|^2 -- "
+    "O(n x d) component sums instead of the O(n^2) scan every "
+    "pairwise-similarity formulation pays (at 10^9 vectors per group "
+    "the pair join is impossible; this is one map-side-combinable "
+    "aggregation). Low diversity = a collapsed/templated group worth "
+    "down-weighting; the group-level companion of sample_cluster_"
+    "balanced's per-item centrality. Float contract: 9-dp normalized "
+    "components and term products, single-level 6-dp sums, divisions "
+    "from rounded inputs; the algebraic identity itself is pinned "
+    "against a brute-force pair mean in pytest.",
+)
+def embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    e = emb.select("label", "embedding", F.sqrt(dot).alias("nrm")).filter(
+        F.col("nrm") > 0
+    )
+    comps = persist_tracked(
+        e.select(
+            "label",
+            F.posexplode("embedding").alias("idx", "x"),
+            F.col("nrm"),
+        ).select(
+            "label",
+            "idx",
+            F.round(F.col("x").cast("double") / F.col("nrm"), 9).alias("c"),
+        )
+    )
+    n_per = e.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    sums = comps.groupBy("label", "idx").agg(
+        F.round(F.sum("c"), 6).alias("s")
+    )
+    ssq = sums.groupBy("label").agg(
+        F.round(F.sum(F.round(F.col("s") * F.col("s"), 9)), 6).alias("ssq")
+    )
+    qsum = comps.groupBy("label").agg(
+        F.round(F.sum(F.round(F.col("c") * F.col("c"), 9)), 6).alias("q")
+    )
+    return (
+        n_per.join(ssq, "label")
+        .join(qsum, "label")
+        .select(
+            "label",
+            "n",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    (F.col("ssq") - F.col("q"))
+                    / (F.col("n").cast("double") * (F.col("n") - 1)),
+                    6,
+                ),
+            ).alias("mean_pairwise_cos"),
+        )
+    )

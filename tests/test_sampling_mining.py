@@ -114,3 +114,49 @@ def test_cluster_safe_split_never_leaks_and_hits_shares(spark):
         for r in graph.cluster_safe_split(docs, pairs).collect()
     }
     assert again == split_of
+
+
+def test_embed_diversity_identity_matches_bruteforce_pairs(spark):
+    """The O(n*d) aggregate-vector identity equals the O(n^2) mean of
+    pairwise cosines (up to the float-rounding contract)."""
+    import itertools
+    import math
+    import random
+
+    from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        label = vid % 3
+        vec = [rng.uniform(-1, 1) + (0.5 if label == 0 else 0.0) for _ in range(8)]
+        rows.append((vid, vec, label))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        out = {
+            r["label"]: (r["n"], r["mean_pairwise_cos"])
+            for r in REGISTRY["embed_diversity"].builder(spark, d).collect()
+        }
+    # brute force in python over float32-rounded inputs (parquet stores
+    # float32; read back what spark saw)
+    by_label: dict[int, list[list[float]]] = {}
+    for vid, vec, label in rows:
+        import struct
+
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in vec]
+        n = math.sqrt(sum(x * x for x in v32))
+        by_label.setdefault(label, []).append([x / n for x in v32])
+    for label, vecs in by_label.items():
+        pair_cos = [
+            sum(a * b for a, b in zip(u, v))
+            for u, v in itertools.combinations(vecs, 2)
+        ]
+        want = sum(pair_cos) * 2 / (len(vecs) * (len(vecs) - 1))
+        n_got, got = out[label]
+        assert n_got == len(vecs)
+        assert abs(got - want) < 1e-4, (label, got, want)
