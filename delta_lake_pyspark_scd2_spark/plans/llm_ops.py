@@ -5864,3 +5864,235 @@ def embed_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_pairwise_cos"),
         )
     )
+
+
+_EST_AGREE = " + ".join(
+    f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(_NUM_HASHES)
+)
+
+
+@register(
+    "dedup_estimate_eval",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh
+    ),
+    mins AS (
+      SELECT doc_id,
+           {_MIN_EXPRS}
+      FROM hashed GROUP BY doc_id
+    ),
+    banded AS (
+{_BAND_SELECTS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             round(CAST({_EST_AGREE} AS DOUBLE) / {_NUM_HASHES}, 6)
+               AS est_jaccard
+      FROM cand c
+      JOIN mins a ON a.doc_id = c.id_a
+      JOIN mins b ON b.doc_id = c.id_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b,
+             round(shared / (sa.set_size + sb.set_size - shared), 6)
+               AS exact_jaccard
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+    )
+    SELECT e.id_a, e.id_b, e.est_jaccard,
+           COALESCE(x.exact_jaccard, 0.0) AS exact_jaccard,
+           round(abs(e.est_jaccard - COALESCE(x.exact_jaccard, 0.0)), 6)
+             AS abs_err
+    FROM est e
+    LEFT JOIN exact x ON x.id_a = e.id_a AND x.id_b = e.id_b
+    """,
+    doc="MinHash ESTIMATOR calibration over the LSH candidate pairs: "
+    "per candidate, the signature-agreement Jaccard estimate "
+    "(agreeing slots / 16) next to the exact shingle Jaccard and the "
+    "absolute error -- the second half of the dedup evaluation story "
+    "(dedup_recall_eval asks 'does the blocker surface true pairs'; "
+    "this asks 'can the verify stage TRUST the signatures instead of "
+    "re-shingling', which decides whether a 100 TB verify pass reads "
+    "16-slot signatures or full text). Exact arm computed only over "
+    "candidate-involved docs; a candidate sharing no shingle (hash "
+    "collision) scores exact 0.",
+)
+def dedup_estimate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = persist_tracked(
+        dedup.minhash_signatures(docs, num_hashes=_NUM_HASHES, shingle_n=3)
+    )
+    cand = dedup.lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            "__ma", "__mb", lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = (
+        cand.join(
+            sigs.select(
+                F.col("doc_id").alias("id_a"), F.col("minhash").alias("__ma")
+            ),
+            "id_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("id_b"), F.col("minhash").alias("__mb")
+            ),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                agree.cast("double") / F.lit(float(_NUM_HASHES)), 6
+            ).alias("est_jaccard"),
+        )
+    )
+    ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    exact = dedup.ngram_jaccard_pairs(
+        docs.join(ids, "doc_id", "left_semi"), threshold=0.0
+    ).withColumnRenamed("jaccard", "exact_jaccard")
+    return est.join(exact, ["id_a", "id_b"], "left").select(
+        "id_a",
+        "id_b",
+        "est_jaccard",
+        F.coalesce("exact_jaccard", F.lit(0.0)).alias("exact_jaccard"),
+        F.round(
+            F.abs(
+                F.col("est_jaccard")
+                - F.coalesce("exact_jaccard", F.lit(0.0))
+            ),
+            6,
+        ).alias("abs_err"),
+    )
+
+
+@register(
+    "quality_calibration_curve",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 2
+    ),
+    words AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    big AS (
+      SELECT doc_id,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    lm AS (
+      SELECT m.doc_id,
+             ROUND(EXP(-SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                       / SUM(m.m)), 4) AS ppl
+      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY 1
+    ),
+    q AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             round(len(regexp_extract_all(text,
+                       '(?i)\\b(the|and|of|with|a|to|in|is)\\b'))
+                   / greatest(len(string_split_regex(trim(text), '\\s+')), 1),
+                   4) AS stopword_ratio
+      FROM documents
+    ),
+    j AS (
+      SELECT q.doc_id, -lm.ppl AS score,
+             CASE WHEN q.n_tokens BETWEEN 30 AND 5000
+                   AND q.stopword_ratio >= 0.02
+                  THEN 1 ELSE 0 END AS label
+      FROM q JOIN lm USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, score, label,
+             CAST(NTILE(10) OVER (ORDER BY score ASC, doc_id ASC) AS BIGINT)
+               AS decile
+      FROM j
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(label) AS BIGINT) AS n_pos,
+           round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_frac,
+           round(avg(score), 6) AS mean_score
+    FROM r GROUP BY 1
+    """,
+    doc="Reliability curve of the bigram-LM quality signal vs the "
+    "heuristic gate label: score deciles (exact NTILE from "
+    "distributed_total_rank + ntile_from_rank -- no global sort "
+    "window) with per-decile positive fraction and mean score. The "
+    "calibration companion of quality_auc_eval's single-number "
+    "ranking check: AUC says whether the ordering agrees, this shows "
+    "WHERE on the score axis it does -- a monotone pos_frac curve "
+    "means thresholding works; the flat curve measured here is the "
+    "per-decile view of the 0.499 AUC (the LM signal is uninformative "
+    "on this synthetic corpus). Shares the LM/label contract with the "
+    "AUC oracle verbatim.",
+)
+def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+        ntile_from_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    heur = text.quality_features(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio"
+    )
+    lm = text.bigram_lm_scores(docs).select("doc_id", "ppl")
+    j = heur.join(lm, "doc_id").select(
+        "doc_id",
+        (-F.col("ppl")).alias("score"),
+        F.when(
+            F.col("n_tokens").between(30, 5000)
+            & (F.col("stopword_ratio") >= 0.02),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    ranked = distributed_total_rank(j, "score", ["doc_id"], descending=False)
+    tiles = ranked.withColumn(
+        "decile",
+        ntile_from_rank(F.col("__rank"), F.col("__n"), 10).cast("long"),
+    )
+    return tiles.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.round(
+            F.sum("label").cast("double") / F.count(F.lit(1)), 6
+        ).alias("pos_frac"),
+        F.round(F.avg("score"), 6).alias("mean_score"),
+    )
