@@ -140,7 +140,10 @@ def test_corpus_report_sections(tmp_path):
                     "### Ingest volume anomalies (per event_type/day z-score)",
                     "### Language-ID confusion (heuristic vs table labels)",
                     "### Embedding health (per label)",
-                    "### ANN index selection (recall vs exact)"):
+                    "### ANN index selection (recall vs exact)",
+                    "### Dedup blocker evaluation (MinHash-LSH vs exact Jaccard)",
+                    "### Vocabulary shape (Zipf fit)",
+                    "### Embedding diversity per label (mean pairwise cosine)"):
         assert section in md
     assert "documents: 500" in md
     assert "nprobe=4: mean recall" in md

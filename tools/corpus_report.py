@@ -214,6 +214,61 @@ def build_report(spark, sf_dir: str) -> str:
         )
     out.append("")
 
+    # evaluations — the round-8 estimator/signal-quality queries
+    dre = _q("dedup_recall_eval")[0]
+    out += ["### Dedup blocker evaluation (MinHash-LSH vs exact Jaccard)", ""]
+    out += [
+        f"- true pairs (J>=0.8): {dre['n_truth']}; candidates:"
+        f" {dre['n_candidates']}; surfaced: {dre['n_hits']}",
+        f"- recall {dre['recall']}; candidate precision"
+        f" {dre['candidate_precision']}",
+        "",
+    ]
+
+    est = _q("dedup_estimate_eval")
+    if est:
+        mae = sum(r["abs_err"] for r in est) / len(est)
+        me = sum(r["est_jaccard"] for r in est) / len(est)
+        mx = sum(r["exact_jaccard"] for r in est) / len(est)
+        out += [
+            "### MinHash estimator calibration (candidate pairs)",
+            "",
+            f"- pairs: {len(est)}; MAE {mae:.3f}; mean estimate {me:.3f}"
+            f" vs mean exact {mx:.3f}"
+            + (
+                " — signatures over-estimate; keep the exact verify stage"
+                if me - mx > 0.05
+                else ""
+            ),
+            "",
+        ]
+
+    zipf = _q("text_zipf_fit")[0]
+    out += [
+        "### Vocabulary shape (Zipf fit)",
+        "",
+        f"- vocab {zipf['vocab_size']}; slope {zipf['zipf_slope']}"
+        f" (natural text ~ -1); r2 {zipf['r2']}"
+        + (
+            " — flat/non-power-law: template-like corpus"
+            if zipf["zipf_slope"] is not None and zipf["zipf_slope"] > -0.5
+            else ""
+        ),
+        "",
+    ]
+
+    div = sorted(
+        _q("embed_diversity"),
+        key=lambda r: r["mean_pairwise_cos"] or 0.0,
+        reverse=True,
+    )
+    out += ["### Embedding diversity per label (mean pairwise cosine)", ""]
+    out += [
+        f"- label {r['label']}: {r['mean_pairwise_cos']} over {r['n']} vectors"
+        for r in div[:5]
+    ]
+    out.append("")
+
     docs.unpersist()
     return "\n".join(out)
 
