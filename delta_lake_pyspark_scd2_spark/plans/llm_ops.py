@@ -6096,3 +6096,61 @@ def quality_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos_frac"),
         F.round(F.avg("score"), 6).alias("mean_score"),
     )
+
+
+@register(
+    "mixture_epochs",
+    oracle=r"""
+    WITH w(source, share) AS (VALUES ('src1', 0.6), ('src2', 0.2), ('src3', 0.2)),
+    tok AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS nt
+      FROM documents
+    ),
+    counts AS (
+      SELECT t.source, w.share, CAST(sum(t.nt) AS BIGINT) AS n_tokens
+      FROM tok t JOIN w USING (source) GROUP BY 1, 2
+    ),
+    budget AS (SELECT 2 * CAST(sum(n_tokens) AS BIGINT) AS b FROM counts)
+    SELECT c.source, c.n_tokens,
+           round(CAST(c.share AS DOUBLE), 6) AS target_share,
+           round(CAST(budget.b AS DOUBLE) * c.share / c.n_tokens, 6)
+             AS epochs,
+           CAST(budget.b AS DOUBLE) * c.share / c.n_tokens > 4.0
+             AS over_repeat_cap
+    FROM counts c CROSS JOIN budget
+    """,
+    doc="Data-constrained epoch planning (Muennighoff et al. 2023): "
+    "for a token budget (here 2x the weighted slices' corpus) and "
+    "target mixture 60/20/20 over src1/src2/src3, the repeat factor "
+    "each source must sustain -- epochs = budget x share / tokens -- "
+    "with sources pushed past the ~4-epoch diminishing-returns cap "
+    "flagged for weight rebalancing BEFORE the run burns compute. "
+    "Completes the mixture family's planning side (resample/"
+    "temperature act on rows; this answers whether the target weights "
+    "are even FEASIBLE at the budget). One map-side-combined token "
+    "sum per source; everything downstream is a sources-sized "
+    "broadcast computation on exact BIGINTs divided once.",
+)
+def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    shares = {"src1": 0.6, "src2": 0.2, "src3": 0.2}
+    w = spark.createDataFrame(
+        list(shares.items()), "source string, share double"
+    )
+    counts = (
+        docs.select("source", text.token_count_ws(F.col("text")).alias("nt"))
+        .join(F.broadcast(w), "source")
+        .groupBy("source", "share")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    budget = counts.agg((F.lit(2) * F.sum("n_tokens")).cast("long").alias("b"))
+    epochs = F.col("b").cast("double") * F.col("share") / F.col("n_tokens")
+    return counts.crossJoin(F.broadcast(budget)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("share"), 6).alias("target_share"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 4.0).alias("over_repeat_cap"),
+    )
