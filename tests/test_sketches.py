@@ -405,3 +405,19 @@ def test_bloom_probe_tolerates_duplicate_pos_rows(spark):
         ).collect()
     }
     assert flags and all(flags.values())
+
+
+def test_bloom_hit_expr_plan_has_no_join_or_exchange(spark):
+    """The literal-bitmap probe is the ZERO-JOIN path by contract: the
+    membership test must compile to pure expressions (substr + conv on
+    a literal), never a broadcast join or shuffle — that is the whole
+    reason decontam_bloom's stage 1 can run inside the corpus scan."""
+    df = spark.range(100).select(F.col("id").cast("string").alias("item"))
+    bitmap = "01" * (sketches.BLOOM_BITS // 2)
+    plan = (
+        df.select(sketches.bloom_hit_expr(F.col("item"), bitmap).alias("h"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan, plan
