@@ -45,6 +45,13 @@ _BANDS = 4
 _ROWS = 4
 _SHINGLE_N = 3
 
+#: Seen-content Bloom geometry (`bloom_prefilter=True`): 4 hashes over
+#: 2^17 bits holds ~10k members at ~1% FP; past saturation every probe
+#: reads as maybe-seen and the prefilter degrades to the exact path
+#: (never to a wrong answer — Bloom filters have no false negatives).
+_BLOOM_BITS = 1 << 17
+_BLOOM_HASHES = 4
+
 
 @dataclass
 class IngestMetrics:
@@ -56,6 +63,11 @@ class IngestMetrics:
     contained_in_batch: int = 0
     contained_vs_store: int = 0
     accepted: int = 0
+    #: bloom_prefilter=True and the batch provably contained no stored
+    #: fingerprint / band bucket: the corresponding store scan was
+    #: skipped outright (the all-fresh-batch fast path).
+    store_exact_scan_skipped: bool = False
+    store_near_scan_skipped: bool = False
 
 
 class CorpusIngest:
@@ -90,12 +102,15 @@ class CorpusIngest:
         containment_threshold: float = 0.8,
         keep: str = "first",
         score_col: str | None = None,
+        bloom_prefilter: bool = False,
     ):
         if keep not in ("first", "best"):
             raise ValueError(f"keep must be 'first' or 'best', got {keep!r}")
         self.spark = spark
         self.corpus_path = os.path.join(base_path, "corpus")
         self.fp_path = os.path.join(base_path, "fingerprints")
+        self.bloom_path = os.path.join(base_path, "bloom")
+        self.bloom_prefilter = bloom_prefilter
         self.verify_frac = verify_frac
         self.containment = containment
         self.containment_threshold = containment_threshold
@@ -125,6 +140,94 @@ class CorpusIngest:
                 "re-ingesting the corpus"
             )
         return t.read()
+
+    # -- seen-content Bloom prefilter --------------------------------------
+
+    def _bloom_positions(self, fp_rows: DataFrame, id_col: str) -> DataFrame:
+        """``(kind, pos)`` Bloom set-bit rows for a fingerprint frame:
+        kind ``fp`` over the exact md5 fingerprints, kind ``bucket``
+        over the ``band:bucket`` LSH strings — the two store probes the
+        prefilter can rule out."""
+        from delta_lake_pyspark_scd2_spark.operators import sketches
+
+        fp_pos = sketches.bloom_build(
+            fp_rows.select("fp"), "fp",
+            bits=_BLOOM_BITS, hashes=_BLOOM_HASHES,
+        ).select(F.lit("fp").alias("kind"), "pos")
+        bkt = dedup.lsh_band_buckets(
+            fp_rows.select(F.col(id_col), "minhash"), id_col,
+            bands=_BANDS, rows_per_band=_ROWS,
+        ).select(
+            F.concat(
+                F.col("band").cast("string"), F.lit(":"), F.col("bucket")
+            ).alias("bb")
+        )
+        b_pos = sketches.bloom_build(
+            bkt, "bb", bits=_BLOOM_BITS, hashes=_BLOOM_HASHES
+        ).select(F.lit("bucket").alias("kind"), "pos")
+        return fp_pos.unionByName(b_pos)
+
+    def _sync_bloom(self, id_col: str) -> None:
+        """Bring the Bloom table up to the fingerprint store's head.
+
+        The bloom is DERIVED state, stamped with the fp-table version
+        it covers (``bloom.fp_version``). The normal advance after a
+        commit and the crash-window heal (fp committed, bloom not) are
+        the same operation: fold the CDF inserts since the stamped
+        version — never a full re-scan, and a stale bloom can only
+        ever be MISSING bits it hasn't folded yet, which the version
+        check catches before any probe trusts it.
+        """
+        fp_t = VersionedParquetTable(self.spark, self.fp_path)
+        v = fp_t.latest_version()
+        geometry = {
+            "bloom.bits": str(_BLOOM_BITS),
+            "bloom.hashes": str(_BLOOM_HASHES),
+        }
+        if not VersionedParquetTable.is_table(self.bloom_path):
+            pos = self._bloom_positions(fp_t.read(), id_col).distinct()
+            VersionedParquetTable.create(
+                self.spark, pos, self.bloom_path,
+                properties={**geometry, "bloom.fp_version": str(v)},
+            )
+            return
+        bl = VersionedParquetTable(self.spark, self.bloom_path)
+        props = bl.properties()
+        have_geom = {k: props.get(k) for k in geometry}
+        if have_geom != geometry:
+            raise RuntimeError(
+                f"bloom table at {self.bloom_path} has geometry "
+                f"{have_geom}, this engine uses {geometry}: bit layouts "
+                "are incompatible — drop the bloom table to rebuild"
+            )
+        have = int(props["bloom.fp_version"])
+        if have >= v:
+            return
+        delta = fp_t.table_changes([id_col], version_from=have, version_to=v)
+        ins = delta.filter(F.col("_change_type") == "insert")
+        new = self._bloom_positions(ins, id_col).distinct().join(
+            bl.read().select("kind", "pos"), ["kind", "pos"], "left_anti"
+        )
+        bl.append(new)
+        bl.set_property("bloom.fp_version", str(v))
+
+    def _seen_bitmaps(self, id_col: str) -> tuple[str, str] | None:
+        """'0'/'1' bitstrings ``(fp_bitmap, bucket_bitmap)`` covering
+        the CURRENT fingerprint store, healing a stale bloom first;
+        ``None`` when there is no store yet. The read is geometry-
+        bounded (≤ 2 × bits rows), never store-sized."""
+        if not VersionedParquetTable.is_table(self.fp_path):
+            return None
+        self._sync_bloom(id_col)
+        fp_chars = ["0"] * _BLOOM_BITS
+        b_chars = ["0"] * _BLOOM_BITS
+        rows = (
+            VersionedParquetTable(self.spark, self.bloom_path)
+            .read().select("kind", "pos").collect()
+        )
+        for r in rows:
+            (fp_chars if r["kind"] == "fp" else b_chars)[int(r["pos"])] = "1"
+        return "".join(fp_chars), "".join(b_chars)
 
     # -- ingest -----------------------------------------------------------
 
@@ -191,7 +294,31 @@ class CorpusIngest:
         fps = fps.filter(F.col("__rn") == 1).drop("__rn")
 
         store = self._fingerprints()
-        if store is not None:
+        bitmaps = (
+            self._seen_bitmaps(id_col)
+            if self.bloom_prefilter and store is not None
+            else None
+        )
+        if store is not None and bitmaps is not None:
+            from delta_lake_pyspark_scd2_spark.operators import sketches
+
+            fp_hit = sketches.bloom_hit_expr(
+                F.col("fp"), bitmaps[0],
+                bits=_BLOOM_BITS, hashes=_BLOOM_HASHES,
+            )
+            maybe = fps.filter(fp_hit)
+            # a batch with ZERO maybe-seen fingerprints provably shares
+            # nothing with the store (no false negatives) — skip the
+            # store's fp scan outright; otherwise probe only the
+            # maybe-seen side (sound restriction, smaller join)
+            if maybe.limit(1).count() == 0:
+                cross_exact = fps.limit(0).select(id_col)
+                m.store_exact_scan_skipped = True
+            else:
+                cross_exact = maybe.join(
+                    store.select(F.col("fp")).distinct(), "fp", "left_semi"
+                ).select(id_col)
+        elif store is not None:
             cross_exact = (
                 fps.join(
                     store.select(F.col("fp")).distinct(), "fp", "left_semi"
@@ -277,7 +404,29 @@ class CorpusIngest:
 
         # (b) against the store: bucket the STORED signatures (array
         # transform only — no text, no shingling) and join
-        if store is not None:
+        probe_bb = None
+        if store is not None and bitmaps is not None:
+            from delta_lake_pyspark_scd2_spark.operators import sketches
+
+            bkt_hit = sketches.bloom_hit_expr(
+                F.concat(
+                    F.col("band").cast("string"), F.lit(":"), F.col("bucket")
+                ),
+                bitmaps[1],
+                bits=_BLOOM_BITS, hashes=_BLOOM_HASHES,
+            )
+            probe_bb = dedup.lsh_band_buckets(
+                fps.select(id_col, "minhash"),
+                id_col, bands=_BANDS, rows_per_band=_ROWS,
+            ).filter(bkt_hit)
+            if probe_bb.limit(1).count() == 0:
+                # no batch band bucket can exist in the store: the
+                # near-dup store scan is provably fruitless (the
+                # containment screen below is NOT bloom-covered and
+                # still sees the store)
+                probe_bb = probe_bb.limit(0)
+                m.store_near_scan_skipped = True
+        if store is not None and not m.store_near_scan_skipped:
             store_bb = dedup.lsh_band_buckets(
                 store.select(F.col(id_col), "minhash"),
                 id_col,
@@ -289,13 +438,18 @@ class CorpusIngest:
             store_sig = store.select(
                 F.col(id_col).alias("store_id"), F.col("minhash").alias("sig_b")
             )
-            cand = (
-                dedup.lsh_band_buckets(
+            batch_probe = (
+                probe_bb
+                if probe_bb is not None
+                else dedup.lsh_band_buckets(
                     fps.select(id_col, "minhash"),
                     id_col,
                     bands=_BANDS,
                     rows_per_band=_ROWS,
                 )
+            )
+            cand = (
+                batch_probe
                 .join(store_bb, ["band", "bucket"])
                 .select(id_col, "store_id")
                 .distinct()
@@ -419,6 +573,12 @@ class CorpusIngest:
                             # path refuses a mismatched store loudly
                             "minhash.family": dedup.MINHASH_FAMILY},
             )
+        if self.bloom_prefilter:
+            # fold this batch's accepted fingerprints into the bloom
+            # (CDF-driven: same path heals a crash between the fp and
+            # bloom commits — a stale bloom is caught by its version
+            # stamp before any probe trusts it)
+            self._sync_bloom(id_col)
         m.accepted = (
             m.n_in
             - m.exact_in_batch

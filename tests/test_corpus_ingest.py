@@ -265,3 +265,70 @@ def test_plain_ingest_into_containment_store_keeps_shingles(spark, tmp_path):
     excerpt = " ".join(f"x{i}" for i in range(30, 40))
     m = ing3.ingest(_df(spark, [(10, excerpt)]))
     assert m.contained_vs_store == 1 and m.accepted == 0
+
+
+_B3_FRESH = [
+    (20, "entirely novel narrative about distributed ranking and buckets"),
+    (21, "walrus penguin albatross migrate across frozen southern oceans"),
+]
+
+
+def test_bloom_prefilter_matches_exact_path_and_skips_fresh_batches(
+    spark, tmp_path
+):
+    """bloom_prefilter=True accepts/rejects exactly what the exact path
+    does, and an all-fresh batch skips BOTH store scans (the fast
+    path); a batch holding a stored dup keeps the scans and still
+    rejects it."""
+    plain = CorpusIngest(spark, str(tmp_path / "plain"))
+    bloom = CorpusIngest(spark, str(tmp_path / "bloom"), bloom_prefilter=True)
+    for batch in (_B1, _B2, _B3_FRESH):
+        mp = plain.ingest(_df(spark, batch))
+        mb = bloom.ingest(_df(spark, batch))
+        assert (mp.exact_in_batch, mp.exact_vs_store, mp.near_in_batch,
+                mp.near_vs_store, mp.accepted) == (
+            mb.exact_in_batch, mb.exact_vs_store, mb.near_in_batch,
+            mb.near_vs_store, mb.accepted)
+    assert sorted(r["doc_id"] for r in bloom.corpus().collect()) == sorted(
+        r["doc_id"] for r in plain.corpus().collect()
+    )
+    # the all-fresh third batch provably shared nothing with the store
+    mb3 = bloom.ingest(_df(spark, [(30, "completely new words never before seen anywhere around")]))
+    assert mb3.store_exact_scan_skipped and mb3.store_near_scan_skipped
+    assert mb3.accepted == 1
+    # a dup-bearing batch keeps the store scans and rejects the dup
+    mb4 = bloom.ingest(_df(spark, [(40, _B1[0][1])]))
+    assert not mb4.store_exact_scan_skipped
+    assert mb4.exact_vs_store == 1 and mb4.accepted == 0
+
+
+def test_bloom_prefilter_heals_stale_bloom_from_cdf(spark, tmp_path):
+    """A bloom left behind the fp store -- the crash window between the
+    fp and bloom commits, reproduced for real by advancing the store
+    through a NON-prefilter writer -- is healed from the fp table's
+    change feed before any probe trusts it: a dup of the un-bloomed
+    batch is still rejected."""
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    base = str(tmp_path / "c")
+    ing = CorpusIngest(spark, base, bloom_prefilter=True)
+    ing.ingest(_df(spark, _B1))
+    stamped = VersionedParquetTable(spark, ing.bloom_path).properties()[
+        "bloom.fp_version"
+    ]
+    # a writer without the prefilter advances the store past the bloom
+    CorpusIngest(spark, base).ingest(_df(spark, _B3_FRESH))
+    fp_head = VersionedParquetTable(spark, ing.fp_path).latest_version()
+    assert int(stamped) < fp_head  # the bloom is genuinely stale
+    # dup of the UN-bloomed batch: a trusted-stale bloom would skip the
+    # store scan and accept it; the version check forces the heal first
+    m = ing.ingest(_df(spark, [(50, _B3_FRESH[0][1])]))
+    assert m.exact_vs_store == 1 and m.accepted == 0
+    assert not m.store_exact_scan_skipped
+    assert int(
+        VersionedParquetTable(spark, ing.bloom_path).properties()[
+            "bloom.fp_version"
+        ]
+    ) >= fp_head
