@@ -400,3 +400,82 @@ def purge_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "price",
     )
     return tag(0, 0).unionByName(tag(1, 1))
+
+
+@register(
+    "scd2_temporal_align",
+    oracle="""
+    WITH le AS (
+      SELECT user_id, event_id AS l_event_id, event_type AS l_event_type,
+             ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM events WHERE event_id % 2 = 0
+    ),
+    re AS (
+      SELECT user_id, event_id AS r_event_id, value AS r_value,
+             ts AS valid_from,
+             COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT l.user_id,
+           GREATEST(l.valid_from, r.valid_from) AS seg_from,
+           strftime(LEAST(l.valid_to, r.valid_to), '%Y-%m-%d %H:%M:%S') AS seg_to,
+           l.l_event_id, l.l_event_type, r.r_event_id, r.r_value
+    FROM le l JOIN re r
+      ON l.user_id = r.user_id
+     AND l.valid_from < r.valid_to AND r.valid_from < l.valid_to
+    WHERE l.valid_from < l.valid_to AND r.valid_from < r.valid_to
+    """,
+    doc="Temporal (interval-overlap) join of two SCD2 version chains "
+    "per key — the reference only has interval predicates ad hoc "
+    "(test/items_etl_test.py:135-141); here it is a first-class "
+    "operator (operators/scd2.py align_intervals). The engine runs a "
+    "JOIN-FREE sweep line: version boundaries union'd, per-key window "
+    "carries each side's active version, consecutive boundaries emit "
+    "segments — O(|L|+|R|) per key with one hash shuffle, immune to "
+    "the quadratic per-key blowup of the equi-join + overlap-residual "
+    "plan the oracle uses. seg_to is projected as a formatted string "
+    "because the open-interval 9999-12-31 sentinel overflows pandas "
+    "datetime64[ns] in the driver canonicalizer.",
+)
+def scd2_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    left = scd2.intervalize(
+        ev.filter(F.col("event_id") % 2 == 0).select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("l_event_id"),
+            F.col("event_type").alias("l_event_type"),
+        ),
+        "user_id",
+        "ts",
+        tiebreak_cols=["l_event_id"],
+    )
+    right = scd2.intervalize(
+        ev.filter(F.col("event_id") % 2 == 1).select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("r_event_id"),
+            F.col("value").alias("r_value"),
+        ),
+        "user_id",
+        "ts",
+        tiebreak_cols=["r_event_id"],
+    )
+    return scd2.align_intervals(
+        left,
+        right,
+        "user_id",
+        left_cols=["l_event_id", "l_event_type"],
+        right_cols=["r_event_id", "r_value"],
+    ).select(
+        "user_id",
+        "seg_from",
+        F.date_format("seg_to", "yyyy-MM-dd HH:mm:ss").alias("seg_to"),
+        "l_event_id",
+        "l_event_type",
+        "r_event_id",
+        "r_value",
+    )
