@@ -245,26 +245,48 @@ def asof_join(
     *,
     strict: bool = False,
     event_tiebreak_cols: Sequence[str] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for each probe row, the latest event with
-    ``event_ts <= probe_ts`` (``<`` when ``strict``) for the same key.
+    ``event_ts <= probe_ts`` (``<`` when ``strict``) for the same key —
+    or, with ``direction="forward"``, the earliest event with
+    ``event_ts >= probe_ts`` (``>`` when ``strict``), pandas
+    ``merge_asof`` direction semantics.
 
     Implementation is the scalable union+window form: tag both inputs,
-    union them, and carry the last event value forward with
-    ``last(..., ignorenulls=True)`` over ``(key) ORDER BY (ts, side)``.
-    One shuffle on the key; no range-join explosion; skew handled by AQE.
-    (Spark has no native as-of join; ``pd.merge_asof`` via
-    ``applyInPandas`` would serialize every group through Python.)
+    union them, and carry the adjacent event value across with
+    ``last(..., ignorenulls=True)`` over ``(key) ORDER BY (ts, side)``
+    (``first`` over the following frame for forward). One shuffle on
+    the key; no range-join explosion; skew handled by AQE. (Spark has
+    no native as-of join; ``pd.merge_asof`` via ``applyInPandas``
+    would serialize every group through Python.)
+
+    Tiebreak among equal-ts events: backward keeps the greatest
+    ``event_tiebreak_cols`` value (latest wins), forward the smallest
+    (earliest wins) — the natural "closest in its direction" reading.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = _keys(key_cols)
-    # side=0 sorts events before probes at equal ts => inclusive (<=);
-    # strict mode sorts probes first so an equal-ts event is not seen.
-    ev_side, pr_side = (1, 0) if strict else (0, 1)
+    # Window-order sides. Backward scans the preceding frame: events
+    # sort before probes at equal ts => inclusive (<=); strict flips.
+    # Forward scans the following frame: probes sort before events at
+    # equal ts => inclusive (>=); strict flips.
+    if direction == "backward":
+        ev_side, pr_side = (1, 0) if strict else (0, 1)
+    else:
+        ev_side, pr_side = (0, 1) if strict else (1, 0)
+    # Tiebreak columns that aren't value columns still have to ride the
+    # union so the window can order equal-ts events by them.
+    extra_tb = [
+        c for c in event_tiebreak_cols if c not in value_cols and c not in keys
+    ]
     ev = events.select(
         *keys,
         F.col(event_ts).alias("__ts"),
         F.lit(ev_side).alias("__side"),
         *[F.col(c) for c in value_cols],
+        *[F.col(c) for c in extra_tb],
     )
     pr_cols = [c for c in probes.columns]
     pr = probes.select(
@@ -272,23 +294,26 @@ def asof_join(
         F.col(probe_ts).alias("__ts"),
         F.lit(pr_side).alias("__side"),
         *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in value_cols],
+        *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in extra_tb],
     )
     ev2 = ev.withColumn("__is_probe", F.lit(False))
     pr2 = pr.withColumn("__is_probe", F.lit(True))
     merged = ev2.unionByName(pr2, allowMissingColumns=True)
-    # Tiebreak among equal-ts events: the *last* row in window order wins,
-    # so ascending tiebreaks pick the max tiebreak value deterministically.
-    # Probe rows sort after events at equal ts via __side already.
+    # Tiebreak among equal-ts events: backward takes the *last* row in
+    # window order (ascending tiebreaks => max wins); forward takes the
+    # *first* row of the following frame (ascending => min wins).
     order = [F.col("__ts").asc(), F.col("__side").asc()] + [
         F.col(c).asc_nulls_first() for c in event_tiebreak_cols
     ]
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
+    w = Window.partitionBy(*keys).orderBy(*order)
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, 0)
+        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+    else:
+        w = w.rowsBetween(0, Window.unboundedFollowing)
+        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
     for c in value_cols:
-        merged = merged.withColumn(c, F.last(c, ignorenulls=True).over(w))
+        merged = merged.withColumn(c, pick(c).over(w))
     out_cols = [c for c in pr_cols] + list(value_cols)
     return merged.filter(F.col("__is_probe")).select(*out_cols)
 

@@ -479,3 +479,51 @@ def scd2_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         "r_value",
     )
+
+
+@register(
+    "scd2_asof_forward",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT c.event_id FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_event_id,
+           (SELECT c.value FROM clicks c
+            WHERE c.user_id = p.user_id AND c.ts >= p.ts
+            ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS click_value
+    FROM purchases p
+    """,
+    doc="Forward as-of join (merge_asof direction='forward'): first "
+    "click at-or-after each purchase — the attribution mirror of "
+    "scd2_asof_join. Same scalable union+window plan (one shuffle on "
+    "the key, first() over the following frame), no range-join "
+    "explosion; the oracle's correlated-subquery formulation is the "
+    "O(probes x events-per-key) plan this operator avoids.",
+)
+def scd2_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2.asof_join(
+        probes=purchases,
+        events=clicks,
+        key_cols="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        value_cols=["click_event_id", "click_value"],
+        event_tiebreak_cols=["click_event_id"],
+        direction="forward",
+    )

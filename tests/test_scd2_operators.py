@@ -127,3 +127,53 @@ def test_check_invariants_flags_violations(spark):
     v = scd2.check_invariants(bad, "k")
     kinds = {r.violation for r in v.collect()}
     assert "overlap" in kinds and "multi_current" in kinds
+
+
+def test_asof_join_forward_inclusive_strict_and_ties(spark):
+    events = spark.createDataFrame(
+        [
+            Row(k="u1", ets=ts("2023-01-01T10:00:00"), eid=1, val=1),
+            Row(k="u1", ets=ts("2023-01-01T12:00:00"), eid=2, val=2),
+            Row(k="u1", ets=ts("2023-01-01T12:00:00"), eid=3, val=3),  # tie
+        ]
+    )
+    probes = spark.createDataFrame(
+        [
+            Row(k="u1", pts=ts("2023-01-01T11:00:00"), pid=1),  # next is 12:00
+            Row(k="u1", pts=ts("2023-01-01T12:00:00"), pid=2),  # equal ts
+            Row(k="u1", pts=ts("2023-01-01T13:00:00"), pid=3),  # after all
+            Row(k="u2", pts=ts("2023-01-01T09:00:00"), pid=4),  # unknown key
+        ]
+    )
+    out = scd2.asof_join(
+        probes,
+        events,
+        "k",
+        "pts",
+        "ets",
+        ["val"],
+        direction="forward",
+        event_tiebreak_cols=["eid"],
+    )
+    got = {r.pid: r.val for r in out.collect()}
+    # equal-ts ties pick the SMALLEST tiebreak (earliest wins forward)
+    assert got == {1: 2, 2: 2, 3: None, 4: None}
+
+    strict = scd2.asof_join(
+        probes,
+        events,
+        "k",
+        "pts",
+        "ets",
+        ["val"],
+        direction="forward",
+        strict=True,
+        event_tiebreak_cols=["eid"],
+    )
+    got_strict = {r.pid: r.val for r in strict.collect()}
+    assert got_strict[2] is None  # equal-ts events excluded, none later
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scd2.asof_join(probes, events, "k", "pts", "ets", ["val"], direction="nearest")
