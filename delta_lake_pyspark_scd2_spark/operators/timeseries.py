@@ -181,3 +181,54 @@ def daily_volume_anomaly(
             F.abs(z) >= F.lit(z_threshold), F.lit(False)
         ).alias("is_anomaly"),
     )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    bucket: str = "hour",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """OHLC downsampling: per (group, bucket), the opening (first by
+    time), high, low, closing (last by time) value plus row count and
+    mean — the candlestick/metrics-rollup primitive.
+
+    ONE hash aggregation, no window: open/close ride min/max over a
+    ``(ts, tiebreaks..., value)`` struct (lexicographic struct ordering
+    = argmin/argmax by time with a deterministic tiebreak), so the plan
+    is a map-side-combined groupBy — the same shuffle shape as a plain
+    rollup, immune to the per-group-window sort a naive first()/last()
+    formulation would pay. ``tiebreak_cols`` make equal-timestamp rows
+    deterministic (pass the event id).
+    """
+    tbs = tiebreak_cols or []
+    pick = F.struct(
+        F.col(ts_col).alias("t"),
+        *[F.col(c).alias(f"tb{i}") for i, c in enumerate(tbs)],
+        F.col(value_col).alias("v"),
+    )
+    b = F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    return (
+        df.groupBy(*group_cols, b)
+        .agg(
+            F.min(pick).alias("__first"),
+            F.max(pick).alias("__last"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.avg(value_col).alias("mean_value"),
+        )
+        .select(
+            *group_cols,
+            "bucket_ts",
+            F.col("__first.v").alias("open"),
+            "high",
+            "low",
+            F.col("__last.v").alias("close"),
+            "n_rows",
+            "mean_value",
+        )
+    )

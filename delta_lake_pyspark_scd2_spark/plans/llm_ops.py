@@ -6154,3 +6154,43 @@ def mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs, 6).alias("epochs"),
         (epochs > 4.0).alias("over_repeat_cap"),
     )
+
+
+@register(
+    "ts_ohlc_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts ASC, event_id ASC) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rl
+      FROM events
+    )
+    SELECT user_id, bucket_ts,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           COUNT(*) AS n_rows,
+           round(AVG(value), 6) AS mean_value
+    FROM ranked GROUP BY user_id, bucket_ts
+    """,
+    doc="OHLC downsampling (candlestick/metrics rollup) per (user, "
+    "hour): operators/timeseries.py ohlc_resample. Open/close are "
+    "argmin/argmax by (ts, event_id) carried as min/max over a "
+    "lexicographic struct, so the WHOLE query is ONE map-side-combined "
+    "aggregation (SortAggregate: struct min/max partials, single "
+    "exchange) — no per-group window sort (the oracle's "
+    "row_number formulation is exactly the plan this avoids; at 10^9 "
+    "groups x wide buckets the window plan sorts the full input, the "
+    "struct-agg plan only shuffles one partial state per group).",
+)
+def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import ohlc_resample
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ohlc_resample(
+        ev, "ts", "value", ["user_id"], bucket="hour", tiebreak_cols=["event_id"]
+    )
+    return out.withColumn("mean_value", F.round("mean_value", 6))

@@ -2076,3 +2076,47 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__best.seg").alias("top_segment"),
         )
     )
+
+
+@register(
+    "g_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+    doc="GROUP BY GROUPING SETS with an arbitrary (non-lattice) set "
+    "list — the third multi-dimensional aggregation surface next to "
+    "g_rollup (prefix lattice) and g_cube_status_priority (full "
+    "cross): exactly the requested grouping combinations, nothing "
+    "more. Spark expands the sets with ONE Expand node over a single "
+    "scan + one shuffle (grouping-id added to the key) — the same "
+    "plan family as rollup/cube, cost ∝ sets x input, not one job "
+    "per set. GROUPING() flags disambiguate real NULL keys from "
+    "subtotal rows on both engines.",
+)
+def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [
+                [F.col("o_orderstatus"), F.col("o_orderpriority")],
+                [F.col("o_orderstatus")],
+                [F.col("o_orderpriority")],
+            ],
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "total_price"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        )
+    )
