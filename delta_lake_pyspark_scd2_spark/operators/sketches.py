@@ -439,3 +439,24 @@ def bloom_hit_expr(
             F.substr(lit_bitmap, (pos + 1).cast("int"), F.lit(1)) == "1"
         )
     return hit
+
+
+def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches: the
+    row-wise inner product, minimized over hash rows (AMS/CMS join-size
+    estimator, Cormode & Muthukrishnan 2005 §4.2). With ``cms_a is
+    cms_b`` this is the self-join size / second frequency moment F2.
+
+    Like point estimates the result can only over-count (colliding
+    keys add cross terms). Cost: one (d, bucket) equi-join over two
+    depth x width grids — the sketches are the ONLY inputs, so a
+    planner can price a petabyte join from kilobytes of summary.
+    """
+    a = cms_a.select("d", "bucket", F.col("cnt").alias("__ca"))
+    b = cms_b.select("d", "bucket", F.col("cnt").alias("__cb"))
+    per_row = (
+        a.join(b, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
+    )
+    return per_row.agg(F.min("__ip").cast("long").alias("cms_join_size"))

@@ -6194,3 +6194,161 @@ def ts_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", "value", ["user_id"], bucket="hour", tiebreak_cols=["event_id"]
     )
     return out.withColumn("mean_value", F.round("mean_value", 6))
+
+
+@register(
+    "retrieve_hybrid_rrf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+    qw AS (
+      SELECT doc_id, term FROM words
+      WHERE term IN ('merge', 'join', 'window', 'vector')
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               LN(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS bm25
+      FROM tf
+      JOIN dft USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN s
+      GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_lex
+      FROM scored QUALIFY r_lex <= 20
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q.embedding::DOUBLE[],
+                                              q.embedding::DOUBLE[]))),
+                   6) AS cs
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    vec AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id ASC) AS r_vec
+      FROM cos QUALIFY r_vec <= 20
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+             round(COALESCE(1.0 / (60 + l.r_lex), 0)
+                   + COALESCE(1.0 / (60 + v.r_vec), 0), 6) AS rrf_score
+      FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+    )
+    SELECT doc_id, r_lex, r_vec, rrf_score FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (RRF, the "
+    "Elasticsearch/Vespa default fusion rule, k=60): the lexical arm "
+    "is BM25 top-20 (text.bm25_topk), the dense arm exact cosine "
+    "top-20 for one query vector (similarity.cosine_topk), fused as "
+    "sum(1/(60+rank)) with a full outer join over the two 20-row "
+    "lists. Scale: both arms end in TakeOrdered top-k, so the fusion "
+    "join and the rank windows run on 2x20 rows regardless of corpus "
+    "size — rank-window cost is bounded by k, not the corpus.",
+)
+def retrieve_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = text.bm25_topk(docs, ["merge", "join", "window", "vector"], k=20)
+    # global-window-ok: bm25_topk returns at most k=20 rows — the rank
+    # window's input is bounded by construction, not corpus-sized.
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex = bm.select(
+        "doc_id", F.row_number().over(w_lex).cast("long").alias("r_lex")
+    )
+    dense = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20)
+    vec = dense.select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("r_vec"),
+    )
+    fused = lex.join(vec, "doc_id", "full_outer")
+    score = F.coalesce(1.0 / (F.lit(60) + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(60) + F.col("r_vec")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id", "r_lex", "r_vec", F.round(score, 6).alias("rrf_score")
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "sketch_join_size",
+    oracle="""
+    WITH counts AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ),
+    ds AS (SELECT unnest(range(4)) AS d),
+    cms AS (
+      SELECT d,
+             ('0x' || substr(md5(CAST(d AS VARCHAR) || ':' ||
+                                 CAST(k AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bucket,
+             CAST(SUM(c) AS BIGINT) AS cnt
+      FROM counts CROSS JOIN ds GROUP BY 1, 2
+    ),
+    ip AS (SELECT d, SUM(cnt * cnt) AS ip FROM cms GROUP BY 1),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_join_size FROM ip),
+    ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_pairs FROM counts)
+    SELECT ex.exact_pairs, est.cms_join_size,
+           round(CAST(est.cms_join_size AS DOUBLE) / ex.exact_pairs, 6)
+             AS over_ratio
+    FROM ex, est
+    """,
+    doc="Join-cardinality estimation from sketches alone (AMS/CMS "
+    "inner product, Cormode & Muthukrishnan 2005 §4.2): the self-join "
+    "size of lineitem on l_partkey (= F2, sum of squared key counts) "
+    "estimated as the row-wise CMS inner product minimized over hash "
+    "rows, next to the exact answer and the over-count ratio. This is "
+    "the pre-flight a planner runs BEFORE a petabyte join: both "
+    "inputs are kilobyte sketches (mergeable across shards/days), so "
+    "pricing the join costs a 4x1024-cell product, not a scan. "
+    "Estimate >= exact always (collision cross terms only add); the "
+    "oracle rebuilds the identical sketch via the shared md5 bucket "
+    "contract.",
+)
+def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.functions.caching import persist_tracked
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = persist_tracked(
+        li.groupBy(F.col("l_partkey").alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    cms = sketches.count_min_build(counts, "k", "c")
+    est = sketches.count_min_join_size(cms, cms)
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("exact_pairs")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "cms_join_size",
+        F.round(
+            F.col("cms_join_size").cast("double") / F.col("exact_pairs"), 6
+        ).alias("over_ratio"),
+    )

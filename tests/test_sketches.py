@@ -421,3 +421,51 @@ def test_bloom_hit_expr_plan_has_no_join_or_exchange(spark):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_cms_join_size_never_underestimates_and_exact_when_collision_free(spark):
+    """Inner-product join-size estimate: >= the true equi-join
+    cardinality always; == when no keys collide in any hash row."""
+    a_counts = spark.createDataFrame(
+        [("k1", 3), ("k2", 2), ("k3", 5)], "word STRING, c BIGINT"
+    )
+    b_counts = spark.createDataFrame(
+        [("k1", 4), ("k3", 1), ("k9", 7)], "word STRING, c BIGINT"
+    )
+    exact = 3 * 4 + 5 * 1  # shared keys k1, k3
+    cms_a = sketches.count_min_build(a_counts, "word", "c")
+    cms_b = sketches.count_min_build(b_counts, "word", "c")
+    est = sketches.count_min_join_size(cms_a, cms_b).collect()[0][0]
+    assert est >= exact
+    # 6 keys in 1024 buckets: collisions vanishingly unlikely with the
+    # fixed md5 contract — pin exactness to catch hashing drift
+    assert est == exact
+
+
+def test_cms_self_join_size_is_f2(spark):
+    counts = _counts_df(spark, DOCS)
+    f2 = counts.selectExpr("sum(c * c) AS f2").collect()[0][0]
+    cms = sketches.count_min_build(counts, "word", "c")
+    est = sketches.count_min_join_size(cms, cms).collect()[0][0]
+    assert est >= f2
+
+
+def test_cms_join_size_merge_composes(spark):
+    """Sketch of (A union B) inner-product C == merge(cms_A, cms_B)
+    inner-product C: the estimator composes with shard merging."""
+    a = spark.createDataFrame([("x", 2), ("y", 1)], "word STRING, c BIGINT")
+    b = spark.createDataFrame([("x", 1), ("z", 4)], "word STRING, c BIGINT")
+    c = spark.createDataFrame([("x", 3), ("z", 2)], "word STRING, c BIGINT")
+    whole = spark.createDataFrame(
+        [("x", 3), ("y", 1), ("z", 4)], "word STRING, c BIGINT"
+    )
+    cms_c = sketches.count_min_build(c, "word", "c")
+    merged = sketches.count_min_merge(
+        sketches.count_min_build(a, "word", "c"),
+        sketches.count_min_build(b, "word", "c"),
+    )
+    est_merged = sketches.count_min_join_size(merged, cms_c).collect()[0][0]
+    est_whole = sketches.count_min_join_size(
+        sketches.count_min_build(whole, "word", "c"), cms_c
+    ).collect()[0][0]
+    assert est_merged == est_whole
