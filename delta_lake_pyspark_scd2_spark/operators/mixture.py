@@ -16,7 +16,7 @@ on any cluster size, any partitioning, any run. No driver-side
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.functions.hashing import keep_hash
@@ -411,3 +411,46 @@ def quality_filter_per_group(
         .filter(score >= F.col("__thr"))
         .drop("__tgrp", "__thr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap_share: float,
+    order_cols: list,
+    *,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Frequency capping: no group may exceed ``cap_share`` of the
+    total — the web-corpus rule that stops one mega-domain/source from
+    dominating a mixture (RefinedWeb/C4-style per-domain caps). Groups
+    over budget keep their best ``floor(cap_share * N)`` rows by
+    ``order_cols`` (pass a total ordering for determinism); groups
+    under budget pass through whole.
+
+    Scale: per-group budgets come from ONE map-side-combined count
+    aggregation crossed with the scalar total (broadcast — one row per
+    group); ranking is a window partitioned BY THE GROUP (never a
+    global sort), so the plan is two shuffles on the group key at any
+    corpus size. ``rank_col`` optionally exposes the within-group rank.
+    """
+    if not 0 < cap_share <= 1:
+        raise ValueError(f"cap_share must be in (0, 1], got {cap_share}")
+    if not order_cols:
+        raise ValueError("order_cols must be a non-empty total ordering")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    total = counts.agg(F.sum("__n").alias("__total"))
+    budgets = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        F.floor(F.lit(cap_share) * F.col("__total"))
+        .cast("long")
+        .alias("__budget"),
+    )
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    ranked = df.withColumn("__rk", F.row_number().over(w))
+    out = ranked.join(F.broadcast(budgets), group_col).filter(
+        F.col("__rk") <= F.col("__budget")
+    )
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col).drop("__budget")
+    return out.drop("__rk", "__budget")

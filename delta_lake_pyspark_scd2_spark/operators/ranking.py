@@ -184,3 +184,62 @@ def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
         + F.lit(1)
     )
     return F.when(rank <= cutoff, first).otherwise(rest).cast("int")
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    tiebreak_cols: Sequence[str],
+    *,
+    out_col: str = "q_value",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Quantile normalization across groups: replace each row's value
+    with the GLOBAL value at the same within-group percentile — the
+    batch-effect correction that makes per-source quality scores
+    comparable when sources score on different scales (microarray
+    quantile normalization, Bolstad et al. 2003, at corpus scale).
+
+    A row ranked at within-group percentile p (``(rk-1)/(n_g-1)``;
+    0.5 for singleton groups) receives the global reference value at
+    position ``floor(p * (N-1)) + 1`` of the full sorted column.
+
+    Scale: within-group ranks are a window partitioned BY THE GROUP;
+    the global reference positions come from
+    :func:`distributed_total_rank` (range-bucketed, never a
+    single-task sort); the lookup is an equi-join on the integer
+    position. No global window anywhere.
+    """
+    tbs = list(tiebreak_cols)
+    if not tbs:
+        raise ValueError("quantile_normalize needs tiebreak columns")
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tbs]
+    )
+    w_n = Window.partitionBy(group_col)
+    ranked = df.withColumn("__grk", F.row_number().over(w)).withColumn(
+        "__gn", F.count(F.lit(1)).over(w_n)
+    )
+    ref = distributed_total_rank(
+        df.select(F.col(value_col), *[F.col(c) for c in tbs]),
+        value_col,
+        tbs,
+        descending=False,
+        n_buckets=n_buckets,
+    ).select(
+        F.col("__rank").alias("__pos"),
+        F.col("__n").alias("__N"),
+        F.col(value_col).alias(out_col),
+    )
+    n_total = ref.agg(F.max("__N").alias("__N"))
+    pr = F.when(F.col("__gn") == 1, F.lit(0.5)).otherwise(
+        (F.col("__grk") - F.lit(1.0)) / (F.col("__gn") - F.lit(1.0))
+    )
+    pos = (F.floor(pr * (F.col("__N") - F.lit(1))) + F.lit(1)).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn("__pos", pos)
+        .join(ref.drop("__N"), "__pos")
+        .drop("__pos", "__grk", "__gn", "__N")
+    )

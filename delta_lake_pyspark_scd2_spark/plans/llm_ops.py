@@ -6352,3 +6352,94 @@ def sketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cms_join_size").cast("double") / F.col("exact_pairs"), 6
         ).alias("over_ratio"),
     )
+
+
+@register(
+    "mixture_group_cap",
+    oracle="""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n) AS t FROM counts),
+    budgets AS (
+      SELECT lang, CAST(FLOOR(0.25 * tot.t) AS BIGINT) AS b
+      FROM counts, tot
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.n_chars
+    FROM ranked r JOIN budgets USING (lang) WHERE r.rk <= b
+    """,
+    doc="Frequency capping (mixture.cap_per_group): no language may "
+    "exceed 25% of the corpus — the RefinedWeb/C4-style per-domain "
+    "cap that stops one mega-group from dominating a mixture; "
+    "over-budget groups keep their best floor(share x N) docs by a "
+    "total (n_chars, doc_id) ordering, under-budget groups pass "
+    "through whole. The data-dependent per-group k distinguishes this "
+    "from plain top-k-per-group: budgets come from one count agg "
+    "crossed with the broadcast scalar total, ranking is a window "
+    "partitioned BY THE GROUP — two shuffles on the group key at any "
+    "corpus size, never a global sort. At sf0.01 only 'en' (43.6%) is "
+    "trimmed, so the oracle exercises both branches.",
+)
+def mixture_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture.cap_per_group(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        0.25,
+        [F.col("n_chars").desc(), F.col("doc_id").asc()],
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "w_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS ng
+      FROM documents
+    ),
+    ref AS (
+      SELECT n_chars AS q_value,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC) AS pos
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS N FROM documents),
+    p AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(FLOOR((CASE WHEN ng = 1 THEN 0.5
+                              ELSE (rk - 1.0) / (ng - 1.0) END)
+                        * (n.N - 1)) AS BIGINT) + 1 AS pos
+      FROM g, n
+    )
+    SELECT p.doc_id, p.lang, p.n_chars, r.q_value
+    FROM p JOIN ref r USING (pos)
+    """,
+    doc="Quantile normalization across groups (Bolstad et al. 2003 at "
+    "corpus scale; operators/ranking.py quantile_normalize): each "
+    "doc's length score is replaced by the GLOBAL value at its "
+    "within-language percentile, making per-group score scales "
+    "comparable before mixture gates compare them. Scale: within-group "
+    "ranks are group-partitioned windows; the global reference "
+    "distribution rides distributed_total_rank (range-bucketed "
+    "two-level rank, NO single-task sort — the oracle's global "
+    "ROW_NUMBER is exactly the plan the engine avoids); the percentile "
+    "lookup is an integer equi-join.",
+)
+def w_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import quantile_normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quantile_normalize(
+        docs.select("doc_id", "lang", "n_chars"),
+        "lang",
+        "n_chars",
+        ["doc_id"],
+    ).select("doc_id", "lang", "n_chars", "q_value")

@@ -155,3 +155,36 @@ def test_quality_gate_exact_twin_is_subset_of_scale_path(spark):
         assert n_chars == thr[lang], (doc_id, lang, n_chars, thr[lang])
     # and the surplus is boundary-sized, not a semantic drift
     assert len(surplus) <= max(10, len(a) // 10), (len(surplus), len(a))
+
+
+def test_cap_per_group_binds_only_over_budget_groups(spark):
+    from delta_lake_pyspark_scd2_spark.operators import mixture
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"id": i, "g": ("big" if i < 60 else "small"), "score": float(i)}
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows)
+    out = mixture.cap_per_group(
+        df, "g", 0.5, [F.col("score").desc(), F.col("id").asc()], rank_col="rk"
+    )
+    got = out.groupBy("g").count().collect()
+    by_g = {r.g: r["count"] for r in got}
+    # big (60) trimmed to floor(0.5*100)=50, small (40) untouched
+    assert by_g == {"big": 50, "small": 40}
+    # trimmed group keeps the TOP scores
+    kept_big = {r.id for r in out.filter(F.col("g") == "big").collect()}
+    assert kept_big == set(range(10, 60))
+
+
+def test_cap_per_group_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from delta_lake_pyspark_scd2_spark.operators import mixture
+
+    df = spark.range(3).withColumn("g", F.lit("a"))
+    with _pytest.raises(ValueError):
+        mixture.cap_per_group(df, "g", 0.0, [F.col("id")])
+    with _pytest.raises(ValueError):
+        mixture.cap_per_group(df, "g", 0.5, [])

@@ -111,3 +111,55 @@ def test_no_unpartitioned_sort_windows_in_source():
         f"unpartitioned sort windows without a bounded-input "
         f"justification: {offenders}"
     )
+
+
+def test_quantile_normalize_identical_distributions_fixed_point(spark):
+    """Groups that already share the global distribution map onto
+    (approximately) themselves; extremes map exactly."""
+    from delta_lake_pyspark_scd2_spark.operators.ranking import quantile_normalize
+
+    rows = [
+        {"id": g * 100 + i, "g": f"g{g}", "v": float(i)}
+        for g in range(2)
+        for i in range(10)
+    ]
+    out = quantile_normalize(
+        spark.createDataFrame(rows), "g", "v", ["id"]
+    ).collect()
+    got = {(r.g, r.v): r.q_value for r in out}
+    # both groups span the same values; min maps to global min (0.0 at
+    # p=0) and max to global max (9.0 at p=1)
+    for g in ("g0", "g1"):
+        assert got[(g, 0.0)] == 0.0
+        assert got[(g, 9.0)] == 9.0
+
+
+def test_quantile_normalize_rescales_shifted_group(spark):
+    """A group scored on a shifted scale lands on the global ladder at
+    the same percentile positions."""
+    from delta_lake_pyspark_scd2_spark.operators.ranking import quantile_normalize
+
+    rows = [{"id": i, "g": "lo", "v": float(i)} for i in range(5)] + [
+        {"id": 10 + i, "g": "hi", "v": 1000.0 + i} for i in range(5)
+    ]
+    out = quantile_normalize(spark.createDataFrame(rows), "g", "v", ["id"])
+    got = {r.id: r.q_value for r in out.collect()}
+    # within-group percentiles 0,.25,.5,.75,1 -> global positions
+    # floor(p*9)+1 = 1,3,5,7,10 over the sorted union
+    ladder = [0.0, 1.0, 2.0, 3.0, 4.0, 1000.0, 1001.0, 1002.0, 1003.0, 1004.0]
+    expect = [ladder[0], ladder[2], ladder[4], ladder[6], ladder[9]]
+    assert [got[i] for i in range(5)] == expect
+    assert [got[10 + i] for i in range(5)] == expect
+
+
+def test_quantile_normalize_singleton_group_maps_to_median(spark):
+    from delta_lake_pyspark_scd2_spark.operators.ranking import quantile_normalize
+
+    rows = [{"id": i, "g": "big", "v": float(i)} for i in range(9)] + [
+        {"id": 99, "g": "solo", "v": 42.0}
+    ]
+    out = quantile_normalize(spark.createDataFrame(rows), "g", "v", ["id"])
+    got = {r.id: r.q_value for r in out.collect()}
+    # singleton percentile defined as 0.5 -> pos floor(.5*9)+1 = 5 of
+    # the 10-row global ladder [0..8, 42]
+    assert got[99] == 4.0
