@@ -2120,3 +2120,46 @@ def g_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("long").alias("g_priority"),
         )
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+    WITH kc AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+    s AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS total,
+             AVG(n) AS avg_n
+      FROM kc
+    )
+    SELECT k.user_id, k.n,
+           round(k.n / s.total, 6) AS share,
+           round(k.n / s.avg_n, 6) AS skew_ratio
+    FROM kc k, s
+    ORDER BY k.n DESC, k.user_id ASC LIMIT 10
+    """,
+    doc="Join/shuffle pre-flight skew profiler: per-key cardinalities "
+    "of the prospective shuffle key, top-10 heaviest keys with their "
+    "corpus share and ratio-to-mean. Pairs with sketch_join_size as "
+    "the planning duo: join-size says HOW BIG, this says HOW LOPSIDED "
+    "(whether to salt — j8_salted_join — or lean on AQE skew "
+    "handling). One map-side-combined count agg + a broadcast scalar; "
+    "the top-10 is TakeOrdered over key-count rows, never a global "
+    "sort of the input.",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    s = kc.agg(
+        F.sum("n").cast("double").alias("total"), F.avg("n").alias("avg_n")
+    )
+    return (
+        kc.crossJoin(F.broadcast(s))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n") / F.col("avg_n"), 6).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
