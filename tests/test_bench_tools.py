@@ -143,7 +143,9 @@ def test_corpus_report_sections(tmp_path):
                     "### ANN index selection (recall vs exact)",
                     "### Dedup blocker evaluation (MinHash-LSH vs exact Jaccard)",
                     "### Vocabulary shape (Zipf fit)",
-                    "### Embedding diversity per label (mean pairwise cosine)"):
+                    "### Embedding diversity per label (mean pairwise cosine)",
+                    "### Mixture balance (25% per-language cap)",
+                    "### Shuffle-key skew pre-flight (events.user_id)"):
         assert section in md
     assert "documents: 500" in md
     assert "nprobe=4: mean recall" in md

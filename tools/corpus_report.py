@@ -269,6 +269,40 @@ def build_report(spark, sf_dir: str) -> str:
     ]
     out.append("")
 
+    # mixture balance — group shares vs the 25% frequency cap
+    # (mixture_group_cap) and shuffle-key skew (diag_key_skew)
+    lang_counts = sorted(
+        docs.groupBy("lang").count().collect(), key=lambda r: -r["count"]
+    )
+    n_total = sum(r["count"] for r in lang_counts)
+    capped = _q("mixture_group_cap")
+    trimmed = n_total - len(capped)
+    out += ["### Mixture balance (25% per-language cap)", ""]
+    out += [
+        f"- {r['lang']}: {r['count']:,} docs"
+        f" ({100 * r['count'] / n_total:.1f}%)"
+        + (" — OVER CAP, trimmed" if r["count"] / n_total > 0.25 else "")
+        for r in lang_counts
+    ]
+    out += [
+        f"- cap outcome: {len(capped):,} of {n_total:,} docs survive"
+        f" ({trimmed:,} trimmed)",
+        "",
+    ]
+
+    skew = _q("diag_key_skew")
+    out += [
+        "### Shuffle-key skew pre-flight (events.user_id)",
+        "",
+        f"- heaviest key: {skew[0]['user_id']}"
+        f" ({skew[0]['n']} rows, {skew[0]['skew_ratio']:.2f}x mean)"
+        if skew
+        else "- no keys",
+        f"- top-10 keys hold {100 * sum(r['share'] for r in skew):.2f}%"
+        f" of rows",
+        "",
+    ]
+
     docs.unpersist()
     return "\n".join(out)
 
