@@ -101,3 +101,109 @@ def entity_ids(
         )
         .withColumn(entity_col, F.coalesce(F.col(entity_col), F.col(key_col)))
     )
+
+
+def blocked_pairs_between(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    block_exprs_fn,
+    compare_col: str,
+    max_distance: int,
+    *,
+    carry_cols: Sequence[str] = (),
+    dist_col: str = "lev_dist",
+) -> DataFrame:
+    """Candidate pairs ACROSS two record sets (batch vs stored corpus):
+    equi-join on the block key with a bounded edit distance. Output:
+    ``{key}_batch``, ``{key}_store``, ``dist_col``, plus carry columns
+    suffixed ``_batch`` / ``_store`` for residual filters by the caller.
+
+    This is the incremental-ER ingest shape: cost is O(batch x
+    block-size), never O(store) — the stored side is touched only in
+    the blocks the batch occupies (partition/bucket pruning applies on
+    the block-key join). ``block_exprs_fn(df) -> list[Column]`` builds
+    the block key per side; each side is projected and renamed BEFORE
+    the join, so batch and store may share lineage (e.g. two filters
+    of one table) without ambiguous-column failures.
+    """
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[
+                e.alias(f"__blk{i}_{tag}")
+                for i, e in enumerate(block_exprs_fn(df))
+            ],
+            F.col(key_col).alias(f"{key_col}_{tag}"),
+            F.col(compare_col).alias(f"__cmp_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in carry_cols],
+        )
+
+    a = _side(left, "batch")
+    b = _side(right, "store")
+    nblk = len([c for c in a.columns if c.startswith("__blk")])
+    cond = [
+        F.col(f"__blk{i}_batch").eqNullSafe(F.col(f"__blk{i}_store"))
+        for i in range(nblk)
+    ]
+    return (
+        a.join(b, cond, "inner")
+        .filter(F.levenshtein("__cmp_batch", "__cmp_store") <= max_distance)
+        .select(
+            f"{key_col}_batch",
+            f"{key_col}_store",
+            F.levenshtein("__cmp_batch", "__cmp_store").alias(dist_col),
+            *[f"{c}_{t}" for c in carry_cols for t in ("batch", "store")],
+        )
+    )
+
+
+def attach_to_entities(
+    batch: DataFrame,
+    store: DataFrame,
+    key_col: str,
+    block_exprs_fn,
+    compare_col: str,
+    max_distance: int,
+    *,
+    carry_cols: Sequence[str] = (),
+    pair_filter=None,
+    entity_col: str = "entity_id",
+    matched_col: str = "matched",
+) -> DataFrame:
+    """Incremental entity resolution: attach each batch record to its
+    best-matching stored entity (minimum stored key among blocked
+    fuzzy matches — the stored corpus is canonical), or mint the
+    record's own key as a new entity. ``pair_filter`` is an optional
+    residual predicate over the suffixed pair columns (e.g.
+    ``abs(col("bal_batch") - col("bal_store")) <= 500``).
+
+    The batch-internal golden-record pass stays the caller's batch
+    job (:func:`entity_ids`); this operator is the O(batch) attach
+    step an ingest pipeline runs per micro-batch, mirroring
+    dedup's incremental-LSH shape.
+    """
+    pairs = blocked_pairs_between(
+        batch,
+        store,
+        key_col,
+        block_exprs_fn,
+        compare_col,
+        max_distance,
+        carry_cols=carry_cols,
+    )
+    if pair_filter is not None:
+        pairs = pairs.filter(pair_filter)
+    best = pairs.groupBy(f"{key_col}_batch").agg(
+        F.min(f"{key_col}_store").alias("__ent")
+    )
+    return (
+        batch.join(
+            best.withColumnRenamed(f"{key_col}_batch", key_col),
+            key_col,
+            "left",
+        )
+        .withColumn(matched_col, F.col("__ent").isNotNull())
+        .withColumn(entity_col, F.coalesce(F.col("__ent"), F.col(key_col)))
+        .drop("__ent")
+    )

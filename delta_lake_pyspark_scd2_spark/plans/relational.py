@@ -2163,3 +2163,54 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("user_id").asc())
         .limit(10)
     )
+
+
+@register(
+    "er_incremental_attach",
+    oracle="""
+    WITH store AS (SELECT * FROM customer WHERE c_custkey < 1195),
+    batch AS (SELECT * FROM customer WHERE c_custkey >= 1195),
+    m AS (
+      SELECT b.c_custkey AS batch_key, MIN(s.c_custkey) AS ent
+      FROM batch b JOIN store s
+        ON b.c_nationkey = s.c_nationkey
+       AND substr(b.c_name, 1, 17) = substr(s.c_name, 1, 17)
+       AND levenshtein(b.c_name, s.c_name) <= 1
+       AND abs(b.c_acctbal - s.c_acctbal) <= 500
+      GROUP BY 1
+    )
+    SELECT b.c_custkey, COALESCE(m.ent, b.c_custkey) AS entity_id,
+           m.ent IS NOT NULL AS matched
+    FROM batch b LEFT JOIN m ON b.c_custkey = m.batch_key
+    """,
+    doc="Incremental entity resolution (entity.attach_to_entities): a "
+    "new record batch attaches to its best-matching STORED entity "
+    "(min stored key among blocked fuzzy matches; stored corpus is "
+    "canonical) or mints a new entity — the per-micro-batch ingest "
+    "step, mirroring dedup_incremental_lsh's O(batch) shape: the "
+    "block-key equi-join touches only the stored blocks the batch "
+    "occupies, never rescans the store, and the attach is one "
+    "min-aggregation + left join on the batch key.",
+)
+def er_incremental_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import entity
+
+    cust = load_table(spark, sf_dir, "customer")
+    store = cust.filter(F.col("c_custkey") < 1195)
+    batch = cust.filter(F.col("c_custkey") >= 1195)
+
+    def blocks(df):
+        return [df["c_nationkey"], F.substring(df["c_name"], 1, 17)]
+
+    return entity.attach_to_entities(
+        batch,
+        store,
+        "c_custkey",
+        blocks,
+        "c_name",
+        1,
+        carry_cols=["c_acctbal"],
+        pair_filter=(
+            F.abs(F.col("c_acctbal_batch") - F.col("c_acctbal_store")) <= 500
+        ),
+    ).select("c_custkey", "entity_id", "matched")

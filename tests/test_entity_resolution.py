@@ -71,3 +71,55 @@ def test_survivorship_is_deterministic_under_score_ties(spark):
     # entity 1: ids 2 and 3 tie on score 30.0 -> lower id (2, "ana") wins
     assert got[1] == "ana"
     assert got[5] == "bob"
+
+
+def test_attach_to_entities_matches_or_mints(spark):
+    store = spark.createDataFrame(
+        [
+            {"id": 1, "blk": "X", "name": "ann", "score": 1.0},
+            {"id": 2, "blk": "X", "name": "ana", "score": 1.0},
+            {"id": 3, "blk": "Y", "name": "zoe", "score": 1.0},
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            # matches both store 1 (ann) and 2 (ana) -> min store key 1
+            {"id": 10, "blk": "X", "name": "ann", "score": 1.0},
+            # right name, wrong block -> new entity
+            {"id": 11, "blk": "Z", "name": "ann", "score": 1.0},
+            # distance 2 from zoe -> new entity
+            {"id": 12, "blk": "Y", "name": "zit", "score": 1.0},
+        ]
+    )
+    out = entity.attach_to_entities(
+        batch,
+        store,
+        "id",
+        lambda df: [df["blk"]],
+        "name",
+        1,
+    )
+    got = {r.id: (r.entity_id, r.matched) for r in out.collect()}
+    assert got == {10: (1, True), 11: (11, False), 12: (12, False)}
+
+
+def test_attach_pair_filter_vetoes_blocked_matches(spark):
+    store = spark.createDataFrame(
+        [{"id": 1, "blk": "X", "name": "ann", "score": 100.0}]
+    )
+    batch = spark.createDataFrame(
+        [{"id": 10, "blk": "X", "name": "ann", "score": 5.0}]
+    )
+    out = entity.attach_to_entities(
+        batch,
+        store,
+        "id",
+        lambda df: [df["blk"]],
+        "name",
+        1,
+        carry_cols=["score"],
+        pair_filter=(
+            F.abs(F.col("score_batch") - F.col("score_store")) <= 10
+        ),
+    ).collect()
+    assert out[0].matched is False and out[0].entity_id == 10
