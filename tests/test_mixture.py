@@ -188,3 +188,39 @@ def test_cap_per_group_rejects_bad_args(spark):
         mixture.cap_per_group(df, "g", 0.0, [F.col("id")])
     with _pytest.raises(ValueError):
         mixture.cap_per_group(df, "g", 0.5, [])
+
+
+def test_cap_per_group_budget_invariant_random(spark):
+    """Property: every group keeps exactly min(n_g, floor(share * N))
+    rows, and the kept set is the ordering prefix."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        {"id": i, "g": f"g{rng.randint(0, 4)}", "s": float(rng.random())}
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows)
+    share = 0.15
+    out = mixture.cap_per_group(
+        df, "g", share, [F.col("s").desc(), F.col("id").asc()]
+    ).collect()
+    from collections import Counter
+
+    n_g = Counter(r["g"] for r in rows)
+    budget = int(share * len(rows))
+    kept = Counter(r.g for r in out)
+    for g, n in n_g.items():
+        assert kept.get(g, 0) == min(n, budget), (g, n, budget)
+    # prefix property: kept rows of a trimmed group are the top-s ones
+    trimmed = [g for g, n in n_g.items() if n > budget]
+    for g in trimmed:
+        want = {
+            r["id"]
+            for r in sorted(
+                (r for r in rows if r["g"] == g),
+                key=lambda r: (-r["s"], r["id"]),
+            )[:budget]
+        }
+        got = {r.id for r in out if r.g == g}
+        assert got == want

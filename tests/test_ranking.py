@@ -163,3 +163,30 @@ def test_quantile_normalize_singleton_group_maps_to_median(spark):
     # singleton percentile defined as 0.5 -> pos floor(.5*9)+1 = 5 of
     # the 10-row global ladder [0..8, 42]
     assert got[99] == 4.0
+
+
+def test_quantile_normalize_is_monotone_within_group_random(spark):
+    """Property: within every group the mapping value -> q_value is
+    non-decreasing, q_values are drawn from the global value set, and
+    row count is preserved (hash-join lookup loses nothing)."""
+    import random
+
+    from delta_lake_pyspark_scd2_spark.operators.ranking import quantile_normalize
+
+    rng = random.Random(7)
+    rows = [
+        {"id": i, "g": f"g{rng.randint(0, 3)}", "v": float(rng.randint(0, 50))}
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    out = quantile_normalize(df, "g", "v", ["id"]).collect()
+    assert len(out) == len(rows)
+    all_values = {r["v"] for r in rows}
+    by_g: dict[str, list] = {}
+    for r in out:
+        assert r.q_value in all_values
+        by_g.setdefault(r.g, []).append((r.v, r.id, r.q_value))
+    for seq in by_g.values():
+        seq.sort()
+        qs = [q for _, _, q in seq]
+        assert qs == sorted(qs), "q_value must be monotone in (v, id)"
