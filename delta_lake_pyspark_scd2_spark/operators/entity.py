@@ -24,6 +24,62 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    block_exprs_fn,
+    compare_col: str,
+    max_distance: int,
+    tag_l: str,
+    tag_r: str,
+    carry_cols: Sequence[str],
+    dist_col: str,
+    ordered: bool,
+) -> DataFrame:
+    """Shared blocking-join core: project/rename each side FIRST (so
+    shared-lineage inputs never hit ambiguous columns), equi-join on
+    the block key with null-safe equality (a NULL blocking attribute
+    blocks with its own kind rather than silently matching nothing),
+    compute the edit distance ONCE, filter, and emit suffixed pairs.
+    ``ordered`` adds the ``key_l < key_r`` self-join dedup predicate.
+    """
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[
+                e.alias(f"__blk{i}_{tag}")
+                for i, e in enumerate(block_exprs_fn(df))
+            ],
+            F.col(key_col).alias(f"{key_col}_{tag}"),
+            F.col(compare_col).alias(f"__cmp_{tag}"),
+            *[F.col(c).alias(f"{c}_{tag}") for c in carry_cols],
+        )
+
+    a = _side(left, tag_l)
+    b = _side(right, tag_r)
+    nblk = len([c for c in a.columns if c.startswith("__blk")])
+    cond = [
+        F.col(f"__blk{i}_{tag_l}").eqNullSafe(F.col(f"__blk{i}_{tag_r}"))
+        for i in range(nblk)
+    ]
+    if ordered:
+        cond.append(F.col(f"{key_col}_{tag_l}") < F.col(f"{key_col}_{tag_r}"))
+    return (
+        a.join(b, cond, "inner")
+        .withColumn(
+            dist_col, F.levenshtein(f"__cmp_{tag_l}", f"__cmp_{tag_r}")
+        )
+        .filter(F.col(dist_col) <= max_distance)
+        .select(
+            f"{key_col}_{tag_l}",
+            f"{key_col}_{tag_r}",
+            dist_col,
+            *[f"{c}_{t}" for c in carry_cols for t in (tag_l, tag_r)],
+        )
+    )
+
+
 def blocked_pairs(
     records: DataFrame,
     key_col: str,
@@ -42,30 +98,18 @@ def blocked_pairs(
     columns: ``{key}_a``, ``{key}_b``, ``dist_col``, plus each carry
     column suffixed ``_a`` / ``_b`` for residual scoring by the caller.
     """
-    sides = {}
-    for tag in ("a", "b"):
-        sides[tag] = records.select(
-            *[e.alias(f"__blk{i}") for i, e in enumerate(block_exprs)],
-            F.col(key_col).alias(f"{key_col}_{tag}"),
-            F.col(compare_col).alias(f"__cmp_{tag}"),
-            *[F.col(c).alias(f"{c}_{tag}") for c in carry_cols],
-        )
-    nblk = len(block_exprs)
-    a, b = sides["a"], sides["b"]
-    b = b.select(
-        *[F.col(f"__blk{i}").alias(f"__blk{i}_b") for i in range(nblk)],
-        *[c for c in b.columns if not c.startswith("__blk")],
-    )
-    cond = [F.col(f"__blk{i}") == F.col(f"__blk{i}_b") for i in range(nblk)]
-    cond.append(F.col(f"{key_col}_a") < F.col(f"{key_col}_b"))
-    joined = a.join(b, cond, "inner")
-    return joined.filter(
-        F.levenshtein("__cmp_a", "__cmp_b") <= max_distance
-    ).select(
-        f"{key_col}_a",
-        f"{key_col}_b",
-        F.levenshtein("__cmp_a", "__cmp_b").alias(dist_col),
-        *[f"{c}_{t}" for c in carry_cols for t in ("a", "b")],
+    return _blocked_join(
+        records,
+        records,
+        key_col,
+        lambda _df: list(block_exprs),
+        compare_col,
+        max_distance,
+        "a",
+        "b",
+        list(carry_cols),
+        dist_col,
+        ordered=True,
     )
 
 
@@ -127,34 +171,18 @@ def blocked_pairs_between(
     the join, so batch and store may share lineage (e.g. two filters
     of one table) without ambiguous-column failures.
     """
-
-    def _side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
-            *[
-                e.alias(f"__blk{i}_{tag}")
-                for i, e in enumerate(block_exprs_fn(df))
-            ],
-            F.col(key_col).alias(f"{key_col}_{tag}"),
-            F.col(compare_col).alias(f"__cmp_{tag}"),
-            *[F.col(c).alias(f"{c}_{tag}") for c in carry_cols],
-        )
-
-    a = _side(left, "batch")
-    b = _side(right, "store")
-    nblk = len([c for c in a.columns if c.startswith("__blk")])
-    cond = [
-        F.col(f"__blk{i}_batch").eqNullSafe(F.col(f"__blk{i}_store"))
-        for i in range(nblk)
-    ]
-    return (
-        a.join(b, cond, "inner")
-        .filter(F.levenshtein("__cmp_batch", "__cmp_store") <= max_distance)
-        .select(
-            f"{key_col}_batch",
-            f"{key_col}_store",
-            F.levenshtein("__cmp_batch", "__cmp_store").alias(dist_col),
-            *[f"{c}_{t}" for c in carry_cols for t in ("batch", "store")],
-        )
+    return _blocked_join(
+        left,
+        right,
+        key_col,
+        block_exprs_fn,
+        compare_col,
+        max_distance,
+        "batch",
+        "store",
+        list(carry_cols),
+        dist_col,
+        ordered=False,
     )
 
 

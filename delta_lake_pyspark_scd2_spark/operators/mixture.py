@@ -428,27 +428,26 @@ def cap_per_group(
     ``order_cols`` (pass a total ordering for determinism); groups
     under budget pass through whole.
 
-    Scale: per-group budgets come from ONE map-side-combined count
-    aggregation crossed with the scalar total (broadcast — one row per
-    group); ranking is a window partitioned BY THE GROUP (never a
-    global sort), so the plan is two shuffles on the group key at any
-    corpus size. ``rank_col`` optionally exposes the within-group rank.
+    Scale: the budget ``floor(cap_share * N)`` is the SAME for every
+    group, so it rides as one broadcast scalar row (never a
+    one-row-per-group table — at millions of domains that broadcast
+    would itself be the hazard); ranking is a window partitioned BY
+    THE GROUP (never a global sort). One count aggregation + one
+    group-keyed window shuffle at any corpus size. ``rank_col``
+    optionally exposes the within-group rank.
     """
     if not 0 < cap_share <= 1:
         raise ValueError(f"cap_share must be in (0, 1], got {cap_share}")
     if not order_cols:
         raise ValueError("order_cols must be a non-empty total ordering")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    total = counts.agg(F.sum("__n").alias("__total"))
-    budgets = counts.crossJoin(F.broadcast(total)).select(
-        group_col,
-        F.floor(F.lit(cap_share) * F.col("__total"))
+    budget = df.agg(
+        F.floor(F.lit(cap_share) * F.count(F.lit(1)))
         .cast("long")
-        .alias("__budget"),
+        .alias("__budget")
     )
     w = Window.partitionBy(group_col).orderBy(*order_cols)
     ranked = df.withColumn("__rk", F.row_number().over(w))
-    out = ranked.join(F.broadcast(budgets), group_col).filter(
+    out = ranked.crossJoin(F.broadcast(budget)).filter(
         F.col("__rk") <= F.col("__budget")
     )
     if rank_col:

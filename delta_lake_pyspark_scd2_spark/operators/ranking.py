@@ -47,6 +47,7 @@ __all__ = [
     "distributed_total_rank",
     "ntile_from_rank",
     "percent_rank_from_rank",
+    "quantile_normalize",
 ]
 
 

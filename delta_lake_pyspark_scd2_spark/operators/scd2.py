@@ -276,16 +276,19 @@ def asof_join(
         ev_side, pr_side = (1, 0) if strict else (0, 1)
     else:
         ev_side, pr_side = (0, 1) if strict else (1, 0)
-    # Tiebreak columns that aren't value columns still have to ride the
-    # union so the window can order equal-ts events by them.
-    extra_tb = [
-        c for c in event_tiebreak_cols if c not in value_cols and c not in keys
-    ]
+    # Tiebreak columns ride the union as standalone columns (value
+    # columns travel inside __state, so even a tiebreak that is also a
+    # value column needs its own copy for the window ordering).
+    extra_tb = [c for c in event_tiebreak_cols if c not in keys]
+    # ALL value columns travel as ONE struct, so every output column
+    # comes from the SAME adjacent event (merge_asof semantics). A
+    # per-column carry would skip an event's NULL field and tear values
+    # from different events.
     ev = events.select(
         *keys,
         F.col(event_ts).alias("__ts"),
         F.lit(ev_side).alias("__side"),
-        *[F.col(c) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__state"),
         *[F.col(c) for c in extra_tb],
     )
     pr_cols = [c for c in probes.columns]
@@ -293,7 +296,7 @@ def asof_join(
         *[F.col(c) for c in pr_cols],
         F.col(probe_ts).alias("__ts"),
         F.lit(pr_side).alias("__side"),
-        *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in value_cols],
+        F.lit(None).cast(ev.schema["__state"].dataType).alias("__state"),
         *[F.lit(None).cast(ev.schema[c].dataType).alias(c) for c in extra_tb],
     )
     ev2 = ev.withColumn("__is_probe", F.lit(False))
@@ -308,13 +311,14 @@ def asof_join(
     w = Window.partitionBy(*keys).orderBy(*order)
     if direction == "backward":
         w = w.rowsBetween(Window.unboundedPreceding, 0)
-        pick = lambda c: F.last(c, ignorenulls=True)  # noqa: E731
+        picked = F.last("__state", ignorenulls=True).over(w)
     else:
         w = w.rowsBetween(0, Window.unboundedFollowing)
-        pick = lambda c: F.first(c, ignorenulls=True)  # noqa: E731
-    for c in value_cols:
-        merged = merged.withColumn(c, pick(c).over(w))
-    out_cols = [c for c in pr_cols] + list(value_cols)
+        picked = F.first("__state", ignorenulls=True).over(w)
+    merged = merged.withColumn("__state", picked)
+    out_cols = [F.col(c) for c in pr_cols] + [
+        F.col(f"__state.{c}").alias(c) for c in value_cols
+    ]
     return merged.filter(F.col("__is_probe")).select(*out_cols)
 
 

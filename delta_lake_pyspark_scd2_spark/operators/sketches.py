@@ -441,7 +441,9 @@ def bloom_hit_expr(
     return hit
 
 
-def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
+def count_min_join_size(
+    cms_a: DataFrame, cms_b: DataFrame, *, depth: int = DEPTH
+) -> DataFrame:
     """Equi-join cardinality estimate from two count-min sketches: the
     row-wise inner product, minimized over hash rows (AMS/CMS join-size
     estimator, Cormode & Muthukrishnan 2005 §4.2). With ``cms_a is
@@ -451,6 +453,11 @@ def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
     keys add cross terms). Cost: one (d, bucket) equi-join over two
     depth x width grids — the sketches are the ONLY inputs, so a
     planner can price a petabyte join from kilobytes of summary.
+
+    A hash row where the two sketches share NO occupied bucket has
+    inner product 0, which must reach the MIN (the estimate for fully
+    disjoint inputs IS 0) — hence the dense ``depth``-row spine rather
+    than aggregating only rows the join happens to produce.
     """
     a = cms_a.select("d", "bucket", F.col("cnt").alias("__ca"))
     b = cms_b.select("d", "bucket", F.col("cnt").alias("__cb"))
@@ -459,4 +466,9 @@ def count_min_join_size(cms_a: DataFrame, cms_b: DataFrame) -> DataFrame:
         .groupBy("d")
         .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__ip"))
     )
-    return per_row.agg(F.min("__ip").cast("long").alias("cms_join_size"))
+    spark = cms_a.sparkSession
+    spine = spark.range(depth).select(F.col("id").cast("int").alias("d"))
+    dense = spine.join(per_row, "d", "left").select(
+        F.coalesce(F.col("__ip"), F.lit(0)).alias("__ip")
+    )
+    return dense.agg(F.min("__ip").cast("long").alias("cms_join_size"))

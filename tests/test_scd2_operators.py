@@ -177,3 +177,43 @@ def test_asof_join_forward_inclusive_strict_and_ties(spark):
 
     with _pytest.raises(ValueError):
         scd2.asof_join(probes, events, "k", "pts", "ets", ["val"], direction="nearest")
+
+
+def test_asof_join_null_value_field_does_not_tear_events(spark):
+    """merge_asof semantics: ALL value columns come from the SAME
+    nearest event — an event whose value field is NULL yields NULL,
+    never a value borrowed from a farther event."""
+    events = spark.createDataFrame(
+        [
+            Row(k="u1", ets=ts("2023-01-01T10:00:00"), eid=1, val=None),
+            Row(k="u1", ets=ts("2023-01-01T08:00:00"), eid=0, val=7),
+            Row(k="u1", ets=ts("2023-01-01T12:00:00"), eid=2, val=9),
+        ]
+    )
+    probes = spark.createDataFrame([Row(k="u1", pts=ts("2023-01-01T11:00:00"), pid=1)])
+    back = scd2.asof_join(
+        probes, events, "k", "pts", "ets", ["eid", "val"]
+    ).collect()[0]
+    assert back.eid == 1 and back.val is None  # nearest-before, not eid=0's 7
+    fwd = scd2.asof_join(
+        probes,
+        events,
+        "k",
+        "pts",
+        "ets",
+        ["eid", "val"],
+        direction="forward",
+    ).collect()[0]
+    assert fwd.eid == 2 and fwd.val == 9
+    # probe before the NULL-valued event, forward: nearest is the NULL one
+    probes2 = spark.createDataFrame([Row(k="u1", pts=ts("2023-01-01T09:00:00"), pid=2)])
+    fwd2 = scd2.asof_join(
+        probes2,
+        events,
+        "k",
+        "pts",
+        "ets",
+        ["eid", "val"],
+        direction="forward",
+    ).collect()[0]
+    assert fwd2.eid == 1 and fwd2.val is None

@@ -469,3 +469,16 @@ def test_cms_join_size_merge_composes(spark):
         sketches.count_min_build(whole, "word", "c"), cms_c
     ).collect()[0][0]
     assert est_merged == est_whole
+
+
+def test_cms_join_size_disjoint_sketches_estimate_zero(spark):
+    """Hash rows where the sketches share no bucket contribute inner
+    product 0, so fully (or even partially) disjoint inputs must
+    estimate 0 — never NULL, never a collisions-only positive."""
+    a = spark.createDataFrame([("only-in-a", 5)], "word STRING, c BIGINT")
+    b = spark.createDataFrame([("only-in-b", 7)], "word STRING, c BIGINT")
+    est = sketches.count_min_join_size(
+        sketches.count_min_build(a, "word", "c"),
+        sketches.count_min_build(b, "word", "c"),
+    ).collect()[0][0]
+    assert est == 0

@@ -275,8 +275,10 @@ def build_report(spark, sf_dir: str) -> str:
         docs.groupBy("lang").count().collect(), key=lambda r: -r["count"]
     )
     n_total = sum(r["count"] for r in lang_counts)
-    capped = _q("mixture_group_cap")
-    trimmed = n_total - len(capped)
+    # count() only — never collect the corpus-sized survivor set
+    n_capped = REGISTRY["mixture_group_cap"].builder(spark, sf_dir).count()
+    release_tracked()
+    trimmed = n_total - n_capped
     out += ["### Mixture balance (25% per-language cap)", ""]
     out += [
         f"- {r['lang']}: {r['count']:,} docs"
@@ -285,7 +287,7 @@ def build_report(spark, sf_dir: str) -> str:
         for r in lang_counts
     ]
     out += [
-        f"- cap outcome: {len(capped):,} of {n_total:,} docs survive"
+        f"- cap outcome: {n_capped:,} of {n_total:,} docs survive"
         f" ({trimmed:,} trimmed)",
         "",
     ]
