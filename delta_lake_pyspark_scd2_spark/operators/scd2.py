@@ -391,11 +391,16 @@ def align_intervals(
     union is windowed per key with ``last(state, ignorenulls)`` to
     carry each side's active version, and consecutive boundaries form
     the output segments. One hash shuffle on the key, no range-join
-    explosion, no quadratic per-key residual — cost O(|L|+|R|) rows
-    regardless of how versions interleave, so the plan survives keys
-    with thousands of versions at the 100 TB scale point. (The naive
-    equi-join + overlap-residual plan this replaces is O(|L|·|R|) per
-    key; it remains the natural oracle formulation.)
+    explosion — cost O((|L|+|R|) log) per key regardless of how
+    versions interleave, where the equi-join + overlap-residual plan
+    (the oracle formulation) evaluates O(|L|·|R|) candidate pairs per
+    key. Measured crossover on local[32]: the codegen'd join's
+    constant factor wins up to ~10^4 versions/key (0.5 s vs 1.1 s at
+    33/key, sf0.1); the sweep wins past ~5·10^4 (4.0 s vs 6.8 s at
+    5·10^4/key) and diverges quadratically-vs-linearly beyond — and a
+    single hot key degrades the join to one task's cross product,
+    while the sweep's per-key cost stays linear. BENCH_NOTES.md
+    "temporal align" has the run table.
 
     Inputs must hold non-overlapping ``[valid_from, valid_to)``
     intervals per key on each side (the SCD2 invariant —
