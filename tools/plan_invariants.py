@@ -61,6 +61,17 @@ EXTRA_QUERIES = (
     # join (equi on cluster_id + residual, never a cartesian)
     "dedup_semantic",
     "dedup_semantic_canonical",
+    # round-8 session additions — pin the advertised shapes: the
+    # temporal align's zero-join sweep, ER's blocked equi-join (never
+    # name-cross), RRF's bounded 2x20-row fusion, the CMS join-size
+    # grid product, the cap's single-scalar broadcast, and quantile
+    # normalization's bucketed (not global-sort) reference ladder
+    "scd2_temporal_align",
+    "er_golden_record",
+    "retrieve_hybrid_rrf",
+    "sketch_join_size",
+    "mixture_group_cap",
+    "w_quantile_normalize",
 )
 
 
