@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 __all__ = [
+    "bradley_terry",
     "distributed_total_rank",
     "ntile_from_rank",
     "percent_rank_from_rank",
@@ -243,4 +244,107 @@ def quantile_normalize(
         .withColumn("__pos", pos)
         .join(ref.drop("__N"), "__pos")
         .drop("__pos", "__grk", "__gn", "__N")
+    )
+
+
+def bradley_terry(
+    duels: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    *,
+    iters: int = 5,
+) -> DataFrame:
+    """Bradley-Terry preference ratings from a pairwise duel log via
+    ``iters`` fixed rounds of the MM update (Hunter 2004) — the model
+    behind RLHF preference aggregation and arena-style quality
+    leaderboards, run where the duel log lives instead of collecting
+    it: ``p_i' = W_i / Σ_j n_ij / (p_i + p_j)``, mean-normalized each
+    round.
+
+    Shape: the (possibly huge) duel log reduces ONCE to a directed
+    pair-count table — one map-side-combinable aggregation keyed on
+    (winner, loser); everything after runs on that aggregate, which is
+    bounded by the number of dueling item pairs, not the number of
+    duels. Per round: the symmetric pair table joins the current
+    ratings on both endpoints (item-keyed shuffles AQE can reuse
+    between rounds, like :func:`operators.graph.pagerank`) and one
+    sum-aggregate per item; state is one (item, rating) row per item —
+    nothing duel-log-sized ever reaches the driver.
+
+    Zero-win items rate 0 (the MLE boundary). Division never sees
+    0 + 0: two items that dueled cannot both be globally winless (one
+    of them won that duel), so any pair present in the table has a
+    positive denominator.
+
+    Determinism contract (shared with the unrolled SQL oracle):
+    per-item denominators round to 9 dp and the mean-normalized
+    ratings to 6 dp after every round, so both engines feed identical
+    literals into the next iteration regardless of summation order.
+    Fixed ``iters`` (no convergence test) keeps the unrolled oracle
+    exactly equivalent.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    directed = duels.groupBy(
+        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    directed = persist_tracked(directed)
+    sym = (
+        directed.select("a", "b", "__c")
+        .unionAll(
+            directed.select(
+                F.col("b").alias("a"), F.col("a").alias("b"), F.col("__c")
+            )
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("__c").alias("__n"))
+    )
+    sym = persist_tracked(sym)
+    wins = directed.groupBy("a").agg(F.sum("__c").alias("wins"))
+    items = (
+        sym.groupBy("a")
+        .agg(F.sum("__n").alias("n_duels"))
+        .join(wins, "a", "left")
+        .select(
+            F.col("a").alias("item"),
+            F.coalesce(F.col("wins"), F.lit(0)).cast("long").alias("wins"),
+            F.col("n_duels").cast("long").alias("n_duels"),
+        )
+    )
+    items = persist_tracked(items)
+
+    ratings = items.select("item", F.lit(1.0).alias("__p"))
+    for _ in range(iters):
+        pi = ratings.select(
+            F.col("item").alias("a"), F.col("__p").alias("__pi")
+        )
+        pj = ratings.select(
+            F.col("item").alias("b"), F.col("__p").alias("__pj")
+        )
+        denom = (
+            sym.join(pi, "a")
+            .join(pj, "b")
+            .groupBy("a")
+            .agg(
+                F.round(
+                    F.sum(F.col("__n") / (F.col("__pi") + F.col("__pj"))), 9
+                ).alias("__d")
+            )
+        )
+        raw = items.join(denom, items["item"] == denom["a"]).select(
+            "item", (F.col("wins") / F.col("__d")).alias("__raw")
+        )
+        mean = raw.agg(F.avg("__raw").alias("__mean"))
+        ratings = (
+            raw.crossJoin(F.broadcast(mean))
+            .select(
+                "item",
+                F.round(F.col("__raw") / F.col("__mean"), 6).alias("__p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return items.join(ratings, "item").select(
+        "item", "wins", "n_duels", F.col("__p").alias("rating")
     )

@@ -190,3 +190,50 @@ def test_quantile_normalize_is_monotone_within_group_random(spark):
         seq.sort()
         qs = [q for _, _, q in seq]
         assert qs == sorted(qs), "q_value must be monotone in (v, id)"
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry
+# ---------------------------------------------------------------------------
+
+
+def _duels(spark, rows):
+    return spark.createDataFrame(rows, "winner string, loser string")
+
+
+def test_bradley_terry_orders_by_strength(spark):
+    from delta_lake_pyspark_scd2_spark.operators.ranking import bradley_terry
+
+    # A dominates B, B dominates C; no A-C duels — the model must
+    # still rank A > B > C through the shared opponent.
+    rows = [("A", "B")] * 4 + [("B", "A")] + [("B", "C")] * 4 + [("C", "B")]
+    got = {r["item"]: r for r in bradley_terry(_duels(spark, rows), iters=8).collect()}
+    assert got["A"]["rating"] > got["B"]["rating"] > got["C"]["rating"]
+    assert got["A"]["wins"] == 4 and got["A"]["n_duels"] == 5
+    assert got["B"]["wins"] == 5 and got["B"]["n_duels"] == 10
+
+
+def test_bradley_terry_zero_win_item_rates_zero(spark):
+    from delta_lake_pyspark_scd2_spark.operators.ranking import bradley_terry
+
+    rows = [("A", "B"), ("A", "B"), ("B", "C"), ("A", "C")]
+    got = {r["item"]: r["rating"] for r in bradley_terry(_duels(spark, rows), iters=5).collect()}
+    assert got["C"] == 0.0
+    assert got["A"] > got["B"] > 0.0
+
+
+def test_bradley_terry_balanced_duels_rate_equal(spark):
+    from delta_lake_pyspark_scd2_spark.operators.ranking import bradley_terry
+
+    # perfectly balanced round-robin: every rating is the mean (1.0)
+    rows = [("A", "B"), ("B", "A"), ("B", "C"), ("C", "B"), ("A", "C"), ("C", "A")]
+    ratings = [r["rating"] for r in bradley_terry(_duels(spark, rows), iters=5).collect()]
+    assert ratings == [1.0, 1.0, 1.0]
+
+
+def test_bradley_terry_ratings_mean_is_one(spark):
+    from delta_lake_pyspark_scd2_spark.operators.ranking import bradley_terry
+
+    rows = [("A", "B")] * 3 + [("B", "C")] * 2 + [("C", "A"), ("A", "C")]
+    ratings = [r["rating"] for r in bradley_terry(_duels(spark, rows), iters=6).collect()]
+    assert abs(sum(ratings) / len(ratings) - 1.0) < 1e-5
