@@ -128,3 +128,89 @@ def kmeans_cluster(
     return assign_to_centroids(
         corpus, cents, id_col=id_col, vec_col=vec_col
     ).select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point selection (Gonzalez 1985) over
+    an embedding column — the coverage-maximizing subset behind coreset
+    construction and diversity-first sample picking: start from the
+    lowest-id vector, then repeatedly take the point FARTHEST from the
+    already-selected set (minimum max-cosine, ties toward the lower
+    id). The greedy choice 2-approximates the optimal covering radius.
+
+    Scale shape: the per-point state is ONE double (``__best``, the
+    max cosine to the selected set), updated incrementally against
+    only the NEWEST center each round — a single map stage over the
+    corpus with the center as a broadcast literal, never a k-way
+    rescan. Each round's argmin is a distributed top-1
+    (``orderBy().limit(1)`` = TakeOrdered — per-partition reduction,
+    no global sort), and the driver holds exactly the model: k ids and
+    one dim-length vector at a time. Lineage is truncated per round
+    with a lazy localCheckpoint (the pagerank pattern).
+
+    Determinism contract (shared with the unrolled SQL oracle in
+    plans/llm_ops.py): cosines round to 6 dp before the running max,
+    so the incremental ``greatest`` equals the oracle's full max over
+    the selected set exactly, with no float-order drift.
+
+    Returns k rows ``(sel_order, vec_id, coverage_sim)`` —
+    ``coverage_sim`` is the picked point's max cosine to the selected
+    set at pick time (NULL for the seed); it is non-decreasing in
+    ``sel_order``, and ``1 - coverage_sim`` of the LAST row bounds the
+    covering radius of the whole corpus.
+    """
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        _spread,
+        cosine,
+    )
+
+    if k < 1:
+        raise ValueError(f"kcenter_select requires k >= 1, got {k}")
+    spark = corpus.sparkSession
+    base = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+
+    def _lit_vec(vals: list[float]):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    picked: list[tuple[int, int, float | None]] = [
+        (1, int(seed[id_col]), None)
+    ]
+    newest = [float(x) for x in seed[vec_col]]
+    state = base.withColumn(
+        "__best", F.round(cosine(F.col(vec_col), _lit_vec(newest)), 6)
+    )
+    for t in range(2, k + 1):
+        state = state.localCheckpoint(eager=False)
+        pick = (
+            state.filter(~F.col(id_col).isin([p[1] for p in picked]))
+            .orderBy(F.col("__best").asc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not pick:  # fewer than k distinct points
+            break
+        row = pick[0]
+        picked.append((t, int(row[id_col]), float(row["__best"])))
+        newest = [float(x) for x in row[vec_col]]
+        state = state.withColumn(
+            "__best",
+            F.greatest(
+                F.col("__best"),
+                F.round(cosine(F.col(vec_col), _lit_vec(newest)), 6),
+            ),
+        )
+    schema = T.StructType(
+        [
+            T.StructField("sel_order", T.IntegerType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("coverage_sim", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(picked, schema=schema)

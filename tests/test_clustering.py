@@ -125,3 +125,65 @@ def test_kmeans_driver_state_is_model_sized(spark):
     finally:
         cls.collect = orig
     assert sizes and max(sizes) <= 4
+
+
+# ---------------------------------------------------------------------------
+# kcenter_select
+# ---------------------------------------------------------------------------
+
+
+def _cone(rng, base, n):
+    return base[None, :] + rng.normal(scale=0.02, size=(n, base.size))
+
+
+def test_kcenter_picks_one_per_separated_cone(spark):
+    rng = np.random.default_rng(7)
+    a = _cone(rng, np.array([10.0, 0.0, 0.0]), 10)
+    b = _cone(rng, np.array([0.0, 10.0, 0.0]), 10)
+    c = _cone(rng, np.array([0.0, 0.0, 10.0]), 10)
+    df = _to_df(spark, np.vstack([a, b, c]))
+    got = clustering.kcenter_select(df, k=3).collect()
+    groups = {r["vec_id"] // 10 for r in got}
+    assert groups == {0, 1, 2}, "each cone must contribute one center"
+
+
+def test_kcenter_seed_order_and_monotone_coverage(spark):
+    rng = np.random.default_rng(11)
+    df = _to_df(spark, rng.normal(size=(40, 6)))
+    got = sorted(
+        clustering.kcenter_select(df, k=6).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert [r["sel_order"] for r in got] == list(range(1, 7))
+    assert got[0]["vec_id"] == 0 and got[0]["coverage_sim"] is None
+    assert len({r["vec_id"] for r in got}) == 6
+    sims = [r["coverage_sim"] for r in got[1:]]
+    assert sims == sorted(sims), "coverage_sim must be non-decreasing"
+
+
+def test_kcenter_k_exceeding_corpus_returns_all(spark):
+    rng = np.random.default_rng(13)
+    df = _to_df(spark, rng.normal(size=(4, 3)))
+    got = clustering.kcenter_select(df, k=9)
+    assert got.count() == 4
+
+
+def test_kcenter_driver_state_is_model_sized(spark):
+    """Every collect() is a single row (seed / argmin picks)."""
+    rng = np.random.default_rng(17)
+    df = _to_df(spark, rng.normal(size=(30, 4)))
+    cls = type(df)
+    orig = cls.collect
+    sizes = []
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    cls.collect = spy
+    try:
+        clustering.kcenter_select(df, k=5)
+    finally:
+        cls.collect = orig
+    assert sizes and max(sizes) <= 1
