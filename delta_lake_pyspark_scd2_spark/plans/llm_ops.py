@@ -6551,3 +6551,192 @@ def rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return bradley_terry(duels, iters=5)
+
+
+def _kcenter_oracle(k: int) -> str:
+    """Unrolled greedy k-center in SQL (one pick + best-sim update CTE
+    pair per round) — exactly operators/clustering.kcenter_select's
+    computation: 6-dp-rounded cosines feed an incremental running max,
+    so the oracle's ``greatest`` chain equals the engine's with no
+    float-order drift. ``AS MATERIALIZED`` throughout (each round
+    references the previous best-sim table more than once — the
+    Bradley-Terry CTE-inlining lesson)."""
+    cos = (
+        "round(list_dot_product(x.ve, {s}.ve) / "
+        "(sqrt(list_dot_product(x.ve, x.ve)) * "
+        "sqrt(list_dot_product({s}.ve, {s}.ve))), 6)"
+    )
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ve "
+        "FROM embeddings)",
+        "p1 AS MATERIALIZED (SELECT vec_id, ve FROM v "
+        "ORDER BY vec_id ASC LIMIT 1)",
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)",
+        f"b1 AS MATERIALIZED (SELECT x.vec_id, {cos.format(s='s')} AS best "
+        "FROM v x CROSS JOIN p1 s)",
+    ]
+    for t in range(2, k + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT b{t - 1}.vec_id, "
+            f"b{t - 1}.best, v.ve FROM b{t - 1} JOIN v USING (vec_id) "
+            f"WHERE b{t - 1}.vec_id NOT IN (SELECT vec_id FROM sel{t - 1}) "
+            "ORDER BY best ASC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{t} AS MATERIALIZED (SELECT vec_id FROM sel{t - 1} "
+            f"UNION ALL SELECT vec_id FROM p{t})"
+        )
+        if t < k:
+            parts.append(
+                f"b{t} AS MATERIALIZED (SELECT x.vec_id, "
+                f"greatest(b{t - 1}.best, {cos.format(s='s')}) AS best "
+                f"FROM b{t - 1} JOIN v x USING (vec_id) CROSS JOIN p{t} s)"
+            )
+    finals = [
+        "SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) "
+        "AS coverage_sim FROM p1"
+    ] + [
+        f"SELECT {t} AS sel_order, vec_id, best AS coverage_sim FROM p{t}"
+        for t in range(2, k + 1)
+    ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    "
+    )
+
+
+@register(
+    "select_kcenter",
+    oracle=_kcenter_oracle(k=8),
+    doc="Greedy k-center / farthest-point selection (Gonzalez 1985, "
+    "k=8) over the embeddings corpus — the coverage-maximizing subset "
+    "behind coreset construction and diversity-first data selection; "
+    "the greedy choice 2-approximates the optimal covering radius. "
+    "Scale: per-point state is ONE double (max cosine to the selected "
+    "set) updated against only the NEWEST center each round (broadcast "
+    "literal, single map stage); each argmin is a distributed top-1 "
+    "(TakeOrdered), driver state = k ids + one vector. The sequential "
+    "greedy itself is value-hash proven against a fully unrolled SQL "
+    "selection (6-dp cosine rounding makes the incremental running "
+    "max equal the oracle's full max exactly).",
+)
+def select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kcenter_select(emb, k=8)
+
+
+@register(
+    "text_fertility",
+    oracle=r"""
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END)
+             AS BIGINT) AS n_ws_tokens,
+           CAST(sum(CASE WHEN trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), ' ')) END)
+             AS BIGINT) AS n_word_tokens,
+           round(CAST(sum(CASE WHEN trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), ' ')) END) AS DOUBLE)
+             / greatest(sum(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END), 1), 6)
+             AS fertility,
+           round(CAST(sum(n_chars) AS DOUBLE)
+             / greatest(sum(CASE WHEN trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')) = '' THEN 0
+                ELSE len(string_split(trim(regexp_replace(lower(text),
+                         '[^a-z0-9]+', ' ', 'g')), ' ')) END), 1), 6)
+             AS chars_per_token
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Tokenizer fertility panel per (lang, source): subword-proxy "
+    "tokens per whitespace token (the fertility metric tokenizer "
+    "sizing optimizes) and chars per token (the compression proxy "
+    "that predicts context-window cost per source). One map-side- "
+    "combinable aggregation over exact BIGINT token sums — the "
+    "per-doc token expressions are the value-hash-proven "
+    "text_token_stats forms, so the whole panel oracles exactly.",
+)
+def text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    ws = text.token_count_ws(c)
+    wordish = F.trim(F.regexp_replace(F.lower(c), "[^a-z0-9]+", " "))
+    words = (
+        F.when(wordish == "", F.lit(0))
+        .otherwise(F.size(F.split(wordish, " ")))
+    )
+    return (
+        docs.select("lang", "source", F.col("n_chars"),
+                    ws.alias("__ws"), words.alias("__w"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").cast("long").alias("n_ws_tokens"),
+            F.sum("__w").cast("long").alias("n_word_tokens"),
+            F.round(
+                F.sum("__w").cast("double")
+                / F.greatest(F.sum("__ws"), F.lit(1)),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.greatest(F.sum("__w"), F.lit(1)),
+                6,
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+@register(
+    "export_curriculum",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars ASC, doc_id ASC)
+               AS curriculum_pos,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(curriculum_pos AS BIGINT) AS curriculum_pos,
+           CAST(FLOOR((curriculum_pos - 1) * 8.0 / n) AS INT) AS shard
+    FROM r
+    """,
+    doc="Curriculum-ordered export plan: every document gets a global "
+    "easy-to-hard training position (difficulty proxy: n_chars, ties "
+    "by doc_id) and a contiguous shard assignment (8 shards), so a "
+    "trainer reading shards in order sees a monotone difficulty "
+    "curriculum. The oracle's global ROW_NUMBER is exactly the "
+    "single-task sort the engine avoids: positions come from "
+    "ranking.distributed_total_rank (percentile-bucketed two-level "
+    "rank), the shard id is arithmetic on (rank, n) — no global "
+    "window anywhere on the scale path.",
+)
+def export_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ranked = distributed_total_rank(
+        docs, "n_chars", ["doc_id"], descending=False
+    )
+    return ranked.select(
+        "doc_id",
+        "n_chars",
+        F.col("__rank").cast("long").alias("curriculum_pos"),
+        F.floor((F.col("__rank") - 1) * 8.0 / F.col("__n"))
+        .cast("int")
+        .alias("shard"),
+    )
