@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 
 __all__ = [
     "bradley_terry",
+    "bradley_terry_from_counts",
     "distributed_total_rank",
     "ntile_from_rank",
     "percent_rank_from_rank",
@@ -283,13 +284,34 @@ def bradley_terry(
     Fixed ``iters`` (no convergence test) keeps the unrolled oracle
     exactly equivalent.
     """
+    directed = duels.groupBy(
+        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    return bradley_terry_from_counts(directed, iters=iters)
+
+
+def bradley_terry_from_counts(
+    directed: DataFrame,
+    *,
+    iters: int = 5,
+    a_col: str = "a",
+    b_col: str = "b",
+    count_col: str = "__c",
+) -> DataFrame:
+    """:func:`bradley_terry` starting from an already-aggregated
+    directed pair-count table ``(a_col=winner, b_col=loser,
+    count_col=#duels)`` — the form a streaming maintainer persists, so
+    live arena ratings re-fit from the stored aggregate at
+    O(dueling pairs) cost, never re-reading the duel log."""
     from delta_lake_pyspark_scd2_spark.functions.caching import (
         persist_tracked,
     )
 
-    directed = duels.groupBy(
-        F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
-    ).agg(F.count(F.lit(1)).alias("__c"))
+    directed = directed.select(
+        F.col(a_col).alias("a"),
+        F.col(b_col).alias("b"),
+        F.col(count_col).alias("__c"),
+    )
     directed = persist_tracked(directed)
     sym = (
         directed.select("a", "b", "__c")

@@ -1184,3 +1184,98 @@ def bloom_stream(
         checkpoint_dir,
         _fold,
     )
+
+
+def bradley_terry_stream(
+    spark: SparkSession,
+    source_dir: str,
+    counts_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "winner string, loser string",
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    app_id: str = "bt_maintain",
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Streaming Bradley-Terry maintenance: duel batches arriving
+    under ``source_dir`` continuously fold into a persisted directed
+    pair-count table — the online twin of
+    ``operators.ranking.bradley_terry``, for live arena-style
+    leaderboards where preferences arrive as a stream.
+
+    The MM fit only ever needs the pair-count AGGREGATE, so that is
+    what the maintainer persists: each micro-batch collapses map-side
+    to its own (winner, loser) counts and MERGEs additively into the
+    store — per-batch table work is O(pairs in the batch), and
+    re-fitting ratings (:func:`bradley_terry_ratings`) costs
+    O(dueling pairs) regardless of how many duels the log has seen.
+
+    Exactly-once: counter ADDITION is not idempotent, so each fold's
+    MERGE carries the ``(app_id, batch_no)`` writer transaction — a
+    replayed micro-batch skips at the committed watermark instead of
+    double-counting, and a reset checkpoint against a table that kept
+    folding fails loud (shared ``_txn_reset_guard`` semantics).
+    """
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(counts_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame([], "a STRING, b STRING, cnt BIGINT"),
+            counts_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store = VersionedParquetTable(spark, counts_path)
+        _txn_reset_guard(store, app_id, batch_no, "pair-count")
+        delta = batch_df.groupBy(
+            F.col(winner_col).alias("a"), F.col(loser_col).alias("b")
+        ).agg(F.count(F.lit(1)).alias("__delta"))
+        merged = delta.join(
+            store.read().withColumnRenamed("cnt", "__cur"),
+            ["a", "b"],
+            "left",
+        ).select(
+            "a",
+            "b",
+            (F.coalesce(F.col("__cur"), F.lit(0)) + F.col("__delta"))
+            .cast("long")
+            .alias("cnt"),
+        )
+        m = store.upsert(
+            merged,
+            ["a", "b"],
+            operation="BT_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(batch_no, m)
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )
+
+
+def bradley_terry_ratings(
+    spark: SparkSession, counts_path: str, *, iters: int = 5
+) -> DataFrame:
+    """Current ratings from a :func:`bradley_terry_stream` store: the
+    MM fit over the persisted pair-count aggregate — identical to
+    running ``operators.ranking.bradley_terry`` over the whole duel
+    log (pytest-pinned), at O(dueling pairs) cost."""
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        bradley_terry_from_counts,
+    )
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    store = VersionedParquetTable(spark, counts_path)
+    return bradley_terry_from_counts(store.read(), iters=iters, count_col="cnt")
