@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -296,3 +297,114 @@ def cluster_safe_split(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    weight_col: str | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Semi-synchronous weighted label propagation (Raghavan et al.
+    2007; parity scheduling per Cordasco & Gargano 2010) over the
+    UNDIRECTED graph ``edges`` — community detection by majority vote:
+    every node starts as its own community, then adopts the label with
+    the largest incident edge-weight sum among its neighbors (ties
+    toward the lower label). Unlike :func:`connected_components`
+    (which converges to per-component minima regardless of structure),
+    LPA splits a component into densely-connected communities — the
+    refinement pass for near-dup cluster graphs and co-occurrence
+    graphs.
+
+    Fully synchronous LPA oscillates on bipartite-ish structure (two
+    labels swap forever — the documented GraphX caveat); the parity
+    schedule removes that: each round updates even-id nodes first,
+    then odd-id nodes against the half-updated labels, which is
+    oscillation-free while keeping everything set-at-a-time (each
+    phase is still one distributed join + aggregate, NOT sequential).
+    Node ids must therefore be integral (map string keys first).
+    Ties prefer the node's CURRENT label when it is among the
+    maximum-weight candidates (the standard stabilizing variant —
+    without it, symmetric cliques churn through their tied labels
+    instead of settling), else the lowest tied label wins.
+
+    Scale shape per phase (the :func:`pagerank` contract): one
+    vertex-keyed join of the edge table with the label table and one
+    (node, label)-keyed sum with map-side combine, then a per-node
+    argmax window (partitioned BY NODE — never a global sort). State
+    is one (node, label) row per vertex; nothing graph-sized reaches
+    the driver; lineage truncates per round with a lazy
+    localCheckpoint.
+
+    Determinism contract (shared with the unrolled SQL oracle): with
+    integer weights every vote sum is EXACT (no rounding needed,
+    unlike pagerank's doubles) and ties break toward the lower label,
+    so fixed ``iters`` rounds chain identically in both engines.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), w.alias("__w")
+    )
+    both = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("__w"))
+    )
+    both = persist_tracked(both)
+    labels = (
+        both.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    w_node = Window.partitionBy("__n")
+    for i in range(2 * iters):
+        parity = i % 2
+        votes = (
+            both.join(
+                labels.select(
+                    F.col("node").alias("u"), F.col("label").alias("__cand")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("__n"), "__cand")
+            .agg(F.sum("__w").alias("__s"))
+        )
+        top = votes.withColumn("__mx", F.max("__s").over(w_node)).filter(
+            F.col("__s") == F.col("__mx")
+        )
+        cand = (
+            top.join(
+                labels.select(
+                    F.col("node").alias("__n"), F.col("label").alias("__own")
+                ),
+                "__n",
+            )
+            .groupBy("__n")
+            .agg(
+                F.min("__cand").alias("__pick"),
+                F.max((F.col("__cand") == F.col("__own")).cast("int")).alias(
+                    "__tied"
+                ),
+            )
+        )
+        labels = (
+            labels.join(cand, labels["node"] == cand["__n"], "left")
+            .select(
+                "node",
+                F.when(
+                    (F.col("node") % 2 == parity)
+                    & F.col("__pick").isNotNull(),
+                    F.when(
+                        F.col("__tied") == 1, F.col("label")
+                    ).otherwise(F.col("__pick")),
+                )
+                .otherwise(F.col("label"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

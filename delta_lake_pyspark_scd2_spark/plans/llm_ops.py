@@ -6740,3 +6740,99 @@ def export_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("shard"),
     )
+
+
+def _label_prop_oracle(iters: int) -> str:
+    """Unrolled semi-synchronous weighted LPA in SQL: per round two
+    (vote -> argmax -> parity-gated update) CTE blocks — even-id nodes
+    update first, then odd-id nodes against the half-updated labels,
+    exactly operators/graph.label_propagation\'s computation (the
+    parity schedule is what makes fixed-round LPA well-defined:
+    fully synchronous LPA oscillates on bipartite-ish structure).
+    Integer edge weights make every vote sum EXACT, so unlike the
+    pagerank/kmeans oracles no rounding contract is needed; a node
+    whose current label ties the max keeps it, else the lowest tied
+    label wins — identical in both engines. ``AS MATERIALIZED``
+    throughout (the Bradley-Terry CTE-inlining lesson)."""
+    parts = [
+        "items AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, "
+        "l_partkey AS p FROM lineitem WHERE l_partkey % 10 = 0)",
+        "e AS MATERIALIZED (SELECT a.p AS p1, b.p AS p2, "
+        "CAST(count(*) AS BIGINT) AS w FROM items a "
+        "JOIN items b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)",
+        "bo AS MATERIALIZED (SELECT p1 AS u, p2 AS v, w FROM e "
+        "UNION ALL SELECT p2 AS u, p1 AS v, w FROM e)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label "
+        "FROM bo)",
+    ]
+    for t in range(2 * iters):
+        parity = t % 2
+        parts.append(
+            f"c{t} AS MATERIALIZED (SELECT bo.v AS node, l.label AS cand, "
+            f"CAST(sum(bo.w) AS BIGINT) AS s FROM bo "
+            f"JOIN l{t} l ON l.node = bo.u GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT node, max(s) AS mx "
+            f"FROM c{t} GROUP BY 1)"
+        )
+        parts.append(
+            f"a{t} AS MATERIALIZED (SELECT c.node, min(c.cand) AS pick, "
+            "max(CASE WHEN c.cand = l.label THEN 1 ELSE 0 END) AS own_tied "
+            f"FROM c{t} c JOIN m{t} m USING (node) "
+            f"JOIN l{t} l USING (node) WHERE c.s = m.mx GROUP BY c.node)"
+        )
+        parts.append(
+            f"l{t + 1} AS MATERIALIZED (SELECT l.node, "
+            f"CASE WHEN l.node % 2 = {parity} AND a.pick IS NOT NULL "
+            "THEN (CASE WHEN a.own_tied = 1 THEN l.label ELSE a.pick END) "
+            "ELSE l.label END AS label "
+            f"FROM l{t} l LEFT JOIN a{t} a USING (node))"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node AS part_key, label AS community "
+        f"FROM l{2 * iters}\n    "
+    )
+
+
+@register(
+    "graph_label_prop",
+    oracle=_label_prop_oracle(iters=3),
+    doc="Weighted semi-synchronous label propagation (Raghavan et al. "
+    "2007; Cordasco & Gargano 2010 parity schedule + prefer-current-"
+    "label ties, 3 rounds) on the co-order part graph, weight = "
+    "co-occurrence "
+    "count: community detection by incident-weight majority vote — "
+    "the refinement that splits a connected component into dense "
+    "communities, which connected_components cannot. Per round ONE "
+    "vertex-keyed join + one (node, label)-keyed map-side-combined "
+    "sum + a per-node argmax window (partitioned by node, never a "
+    "global sort); state is one (node, label) row per vertex. Integer "
+    "weights make the unrolled oracle exact with NO rounding "
+    "contract — the iterative vote itself value-hashes.",
+)
+def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        label_propagation,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = (
+        li.filter(F.col("l_partkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+        )
+        .groupBy(F.col("a.p").alias("p1"), F.col("b.p").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    out = label_propagation(edges, "p1", "p2", weight_col="w", iters=3)
+    return out.select(
+        F.col("node").alias("part_key"), F.col("label").alias("community")
+    )

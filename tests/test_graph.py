@@ -194,3 +194,58 @@ def test_cluster_keep_best_tie_breaks_to_lowest_id(spark):
         for r in cluster_keep_best(docs, pairs, "n_chars").collect()
     }
     assert rows == {5: True, 6: False}
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _edges_w(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def test_lpa_splits_two_dense_communities(spark):
+    """Two 4-cliques joined by ONE weak bridge: connected_components
+    would merge them; LPA must keep them apart."""
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique_a = [(a, b, 5) for a in range(4) for b in range(4) if a < b]
+    clique_b = [(a, b, 5) for a in range(10, 14) for b in range(10, 14) if a < b]
+    bridge = [(3, 10, 1)]
+    out = label_propagation(
+        _edges_w(spark, clique_a + clique_b + bridge),
+        weight_col="w",
+        iters=4,
+    )
+    got = {r["node"]: r["label"] for r in out.collect()}
+    a_labels = {got[n] for n in range(4)}
+    b_labels = {got[n] for n in range(10, 14)}
+    assert len(a_labels) == 1 and len(b_labels) == 1
+    assert a_labels != b_labels
+
+
+def test_lpa_weight_majority_beats_edge_count(spark):
+    """Node 2 has two unit edges into community {0,1} but one heavy
+    edge to 3 — the weighted vote must pull it toward 3's label."""
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rows = [(0, 1, 10), (0, 2, 1), (1, 2, 1), (2, 3, 9), (3, 4, 10)]
+    out = label_propagation(_edges_w(spark, rows), weight_col="w", iters=3)
+    got = {r["node"]: r["label"] for r in out.collect()}
+    assert got[2] == got[3] == got[4]
+    assert got[0] == got[1] != got[2]
+
+
+def test_lpa_unweighted_defaults_to_unit_votes(spark):
+    from delta_lake_pyspark_scd2_spark.operators.graph import (
+        label_propagation,
+    )
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    out = label_propagation(df, iters=2)
+    assert out.count() == 3
