@@ -189,3 +189,99 @@ def decode_tokens(tokens: list[str]) -> str:
     """Inverse of encoding for round-trip checks: concatenate and split
     on the end-of-word marker."""
     return " ".join(w for w in "".join(tokens).split(EOW) if w != "")
+
+
+#: Symbol separator for the distributed merge representation (unit
+#: separator — cannot appear in normalized text).
+SEP = "\x1f"
+
+
+def distributed_merge_rounds(
+    df: DataFrame, text_col: str = "text", *, rounds: int = 3
+) -> DataFrame:
+    """The first ``rounds`` BPE merge selections computed
+    DISTRIBUTEDLY — pair counting never leaves the cluster, unlike
+    :func:`train_bpe` whose merge loop runs driver-side on the
+    compressed word-frequency dict. This is the scale path for the
+    opening merges (where the pair table is vocabulary-sized but the
+    word dict may exceed the driver) and, because every step is
+    deterministic integer arithmetic, the one part of BPE training
+    that can be value-hash oracled end to end (the driver-side loop is
+    rows-only by design).
+
+    Representation: each word's symbol sequence is a single string
+    with every symbol wrapped in SEP (``\\x1f a \\x1f\\x1f b</w> \\x1f``)
+    — applying a merge is then ONE literal ``replace`` of
+    ``SEP l SEP SEP r SEP`` with ``SEP lr SEP``, whose left-to-right
+    non-overlapping scan IS greedy BPE application, including runs
+    (the shared separator between wrapped symbols makes consecutive
+    matches adjacent, not overlapping), while the wrapping makes a
+    pair pattern unable to match inside multi-char symbols.
+
+    Per round: one adjacent-pair explode + map-side-combined count
+    (shuffle keyed on the pair, volume ≤ distinct adjacent pairs), a
+    distributed top-1 (TakeOrdered: count desc, then (left, right)
+    asc), one literal-replace map stage. Driver state = one merge rule
+    per round. Returns ``(round, left_sym, right_sym, pair_count)``.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+                "word"
+            )
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    rep = F.concat(
+        F.lit(SEP),
+        F.array_join(F.expr("regexp_extract_all(word, '.', 0)"), SEP + SEP),
+        F.lit(EOW + SEP),
+    )
+    state = words.select("cnt", rep.alias("rep"))
+    out: list[tuple[int, str, str, int]] = []
+    for t in range(1, rounds + 1):
+        state = state.localCheckpoint(eager=False)
+        syms = F.split(F.btrim(F.col("rep"), F.lit(SEP)), SEP + SEP)
+        pairs = (
+            state.withColumn("__syms", syms)
+            .filter(F.size("__syms") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("__syms", 1, F.size("__syms") - 1),
+                        F.slice("__syms", 2, F.size("__syms") - 1),
+                    )
+                ).alias("__p"),
+            )
+            .select(
+                "cnt",
+                F.col("__p")["0"].alias("l"),
+                F.col("__p")["1"].alias("r"),
+            )
+        )
+        top_rows = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("s"))
+            .orderBy(F.col("s").desc(), F.col("l").asc(), F.col("r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top_rows:  # nothing left to merge
+            break
+        top = top_rows[0]
+        out.append((t, top["l"], top["r"], int(top["s"])))
+        state = state.withColumn(
+            "rep",
+            F.replace(
+                F.col("rep"),
+                F.lit(SEP + top["l"] + SEP + SEP + top["r"] + SEP),
+                F.lit(SEP + top["l"] + top["r"] + SEP),
+            ),
+        )
+    return spark.createDataFrame(
+        out, "round int, left_sym string, right_sym string, pair_count long"
+    )

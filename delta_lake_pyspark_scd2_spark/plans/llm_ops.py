@@ -6836,3 +6836,80 @@ def graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("node").alias("part_key"), F.col("label").alias("community")
     )
+
+
+def _bpe_rounds_oracle(rounds: int) -> str:
+    """Unrolled distributed BPE merge rounds in SQL — exactly
+    operators/bpe.distributed_merge_rounds's computation on the shared
+    SEP-wrapped string representation: adjacent-pair counts (1-based
+    list indexing), argmax by (count desc, left asc, right asc), one
+    literal replace per round (both engines' replace() scans left to
+    right non-overlapping, which IS greedy BPE application on the
+    wrapped form). Integer counts — no rounding contract.
+    ``AS MATERIALIZED`` throughout (each round's state is referenced
+    by both the pair CTE and the next round)."""
+    sep = "\x1f"
+    parts = [
+        "w AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt "
+        f"FROM (SELECT unnest(string_split({_NORM}, ' ')) AS word "
+        "FROM documents) WHERE word <> '' GROUP BY 1)",
+        f"r1 AS MATERIALIZED (SELECT cnt, '{sep}' || "
+        f"array_to_string(regexp_extract_all(word, '.'), '{sep}{sep}') "
+        f"|| '</w>{sep}' AS rep FROM w)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT cnt, "
+            f"string_split(trim(rep, '{sep}'), '{sep}{sep}') AS syms "
+            f"FROM r{t})"
+        )
+        parts.append(
+            f"g{t} AS MATERIALIZED (SELECT syms[i] AS l, syms[i + 1] AS r, "
+            f"CAST(sum(cnt) AS BIGINT) AS s FROM s{t}, "
+            "UNNEST(range(1, len(syms))) AS t(i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT l, r, s FROM g{t} "
+            "ORDER BY s DESC, l ASC, r ASC LIMIT 1)"
+        )
+        if t < rounds:
+            parts.append(
+                f"r{t + 1} AS MATERIALIZED (SELECT cnt, "
+                f"replace(rep, '{sep}' || m.l || '{sep}{sep}' || m.r || "
+                f"'{sep}', '{sep}' || m.l || m.r || '{sep}') AS rep "
+                f"FROM r{t} CROSS JOIN m{t} m)"
+            )
+    finals = [
+        f"SELECT {t} AS round, l AS left_sym, r AS right_sym, "
+        f"s AS pair_count FROM m{t}"
+        for t in range(1, rounds + 1)
+    ]
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL ".join(finals)
+        + "\n    "
+    )
+
+
+@register(
+    "bpe_merge_rounds",
+    oracle=_bpe_rounds_oracle(rounds=3),
+    doc="The first 3 BPE merge selections computed distributedly "
+    "(operators/bpe.distributed_merge_rounds): per round one "
+    "adjacent-symbol-pair explode + map-side-combined count, a "
+    "distributed top-1 ((count desc, pair asc) TakeOrdered), and one "
+    "literal-replace map over the SEP-wrapped symbol strings — whose "
+    "left-to-right non-overlapping scan IS greedy BPE application. "
+    "Driver state = one merge rule per round; the pair shuffle "
+    "carries distinct adjacent pairs, never corpus text. Upgrades the "
+    "BPE family's training head from rows-only to value-hash proven "
+    "(the long driver-side merge loop on the compressed word dict "
+    "stays rows-only by design).",
+)
+def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe.distributed_merge_rounds(docs, rounds=3)

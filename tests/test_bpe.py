@@ -73,3 +73,39 @@ def test_bpe_roundtrip_property(spark, words):
     merges = bpe.train_bpe(df, num_merges=20)
     out = bpe.bpe_encode(df, merges).collect()[0]
     assert bpe.decode_tokens(out["bpe_tokens"]) == text
+
+
+def test_distributed_merge_rounds_match_driver_training(spark):
+    """The distributed pair-count/argmax/replace rounds must select
+    exactly the merges the driver-side train_bpe loop selects —
+    including on runs, where greedy non-overlapping application
+    matters ('aaaa' contributes (a,a) twice but merges once)."""
+    from delta_lake_pyspark_scd2_spark.operators import bpe
+
+    texts = [
+        ("the cat the cat aaaa",),
+        ("aaaa aaab the hat",),
+        ("cat hat bat the the",),
+    ]
+    df = spark.createDataFrame(texts, "text string")
+    want = bpe.train_bpe(df, num_merges=4)
+    got = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe.distributed_merge_rounds(df, rounds=4)
+        .orderBy("round")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_distributed_merge_rounds_counts_are_weighted(spark):
+    from delta_lake_pyspark_scd2_spark.operators import bpe
+
+    # "ab" x3, "cd" x1 -> round 1 must pick (a, b</w>) with count 3
+    df = spark.createDataFrame(
+        [("ab ab",), ("ab cd",)], "text string"
+    )
+    rows = bpe.distributed_merge_rounds(df, rounds=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["left_sym"], r["right_sym"], r["pair_count"]) == ("a", "b</w>", 3)
