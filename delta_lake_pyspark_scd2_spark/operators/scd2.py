@@ -481,3 +481,57 @@ def align_intervals(
             *[F.col(f"__rcur.{c}").alias(c) for c in right_cols],
         )
     )
+
+
+def repair_intervals(
+    df: DataFrame,
+    key_cols: Sequence[str] | str,
+    *,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    tiebreak_cols: Sequence[str] = (),
+    is_current: str = "is_current",
+    sentinel: Column | None = None,
+) -> DataFrame:
+    """Heal a corrupted SCD2 dimension: re-chain each key's intervals
+    so they are contiguous, non-overlapping, and single-open — the
+    repair half of :func:`check_invariants` (which only detects).
+    Upstream merges that bypassed the pipeline, replayed batches, or
+    hand edits leave three defect classes: an interval's ``valid_to``
+    overshoots the next version's start (overlap — point-in-time reads
+    return TWO rows), undershoots it (gap — reads return none), or a
+    non-last row sits open. All three have the same deterministic fix:
+    ``valid_to`` := the next version's ``valid_from`` (per key, ordered
+    by ``from_col`` then ``tiebreak_cols``), the last row gets the open
+    sentinel, and ``is_current`` is recomputed. The original
+    ``valid_from`` order is treated as the truth of record succession;
+    rows are never dropped or reordered.
+
+    Emits ``was_overlap`` / ``was_gap`` audit flags (old ``valid_to``
+    vs the healed one, false on the last row) so the repair doubles as
+    the defect report.
+
+    Scale: one window per key partition — partitioned by the dimension
+    key like every SCD2 chain op here, never a global sort.
+    """
+    keys = _keys(key_cols)
+    order = [F.col(from_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    nxt = F.lead(from_col).over(w)
+    if sentinel is None:
+        sentinel = F.lit(MAX_TS).cast("timestamp")
+    healed = F.coalesce(nxt, sentinel)
+    return (
+        df.withColumn("__healed", healed)
+        .withColumn(
+            "was_overlap",
+            nxt.isNotNull() & (F.col(to_col) > F.col("__healed")),
+        )
+        .withColumn(
+            "was_gap",
+            nxt.isNotNull() & (F.col(to_col) < F.col("__healed")),
+        )
+        .withColumn(is_current, nxt.isNull())
+        .withColumn(to_col, F.col("__healed"))
+        .drop("__healed")
+    )

@@ -527,3 +527,64 @@ def scd2_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         event_tiebreak_cols=["click_event_id"],
         direction="forward",
     )
+
+
+@register(
+    "scd2_repair_intervals",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+             o_orderdate + (o_orderkey % 40 - 5) * INTERVAL 1 DAY
+               AS valid_to
+      FROM orders
+    ),
+    r AS (
+      SELECT o_custkey, o_orderkey, valid_from, valid_to,
+             lead(valid_from) OVER (
+               PARTITION BY o_custkey
+               ORDER BY valid_from ASC, o_orderkey ASC) AS nxt
+      FROM c
+    )
+    SELECT o_custkey, o_orderkey, valid_from,
+           strftime(coalesce(nxt, TIMESTAMP '9999-12-31 00:00:00'),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           nxt IS NULL AS is_current,
+           nxt IS NOT NULL AND r.valid_to > nxt AS was_overlap,
+           nxt IS NOT NULL AND r.valid_to < nxt AS was_gap
+    FROM r
+    """,
+    doc="SCD2 chain repair (operators/scd2.repair_intervals): heal a "
+    "corrupted dimension whose valid_to values drifted (overlaps make "
+    "point-in-time reads return two rows, gaps return none, stray "
+    "open rows break latest-wins) by re-chaining valid_to to the next "
+    "version's valid_from per key, re-deriving is_current, and "
+    "emitting was_overlap/was_gap audit flags — the repair half of "
+    "check_invariants, which only detects. The corrupted input is "
+    "synthesized deterministically from orders (valid_to = "
+    "o_orderdate + (o_orderkey % 40 - 5) days). One key-partitioned "
+    "window, never a global sort; valid_to projects as a formatted "
+    "string for the 9999-12-31 sentinel (the scd2_intervalize "
+    "convention).",
+)
+def scd2_repair_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    corrupted = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr(
+            "o_orderdate + make_dt_interval(o_orderkey % 40 - 5)"
+        ).alias("valid_to"),
+    )
+    repaired = scd2.repair_intervals(
+        corrupted, "o_custkey", tiebreak_cols=["o_orderkey"]
+    )
+    return repaired.select(
+        "o_custkey",
+        "o_orderkey",
+        "valid_from",
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+        "was_overlap",
+        "was_gap",
+    )

@@ -217,3 +217,56 @@ def test_asof_join_null_value_field_does_not_tear_events(spark):
         direction="forward",
     ).collect()[0]
     assert fwd2.eid == 1 and fwd2.val is None
+
+
+def test_repair_intervals_heals_all_invariant_classes(spark):
+    """Overlap, gap, and stray-open rows all repair to a chain that
+    check_invariants certifies clean; rows are never dropped and
+    succession order (valid_from, tiebreak) is the truth of record."""
+    bad = spark.createDataFrame(
+        [
+            # k=X: overlap (row1 overshoots row2's start) + stray open row
+            Row(k="X", v=1, valid_from=ts("2023-01-01T00:00:00"),
+                valid_to=ts("2023-01-05T00:00:00"), is_current=True),
+            Row(k="X", v=2, valid_from=ts("2023-01-03T00:00:00"),
+                valid_to=ts("2023-01-04T00:00:00"), is_current=True),
+            # k=Y: gap between row1's end and row2's start
+            Row(k="Y", v=1, valid_from=ts("2023-01-01T00:00:00"),
+                valid_to=ts("2023-01-02T00:00:00"), is_current=False),
+            Row(k="Y", v=2, valid_from=ts("2023-01-06T00:00:00"),
+                valid_to=ts("9999-12-31T00:00:00"), is_current=True),
+        ]
+    )
+    got = scd2.repair_intervals(bad, "k", tiebreak_cols=["v"])
+    assert scd2.check_invariants(got, "k").count() == 0
+    assert got.count() == 4
+    rows = {(r["k"], r["v"]): r for r in got.collect()}
+    x1, y1 = rows[("X", 1)], rows[("Y", 1)]
+    assert x1["was_overlap"] and not x1["was_gap"]
+    assert x1["valid_to"] == ts("2023-01-03T00:00:00")
+    assert not x1["is_current"]
+    assert y1["was_gap"] and not y1["was_overlap"]
+    assert y1["valid_to"] == ts("2023-01-06T00:00:00")
+    # last rows: open sentinel, current, no flags
+    for key in [("X", 2), ("Y", 2)]:
+        r = rows[key]
+        assert r["is_current"] and not r["was_overlap"] and not r["was_gap"]
+        assert r["valid_to"] == ts("9999-12-31T00:00:00")
+
+
+def test_repair_intervals_is_idempotent_on_clean_chains(spark):
+    clean = spark.createDataFrame(
+        [
+            Row(k="A", v=1, valid_from=ts("2023-01-01T00:00:00"),
+                valid_to=ts("2023-01-02T00:00:00"), is_current=False),
+            Row(k="A", v=2, valid_from=ts("2023-01-02T00:00:00"),
+                valid_to=ts("9999-12-31T00:00:00"), is_current=True),
+        ]
+    )
+    got = scd2.repair_intervals(clean, "k", tiebreak_cols=["v"])
+    assert got.filter(F.col("was_overlap") | F.col("was_gap")).count() == 0
+    want = {(r["k"], r["v"]): (r["valid_to"], r["is_current"])
+            for r in clean.collect()}
+    have = {(r["k"], r["v"]): (r["valid_to"], r["is_current"])
+            for r in got.collect()}
+    assert have == want
