@@ -232,3 +232,55 @@ def ohlc_resample(
             "mean_value",
         )
     )
+
+
+def robust_value_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_cols: list[str] | None = None,
+    *,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``mz = 0.6745 * (x - median) / MAD``,
+    flagging ``|mz| > threshold`` (3.5 is their recommendation). Unlike
+    the mean/stddev z-score (:func:`daily_volume_anomaly`), median and
+    MAD have a 50% breakdown point — a burst of corrupt values cannot
+    drag the gate open around itself, which is exactly the failure
+    mode value-distribution monitors exist to catch.
+
+    Two exact-median passes, both as plain grouped aggregations
+    (Spark's ``percentile`` is the exact sort-based form, matching
+    DuckDB's ``quantile_cont`` double for double): group medians join
+    back (broadcast — one row per group), then MAD = median of
+    absolute deviations the same way. Groups with ``MAD = 0`` (over
+    half the values identical) yield no finite score and are excluded
+    rather than flagged (the standard convention).
+
+    Returns only the flagged rows: ``id_cols + [group_col, value_col,
+    mz]``, rounded to 6 dp under the shared oracle contract.
+    """
+    ids = list(id_cols or [])
+    med = df.groupBy(group_col).agg(
+        F.percentile(F.col(value_col), F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), group_col).withColumn(
+        "__adev", F.abs(F.col(value_col) - F.col("__med"))
+    )
+    mad = dev.groupBy(group_col).agg(
+        F.percentile(F.col("__adev"), F.lit(0.5)).alias("__mad")
+    )
+    mz = F.round(
+        F.lit(0.6745)
+        * (F.col(value_col) - F.col("__med"))
+        / F.col("__mad"),
+        6,
+    )
+    return (
+        dev.join(F.broadcast(mad), group_col)
+        .filter(F.col("__mad") > 0)
+        .withColumn("mz", mz)
+        .filter(F.abs(F.col("mz")) > threshold)
+        .select(*ids, group_col, value_col, "mz")
+    )

@@ -6913,3 +6913,158 @@ def bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe.distributed_merge_rounds(docs, rounds=3)
+
+
+_PACK_BUCKETS = [16, 32, 64, 128, 256, 512, 1024]
+_PACK_OVERFLOW = 2048
+
+
+def _bucket_case_sql(expr: str) -> str:
+    cases = " ".join(
+        f"WHEN {expr} <= {b} THEN {b}" for b in _PACK_BUCKETS
+    )
+    return f"CASE {cases} ELSE {_PACK_OVERFLOW} END"
+
+
+@register(
+    "pack_length_buckets",
+    oracle=rf"""
+    WITH t AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+             ELSE len(string_split_regex(trim(text), '\s+')) END AS n
+      FROM documents
+    )
+    SELECT {_bucket_case_sql('n')} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens,
+           CAST(count(*) * {_bucket_case_sql('n')} AS BIGINT)
+             AS padded_tokens,
+           round(1.0 - CAST(sum(n) AS DOUBLE)
+                 / (count(*) * {_bucket_case_sql('n')}), 6) AS waste_frac
+    FROM t
+    GROUP BY 1
+    """,
+    doc="Sequence-length bucketing audit: every document lands in the "
+    "smallest power-of-two length bucket that fits it (16..1024, "
+    "overflow 2048 — an explicit threshold CASE, not float log2, so "
+    "both engines bucket identically), and each bucket reports its "
+    "padding waste (1 - real/padded tokens) — the number a trainer "
+    "tunes batch-shape bucketing against, since waste is compute "
+    "burned on pad tokens. One map-side-combinable aggregation over "
+    "the value-hash-proven whitespace token count.",
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = text.token_count_ws(F.col("text"))
+    bucket = F.lit(_PACK_OVERFLOW)
+    for b in reversed(_PACK_BUCKETS):
+        bucket = F.when(n <= b, F.lit(b)).otherwise(bucket)
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("sum_tokens"),
+            (F.count(F.lit(1)) * F.col("bucket"))
+            .cast("long")
+            .alias("padded_tokens"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("__n").cast("double")
+                / (F.count(F.lit(1)) * F.col("bucket")),
+                6,
+            ).alias("waste_frac"),
+        )
+    )
+
+
+@register(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE label % 3 = 0
+    ),
+    scored AS (
+      SELECT query_id, vec_id, label,
+             {_COS.format(a='qv', b='cv')} AS cos_sim
+      FROM c, q WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, label, rank, cos_sim FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="FILTERED vector search (the label-predicate variant every "
+    "retrieval stack needs): exact cosine top-k restricted to corpus "
+    "rows passing a metadata predicate (label % 3 = 0). The predicate "
+    "applies BEFORE any distance arithmetic — pre-filtering, pushed "
+    "to the parquet scan, so cost scales with the filtered corpus and "
+    "k is always filled; the broken alternative (post-filtering an "
+    "unfiltered index probe) silently under-fills k at selective "
+    "predicates. At 100 TB the corpus is partitioned/z-ordered on the "
+    "filter columns so the predicate prunes files, and the same "
+    "pre-filter composes with the IVF probe path (filter the "
+    "assigned-bucket scan, not the result).",
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("label") % 3 == 0)
+    hits = similarity.cosine_topk(corpus, queries, k=10)
+    labels = emb.select("vec_id", "label")
+    return (
+        hits.join(
+            labels, hits["neighbor_id"] == labels["vec_id"]
+        )
+        .select("query_id", "neighbor_id", "label", "rank", "cos_sim")
+    )
+
+
+@register(
+    "events_value_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, med.med,
+             abs(e.value - med.med) AS adev
+      FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(0.6745 * (d.value - d.med) / mad.mad, 6) AS mz
+    FROM dev d JOIN mad USING (event_type)
+    WHERE mad.mad > 0
+      AND abs(round(0.6745 * (d.value - d.med) / mad.mad, 6)) > 3.5
+    """,
+    doc="Robust value-distribution outlier gate per event_type "
+    "(operators/timeseries.robust_value_outliers; Iglewicz-Hoaglin "
+    "modified z-score, |mz| > 3.5): median and MAD have a 50% "
+    "breakdown point, so a burst of corrupt values cannot drag the "
+    "gate open around itself — the failure mode the mean/stddev "
+    "monitor (events_volume_anomaly) is blind to. Two exact-median "
+    "grouped aggregations (Spark percentile == DuckDB quantile_cont "
+    "double for double) with broadcast joins back; MAD = 0 groups "
+    "excluded by convention.",
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        robust_value_outliers,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return robust_value_outliers(
+        events, "event_type", "value", id_cols=["event_id"]
+    )

@@ -239,3 +239,42 @@ def test_dsir_empty_target_and_empty_doc_are_explicit(spark):
     assert set(out) == {0, 1, 2}  # full coverage incl. the empty doc
     assert out[0] is not None and out[2] is not None
     assert out[1] is None  # zero-token doc: explicitly unrankable
+
+
+def test_robust_outliers_survive_corrupt_burst(spark):
+    """The 50%-breakdown property that motivates MAD over stddev: a
+    burst of corrupt values inflates the stddev enough to hide itself
+    from the z-score gate, but median/MAD still flag every burst row."""
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        robust_value_outliers,
+    )
+
+    normal = [(i, "a", 100.0 + (i % 7) * 0.1) for i in range(40)]
+    burst = [(100 + i, "a", 10_000.0 + i) for i in range(8)]
+    df = spark.createDataFrame(
+        normal + burst, "event_id long, event_type string, value double"
+    )
+    got = robust_value_outliers(df, "event_type", "value", ["event_id"])
+    flagged = {r["event_id"] for r in got.collect()}
+    assert flagged == {100 + i for i in range(8)}
+    # classic z-score at the same data: stddev ~ 3.4k, burst z ~ 2.4 —
+    # below the typical 3-sigma gate; MAD flags what stddev hides.
+    import statistics
+
+    vals = [v for _, _, v in normal + burst]
+    mu, sd = statistics.mean(vals), statistics.pstdev(vals)
+    assert max(abs(v - mu) / sd for v in vals) < 3.0
+
+
+def test_robust_outliers_zero_mad_group_excluded(spark):
+    from delta_lake_pyspark_scd2_spark.operators.timeseries import (
+        robust_value_outliers,
+    )
+
+    rows = [(i, "const", 5.0) for i in range(10)] + [(99, "const", 1e9)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    # over half the group is identical -> MAD = 0 -> no finite score;
+    # the group is excluded rather than spuriously flagged
+    assert robust_value_outliers(df, "event_type", "value").count() == 0
