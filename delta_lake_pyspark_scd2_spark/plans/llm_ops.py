@@ -7068,3 +7068,135 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robust_value_outliers(
         events, "event_type", "value", id_cols=["event_id"]
     )
+
+
+@register(
+    "retrieve_rerank",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY 1),
+    qw AS (
+      SELECT doc_id, term FROM words
+      WHERE term IN ('merge', 'join', 'window', 'vector')
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM qw GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM qw GROUP BY 1),
+    s AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT AVG(dl) FROM dl) AS avgdl
+    ),
+    cand AS (
+      SELECT doc_id, bm25 FROM (
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                 LN(1 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN s
+        GROUP BY 1
+      ) ORDER BY bm25 DESC, doc_id ASC LIMIT 50
+    ),
+    q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    reranked AS (
+      SELECT cand.doc_id, cand.bm25,
+             {_COS.format(a='qv', b='cv')} AS cos_sim
+      FROM cand
+      JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings) e
+        ON e.vec_id = cand.doc_id
+      CROSS JOIN q
+    )
+    SELECT doc_id, bm25, cos_sim, rank FROM (
+      SELECT doc_id, bm25, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id ASC) AS rank
+      FROM reranked
+    ) WHERE rank <= 10
+    """,
+    doc="Two-stage retrieval (the production RAG shape): BM25 top-50 "
+    "lexical candidates, then dense rerank by embedding cosine to the "
+    "query vector, top-10. Stage 1 is the proven bm25_topk plan "
+    "(pre-shuffle term filter, broadcast scalars, TakeOrdered); stage "
+    "2 touches ONLY the 50 candidates — the rerank join and cosine "
+    "arithmetic are candidate-sized, never corpus-sized, which is the "
+    "entire point of the cascade at 100 TB. The rank window is a "
+    "bounded <=50-row input (global-window-ok).",
+)
+def retrieve_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cand = text.bm25_topk(
+        docs, ["merge", "join", "window", "vector"], k=50
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][
+        "embedding"
+    ]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = (
+        cand.join(emb, cand["doc_id"] == emb["vec_id"])
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(similarity.cosine(F.col("embedding"), qlit), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    # global-window-ok: bounded input (<= 50 candidate rows)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", "bm25", "cos_sim", "rank")
+    )
+
+
+@register(
+    "quality_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(least(greatest(CAST(d.n_chars AS DOUBLE), b.lo), b.hi), 6)
+             AS w_value,
+           CAST(d.n_chars < b.lo OR d.n_chars > b.hi AS BOOLEAN)
+             AS was_clipped
+    FROM documents d JOIN b USING (lang)
+    """,
+    doc="Per-group winsorization: clamp each document's length score "
+    "to its language's exact [p05, p95] band — the standard tail "
+    "taming before quality scores feed mixture weights or thresholds "
+    "(a handful of megadocs would otherwise own a mean-based gate). "
+    "Exact group quantiles as ONE grouped aggregation (Spark "
+    "percentile == DuckDB quantile_cont double for double) broadcast "
+    "back; pairs with w_quantile_normalize (cross-group alignment) "
+    "and events_value_outliers (robust flagging) as the score-"
+    "conditioning trio.",
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.percentile(F.col("n_chars"), F.lit(0.05)).alias("__lo"),
+        F.percentile(F.col("n_chars"), F.lit(0.95)).alias("__hi"),
+    )
+    v = F.col("n_chars").cast("double")
+    return (
+        docs.join(F.broadcast(bounds), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(
+                F.least(F.greatest(v, F.col("__lo")), F.col("__hi")), 6
+            ).alias("w_value"),
+            ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("was_clipped"),
+        )
+    )
