@@ -453,3 +453,73 @@ def cap_per_group(
     if rank_col:
         return out.withColumnRenamed("__rk", rank_col).drop("__budget")
     return out.drop("__rk", "__budget")
+
+
+def loss_reweight(
+    scored: DataFrame,
+    group_col: str,
+    nll_col: str,
+    *,
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Loss-aware mixture reweighting (the DoReMi intuition, Xie et
+    al. 2023, as a closed-form heuristic rather than the minimax
+    training loop): upweight domains whose held-in language-model loss
+    is high relative to the corpus — hard/underfit domains get more
+    sampling mass — via an exponential-tilt softmax over per-domain
+    mean NLL, anchored at the natural share:
+
+        weight_g ∝ share_g * exp(mean_nll_g / temperature)
+
+    ``scored`` is one row per document with ``group_col`` and
+    ``nll_col`` (a per-doc negative log-likelihood, e.g.
+    ``-avg_logp`` from :func:`operators.text.bigram_lm_scores`).
+
+    Scale: one grouped aggregation to (group, n_docs, mean_nll) —
+    map-side combinable — then all softmax arithmetic runs on the
+    groups-sized table against two broadcast scalars. Determinism
+    contract: per-group means round to 6 dp before the exp tilt,
+    tilted masses to 6 dp before normalizing, final weights to 4 dp
+    (the text_bigram_ppl precedent for cross-engine exp()).
+
+    Returns ``(group, n_docs, base_share, mean_nll, excess_nll,
+    weight)``; weights sum to 1 up to rounding.
+    """
+    g = scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col(nll_col)), 6).alias("mean_nll"),
+    )
+    totals = scored.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.round(F.avg(F.col(nll_col)), 6).alias("__corpus_nll"),
+    )
+    tilted = (
+        g.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "base_share", F.round(F.col("n_docs") / F.col("__n"), 6)
+        )
+        .withColumn(
+            "excess_nll",
+            F.round(F.col("mean_nll") - F.col("__corpus_nll"), 6),
+        )
+        .withColumn(
+            "__mass",
+            F.round(
+                F.col("base_share")
+                * F.exp(F.col("mean_nll") / F.lit(temperature)),
+                6,
+            ),
+        )
+    )
+    z = tilted.agg(F.sum("__mass").alias("__z"))
+    return (
+        tilted.crossJoin(F.broadcast(z))
+        .select(
+            group_col,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "base_share",
+            "mean_nll",
+            "excess_nll",
+            F.round(F.col("__mass") / F.col("__z"), 4).alias("weight"),
+        )
+    )

@@ -7200,3 +7200,134 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((v < F.col("__lo")) | (v > F.col("__hi"))).alias("was_clipped"),
         )
     )
+
+
+@register(
+    "ann_ivf_filtered_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings
+    ),
+    f AS (SELECT vec_id, ve FROM v WHERE label % 3 = 0),
+    cents AS (
+      SELECT vec_id AS centroid_id, ve AS cv FROM v WHERE vec_id < 8
+    ),
+    assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT f.vec_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY f.vec_id
+                                  ORDER BY {_COS.format(a='f.ve', b='cv')} DESC,
+                                           c.centroid_id ASC) AS rn
+        FROM f, cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, centroid_id, qv FROM (
+        SELECT q.vec_id AS query_id, c.centroid_id, q.ve AS qv,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_COS.format(a='q.ve', b='cv')} DESC,
+                                           c.centroid_id ASC) AS prn
+        FROM v q, cents c WHERE q.vec_id >= 490
+      ) WHERE prn = 1
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a='p.qv', b='f2.ve')} AS cos_sim
+      FROM probes p
+      JOIN assigned a ON a.centroid_id = p.centroid_id
+      JOIN f f2 ON f2.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, rank, cos_sim FROM (
+      SELECT query_id, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="Filtered IVF probe — the index-path half of filtered vector "
+    "search (ann_filtered_topk is the exact half): the metadata "
+    "predicate restricts the ASSIGNMENT table, so each probe scans "
+    "only filtered rows of the query's nearest bucket and k fills "
+    "from matching rows only. At 100 TB the assignment is stored "
+    "bucketed by centroid_id and partitioned/z-ordered on the filter "
+    "columns, making a filtered probe a doubly-pruned scan — the "
+    "composition the pre-filter design enables and post-filtering "
+    "cannot (it under-fills k at selective predicates).",
+)
+def ann_ivf_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("label") % 3 == 0)
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") >= 490)
+    return similarity.ivf_topk(corpus, centroids, queries, k=5)
+
+
+@register(
+    "mixture_loss_reweight",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+      WHERE len(string_split({_NORM}, ' ')) >= 2
+    ),
+    words AS (SELECT doc_id, UNNEST(t) AS w FROM toks),
+    big AS (
+      SELECT doc_id,
+             UNNEST(t[1:len(t)-1]) AS w1,
+             UNNEST(t[2:len(t)]) AS w2
+      FROM toks
+    ),
+    m AS (SELECT doc_id, w1, w2, COUNT(*) AS m FROM big GROUP BY 1, 2, 3),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v FROM words),
+    nll AS (
+      SELECT m.doc_id,
+             -ROUND(SUM(m.m * LN((c2.c2 + 1.0) / (c1.c1 + v.v)))
+                    / SUM(m.m), 6) AS nll
+      FROM m JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT d.source, n.nll FROM nll n JOIN documents d USING (doc_id)
+    ),
+    g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             round(avg(nll), 6) AS mean_nll
+      FROM s GROUP BY 1
+    ),
+    tot AS (
+      SELECT count(*) AS n, round(avg(nll), 6) AS corpus_nll FROM s
+    ),
+    tilted AS (
+      SELECT source, n_docs,
+             round(CAST(n_docs AS DOUBLE) / tot.n, 6) AS base_share,
+             mean_nll,
+             round(mean_nll - tot.corpus_nll, 6) AS excess_nll,
+             round(round(CAST(n_docs AS DOUBLE) / tot.n, 6)
+                   * exp(mean_nll / 0.5), 6) AS mass
+      FROM g CROSS JOIN tot
+    )
+    SELECT source, n_docs, base_share, mean_nll, excess_nll,
+           round(mass / (SELECT sum(mass) FROM tilted), 4) AS weight
+    FROM tilted
+    """,
+    doc="Loss-aware mixture reweighting (the DoReMi intuition as a "
+    "closed-form heuristic; operators/mixture.loss_reweight): domains "
+    "whose bigram-LM loss runs high relative to the corpus get more "
+    "sampling mass via an exponential-tilt softmax over per-source "
+    "mean NLL anchored at the natural share. The per-doc NLL is the "
+    "value-hash-proven bigram_lm_scores signal; everything after is "
+    "one map-side-combinable group aggregate plus softmax arithmetic "
+    "on the 20-row source table (broadcast scalars). Weights round to "
+    "4 dp under the text_bigram_ppl cross-engine exp() precedent.",
+)
+def mixture_loss_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.mixture import loss_reweight
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.bigram_lm_scores(docs).select(
+        "doc_id", (-F.col("avg_logp")).alias("nll")
+    )
+    per_doc = scored.join(docs.select("doc_id", "source"), "doc_id")
+    return loss_reweight(per_doc, "source", "nll", temperature=0.5)

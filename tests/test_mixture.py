@@ -224,3 +224,32 @@ def test_cap_per_group_budget_invariant_random(spark):
         }
         got = {r.id for r in out if r.g == g}
         assert got == want
+
+
+def test_loss_reweight_upweights_high_loss_group(spark):
+    from delta_lake_pyspark_scd2_spark.operators.mixture import loss_reweight
+
+    rows = [(i, "easy", 1.0) for i in range(30)] + [
+        (100 + i, "hard", 3.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nll double")
+    got = {r["source"]: r for r in loss_reweight(df, "source", "nll").collect()}
+    assert abs(sum(r["weight"] for r in got.values()) - 1.0) < 1e-3
+    # hard domain: above-share mass; easy: below-share
+    assert got["hard"]["weight"] > got["hard"]["base_share"]
+    assert got["easy"]["weight"] < got["easy"]["base_share"]
+    assert got["hard"]["excess_nll"] > 0 > got["easy"]["excess_nll"]
+
+
+def test_loss_reweight_high_temperature_recovers_base_shares(spark):
+    from delta_lake_pyspark_scd2_spark.operators.mixture import loss_reweight
+
+    rows = [(i, "a", 1.0) for i in range(20)] + [
+        (50 + i, "b", 2.0) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, nll double")
+    got = {r["source"]: r for r in loss_reweight(
+        df, "source", "nll", temperature=1e6
+    ).collect()}
+    for s in ("a", "b"):
+        assert abs(got[s]["weight"] - got[s]["base_share"]) < 1e-3
