@@ -7331,3 +7331,118 @@ def mixture_loss_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = scored.join(docs.select("doc_id", "source"), "doc_id")
     return loss_reweight(per_doc, "source", "nll", temperature=0.5)
+
+
+@register(
+    "export_interleaved",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY doc_id ASC) AS src_pos
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(src_pos AS BIGINT) AS src_pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY src_pos ASC, source ASC,
+                                   doc_id ASC) AS BIGINT) AS interleave_pos
+    FROM p
+    """,
+    doc="Fair source-interleaved export order (the anti-curriculum "
+    "twin of export_curriculum): documents sort by their within-"
+    "source position first, so a trainer reading in interleave_pos "
+    "order sees sources round-robin — every window of the stream "
+    "carries the full mixture instead of one source's contiguous "
+    "block (the ordering bias that makes loss curves lie). "
+    "Within-source positions are source-partitioned windows; the "
+    "global order rides distributed_total_rank on (src_pos, source, "
+    "doc_id) — the oracle's global ROW_NUMBER is exactly the "
+    "single-task sort the engine avoids.",
+)
+def export_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators.ranking import (
+        distributed_total_rank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    positioned = docs.withColumn("src_pos", F.row_number().over(w))
+    ranked = distributed_total_rank(
+        positioned, "src_pos", ["source", "doc_id"], descending=False
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("src_pos").cast("long").alias("src_pos"),
+        F.col("__rank").cast("long").alias("interleave_pos"),
+    )
+
+
+@register(
+    "j11_bloom_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(25,4))), 2) AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    doc="Bloom-pruned join (explicit runtime-filter pattern): the "
+    "urgent-orders build side folds into 2^19 packed filter words "
+    "(sketches.bloom_long_array) riding a ONE-ROW broadcast as an "
+    "array<long> column, the lineitem probe side drops non-matching "
+    "rows with O(1) element_at+shift bit tests BEFORE the shuffle "
+    "(bloom_hit_packed — per-row cost independent of filter size; "
+    "the string-literal probe form rescans its literal per row and "
+    "is disqualified above ~16 Kib, measured in bloom_long_array's "
+    "docstring), and the real equi-join then removes the Bloom's "
+    "~0.2% false positives. No false negatives makes the prune "
+    "RESULT-NEUTRAL, so the oracle is the plain join — the "
+    "optimization is verified exactly. At 100 TB this is the "
+    "difference between shuffling the full fact table and shuffling "
+    "only the ~selectivity fraction that can match (semi-join "
+    "reduction with O(filter) coordination, no build-side "
+    "broadcast).",
+)
+def j11_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import sketches
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    # size the filter to the build side: the default 16 Kib geometry
+    # saturates at the ~30k urgent keys sf0.1 carries (measured: 598k
+    # of 600k probe rows passed = no pruning); 2^19 bits puts m/n at
+    # ~17 for ~0.2% FP
+    bits = 1 << 19
+    bloom = sketches.bloom_build(
+        urgent.select(F.col("o_orderkey").cast("string").alias("k")),
+        "k",
+        bits=bits,
+    )
+    words = sketches.bloom_long_array(bloom, bits=bits)
+    wdf = spark.createDataFrame([(words,)], "__bf array<long>")
+    pruned = (
+        li.crossJoin(F.broadcast(wdf))
+        .filter(
+            sketches.bloom_hit_packed(
+                F.col("l_orderkey").cast("string"), F.col("__bf"), bits=bits
+            )
+        )
+        .drop("__bf")
+    )
+    vol = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast(T.DecimalType(25, 4))
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(vol), 2).cast("double").alias("revenue"),
+        )
+    )

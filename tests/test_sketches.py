@@ -482,3 +482,52 @@ def test_cms_join_size_disjoint_sketches_estimate_zero(spark):
         sketches.count_min_build(b, "word", "c"),
     ).collect()[0][0]
     assert est == 0
+
+
+def test_bloom_packed_probe_matches_join_probe(spark):
+    """bloom_hit_packed over the packed words must flag exactly the
+    same values as bloom_might_contain over the sparse rows — same
+    members, same false-positive collisions."""
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(200)], "k string"
+    )
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(0, 400, 3)] + [(f"x{i}",) for i in range(300)],
+        "k string",
+    )
+    bloom = sketches.bloom_build(members, "k", bits=4096)
+    want = {
+        r["k"]: r["might_contain"]
+        for r in sketches.bloom_might_contain(
+            bloom, probes, "k", bits=4096
+        ).collect()
+    }
+    words = sketches.bloom_long_array(bloom, bits=4096)
+    wdf = spark.createDataFrame([(words,)], "__bf array<long>")
+    got = {
+        r["k"]: r["hit"]
+        for r in probes.crossJoin(F.broadcast(wdf))
+        .select(
+            "k",
+            sketches.bloom_hit_packed(
+                F.col("k"), F.col("__bf"), bits=4096
+            ).alias("hit"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(got[f"m{i}"] for i in range(0, 200, 3)), "no false negatives"
+
+
+def test_bloom_long_array_packs_every_set_bit(spark):
+    members = spark.createDataFrame([(f"v{i}",) for i in range(50)], "k string")
+    bloom = sketches.bloom_build(members, "k", bits=1024)
+    words = sketches.bloom_long_array(bloom, bits=1024)
+    set_bits = {int(r["pos"]) for r in bloom.select("pos").collect()}
+    unpacked = set()
+    for i, w in enumerate(words):
+        w &= (1 << 64) - 1  # undo signed wrap
+        for b in range(64):
+            if (w >> b) & 1:
+                unpacked.add(i * 64 + b)
+    assert unpacked == set_bits
