@@ -588,3 +588,42 @@ def scd2_repair_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_overlap",
         "was_gap",
     )
+
+
+@register(
+    "scd2_collapse_unchanged",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts ASC, event_id ASC) AS pt,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC) AS pv
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type, value
+    FROM w
+    WHERE rn = 1
+       OR event_type IS DISTINCT FROM pt
+       OR value IS DISTINCT FROM pv
+    """,
+    doc="Change-only filter (operators/scd2.collapse_unchanged, the "
+    "reference merge rule 'value-identical events create no version' "
+    "as a standalone batch operator, notes.md:100-105): drop events "
+    "whose tracked values null-safely equal the key's previous event; "
+    "the first event per key always survives. One key-partitioned "
+    "window — previously proven only through the pipeline golden "
+    "tests and scd2_late_rebuild; this row value-hashes the building "
+    "block directly.",
+)
+def scd2_collapse_unchanged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return scd2.collapse_unchanged(
+        ev.select("event_id", "user_id", "ts", "event_type", "value"),
+        "user_id",
+        "ts",
+        ["event_type", "value"],
+        tiebreak_cols=["event_id"],
+    )
