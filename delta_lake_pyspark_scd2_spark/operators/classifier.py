@@ -23,8 +23,6 @@ Scoring is :func:`predict`: a narrow per-row dot product.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +40,19 @@ def _sigmoid(z: Column) -> Column:
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def _prob(vec_col: Column, weights: list[float], bias: float,
+          round_dp: int | None) -> Column:
+    """σ(w·x + b), optionally with the cross-engine rounding discipline:
+    the logit is rounded BEFORE the sigmoid and the probability AFTER,
+    so float-order drift between engines (fold order of the dot
+    product, libm exp ulps) is absorbed at each nonlinearity boundary —
+    the same 6-dp contract the unrolled-Lloyd k-means oracle uses."""
+    z = _dot(vec_col, weights, bias)
+    if round_dp is None:
+        return _sigmoid(z)
+    return F.round(_sigmoid(F.round(z, round_dp)), round_dp)
+
+
 def train_logreg(
     df: DataFrame,
     feature_col: str = "embedding",
@@ -51,10 +62,18 @@ def train_logreg(
     iters: int = 15,
     lr: float = 0.5,
     l2: float = 1e-4,
+    round_dp: int | None = None,
 ) -> dict:
     """Batch gradient descent; returns ``{"weights", "bias", "loss"}``
     (loss = per-iteration mean log-loss history, computed in the SAME
-    aggregation as the gradient — one job per iteration, not two)."""
+    aggregation as the gradient — one job per iteration, not two).
+
+    ``round_dp`` enables the oracle-chaining discipline: per-row
+    probabilities, summed gradients, and each updated weight/bias are
+    rounded to ``round_dp`` decimals every iteration, so an unrolled
+    SQL replica of the training loop (DuckDB CTEs) chains bit-identical
+    weight literals — the trick that made the k-means training in
+    ``dedup_semantic`` value-hash-provable."""
     n = df.count()
     if n == 0:
         raise ValueError("empty training frame")
@@ -70,7 +89,7 @@ def train_logreg(
         proj = df.select(
             x.alias("_x"),
             y.alias("_y"),
-            _sigmoid(_dot(x, w, b)).alias("_p"),
+            _prob(x, w, b, round_dp).alias("_p"),
         ).withColumn("_err", F.col("_p") - F.col("_y"))
         p, yv, err = F.col("_p"), F.col("_y"), F.col("_err")
         row = proj.agg(
@@ -88,11 +107,26 @@ def train_logreg(
             ).alias("loss"),
         ).collect()[0]
         losses.append(round(float(row["loss"]) / n, 6))
-        w = [
-            wi - lr * (float(row[f"g{j}"]) / n + l2 * wi)
-            for j, wi in enumerate(w)
-        ]
-        b -= lr * float(row["gb"]) / n
+        if round_dp is None:
+            w = [
+                wi - lr * (float(row[f"g{j}"]) / n + l2 * wi)
+                for j, wi in enumerate(w)
+            ]
+            b -= lr * float(row["gb"]) / n
+        else:
+            # round the SUMMED gradients first (absorbs engine float-
+            # order drift), then the updated parameters (what the next
+            # iteration's plan literals — and the oracle's next CTE —
+            # actually chain on)
+            w = [
+                round(
+                    wi
+                    - lr * (round(float(row[f"g{j}"]), round_dp) / n + l2 * wi),
+                    round_dp,
+                )
+                for j, wi in enumerate(w)
+            ]
+            b = round(b - lr * round(float(row["gb"]), round_dp) / n, round_dp)
     return {"weights": w, "bias": b, "loss": losses}
 
 
@@ -101,10 +135,18 @@ def predict(
     model: dict,
     feature_col: str = "embedding",
     score_col: str = "score",
+    round_dp: int | None = None,
 ) -> DataFrame:
-    """Score rows with a trained model — narrow per-row dot product."""
-    z = _dot(F.col(feature_col), model["weights"], model["bias"])
-    return df.withColumn(score_col, F.round(_sigmoid(z), 6))
+    """Score rows with a trained model — narrow per-row dot product.
+    ``round_dp`` applies the same logit-then-probability rounding the
+    oracle-chained trainer uses (scores stay 6-dp either way)."""
+    x = F.col(feature_col)
+    if round_dp is None:
+        p = _sigmoid(_dot(x, model["weights"], model["bias"]))
+        return df.withColumn(score_col, F.round(p, 6))
+    return df.withColumn(
+        score_col, _prob(x, model["weights"], model["bias"], round_dp)
+    )
 
 
 def sample_predicate(id_col: str, frac: float) -> Column:
@@ -117,6 +159,35 @@ def sample_predicate(id_col: str, frac: float) -> Column:
     return uniform_draw(F.col(id_col)) < F.lit(float(frac))
 
 
+def exact_discrete_median(
+    df: DataFrame, value_col: Column, *, alias: str = "__L"
+) -> int:
+    """Exact discrete median by the explicit rank rule *smallest value
+    whose cumulative count reaches ceil(n/2)* — engine-portable (the
+    identical rule is spelled out in the oracle SQL), unlike
+    ``percentile_approx`` whose GK-sketch tie-breaking is Spark-
+    internal. Plan shape: one groupBy compresses the corpus to the
+    distinct-value table (bounded by the value domain — document
+    lengths here), then one cumulative window over that bounded table."""
+    from pyspark.sql import Window
+
+    lens = df.select(value_col.alias(alias))
+    n = lens.count()
+    if n == 0:
+        raise ValueError("empty frame — median undefined")
+    target = (n + 1) // 2
+    # global-window-ok: input is the distinct-length table, bounded by
+    # the max document length (domain-sized, not corpus-sized)
+    w = Window.orderBy(alias).rowsBetween(Window.unboundedPreceding, 0)
+    byl = df.groupBy(value_col.alias(alias)).count()
+    return int(
+        byl.withColumn("__cum", F.sum("count").over(w))
+        .filter(F.col("__cum") >= F.lit(target))
+        .agg(F.min(alias))
+        .collect()[0][0]
+    )
+
+
 def quality_filter_scores(
     docs: DataFrame,
     *,
@@ -126,6 +197,7 @@ def quality_filter_scores(
     id_col: str = "doc_id",
     label: Column | None = None,
     sample_frac: float | None = None,
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """End-to-end weak-label quality classifier: hashed TF-IDF features
     → logistic regression → per-doc quality score.
@@ -146,12 +218,10 @@ def quality_filter_scores(
 
     emb = hashed_tfidf_embedding(docs, text_col, id_col, dim=dim, dense=True)
     if label is None:
-        med = docs.agg(
-            F.expr(f"percentile_approx(length({text_col}), 0.5)")
-        ).collect()[0][0]
+        med = exact_discrete_median(docs, F.length(text_col))
         lab = docs.select(
             F.col(id_col),
-            (F.length(text_col) > F.lit(int(med))).cast("int").alias("label"),
+            (F.length(text_col) > F.lit(med)).cast("int").alias("label"),
         )
     else:
         lab = docs.select(F.col(id_col), label.cast("int").alias("label"))
@@ -163,8 +233,8 @@ def quality_filter_scores(
         train = full.persist()
         score_set = train
     try:
-        model = train_logreg(train, dim=dim, iters=iters)
-        scored = predict(score_set, model)
+        model = train_logreg(train, dim=dim, iters=iters, round_dp=round_dp)
+        scored = predict(score_set, model, round_dp=round_dp)
     finally:
         train.unpersist()
     return scored.select(

@@ -2379,20 +2379,130 @@ def shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _plan(docs, n_shards=8)
 
 
+def _logreg_oracle(
+    dim: int, iters: int, lr: float, l2: float, sample_frac: float | None
+) -> str:
+    """Unrolled batch-gradient-descent logistic regression in SQL —
+    the trainer ``operators/classifier.train_logreg`` runs, iteration
+    by iteration, as DuckDB CTEs (the unrolled-Lloyd pattern that made
+    ``dedup_semantic``'s k-means training hash-provable).
+
+    Shared rounding contract with ``round_dp=6`` on the Spark side:
+    per-row probability rounds at the logit and again after the
+    sigmoid; summed gradients round before the parameter update; every
+    updated weight and the bias round after it — so both engines chain
+    bit-identical weight literals between iterations. ``lr``/``l2``
+    are injected in e-notation so DuckDB parses them as DOUBLE, not
+    DECIMAL."""
+    lr_s, l2_s = f"{lr:e}", f"{l2:e}"
+    draw = (
+        "(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+        " / 4294967296.0)"
+    )
+    parts = [
+        f"words AS (SELECT doc_id, UNNEST(string_split({_NORM}, ' ')) AS t "
+        "FROM documents)",
+        "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM words WHERE t <> '' GROUP BY 1, 2)",
+        "dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1)",
+        "nd AS (SELECT COUNT(*) AS n_docs FROM documents)",
+        "sc AS (SELECT tf.doc_id, "
+        f"CAST(('0x' || substr(md5(tf.t), 1, 8))::BIGINT % {dim} AS INT) "
+        "AS bucket, "
+        "(CASE WHEN ('0x' || substr(md5(tf.t || '#s'), 1, 8))::BIGINT % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END) "
+        "* round(tf.tf * round(ln(nd.n_docs / dfq.df), 6), 6) AS w "
+        "FROM tf JOIN dfq USING (t) CROSS JOIN nd)",
+        "sparse AS (SELECT doc_id, bucket, round(sum(w), 6) AS weight "
+        "FROM sc GROUP BY 1, 2)",
+        "emb AS (SELECT s.doc_id, "
+        "array_agg(coalesce(sp.weight, 0.0) ORDER BY d.i) AS x "
+        "FROM (SELECT DISTINCT doc_id FROM sparse) s "
+        f"CROSS JOIN (SELECT UNNEST(range(0, {dim})) AS i) d "
+        "LEFT JOIN sparse sp ON sp.doc_id = s.doc_id AND sp.bucket = d.i "
+        "GROUP BY s.doc_id)",
+        # weak label: exact discrete median by the explicit rank rule
+        # (smallest length whose cumulative count reaches ceil(n/2)) —
+        # mirrors operators/classifier.exact_discrete_median
+        "lens AS (SELECT doc_id, length(text) AS L FROM documents)",
+        "medt AS (SELECT min(L) AS med FROM ("
+        "SELECT L, sum(c) OVER (ORDER BY L) AS cum, n FROM "
+        "(SELECT L, count(*) AS c FROM lens GROUP BY 1) "
+        "CROSS JOIN (SELECT count(*) AS n FROM lens)"
+        ") WHERE cum >= (n + 1) // 2)",
+        "lab AS (SELECT l.doc_id, "
+        "CAST(CASE WHEN l.L > m.med THEN 1 ELSE 0 END AS INT) AS label "
+        "FROM lens l CROSS JOIN medt m)",
+        "fullset AS (SELECT e.doc_id, e.x, lab.label "
+        "FROM emb e JOIN lab USING (doc_id))",
+    ]
+    # MATERIALIZED: each w{it} is referenced twice (by p{it} and by
+    # w{it+1}'s update) — with default CTE inlining DuckDB would expand
+    # the chain 2^iters times; materializing keeps evaluation linear,
+    # exactly like Spark's per-iteration collected weight literals
+    if sample_frac is not None and sample_frac < 1.0:
+        parts.append(
+            "train AS MATERIALIZED "
+            f"(SELECT * FROM fullset WHERE {draw} < {sample_frac!r})"
+        )
+    else:
+        parts.append("train AS MATERIALIZED (SELECT * FROM fullset)")
+    parts.append("ntr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train)")
+    zeros = ", ".join(["0.0"] * dim)
+    parts.append(f"w0 AS (SELECT [{zeros}]::DOUBLE[] AS wv, 0.0 AS b)")
+    prob = (
+        "round(1.0 / (1.0 + "
+        "exp(-round(list_dot_product({t}.x, w.wv) + w.b, 6))), 6)"
+    )
+    for it in range(iters):
+        parts.append(
+            f"p{it} AS MATERIALIZED (SELECT t.doc_id, t.x, t.label, "
+            f"{prob.format(t='t')} AS p FROM train t CROSS JOIN w{it} w)"
+        )
+        parts.append(
+            f"g{it} AS MATERIALIZED (SELECT d.i, "
+            "round(sum((p.p - p.label) * p.x[d.i]), 6) AS g, "
+            "round(sum(p.p - p.label), 6) AS gb "
+            f"FROM p{it} p "
+            f"CROSS JOIN (SELECT UNNEST(range(1, {dim + 1})) AS i) d "
+            "GROUP BY 1)"
+        )
+        parts.append(
+            f"w{it + 1} AS MATERIALIZED (SELECT "
+            f"(SELECT array_agg(round(w.wv[g.i] - {lr_s} * "
+            f"(g.g / ntr.n + {l2_s} * w.wv[g.i]), 6) ORDER BY g.i) "
+            f"FROM g{it} g CROSS JOIN ntr CROSS JOIN w{it} w) AS wv, "
+            f"(SELECT round(min(w.b) - {lr_s} * min(g.gb) / min(ntr.n), 6) "
+            f"FROM g{it} g CROSS JOIN ntr CROSS JOIN w{it} w) AS b)"
+        )
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT doc_id, label, p AS score,
+           CAST(CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS INT) AS pred
+    FROM (SELECT f.doc_id, f.label, {prob.format(t='f')} AS p
+          FROM fullset f CROSS JOIN w{iters} w)
+    """
+    )
+
+
 @register(
     "quality_classifier_scores",
-    oracle=None,  # iterative gradient descent: not SQL-expressible
-    # (learning dynamics pinned in tests/test_classifier.py: separable-
-    # task accuracy > 0.95, monotone loss, beats-majority on the corpus)
+    oracle=_logreg_oracle(dim=32, iters=12, lr=0.5, l2=1e-4, sample_frac=0.5),
     doc="TRAINED quality classifier (fasttext-style filter): hashed "
     "TF-IDF features -> distributed logistic regression where each GD "
     "iteration is ONE map-side-combined aggregation (per-row gradient "
     "is a JVM higher-order expression; driver holds only dim+1 "
-    "floats) -> per-doc quality scores. Weak label = length above "
-    "corpus median; the model generalizes onto token content. The "
-    "100 TB shape: TRAIN on a deterministic hash-sample (each GD "
-    "iteration scans only the sample), SCORE everything — "
-    "sampled-vs-full model agreement pinned in tests/test_classifier.py.",
+    "floats) -> per-doc quality scores. Weak label = length above the "
+    "EXACT corpus median (explicit rank rule, engine-portable); the "
+    "model generalizes onto token content. The 100 TB shape: TRAIN on "
+    "a deterministic hash-sample (each GD iteration scans only the "
+    "sample), SCORE everything — sampled-vs-full model agreement "
+    "pinned in tests/test_classifier.py. Value-hash oracled by fully "
+    "unrolling the 12 GD iterations into SQL CTEs with the shared "
+    "6-dp rounding contract — the training dynamics themselves are "
+    "oracle-verified, not just the output shape.",
 )
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.operators.classifier import (
@@ -3293,6 +3403,7 @@ _SEMDEDUP_CTES = ",\n    ".join(_kmeans_ctes(8, 2, 64))
 
 @register(
     "dedup_semantic",
+    bench=True,  # round-8 verdict #3: track the heavy new families
     oracle=f"""
     WITH {_SEMDEDUP_CTES},
     dropd AS (
@@ -6505,6 +6616,7 @@ def _bradley_terry_oracle(iters: int) -> str:
 
 @register(
     "rank_bradley_terry",
+    bench=True,  # round-8 verdict #3
     oracle=_bradley_terry_oracle(iters=5),
     doc="Bradley-Terry preference ratings (Hunter 2004 MM, 5 fixed "
     "rounds) over a deterministic duel log — adjacent-doc-id pairs "
@@ -6799,6 +6911,7 @@ def _label_prop_oracle(iters: int) -> str:
 
 @register(
     "graph_label_prop",
+    bench=True,  # round-8 verdict #3
     oracle=_label_prop_oracle(iters=3),
     doc="Weighted semi-synchronous label propagation (Raghavan et al. "
     "2007; Cordasco & Gargano 2010 parity schedule + prefer-current-"

@@ -1051,6 +1051,7 @@ def w_ntile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "w_exact_quantiles",
+    bench=True,  # round-8 verdict #3
     oracle="""
     WITH s AS (
       SELECT o_custkey AS c_custkey,
@@ -1983,6 +1984,7 @@ def _er_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "er_blocked_matches",
+    bench=True,  # round-8 verdict #3
     oracle=f"""
     WITH {_ER_PAIRS_CTE}
     SELECT * FROM er_pairs
