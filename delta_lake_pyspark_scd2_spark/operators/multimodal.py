@@ -1,10 +1,17 @@
 """Multimodal (binary) column plumbing.
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The decode step is STUBBED (no imaging/audio libraries in this
-container — see ``decode_image_stub``); everything Spark-side — schema,
-Arrow batch shape, ``mapInPandas`` signature, partitioning — is real
-and tested, so swapping in a real decoder is a one-function change.
+Two decode tiers:
+
+* REAL: netpbm P6 (PPM) — a codec-free format this container can
+  decode in pure numpy (``decode_ppm``). Feature extraction and
+  box-filter resize over PPM payloads are value-hash verified against
+  a DuckDB oracle that recomputes the expected pixels.
+* STUBBED: codec formats (JPEG/audio/video — PIL/libvips/ffmpeg absent
+  by design; see ``decode_image_stub``). The Spark-side plumbing —
+  schema, Arrow batch shape, ``mapInPandas`` signature, partitioning —
+  is real and tested, so swapping in a real codec is a one-function
+  change, and the guards fail loud rather than fake pixels.
 """
 
 from __future__ import annotations
@@ -249,3 +256,192 @@ def media_phash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Codec-free REAL decode path: PPM (netpbm P6)
+# ---------------------------------------------------------------------------
+# The stubbed decoders above stand in for codecs this container lacks
+# (JPEG/video). PPM needs no codec library — the P6 format is a text
+# header plus raw RGB bytes — so the decode step below is a REAL
+# parser (pure numpy), making the multimodal family value-hash
+# provable end-to-end: payload bytes -> parsed pixels -> features /
+# box-filter resize, checked against a DuckDB oracle that recomputes
+# the same pixels from the deterministic generation rule.
+
+#: Pixel-generation rule shared with the SQL oracle (plans/llm_ops.py):
+#:   h    = md5_prefix("ppm:" + doc_id)
+#:   w    = 4 * (2 + h % 3)          in {8, 12, 16}
+#:   hgt  = 4 * (2 + (h // 3) % 3)   in {8, 12, 16}
+#:   px(y, x, c) = (doc_id*7 + x*13 + y*31 + c*97 + h) % 256
+PPM_MEDIA_TYPE = "image/x-portable-pixmap"
+
+
+def _ppm_params(doc_id: int) -> tuple[int, int, int]:
+    h = int(hashlib.md5(f"ppm:{doc_id}".encode()).hexdigest()[:8], 16)
+    return h, 4 * (2 + h % 3), 4 * (2 + (h // 3) % 3)
+
+
+def generate_ppm(doc_id: int) -> bytes:
+    """Deterministic, VALID P6 payload for a doc id (the synthetic
+    image corpus). A real pipeline reads camera/scraped bytes; the
+    generation rule here exists so the oracle can recompute expected
+    pixels without parsing binary in SQL."""
+    import numpy as np
+
+    h, w, hgt = _ppm_params(doc_id)
+    y, x, c = np.ogrid[0:hgt, 0:w, 0:3]
+    px = (doc_id * 7 + x * 13 + y * 31 + c * 97 + h) % 256
+    header = f"P6\n{w} {hgt}\n255\n".encode()
+    return header + px.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes):
+    """REAL P6 decoder in pure numpy: tokenizes the netpbm header
+    (whitespace-separated magic/width/height/maxval, ``#`` comments
+    allowed per spec), then views the raw RGB bytes as an (h, w, 3)
+    array. Raises ValueError on malformed input — fail-loud like the
+    codec guards."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header tokenizer: 4 tokens, comments run to end-of-line
+    tokens: list[bytes] = []
+    i = 2
+    n = len(payload)
+    while len(tokens) < 3 and i < n:
+        ch = payload[i : i + 1]
+        if ch == b"#":
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+        elif ch.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    if len(tokens) < 3 or i >= n:
+        raise ValueError("truncated PPM header")
+    w, hgt, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval} (8-bit only)")
+    i += 1  # exactly ONE whitespace byte separates maxval from raster
+    raster = payload[i : i + w * hgt * 3]
+    if len(raster) != w * hgt * 3:
+        raise ValueError("truncated PPM raster")
+    return w, hgt, np.frombuffer(raster, dtype=np.uint8).reshape(hgt, w, 3)
+
+
+#: Output schema of the PPM channel-stats extractor.
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ]
+)
+
+
+def ppm_channel_stats(df: DataFrame) -> DataFrame:
+    """Feature extraction with a REAL decode: parse each P6 payload's
+    bytes, emit per-channel pixel means (6 dp — integer pixel sums
+    divide exactly in float64, so the rounding is engine-stable).
+    Same Spark contract as :func:`extract_features` — Arrow-batched
+    ``mapInPandas``, narrow (features computed where the bytes live)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PPM_STATS_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, hgt, px = decode_ppm(bytes(payload))
+                sums = px.sum(axis=(0, 1), dtype="int64")
+                for c in range(3):
+                    rows["doc_id"].append(doc_id)
+                    rows["width"].append(w)
+                    rows["height"].append(hgt)
+                    rows["channel"].append(c)
+                    rows["mean_value"].append(
+                        round(float(sums[c]) / (w * hgt), 6)
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_stats, PPM_STATS_SCHEMA)
+
+
+#: One row per resized output pixel component.
+PPM_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("oy", T.IntegerType()),
+        T.StructField("ox", T.IntegerType()),
+        T.StructField("channel", T.IntegerType()),
+        T.StructField("value", T.IntegerType()),
+    ]
+)
+
+
+def ppm_resize_box(
+    df: DataFrame, *, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """REAL image resize: decode the P6 bytes, box-filter each
+    (h/out_h, w/out_w) pixel block to its FLOOR mean (exact integer
+    arithmetic — ``block_sum // block_size`` — so the DuckDB oracle
+    reproduces every output pixel bit-for-bit; generated dims are
+    multiples of 4 so blocks tile exactly). Emits one row per output
+    pixel component rather than re-encoded bytes: scalar columns are
+    what the value-hash gate can verify, and downstream training
+    pipelines consume tensors, not PPM files."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.name: [] for k in PPM_RESIZE_SCHEMA}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, hgt, px = decode_ppm(bytes(payload))
+                bw, bh = w // out_w, hgt // out_h
+                blocks = px.astype("int64").reshape(out_h, bh, out_w, bw, 3)
+                vals = blocks.sum(axis=(1, 3)) // (bw * bh)  # (out_h,out_w,3)
+                oy, ox, c = np.meshgrid(
+                    np.arange(out_h), np.arange(out_w), np.arange(3),
+                    indexing="ij",
+                )
+                k = out_h * out_w * 3
+                rows["doc_id"].extend([doc_id] * k)
+                rows["oy"].extend(oy.ravel())
+                rows["ox"].extend(ox.ravel())
+                rows["channel"].extend(c.ravel())
+                rows["value"].extend(vals.ravel())
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(_resize, PPM_RESIZE_SCHEMA)
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic VALID P6 payload per row — the synthetic
+    image corpus for the real-decode path (``mapInPandas``: payload
+    construction is byte work, not relational work)."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("media_type", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col]
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "media_type": PPM_MEDIA_TYPE,
+                    "payload": ids.map(lambda i: generate_ppm(int(i))),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_gen, schema)

@@ -1068,16 +1068,55 @@ def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Deterministic PPM corpus CTEs shared by the real-decode oracles:
+#: hash -> dims -> per-pixel value, mirroring multimodal._ppm_params /
+#: generate_ppm (the rule the payload BYTES are generated from — the
+#: Spark side parses the bytes; the oracle recomputes the pixels).
+_PPM_DIMS_CTE = """
+    h1 AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('ppm:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT AS h
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, h,
+             CAST(4 * (2 + h % 3) AS INT) AS width,
+             CAST(4 * (2 + (h // 3) % 3) AS INT) AS height
+      FROM h1
+    )
+"""
+_PPM_PX = "(dm.doc_id * 7 + x.x * 13 + y.y * 31 + c.c * 97 + dm.h) % 256"
+_PPM_SPINE = """
+    FROM dims dm,
+         UNNEST(range(0, dm.width)) AS x(x),
+         UNNEST(range(0, dm.height)) AS y(y),
+         (SELECT UNNEST(range(0, 3)) AS c) c
+"""
+
+
 @register(
     "mm_extract_features",
-    oracle=None,  # mapInPandas decode stub: not SQL-expressible
-    doc="Feature extraction over binary payloads via Arrow-batched "
-    "mapInPandas (decode step stubbed deterministically — no imaging "
-    "libs in this container; Spark plumbing is real).",
+    oracle=f"""
+    WITH {_PPM_DIMS_CTE}
+    SELECT dm.doc_id, dm.width, dm.height, CAST(c.c AS INT) AS channel,
+           round(sum({_PPM_PX}) / (dm.width * dm.height), 6) AS mean_value
+    {_PPM_SPINE}
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Feature extraction with a REAL decode: deterministic VALID "
+    "P6 PPM payloads (codec-free format — text header + raw RGB "
+    "bytes) are parsed by a pure-numpy netpbm decoder inside the "
+    "Arrow-batched mapInPandas path, emitting parsed dimensions and "
+    "per-channel pixel means. The oracle recomputes the expected "
+    "pixels from the generation rule (never touching binary in SQL), "
+    "so a hash match proves the byte-level decode is exactly right — "
+    "the codec guards for JPEG/video remain fail-loud stubs.",
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = multimodal.attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return multimodal.extract_features(docs)
+    docs = load_table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.ppm_channel_stats(payloads)
 
 
 # ---------------------------------------------------------------------------
@@ -1087,16 +1126,34 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_resize",
-    oracle=None,  # stubbed pixel work; plumbing determinism pinned in pytest
-    doc="Image resize over mapInPandas (binary in -> binary out, narrow "
-    "op, Arrow batches; decoder stubbed — codec libs absent by design).",
+    oracle=f"""
+    WITH {_PPM_DIMS_CTE}
+    SELECT doc_id, oy, ox, channel,
+           CAST(sum(v) // min(bsz) AS INT) AS value
+    FROM (
+      SELECT dm.doc_id,
+             CAST(y.y // (dm.height // 4) AS INT) AS oy,
+             CAST(x.x // (dm.width // 4) AS INT) AS ox,
+             CAST(c.c AS INT) AS channel,
+             {_PPM_PX} AS v,
+             (dm.width // 4) * (dm.height // 4) AS bsz
+      {_PPM_SPINE}
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Image resize with a REAL decode: parse the P6 payload bytes "
+    "(pure-numpy netpbm decoder), box-filter each pixel block to its "
+    "exact FLOOR-mean (integer block_sum // block_size; generated "
+    "dims are multiples of 4 so 4x4 blocks tile exactly), emit one "
+    "row per output pixel component. The oracle recomputes every "
+    "resized pixel from the generation rule — decode + resize are "
+    "value-hash verified end to end. Binary-in/binary-out plumbing "
+    "for real codecs stays in multimodal.resize_images (stub, pytest).",
 )
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    payloads = multimodal.attach_binary_payload(docs)
-    return multimodal.resize_images(payloads).select(
-        "doc_id", "width", "height", "orig_md5"
-    )
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.ppm_resize_box(payloads)
 
 
 @register(

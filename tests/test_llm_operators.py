@@ -989,3 +989,73 @@ def test_semantic_dedup_keep_rules(spark):
 
     with _pytest.raises(ValueError, match="keep rule"):
         semantic_dedup(emb, k=4, iters=1, dim=64, keep="nope")
+
+
+def test_ppm_decoder_is_a_real_parser():
+    """decode_ppm parses BYTES, not metadata: header variants
+    (comments, padding whitespace) decode to identical pixels, and
+    malformed input fails loud."""
+    import numpy as np
+    import pytest
+
+    from delta_lake_pyspark_scd2_spark.operators.multimodal import (
+        decode_ppm,
+        generate_ppm,
+    )
+
+    # hand-built 2x2 image, known bytes
+    raw = bytes(range(12))
+    w, h, px = decode_ppm(b"P6\n2 2\n255\n" + raw)
+    assert (w, h) == (2, 2)
+    assert px[0, 1, 0] == 3 and px[1, 1, 2] == 11
+    # comment + crlf-ish whitespace in the header, same raster
+    w2, h2, px2 = decode_ppm(b"P6 # comment\n 2\t2 # dims\n255\n" + raw)
+    assert (w2, h2) == (2, 2) and np.array_equal(px, px2)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + raw)  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + raw)  # 16-bit unsupported
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + raw)  # truncated raster
+    # the generated corpus round-trips through the parser
+    payload = generate_ppm(7)
+    w3, h3, px3 = decode_ppm(payload)
+    assert w3 % 4 == 0 and h3 % 4 == 0 and px3.shape == (h3, w3, 3)
+
+
+def test_ppm_resize_box_known_values(spark):
+    """Box-filter resize on the generated corpus: every output pixel
+    equals the exact floor-mean of its block, recomputed in numpy."""
+    import numpy as np
+
+    from delta_lake_pyspark_scd2_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_ppm,
+        generate_ppm,
+        ppm_channel_stats,
+        ppm_resize_box,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+    payloads = attach_ppm_payload(ids)
+    out = ppm_resize_box(payloads).collect()
+    assert len(out) == 5 * 4 * 4 * 3
+    got = {(r.doc_id, r.oy, r.ox, r.channel): r.value for r in out}
+    for i in range(1, 6):
+        w, h, px = decode_ppm(generate_ppm(i))
+        bw, bh = w // 4, h // 4
+        blocks = px.astype("int64").reshape(4, bh, 4, bw, 3)
+        exp = blocks.sum(axis=(1, 3)) // (bw * bh)
+        for oy in range(4):
+            for ox in range(4):
+                for c in range(3):
+                    assert got[(i, oy, ox, c)] == exp[oy, ox, c]
+    stats = {
+        (r.doc_id, r.channel): r for r in ppm_channel_stats(payloads).collect()
+    }
+    w, h, px = decode_ppm(generate_ppm(3))
+    s = px.sum(axis=(0, 1), dtype="int64")
+    for c in range(3):
+        r = stats[(3, c)]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_value == round(float(s[c]) / (w * h), 6)
