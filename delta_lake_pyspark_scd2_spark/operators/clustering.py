@@ -183,13 +183,18 @@ def kcenter_select(
         (1, int(seed[id_col]), None)
     ]
     newest = [float(x) for x in seed[vec_col]]
+    # membership in the selected set is a COLUMN, not a growing
+    # `isin([...])` literal list: each round adds one boolean OR that
+    # the next round's localCheckpoint collapses, so the compiled plan
+    # stays O(1) per round at ANY k (round-8 verdict finding #1 — the
+    # old form recompiled O(k) literals every round)
     state = base.withColumn(
         "__best", F.round(cosine(F.col(vec_col), _lit_vec(newest)), 6)
-    )
+    ).withColumn("__picked", F.col(id_col) == F.lit(int(seed[id_col])))
     for t in range(2, k + 1):
         state = state.localCheckpoint(eager=False)
         pick = (
-            state.filter(~F.col(id_col).isin([p[1] for p in picked]))
+            state.filter(~F.col("__picked"))
             .orderBy(F.col("__best").asc(), F.col(id_col).asc())
             .limit(1)
             .collect()
@@ -205,6 +210,9 @@ def kcenter_select(
                 F.col("__best"),
                 F.round(cosine(F.col(vec_col), _lit_vec(newest)), 6),
             ),
+        ).withColumn(
+            "__picked",
+            F.col("__picked") | (F.col(id_col) == F.lit(int(row[id_col]))),
         )
     schema = T.StructType(
         [
@@ -214,3 +222,165 @@ def kcenter_select(
         ]
     )
     return spark.createDataFrame(picked, schema=schema)
+
+
+def kcenter_select_oversampled(
+    corpus: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 3,
+    oversample: float = 2.0,
+) -> DataFrame:
+    """Approximate k-center for corpus-scale ``k`` — the k-means‖
+    pattern (Bahmani et al. 2012) applied to farthest-point selection.
+
+    Exact greedy k-center is inherently ``k`` sequential corpus scans
+    (each pick depends on the previous), fine for coreset-scale
+    k <= ~10^3 but not for corpus-scale coresets. This variant replaces
+    the k sequential argmins with ``rounds`` (a small constant)
+    oversampled passes:
+
+    1. Each round draws ~``oversample * k`` candidates INDEPENDENTLY,
+       each point sampled with probability proportional to its current
+       distance-to-selected (1 - max cosine) — a deterministic md5
+       draw (:mod:`functions.hashing`), so the result is reproducible
+       on any cluster shape. The coverage state then updates against
+       all new candidates in ONE broadcast cross join + per-id max
+       (the standard k-means‖ per-round cost), not one pass per center.
+    2. The ~``rounds * oversample * k`` candidates (model-sized,
+       documented driver bound — the k-means‖ reduction step) are
+       reduced to exactly ``k`` by the EXACT greedy
+       :func:`kcenter_select` over the candidate subset.
+
+    Returns the same ``(sel_order, vec_id, coverage_sim)`` contract as
+    the exact operator (``coverage_sim`` measured within the candidate
+    set); corpus-level covering radius is one
+    :func:`kcenter_coverage` call away, and the approximation quality
+    vs exact is pinned in tests/test_clustering.py.
+    """
+    from delta_lake_pyspark_scd2_spark.functions.hashing import uniform_draw
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        _spread,
+        cosine,
+    )
+
+    if k < 1:
+        raise ValueError(f"kcenter_select_oversampled requires k >= 1, got {k}")
+    spark = corpus.sparkSession
+    base = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+
+    def _lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    cand: dict[int, list[float]] = {
+        int(seed[id_col]): [float(x) for x in seed[vec_col]]
+    }
+    state = base.withColumn(
+        "__best",
+        F.round(cosine(F.col(vec_col), _lit_vec(cand[int(seed[id_col])])), 6),
+    )
+    l = max(1.0, oversample * k)
+    for r in range(rounds):
+        state = state.localCheckpoint(eager=False)
+        tot = state.agg(F.sum(F.lit(1.0) - F.col("__best"))).collect()[0][0]
+        if not tot or tot <= 0:  # everything already covered exactly
+            break
+        gap = F.lit(1.0) - F.col("__best")
+        # deterministic per-(round, id) draw; candidates may repeat
+        # across rounds — deduped below, cost is a smaller draw
+        drawn = (
+            state.filter(
+                uniform_draw(
+                    F.concat(F.lit(f"kc{r}:"), F.col(id_col).cast("string"))
+                )
+                < F.lit(float(l)) * gap / F.lit(float(tot))
+            )
+            .select(id_col, vec_col)
+            .collect()
+        )
+        new = [
+            (int(row[id_col]), [float(x) for x in row[vec_col]])
+            for row in drawn
+            if int(row[id_col]) not in cand
+        ]
+        if not new:
+            continue
+        cand.update(new)
+        cents = spark.createDataFrame(
+            [(cid, vec) for cid, vec in new],
+            T.StructType(
+                [
+                    T.StructField("__cid", T.LongType(), False),
+                    T.StructField("__cvec", T.ArrayType(T.DoubleType()), False),
+                ]
+            ),
+        )
+        best_new = (
+            base.crossJoin(F.broadcast(cents))
+            .select(
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("__cvec")), 6).alias(
+                    "__s"
+                ),
+            )
+            .groupBy(id_col)
+            .agg(F.max("__s").alias("__new_best"))
+        )
+        state = (
+            state.join(best_new, id_col)
+            .withColumn(
+                "__best", F.greatest(F.col("__best"), F.col("__new_best"))
+            )
+            .drop("__new_best")
+        )
+    cand_df = spark.createDataFrame(
+        [(cid, vec) for cid, vec in cand.items()],
+        T.StructType(
+            [
+                T.StructField(id_col, T.LongType(), False),
+                T.StructField(vec_col, T.ArrayType(T.DoubleType()), False),
+            ]
+        ),
+    )
+    return kcenter_select(cand_df, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def kcenter_coverage(
+    corpus: DataFrame,
+    centers: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Covering radius of a center set over the corpus: one broadcast
+    cross join (|corpus| × |centers| cosines, map-side) → per-point max
+    cosine → one global min. Returns one row
+    ``(n_centers, min_max_cos, covering_radius)`` — the eval half of
+    the exact-vs-oversampled k-center comparison."""
+    from delta_lake_pyspark_scd2_spark.operators.similarity import (
+        _spread,
+        cosine,
+    )
+
+    base = _spread(corpus.select(F.col(id_col), F.col(vec_col)), id_col)
+    cents = centers.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec")
+    )
+    per_point = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col("__cvec")), 6).alias("__s"),
+        )
+        .groupBy(id_col)
+        .agg(F.max("__s").alias("__best"))
+    )
+    n_centers = centers.count()
+    return per_point.agg(
+        F.lit(n_centers).cast("long").alias("n_centers"),
+        F.round(F.min("__best"), 6).alias("min_max_cos"),
+        F.round(F.lit(1.0) - F.min("__best"), 6).alias("covering_radius"),
+    )

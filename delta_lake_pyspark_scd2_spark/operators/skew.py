@@ -47,3 +47,73 @@ def salted_join(
         F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
     )
     return l_salted.join(r_salted, on=[*keys, "__salt"], how=how).drop("__salt")
+
+
+def key_count_profile(df: DataFrame, keys: Sequence[str]) -> dict:
+    """Pre-flight key-skew profile: one map-side-combined aggregation
+    over the (batch-sized) frame — ``max``/``avg`` rows per key and the
+    distinct-key count. This is the measurement half of
+    ``diag_key_skew``, packaged for pipelines that must DECIDE (salt /
+    split / plain join) before planning the join."""
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.max("__n").alias("max_rows"),
+            F.avg("__n").alias("avg_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .collect()[0]
+    )
+    return {
+        "max_rows": int(row["max_rows"] or 0),
+        "avg_rows": float(row["avg_rows"] or 0.0),
+        "n_keys": int(row["n_keys"] or 0),
+    }
+
+
+def hot_keys(df: DataFrame, keys: Sequence[str], min_rows: int) -> DataFrame:
+    """Keys whose row count reaches ``min_rows`` — by construction at
+    most ``rows(df) / min_rows`` of them, so the result is always tiny
+    relative to the frame and safe to broadcast."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_rows)
+        .select(*keys)
+    )
+
+
+def hot_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    *,
+    hot: DataFrame,
+    how: str = "left",
+) -> DataFrame:
+    """Equi-join with hot keys routed around the shuffle.
+
+    Rows of ``left`` whose key appears in ``hot`` join against a
+    BROADCAST of the matching ``right`` rows — map-side, so no single
+    task ever owns a hot key's full probe set (the failure AQE's
+    skew-join cannot fix when one key exceeds a task: AQE splits a
+    partition's ranges, but the build rows of one key still co-locate).
+    Everything else takes the ordinary shuffle join. When ``right`` is
+    key-unique (a dimension, or SCD2 current rows — ONE row per key),
+    the broadcast side is exactly |hot| rows: replication-free, cheaper
+    than salting, and the result equals the plain join row-for-row.
+
+    ``how`` supports the shapes a merge needs: ``left``, ``inner``,
+    ``left_semi``. Null-keyed left rows never match ``hot`` (semi/anti
+    null semantics), fall to the cold path, and keep plain-join
+    semantics there.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    hot = hot.select(*keys)
+    l_hot = left.join(F.broadcast(hot), keys, "left_semi")
+    l_cold = left.join(F.broadcast(hot), keys, "left_anti")
+    r_hot = right.join(F.broadcast(hot), keys, "left_semi")
+    joined_hot = l_hot.join(F.broadcast(r_hot), keys, how)
+    joined_cold = l_cold.join(right, keys, how)
+    return joined_hot.unionByName(joined_cold)

@@ -71,6 +71,19 @@ class SCD2Spec:
     #: of keys inside a 1 TB day-partition is exactly the case "dv"
     #: exists for.
     close_mode: str = "rewrite"
+    #: Skew pre-flight for the Phase-A change-detection joins (merge is
+    #: ~75% of ETL wall time; a single hot key — one entity emitting
+    #: millions of events in a batch — is the input shape AQE's
+    #: skew-join cannot fix, because one key's build rows still
+    #: co-locate on one task). "auto": profile the batch's key counts
+    #: (one batch-sized aggregation) and, when max-rows-per-key >=
+    #: ``skew_hot_rows`` AND >= ``skew_ratio``× the mean, route hot
+    #: keys through a broadcast split join (operators/skew.py).
+    #: "force" always splits (tests / known-skewed feeds); "off"
+    #: disables the profile entirely.
+    skew_policy: str = "auto"
+    skew_hot_rows: int = 100_000
+    skew_ratio: float = 32.0
 
     @property
     def partition_cols(self) -> list[str]:
@@ -349,6 +362,42 @@ def _merge_batch(
     # an event may be later than valid_from yet still interleave with a
     # collapsed-away same-value event; only the full event log can see
     # that (convergence property, tests/test_scd2_properties.py).
+    # Skew pre-flight (round-8 directive #7): decide BEFORE planning
+    # the batch×current joins whether a hot key needs the broadcast
+    # split path. The profile is one batch-sized aggregation; `hot_df`
+    # is ≤ rows/cut keys by construction, so always broadcastable.
+    hot_df: DataFrame | None = None
+    n_hot_keys = 0
+    if spec.skew_policy != "off":
+        from delta_lake_pyspark_scd2_spark.operators.skew import (
+            hot_keys as _hot_keys,
+        )
+        from delta_lake_pyspark_scd2_spark.operators.skew import (
+            hot_split_join,
+            key_count_profile,
+        )
+
+        prof = key_count_profile(kept, keys)
+        if spec.skew_policy == "force":
+            cut = max(2, int(spec.skew_ratio * prof["avg_rows"]))
+        elif prof["max_rows"] >= spec.skew_hot_rows and prof[
+            "max_rows"
+        ] >= spec.skew_ratio * max(prof["avg_rows"], 1.0):
+            cut = max(spec.skew_hot_rows, int(spec.skew_ratio * prof["avg_rows"]))
+        else:
+            cut = 0
+        if cut and prof["max_rows"] >= cut:
+            hot_df = _hot_keys(kept, keys, cut).persist()
+            n_hot_keys = hot_df.count()
+            if n_hot_keys == 0:
+                hot_df.unpersist()
+                hot_df = None
+
+    def _left_join_current(left: DataFrame, right: DataFrame) -> DataFrame:
+        if hot_df is None:
+            return left.join(right, on=keys, how="left")
+        return hot_split_join(left, right, keys, hot=hot_df, how="left")
+
     prior_events: DataFrame | None = None
     if spec.late_policy == "rebuild":
         spark = kept.sparkSession
@@ -364,16 +413,15 @@ def _merge_batch(
             prior_events = existing.select(*kept.columns)
         if seen is None:
             seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
-        staged = (
-            kept.join(current.select(*keys, "__cur_from"), on=keys, how="left")
-            .join(seen, on=keys, how="left")
-            .persist()
-        )
+        staged = _left_join_current(
+            _left_join_current(kept, current.select(*keys, "__cur_from")),
+            seen,
+        ).persist()
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col("__max_seen").isNull() | (F.col(ts) > F.col("__max_seen"))
     else:
-        staged = kept.join(
-            current.select(*keys, "__cur_from"), on=keys, how="left"
+        staged = _left_join_current(
+            kept, current.select(*keys, "__cur_from")
         ).persist()
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col(ts) > F.col("__cur_from")
@@ -388,7 +436,15 @@ def _merge_batch(
     # the Phase A close (twice) and the Phase B event filter. The
     # current row's valid_from rides along (__cur_from) so touched
     # partitions derive from `changed` alone — no second table scan.
-    fresh_existing = usable.join(current.drop("__cur_from"), on=keys, how="left_semi")
+    if hot_df is None:
+        fresh_existing = usable.join(
+            current.drop("__cur_from"), on=keys, how="left_semi"
+        )
+    else:
+        fresh_existing = hot_split_join(
+            usable, current.drop("__cur_from"), keys, hot=hot_df,
+            how="left_semi",
+        )
     changed = scd2.detect_changes(
         current,
         fresh_existing,
@@ -556,8 +612,11 @@ def _merge_batch(
 
     for df in (inserts, versions, changed, staged):
         df.unpersist()
+    if hot_df is not None:
+        hot_df.unpersist()
     out = {
         "n_closed": closed,
+        "n_hot_keys": n_hot_keys,
         "n_inserted": n_inserted,
         "n_stale": n_stale,
         # phase breakdown (reference tracks per-phase durations,

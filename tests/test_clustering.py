@@ -187,3 +187,53 @@ def test_kcenter_driver_state_is_model_sized(spark):
     finally:
         cls.collect = orig
     assert sizes and max(sizes) <= 1
+
+
+def test_kcenter_oversampled_quality_and_determinism(spark):
+    """k-means|| style approximate k-center: deterministic across runs
+    (hash draws, no rand()), returns exactly k centers, and its
+    corpus-level covering radius stays within 2x the exact greedy's
+    (the greedy itself 2-approximates OPT, so approx <= 4x OPT here —
+    the documented trade for dropping k sequential scans to a constant
+    number of rounds)."""
+    rng = np.random.default_rng(23)
+    df = _to_df(spark, rng.normal(size=(60, 6)))
+
+    approx = clustering.kcenter_select_oversampled(
+        df, k=6, rounds=3, oversample=3.0
+    )
+    rows = approx.collect()
+    assert len(rows) == 6
+    assert len({r["vec_id"] for r in rows}) == 6
+
+    again = clustering.kcenter_select_oversampled(
+        df, k=6, rounds=3, oversample=3.0
+    ).collect()
+    assert {(r["sel_order"], r["vec_id"]) for r in again} == {
+        (r["sel_order"], r["vec_id"]) for r in rows
+    }
+
+    exact = clustering.kcenter_select(df, k=6)
+    r_exact = clustering.kcenter_coverage(
+        df, exact.join(df, "vec_id").select("vec_id", "embedding")
+    ).collect()[0]
+    r_approx = clustering.kcenter_coverage(
+        df, approx.join(df, "vec_id").select("vec_id", "embedding")
+    ).collect()[0]
+    assert r_exact["n_centers"] == 6 and r_approx["n_centers"] == 6
+    assert r_approx["covering_radius"] <= 2.0 * r_exact["covering_radius"]
+
+
+def test_kcenter_oversampled_separated_cones(spark):
+    """On well-separated cones the oversampled variant still covers
+    every cone (radius quality, not just determinism)."""
+    rng = np.random.default_rng(29)
+    a = _cone(rng, np.array([10.0, 0.0, 0.0]), 10)
+    b = _cone(rng, np.array([0.0, 10.0, 0.0]), 10)
+    c = _cone(rng, np.array([0.0, 0.0, 10.0]), 10)
+    df = _to_df(spark, np.vstack([a, b, c]))
+    got = clustering.kcenter_select_oversampled(
+        df, k=3, rounds=4, oversample=4.0
+    ).collect()
+    groups = {r["vec_id"] // 10 for r in got}
+    assert groups == {0, 1, 2}

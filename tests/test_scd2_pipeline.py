@@ -754,3 +754,80 @@ def test_vtable_commit_is_atomic_no_clobber(tmp_path, spark):
     # no orphaned tmp files left behind
     mdir = _os.path.dirname(t._manifest_path(v))
     assert not [f for f in _os.listdir(mdir) if ".tmp-" in f]
+
+
+def test_skew_preflight_split_matches_plain_merge(spark, tmp_path):
+    """Round-8 directive #7: a deliberately hot-keyed batch engages the
+    broadcast split path in the Phase-A change-detection joins, and the
+    resulting history is row-for-row identical to the plain join's.
+    Key HOT emits 600 events (one changing per hour) while 50 other
+    keys emit 2 each — the single-hot-key shape AQE's skew-join cannot
+    spread."""
+    import dataclasses
+
+    def batch(n_hot=600):
+        rows = []
+        for i in range(n_hot):
+            t = dt.datetime(2023, 3, 1) + dt.timedelta(minutes=i)
+            rows.append(ev("HOT", t.isoformat(), f"S{i}", rid=i))
+        for k in range(50):
+            for j in range(2):
+                t = dt.datetime(2023, 3, 2) + dt.timedelta(hours=j)
+                rows.append(ev(f"C{k}", t.isoformat(), f"S{j}", rid=j))
+        return spark.createDataFrame(rows, BATCH_SCHEMA)
+
+    def seed(path, spec):
+        run_scd2_batch(
+            spark, spec,
+            spark.createDataFrame(
+                [ev("HOT", "2023-02-01T00:00:00", "init"),
+                 ev("C0", "2023-02-01T00:00:00", "init")],
+                BATCH_SCHEMA,
+            ),
+            path, batch_id="b0",
+        )
+
+    spec_split = dataclasses.replace(SPEC, skew_policy="auto", skew_hot_rows=100)
+    spec_plain = dataclasses.replace(SPEC, skew_policy="off")
+
+    p_split = str(tmp_path / "t_split")
+    p_plain = str(tmp_path / "t_plain")
+    seed(p_split, spec_split)
+    seed(p_plain, spec_plain)
+    m_split = run_scd2_batch(spark, spec_split, batch(), p_split, batch_id="b1")
+    m_plain = run_scd2_batch(spark, spec_plain, batch(), p_plain, batch_id="b1")
+
+    # the split path ENGAGED (hot key detected) and the plain path did not
+    assert m_split["n_hot_keys"] == 1
+    assert m_plain["n_hot_keys"] == 0
+    # identical merge accounting...
+    for k in ("n_inserted", "n_closed", "n_stale"):
+        assert m_split[k] == m_plain[k], k
+    # ...and identical golden history, row for row
+    cols = ["contract", "valid_from", "valid_to", "is_current", "status",
+            "agent", "rid"]
+    a = _read(spark, p_split).select(*cols)
+    b = _read(spark, p_plain).select(*cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert scd2.check_invariants(_read(spark, p_split), "contract").count() == 0
+
+
+def test_skew_preflight_auto_stays_off_on_uniform_batches(spark, table_path):
+    """A uniform batch must NOT pay the split (no hot keys detected at
+    default thresholds), and the default-spec merge still reports the
+    profile ran (n_hot_keys key present, zero)."""
+    batch = spark.createDataFrame(
+        [ev(f"K{k}", "2023-03-01T00:00:00", "S0") for k in range(40)],
+        BATCH_SCHEMA,
+    )
+    run_scd2_batch(spark, SPEC, batch, table_path, batch_id="b1")
+    m = run_scd2_batch(
+        spark, SPEC,
+        spark.createDataFrame(
+            [ev(f"K{k}", "2023-03-02T00:00:00", "S1") for k in range(40)],
+            BATCH_SCHEMA,
+        ),
+        table_path, batch_id="b2",
+    )
+    assert m["n_hot_keys"] == 0
+    assert m["n_closed"] == 40 and m["n_inserted"] == 40
