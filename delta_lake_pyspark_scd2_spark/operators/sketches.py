@@ -519,3 +519,96 @@ def bloom_hit_packed(
         shifted = F.call_function("shiftright", word, bit)
         hit = hit & (shifted.bitwiseAND(F.lit(1)) == 1)
     return hit
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable HyperLogLog (md5 hash family)
+# ---------------------------------------------------------------------------
+# Spark's built-in HLL++ (approx_count_distinct / hll_sketch_agg) is
+# the right tool when cross-engine reproducibility doesn't matter; its
+# register layout is implementation-defined, so it can never value-hash
+# against DuckDB. This HLL uses the shared md5 contract instead
+# (Flajolet et al. 2007 estimator): bucket = first 8 hex chars % m,
+# rho = leading-zero count of the NEXT 8 hex chars + 1 — pure
+# string/integer arithmetic (never float log2 on the hot path), so
+# both engines build bit-identical registers. The float discipline
+# holds exactly: the harmonic sum's terms are powers of two spanning
+# 2^0..2^-33 with partial sums < m = 2^8 — an exponent range of 41
+# bits < 53, so EVERY partial sum is exactly representable and the
+# result is order-independent with no rounding tricks.
+
+#: Register count (2^8). rsd ~ 1.04 / sqrt(m) ~ 6.5%.
+HLL_M = 256
+#: alpha_m * m^2 for the raw estimate (Flajolet et al. 2007, m >= 128).
+HLL_ALPHA_MM = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def hll_register(item: Column) -> tuple[Column, Column]:
+    """``(bucket, rho)`` register coordinates of an item — the shared
+    Spark/DuckDB contract (leading zeros counted on the hex string:
+    4 per leading '0' char plus 0-3 from the first non-zero digit)."""
+    hx = F.md5(item.cast("string"))
+    bucket = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % HLL_M
+    ).cast("int")
+    rest = F.substring(hx, 9, 8)
+    t = F.regexp_replace(rest, "^0+", "")
+    fc = F.substring(t, 1, 1)
+    extra = (
+        F.when(fc == "1", F.lit(3))
+        .when(fc.isin("2", "3"), F.lit(2))
+        .when(fc.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    rho = (
+        F.when(t == "", F.lit(33))
+        .otherwise((F.lit(8) - F.length(t)) * 4 + extra + 1)
+    ).cast("int")
+    return bucket, rho
+
+
+def hll_build(
+    df: DataFrame, item: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Mergeable HLL registers: one row per occupied (group, bucket)
+    with the max rho — ONE map-side-combinable aggregation; at most
+    ``HLL_M`` rows per group regardless of input size. Merge = another
+    max-groupBy (:func:`hll_merge`)."""
+    groups = list(group_cols or [])
+    bucket, rho = hll_register(item)
+    return (
+        df.select(*groups, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Register-wise max — sketches of any data partitioning merge to
+    the sketch of the union (the HLL mergeability property, exact)."""
+    u = reduce(lambda a, b: a.unionByName(b), sketches)
+    keys = [c for c in u.columns if c not in ("max_rho",)]
+    return u.groupBy(*keys).agg(F.max("max_rho").alias("max_rho"))
+
+
+def hll_estimate(
+    sketch: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Distinct-count estimate from the registers: harmonic mean with
+    the small-range linear-counting correction (Flajolet et al. 2007).
+    Every float op is engine-deterministic (exact power-of-two sums,
+    one division, one multiply; ln only in the small-range branch,
+    absorbed by the 4-dp round), so the estimate value-hashes."""
+    groups = list(group_cols or [])
+    agg = sketch.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))).alias("__z_occ"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    z = F.col("__z_occ") + (F.lit(HLL_M) - F.col("__nb"))
+    v = (F.lit(HLL_M) - F.col("__nb")).cast("double")
+    e_raw = F.lit(HLL_ALPHA_MM) / z
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(e_raw)
+    return agg.select(*groups, F.round(est, 4).alias("approx_distinct"))

@@ -927,21 +927,151 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(docs, seq_len=512, n_groups=32)
 
 
+def _hll_rho_sql(hx: str) -> str:
+    """SQL mirror of operators/sketches.hll_register's rho: leading
+    zeros of the 2nd 8-hex-char block, counted on the STRING (4 per
+    leading '0' + 0-3 from the first non-zero digit) — never float
+    log2."""
+    t = f"regexp_replace(substr({hx}, 9, 8), '^0+', '')"
+    return (
+        f"CAST(CASE WHEN {t} = '' THEN 33 ELSE (8 - length({t})) * 4 + "
+        f"(CASE substr({t}, 1, 1) WHEN '1' THEN 3 WHEN '2' THEN 2 "
+        "WHEN '3' THEN 2 WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 "
+        "WHEN '7' THEN 1 ELSE 0 END) + 1 END AS INT)"
+    )
+
+
+def _approx_sketches_oracle() -> str:
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        HLL_ALPHA_MM,
+        HLL_M,
+    )
+
+    e_raw = f"{HLL_ALPHA_MM!r} / (z_occ + ({HLL_M} - nb))"
+    return f"""
+    WITH words AS (
+      SELECT source, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents
+    ),
+    wf AS (SELECT source, word FROM words WHERE word <> ''),
+    reg AS (
+      SELECT source,
+             CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % {HLL_M} AS INT)
+               AS bucket,
+             {_hll_rho_sql('md5(word)')} AS rho
+      FROM wf
+    ),
+    mx AS (SELECT source, bucket, max(rho) AS max_rho FROM reg GROUP BY 1, 2),
+    est AS (
+      SELECT source, sum(pow(2.0, -max_rho)) AS z_occ, count(*) AS nb
+      FROM mx GROUP BY 1
+    ),
+    vocab AS (
+      SELECT source,
+             round(CASE WHEN {e_raw} <= {2.5 * HLL_M!r}
+                         AND ({HLL_M} - nb) > 0
+                   THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - nb))
+                   ELSE {e_raw} END, 4) AS approx_vocab
+      FROM est
+    ),
+    toks AS (
+      SELECT source, len(string_split({_NORM}, ' ')) AS n_toks
+      FROM documents
+    ),
+    tc AS (SELECT source, n_toks, count(*) AS c FROM toks GROUP BY 1, 2),
+    cum AS (
+      SELECT source, n_toks,
+             sum(c) OVER (PARTITION BY source ORDER BY n_toks) AS cm,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM tc
+    ),
+    q AS (
+      SELECT source,
+             min(CASE WHEN cm >= ceil(5e-1 * n) THEN n_toks END) AS p50_toks,
+             min(CASE WHEN cm >= ceil(9e-1 * n) THEN n_toks END) AS p90_toks,
+             min(CASE WHEN cm >= ceil(9.9e-1 * n) THEN n_toks END) AS p99_toks
+      FROM cum GROUP BY 1
+    )
+    SELECT v.source, v.approx_vocab,
+           CAST(q.p50_toks AS BIGINT) AS p50_toks,
+           CAST(q.p90_toks AS BIGINT) AS p90_toks,
+           CAST(q.p99_toks AS BIGINT) AS p99_toks
+    FROM vocab v JOIN q USING (source)
+    """
+
+
 @register(
     "approx_sketches",
-    # No SQL oracle BY DESIGN: HLL++ / KLL sketch outputs are
-    # implementation-defined (DuckDB's approx_count_distinct is a
-    # different sketch, so values can't value-hash match). Error bounds
-    # vs exact answers are pinned in tests/test_approx_sketches.py.
-    oracle=None,
-    doc="Approximate sketches over the corpus: HLL++ distinct words "
-    "(approx_count_distinct, rsd=0.02) and KLL-style token-count "
-    "quantiles (approx_percentile) per source. The 100 TB substitute "
-    "for exact DISTINCT/median: both sketches partial-aggregate "
-    "map-side, so the shuffle carries one sketch per partition per "
-    "group instead of the value stream exact answers need.",
+    oracle=_approx_sketches_oracle(),
+    doc="Approximate sketches over the corpus, ENGINE-PORTABLE (round-8 "
+    "directive #8 — the md5 oracle attempt landed): distinct words per "
+    "source via the md5-register HyperLogLog (operators/sketches."
+    "hll_build/hll_estimate — m=256 mergeable registers, one map-side-"
+    "combinable agg; the harmonic sum's power-of-two terms span an "
+    "exponent range < 53 bits, so it is EXACT and order-independent, "
+    "which is why this value-hashes where Spark's built-in HLL++ "
+    "cannot), plus per-source token-count quantiles by the exact "
+    "domain-compressed rank rule (groupBy distinct counts + cumulative "
+    "window — bounded by the token-count domain, not corpus size). "
+    "Spark's built-in HLL++/KLL sketches remain demonstrated and "
+    "error-bound-pinned in tests/test_approx_sketches.py "
+    "(approx_sketches_builtin below).",
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from delta_lake_pyspark_scd2_spark.operators.sketches import (
+        hll_build,
+        hll_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "source",
+        F.explode(F.split(text.normalize_text(F.col("text")), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    vocab = hll_estimate(
+        hll_build(words, F.col("word"), ["source"]), ["source"]
+    ).withColumnRenamed("approx_distinct", "approx_vocab")
+    # per-DOC token counts (aggregating after explode would weight each
+    # document by its own length); quantiles by the exact rank rule
+    # over the domain-compressed count table
+    toks = docs.select(
+        "source",
+        F.size(F.split(text.normalize_text(F.col("text")), " ")).alias(
+            "n_toks"
+        ),
+    )
+    tc = toks.groupBy("source", "n_toks").agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = Window.partitionBy("source").orderBy("n_toks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_tot = Window.partitionBy("source")
+    cum = tc.withColumn("__cum", F.sum("__c").over(w_cum)).withColumn(
+        "__n", F.sum("__c").over(w_tot)
+    )
+
+    def _q(q: float, alias: str):
+        return F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.lit(q) * F.col("__n")),
+                F.col("n_toks"),
+            )
+        ).cast("long").alias(alias)
+
+    quants = cum.groupBy("source").agg(
+        _q(0.5, "p50_toks"), _q(0.9, "p90_toks"), _q(0.99, "p99_toks")
+    )
+    return vocab.join(quants, "source")
+
+
+def approx_sketches_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN sketches (HLL++ approx_count_distinct, KLL-style
+    percentile_approx) over the same corpus — the right tool when
+    cross-engine reproducibility doesn't matter (their register layouts
+    are implementation-defined, so they can never value-hash against
+    DuckDB). Not registered; error bounds vs exact answers pinned in
+    tests/test_approx_sketches.py."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         "source",
@@ -950,8 +1080,6 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = words.groupBy("source").agg(
         F.approx_count_distinct("word", rsd=0.02).alias("approx_vocab")
     )
-    # per-DOC token counts (aggregating after explode would weight each
-    # document by its own length)
     quants = (
         docs.select(
             "source",
@@ -2777,27 +2905,11 @@ def s8_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read()
 
 
-@register(
-    "ann_pq_topk",
-    oracle=None,  # k-means codebook training: iterative, not
-    # SQL-expressible (recall/determinism/self-match pinned in
-    # tests/test_llm_operators.py::test_pq_quantization_recall_and_determinism)
-    doc="Product-quantization ANN (Jegou et al. 2011): codebooks "
-    "k-means-trained on a deterministic bounded sample, corpus encoded "
-    "to m small codes via Arrow-batched numpy (8x+ memory cut on the "
-    "search structure), and asymmetric-distance search folds a tiny "
-    "query-built LUT over the codes in pure JVM expressions — at query "
-    "time no vector math touches the corpus and only the top-k rows "
-    "shuffle.",
-)
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_pyspark_scd2_spark.operators import similarity as S
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = S.pq_train(emb, m_subspaces=8, k_codes=32)
-    codes = S.pq_encode(emb, books)
-    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
-    return S.pq_topk(codes, books, list(q), k=10)
+# (retired, round 9: `ann_pq_topk` — the sampled-codebook PQ row was
+# rows-only while its trained twin `ann_pq_trained_topk` is value-hash
+# oracled end to end; the registry keeps exactly one row per verified
+# contract, and the sampled-training operator itself stays pytest-
+# pinned in tests/test_llm_operators.py.)
 
 
 @register(
@@ -2961,25 +3073,10 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tris))
 
 
-@register(
-    "ann_ivfpq_topk",
-    oracle=None,  # k-means codebooks: iterative, not SQL-expressible
-    # (bucket-restriction/ADC equivalence pinned in
-    # tests/test_llm_operators.py::test_ivfpq_composes_and_recalls)
-    doc="IVF-PQ composed index (FAISS IVFx,PQy shape): nprobe nearest "
-    "centroid buckets restrict the candidate set, the PQ LUT scores "
-    "survivors without touching corpus vectors — bucket selectivity "
-    "and PQ compression multiply, so the resident working set at 100 "
-    "TB is centroids + m-byte codes of the probed buckets only.",
-)
-def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from delta_lake_pyspark_scd2_spark.operators import similarity as S
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id").limit(12)
-    books = S.pq_train(emb, m_subspaces=8, k_codes=32)
-    q = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
-    return S.ivfpq_topk(emb, cents, books, list(q), k=10, nprobe=3)
+# (retired, round 9: `ann_ivfpq_topk` — superseded by the value-hash
+# oracled `ann_ivfpq_trained_topk` / `ann_ivfpq_index_topk` pair and
+# the adopted-config recall evals; composition semantics stay pinned
+# in tests/test_llm_operators.py::test_ivfpq_composes_and_recalls.)
 
 
 # PQ ADC oracle fragments (round-3 verdict stretch #8): with FIXED
