@@ -288,6 +288,11 @@ def kcenter_select_oversampled(
         tot = state.agg(F.sum(F.lit(1.0) - F.col("__best"))).collect()[0][0]
         if not tot or tot <= 0:  # everything already covered exactly
             break
+        # 6-dp round: the draw threshold divides by this float SUM,
+        # whose raw value is summation-order-dependent — rounding it is
+        # the cross-engine (and cross-partitioning) determinism boundary
+        # the unrolled SQL oracle chains on
+        tot = round(float(tot), 6)
         gap = F.lit(1.0) - F.col("__best")
         # deterministic per-(round, id) draw; candidates may repeat
         # across rounds — deduped below, cost is a smaller draw

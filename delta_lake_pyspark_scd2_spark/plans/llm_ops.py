@@ -6819,32 +6819,33 @@ def rank_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(duels, iters=5)
 
 
-def _kcenter_oracle(k: int) -> str:
+def _kcenter_greedy_ctes(k: int, base: str = "v") -> tuple[list, str]:
     """Unrolled greedy k-center in SQL (one pick + best-sim update CTE
-    pair per round) — exactly operators/clustering.kcenter_select's
-    computation: 6-dp-rounded cosines feed an incremental running max,
-    so the oracle's ``greatest`` chain equals the engine's with no
-    float-order drift. ``AS MATERIALIZED`` throughout (each round
-    references the previous best-sim table more than once — the
-    Bradley-Terry CTE-inlining lesson)."""
+    pair per round) over the CTE named ``base`` — exactly
+    operators/clustering.kcenter_select's computation: 6-dp-rounded
+    cosines feed an incremental running max, so the oracle's
+    ``greatest`` chain equals the engine's with no float-order drift.
+    ``AS MATERIALIZED`` throughout (each round references the previous
+    best-sim table more than once — the Bradley-Terry CTE-inlining
+    lesson). Returns (cte_parts, final_select); parameterizing the
+    base lets the oversampled variant reuse the identical greedy over
+    its candidate set."""
     cos = (
         "round(list_dot_product(x.ve, {s}.ve) / "
         "(sqrt(list_dot_product(x.ve, x.ve)) * "
         "sqrt(list_dot_product({s}.ve, {s}.ve))), 6)"
     )
     parts = [
-        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ve "
-        "FROM embeddings)",
-        "p1 AS MATERIALIZED (SELECT vec_id, ve FROM v "
+        f"p1 AS MATERIALIZED (SELECT vec_id, ve FROM {base} "
         "ORDER BY vec_id ASC LIMIT 1)",
         "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)",
         f"b1 AS MATERIALIZED (SELECT x.vec_id, {cos.format(s='s')} AS best "
-        "FROM v x CROSS JOIN p1 s)",
+        f"FROM {base} x CROSS JOIN p1 s)",
     ]
     for t in range(2, k + 1):
         parts.append(
             f"p{t} AS MATERIALIZED (SELECT b{t - 1}.vec_id, "
-            f"b{t - 1}.best, v.ve FROM b{t - 1} JOIN v USING (vec_id) "
+            f"b{t - 1}.best, {base}.ve FROM b{t - 1} JOIN {base} USING (vec_id) "
             f"WHERE b{t - 1}.vec_id NOT IN (SELECT vec_id FROM sel{t - 1}) "
             "ORDER BY best ASC, vec_id ASC LIMIT 1)"
         )
@@ -6856,7 +6857,7 @@ def _kcenter_oracle(k: int) -> str:
             parts.append(
                 f"b{t} AS MATERIALIZED (SELECT x.vec_id, "
                 f"greatest(b{t - 1}.best, {cos.format(s='s')}) AS best "
-                f"FROM b{t - 1} JOIN v x USING (vec_id) CROSS JOIN p{t} s)"
+                f"FROM b{t - 1} JOIN {base} x USING (vec_id) CROSS JOIN p{t} s)"
             )
     finals = [
         "SELECT 1 AS sel_order, vec_id, CAST(NULL AS DOUBLE) "
@@ -6865,13 +6866,16 @@ def _kcenter_oracle(k: int) -> str:
         f"SELECT {t} AS sel_order, vec_id, best AS coverage_sim FROM p{t}"
         for t in range(2, k + 1)
     ]
-    return (
-        "\n    WITH "
-        + ",\n    ".join(parts)
-        + "\n    "
-        + "\n    UNION ALL ".join(finals)
-        + "\n    "
-    )
+    return parts, "\n    UNION ALL ".join(finals)
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts, final = _kcenter_greedy_ctes(k, base="v")
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ve "
+        "FROM embeddings)"
+    ] + parts
+    return "\n    WITH " + ",\n    ".join(parts) + "\n    " + final + "\n    "
 
 
 @register(
@@ -6894,6 +6898,93 @@ def select_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return clustering.kcenter_select(emb, k=8)
+
+
+def _kcenter_oversampled_oracle(k: int, rounds: int, oversample: float) -> str:
+    """Unrolled k-means||-style oversampled k-center: one
+    (total → hash-draw → candidate-union → best-sim update) CTE block
+    per sampling round, then the exact greedy unroll
+    (:func:`_kcenter_greedy_ctes`) over the candidate set — exactly
+    operators/clustering.kcenter_select_oversampled's computation.
+    Determinism boundaries shared with the operator: cosines round to
+    6 dp, the draw normalizer (a summation-order-dependent float SUM)
+    rounds to 6 dp before the threshold division, and the draw itself
+    is the md5 uniform contract."""
+    l = float(max(1.0, oversample * k))
+    cos_s = (
+        "round(list_dot_product(x.ve, s.ve) / "
+        "(sqrt(list_dot_product(x.ve, x.ve)) * "
+        "sqrt(list_dot_product(s.ve, s.ve))), 6)"
+    )
+    cos_c = (
+        "round(list_dot_product(x.ve, c.ve) / "
+        "(sqrt(list_dot_product(x.ve, x.ve)) * "
+        "sqrt(list_dot_product(c.ve, c.ve))), 6)"
+    )
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS ve "
+        "FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT vec_id, ve FROM v "
+        "ORDER BY vec_id ASC LIMIT 1)",
+        "cand0 AS MATERIALIZED (SELECT vec_id, ve FROM s0)",
+        f"ob0 AS MATERIALIZED (SELECT x.vec_id, {cos_s} AS best "
+        "FROM v x CROSS JOIN s0 s)",
+    ]
+    for r in range(rounds):
+        draw = (
+            f"(('0x' || substr(md5('kc{r}:' || CAST(b.vec_id AS VARCHAR)), "
+            "1, 8))::BIGINT / 4294967296.0)"
+        )
+        parts.append(
+            f"tot{r} AS (SELECT round(sum(1.0 - best), 6) AS t FROM ob{r})"
+        )
+        parts.append(
+            f"new{r} AS MATERIALIZED (SELECT b.vec_id, v.ve "
+            f"FROM ob{r} b JOIN v USING (vec_id) CROSS JOIN tot{r} "
+            f"WHERE {draw} < {l!r} * (1.0 - b.best) / tot{r}.t "
+            f"AND b.vec_id NOT IN (SELECT vec_id FROM cand{r}))"
+        )
+        parts.append(
+            f"cand{r + 1} AS MATERIALIZED (SELECT * FROM cand{r} "
+            f"UNION ALL SELECT * FROM new{r})"
+        )
+        parts.append(
+            f"ob{r + 1} AS MATERIALIZED (SELECT b.vec_id, "
+            "greatest(b.best, coalesce(mx.s, b.best)) AS best "
+            f"FROM ob{r} b LEFT JOIN (SELECT x.vec_id, max({cos_c}) AS s "
+            f"FROM v x CROSS JOIN new{r} c GROUP BY 1) mx USING (vec_id))"
+        )
+    gparts, final = _kcenter_greedy_ctes(k, base=f"cand{rounds}")
+    return (
+        "\n    WITH "
+        + ",\n    ".join(parts + gparts)
+        + "\n    "
+        + final
+        + "\n    "
+    )
+
+
+@register(
+    "select_kcenter_oversampled",
+    oracle=_kcenter_oversampled_oracle(k=8, rounds=3, oversample=2.0),
+    doc="Approximate k-center for corpus-scale k (k-means|| pattern, "
+    "Bahmani et al. 2012; k=8, 3 rounds, 2x oversample): a constant "
+    "number of distance-proportional md5-draw sampling rounds replaces "
+    "the exact greedy's k sequential corpus scans — each round is one "
+    "rounded-total aggregation, one filtered draw, and one broadcast "
+    "cross join + per-id max; the model-sized candidate set then "
+    "reduces to k via the exact greedy. BOTH phases value-hash proven "
+    "against a fully unrolled SQL replica (sampling rounds AND the "
+    "final greedy chain bit-identical literals); radius-vs-exact "
+    "quality pinned in tests/test_clustering.py via kcenter_coverage.",
+)
+def select_kcenter_oversampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.operators import clustering
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return clustering.kcenter_select_oversampled(
+        emb, k=8, rounds=3, oversample=2.0
+    )
 
 
 @register(
