@@ -1279,3 +1279,84 @@ def bradley_terry_ratings(
 
     store = VersionedParquetTable(spark, counts_path)
     return bradley_terry_from_counts(store.read(), iters=iters, count_col="cnt")
+
+
+def hll_stream(
+    spark: SparkSession,
+    source_dir: str,
+    sketch_path: str,
+    checkpoint_dir: str,
+    *,
+    schema: str = "doc_id long, text string",
+    text_col: str = "text",
+    app_id: str = "hll_maintain",
+    on_batch: Callable[[int, dict], None] | None = None,
+) -> StreamingQuery:
+    """Streaming HyperLogLog maintenance: document batches arriving
+    under ``source_dir`` fold their token registers into a persisted
+    md5-HLL sketch — the online twin of
+    ``operators.sketches.hll_build`` and the cardinality side the CMS
+    (frequency) / histogram (shape) / Bloom (membership) maintainers
+    referenced; a live ``hll_estimate`` over the maintained table
+    answers "how many distinct tokens has this crawl ingested so far"
+    without scanning history.
+
+    Per-batch work: one map-side-combinable aggregation to the batch's
+    ≤ ``HLL_M``-row register table, then a MERGE touching only those
+    rows (register-wise MAX). Unlike the CMS/histogram counters the
+    max-fold is IDEMPOTENT — a double-applied replay cannot corrupt
+    the registers — but the ``(app_id, batch_no)`` writer txn is kept
+    anyway: it keeps the maintained table's history one commit per
+    micro-batch and fails loud on a checkpoint reset, matching the
+    family's operational contract rather than silently diverging from
+    it.
+    """
+    from delta_lake_pyspark_scd2_spark.operators import sketches, text
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    if not VersionedParquetTable.is_table(sketch_path):
+        VersionedParquetTable.create(
+            spark,
+            spark.createDataFrame([], "bucket INT, max_rho INT"),
+            sketch_path,
+        )
+
+    def _fold(batch_df: DataFrame, batch_no: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sk = VersionedParquetTable(spark, sketch_path)
+        _txn_reset_guard(sk, app_id, batch_no, "sketch")
+        words = batch_df.select(
+            F.explode(
+                F.split(text.normalize_text(F.col(text_col)), " ")
+            ).alias("__w")
+        ).filter(F.col("__w") != "")
+        delta = sketches.hll_build(words, F.col("__w")).withColumnRenamed(
+            "max_rho", "__delta"
+        )
+        merged = delta.join(
+            sk.read().withColumnRenamed("max_rho", "__cur"),
+            ["bucket"],
+            "left",
+        ).select(
+            "bucket",
+            F.greatest(F.coalesce(F.col("__cur"), F.lit(0)), F.col("__delta"))
+            .cast("int")
+            .alias("max_rho"),
+        )
+        m = sk.upsert(
+            merged,
+            ["bucket"],
+            operation="HLL_FOLD",
+            txn=(app_id, batch_no),
+        )
+        if on_batch is not None:
+            on_batch(batch_no, m)
+
+    return _run_foreach_stream(
+        spark.readStream.schema(schema).json(source_dir),
+        checkpoint_dir,
+        _fold,
+    )
