@@ -1286,13 +1286,32 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_sample_frames",
-    oracle=None,  # stubbed decode; 1->N cardinality pinned in pytest
+    oracle=f"""
+    WITH {_PPM_DIMS_CTE},
+    pl AS (
+      SELECT doc_id,
+             9 + length(CAST(width AS VARCHAR))
+               + length(CAST(height AS VARCHAR))
+               + width * height * 3 AS n_bytes
+      FROM dims
+    ),
+    nf AS (SELECT doc_id, least(8, 1 + (n_bytes % 8)) AS n FROM pl)
+    SELECT doc_id, CAST(f.i AS INT) AS frame_no,
+           CAST(f.i * 1000 AS INT) AS frame_ts_ms
+    FROM nf, UNNEST(range(0, nf.n)) AS f(i)
+    """,
     doc="Video frame sampling over mapInPandas (1->N exploding media "
-    "op, still narrow; ffmpeg-seek stubbed deterministically).",
+    "op, still narrow — downstream repartition decides frame "
+    "placement). Sampling runs on the REAL PPM payload bytes; the "
+    "deterministic frame schedule (count from the actual byte length, "
+    "dense numbering, every_ms timestamps) is value-hash verified by "
+    "an oracle that recomputes the payload length from the generation "
+    "rule (header = 9 + digits(w) + digits(h) bytes + w*h*3 raster). "
+    "Per-frame pixel DECODE for codec formats stays a fail-loud stub.",
 )
 def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    payloads = multimodal.attach_binary_payload(docs)
+    payloads = multimodal.attach_ppm_payload(docs)
     return multimodal.sample_frames(payloads).select(
         "doc_id", "frame_no", "frame_ts_ms"
     )
