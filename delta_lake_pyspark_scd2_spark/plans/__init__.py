@@ -84,6 +84,14 @@ _PRIORITY: list[str] = [
 # local gate re-runs first. The driver window stays exactly _PRIORITY;
 # these are the newest flagships queued for any future head swap.
 _TAIL_PRIORITY: list[str] = [
+    # round-9 conversions: previously rows-only families now value-hash
+    # proven — surfaced first so gate re-runs hit them early
+    "quality_classifier_scores",
+    "mm_extract_features",
+    "mm_resize",
+    "mm_sample_frames",
+    "approx_sketches",
+    "select_kcenter_oversampled",
     "ann_ivfpq_index_topk",
     "dedup_semantic",
     "quality_auc_eval",
