@@ -1090,7 +1090,15 @@ def _semantic_membership(df, k, iters, dim, id_col, vec_col):
         ).select(id_col, "centroid_id"),
         id_col,
     )
-    return cents, memb
+    # persisted: every SemDeDup consumer references membership 2-3
+    # times (both pair-join sides + the survivor frame) — without this
+    # each reference re-scans the corpus and re-runs the broadcast
+    # centroid assignment (3 full scans instead of 1 at 100 TB)
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    return cents, persist_tracked(memb)
 
 
 def _memb_pairs(memb, *, threshold, id_col, vec_col):
