@@ -1426,3 +1426,94 @@ def semantic_dedup_incremental(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_chunk: int = 16,
+) -> DataFrame:
+    """Corpus-level duplicate-SEGMENT removal — the CCNet / Gopher
+    preprocessing step (Wenzek et al. 2020; Rae et al. 2021): a text
+    segment that appears anywhere else in the corpus survives only at
+    its FIRST occurrence (lowest ``(doc_id, chunk_no)``); every later
+    occurrence is cut out and the documents are reassembled from their
+    surviving segments. This removes boilerplate (headers, cookie
+    banners, licence blocks) that document-level dedup can never see,
+    because the containing documents differ.
+
+    Real corpora segment on newlines/paragraphs; this corpus is
+    newline-free, so segments are non-overlapping ``words_per_chunk``
+    word windows over the normalized text — swap the segmentation
+    expression for ``split(text, '\\n')`` and everything downstream is
+    unchanged.
+
+    Plan shape (all relational, fully oracle-able): one ordered
+    explode → per-(doc, chunk) reassembly agg → ONE shuffle on the
+    segment's md5 (rows carry the segment text either way; hashing
+    keeps the partition key 32 bytes) with a per-hash ``row_number``
+    window (partitioned, never global) → doc-keyed reassembly with an
+    order-stable sorted-struct concat. Cost ∝ corpus tokens, shuffle
+    keys are hashes, no driver state.
+
+    Output: one row per input document —
+    ``(id_col, n_chunks, n_kept, text_deduped)`` (empty documents keep
+    ``n_chunks = 0`` and an empty ``text_deduped``).
+    """
+    pos_w = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("__pos", "__w"),
+    ).filter(F.col("__w") != "")
+    chunks = (
+        pos_w.withColumn(
+            "__chunk_no", (F.col("__pos") / words_per_chunk).cast("int")
+        )
+        .groupBy(id_col, "__chunk_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__w"))
+                    ),
+                    lambda x: x["__w"],
+                ),
+                " ",
+            ).alias("__chunk")
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("__chunk"))).orderBy(
+        id_col, "__chunk_no"
+    )
+    kept = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    totals = chunks.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    reassembled = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__chunk_no", "__chunk"))),
+                lambda x: x["__chunk"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )

@@ -127,6 +127,60 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_lines_corpus",
+    oracle=f"""
+    WITH wl AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS lst FROM documents
+    ),
+    wpos AS (
+      SELECT doc_id, lst[t.i] AS w, t.i - 1 AS pos
+      FROM wl, UNNEST(range(1, len(lst) + 1)) AS t(i)
+      WHERE lst[t.i] <> ''
+    ),
+    ch AS (
+      SELECT doc_id, CAST(pos // 16 AS INT) AS chunk_no,
+             string_agg(w, ' ' ORDER BY pos) AS chunk
+      FROM wpos GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT doc_id, chunk_no, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_no) AS rn
+      FROM ch
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+    ),
+    ka AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY chunk_no) AS text_deduped
+      FROM rk WHERE rn = 1 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(t.n_chunks, 0) AS n_chunks,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.text_deduped, '') AS text_deduped
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id) LEFT JOIN ka k USING (doc_id)
+    """,
+    doc="Corpus-level duplicate-SEGMENT removal (CCNet, Wenzek et al. "
+    "2020; Gopher, Rae et al. 2021): a segment appearing anywhere else "
+    "in the corpus survives only at its first (doc_id, chunk_no) "
+    "occurrence, and documents are reassembled from their surviving "
+    "segments — the boilerplate cut that document-level dedup cannot "
+    "see. Segments = non-overlapping 16-word windows (this corpus is "
+    "newline-free; real corpora swap in split-on-newline and the rest "
+    "is unchanged). One ordered explode, one shuffle on the segment "
+    "md5 with a PARTITIONED row_number, one doc-keyed order-stable "
+    "reassembly; full value-hash oracle including the reassembled "
+    "text.",
+)
+def dedup_lines_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.line_dedup_corpus(docs, words_per_chunk=16)
+
+
+@register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH {_SHINGLES_CTE},

@@ -1059,3 +1059,30 @@ def test_ppm_resize_box_known_values(spark):
         r = stats[(3, c)]
         assert (r.width, r.height) == (w, h)
         assert r.mean_value == round(float(s[c]) / (w * h), 6)
+
+
+def test_line_dedup_corpus_removes_cross_doc_boilerplate(spark):
+    """A 16-word boilerplate block shared by three docs survives only
+    at its first (doc_id, chunk_no) occurrence; unique segments are
+    untouched; reassembly preserves within-doc order; empty docs come
+    back with zero chunks."""
+    boiler = " ".join(f"b{i}" for i in range(16))
+    u = lambda tag: " ".join(f"{tag}{i}" for i in range(16))
+    rows = [
+        (1, boiler + " " + u("x")),          # first occurrence (chunk 0)
+        (2, u("y") + " " + boiler),          # dup at chunk 1 -> cut
+        (3, boiler),                         # dup at chunk 0 -> whole doc cut
+        (4, u("z")),                         # untouched
+        (5, ""),                             # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.line_dedup_corpus(df).collect()}
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 2)
+    assert out[1].text_deduped == boiler + " " + u("x")
+    assert (out[2].n_chunks, out[2].n_kept) == (2, 1)
+    assert out[2].text_deduped == u("y")
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 0)
+    assert out[3].text_deduped == ""
+    assert out[4].text_deduped == u("z")
+    assert (out[5].n_chunks, out[5].n_kept) == (0, 0)
+    assert out[5].text_deduped == ""
