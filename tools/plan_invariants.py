@@ -144,6 +144,13 @@ def collect_features(sf_dir: str) -> dict[str, dict]:
         if not spec.bench and name not in EXTRA_QUERIES:
             continue
         release_tracked()
+        # ALL cached plans, not just tracked ones: Spark's cache manager
+        # substitutes any matching cached subtree into a new query's
+        # plan, so a frame persisted by an unrelated earlier query (or,
+        # under pytest, an earlier TEST in the shared session) would
+        # make the captured exchange count order-dependent — the exact
+        # flake class the round-7 gate de-noising removed
+        spark.catalog.clearCache()
         df = spec.builder(spark, sf_dir)
         df.collect()  # AQE finalizes during execution
         out[name] = plan_features(df)
