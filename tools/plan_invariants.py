@@ -110,25 +110,36 @@ def plan_features(df) -> dict:
     # fix (no hint on an unbounded-by-construction build side) from
     # silently regressing — a new forced hint is a reviewed decision.
     logical = df._jdf.queryExecution().optimizedPlan().toString()
-    return {
-        "invariant": {
-            "forced_broadcast_hints": logical.count("strategy=broadcast"),
-            "cartesian": final.count("CartesianProduct")
-            + (initial.count("CartesianProduct") if initial is not final else 0),
-            "scans": scans,
-            "scans_with_pushdown": pushed,
-            # pre-AQE exchange count: what the static planner scheduled
-            # (AQE may elide/coalesce at runtime — that goes under
-            # "runtime.shuffles")
-            "initial_exchanges": _count_exchanges(initial),
-        },
-        "runtime": {
-            "shuffles": _count_exchanges(final),
-            "broadcast_hash_joins": final.count("BroadcastHashJoin"),
-            "broadcast_loop_joins": final.count("BroadcastNestedLoopJoin"),
-            "sort_merge_joins": final.count("SortMergeJoin"),
-        },
+    invariant = {
+        "forced_broadcast_hints": logical.count("strategy=broadcast"),
+        "cartesian": final.count("CartesianProduct")
+        + (initial.count("CartesianProduct") if initial is not final else 0),
+        "scans": scans,
+        "scans_with_pushdown": pushed,
     }
+    runtime = {
+        "shuffles": _count_exchanges(final),
+        "broadcast_hash_joins": final.count("BroadcastHashJoin"),
+        "broadcast_loop_joins": final.count("BroadcastNestedLoopJoin"),
+        "sort_merge_joins": final.count("SortMergeJoin"),
+    }
+    # pre-AQE exchange count: what the static planner scheduled (AQE
+    # may elide/coalesce at runtime — that goes under
+    # "runtime.shuffles"). EXCEPTION: when the plan reads a persisted
+    # relation (InMemoryTableScan — a deterministic property of the
+    # operator, e.g. SemDeDup's shared membership frame), the static
+    # planner's exchange placement around the cache depends on the
+    # cache's materialization/statistics state at planning time, which
+    # is session-history-dependent (round-9 finding: dedup_semantic
+    # captured 2 exchanges standalone, 3 inside the full pytest
+    # session, same code). For those plans the count is RECORDED under
+    # runtime for baseline-diff review, never asserted — the remaining
+    # invariants (cartesian, scans, pushdown, forced hints) still gate.
+    if "InMemoryTableScan" in full:
+        runtime["initial_exchanges_cached_plan"] = _count_exchanges(initial)
+    else:
+        invariant["initial_exchanges"] = _count_exchanges(initial)
+    return {"invariant": invariant, "runtime": runtime}
 
 
 def collect_features(sf_dir: str) -> dict[str, dict]:
