@@ -23,8 +23,23 @@ Scoring is :func:`predict`: a narrow per-row dot product.
 
 from __future__ import annotations
 
+import decimal
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Half-AWAY-FROM-ZERO rounding, matching Spark ``F.round`` and
+    DuckDB ``round`` — Python's built-in ``round`` is half-to-even, so
+    an exact .5 tie at the last kept decimal would diverge from the
+    engine-side rounding the oracle contract chains on (round-9
+    advice: latent, tie never hit on the current corpus — fixed
+    anyway because weight updates chain iteration-to-iteration)."""
+    q = decimal.Decimal(1).scaleb(-dp)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    )
 
 
 def _dot(vec_col: Column, weights: list[float], bias: float) -> Column:
@@ -106,7 +121,7 @@ def train_logreg(
                 )
             ).alias("loss"),
         ).collect()[0]
-        losses.append(round(float(row["loss"]) / n, 6))
+        losses.append(_round_half_up(float(row["loss"]) / n, 6))
         if round_dp is None:
             w = [
                 wi - lr * (float(row[f"g{j}"]) / n + l2 * wi)
@@ -117,16 +132,20 @@ def train_logreg(
             # round the SUMMED gradients first (absorbs engine float-
             # order drift), then the updated parameters (what the next
             # iteration's plan literals — and the oracle's next CTE —
-            # actually chain on)
+            # actually chain on); half-up, same tie-breaking as
+            # F.round/DuckDB
             w = [
-                round(
+                _round_half_up(
                     wi
-                    - lr * (round(float(row[f"g{j}"]), round_dp) / n + l2 * wi),
+                    - lr
+                    * (_round_half_up(float(row[f"g{j}"]), round_dp) / n + l2 * wi),
                     round_dp,
                 )
                 for j, wi in enumerate(w)
             ]
-            b = round(b - lr * round(float(row["gb"]), round_dp) / n, round_dp)
+            b = _round_half_up(
+                b - lr * _round_half_up(float(row["gb"]), round_dp) / n, round_dp
+            )
     return {"weights": w, "bias": b, "loss": losses}
 
 

@@ -38,6 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from delta_lake_pyspark_scd2_spark.operators.classifier import _round_half_up
+
 from delta_lake_pyspark_scd2_spark.operators.similarity import (
     assign_to_centroids,
 )
@@ -178,7 +180,10 @@ def kcenter_select(
     def _lit_vec(vals: list[float]):
         return F.array(*[F.lit(float(x)) for x in vals])
 
-    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_select: empty corpus — no seed row to pick")
+    seed = seed_rows[0]
     picked: list[tuple[int, int, float | None]] = [
         (1, int(seed[id_col]), None)
     ]
@@ -274,7 +279,12 @@ def kcenter_select_oversampled(
     def _lit_vec(vals):
         return F.array(*[F.lit(float(x)) for x in vals])
 
-    seed = base.orderBy(F.col(id_col).asc()).limit(1).collect()[0]
+    seed_rows = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        raise ValueError(
+            "kcenter_select_oversampled: empty corpus — no seed row to pick"
+        )
+    seed = seed_rows[0]
     cand: dict[int, list[float]] = {
         int(seed[id_col]): [float(x) for x in seed[vec_col]]
     }
@@ -291,8 +301,9 @@ def kcenter_select_oversampled(
         # 6-dp round: the draw threshold divides by this float SUM,
         # whose raw value is summation-order-dependent — rounding it is
         # the cross-engine (and cross-partitioning) determinism boundary
-        # the unrolled SQL oracle chains on
-        tot = round(float(tot), 6)
+        # the unrolled SQL oracle chains on; half-up to match the
+        # F.round/DuckDB tie-breaking (round-9 advice class)
+        tot = _round_half_up(float(tot), 6)
         gap = F.lit(1.0) - F.col("__best")
         # deterministic per-(round, id) draw; candidates may repeat
         # across rounds — deduped below, cost is a smaller draw

@@ -107,8 +107,16 @@ def hot_split_join(
     ``how`` supports the shapes a merge needs: ``left``, ``inner``,
     ``left_semi``. Null-keyed left rows never match ``hot`` (semi/anti
     null semantics), fall to the cold path, and keep plain-join
-    semantics there.
+    semantics there. Other join types are REJECTED: right/full would
+    duplicate unmatched right rows across the hot and cold branches,
+    and left_anti's complement semantics do not split by key routing.
     """
+    if how not in {"left", "inner", "left_semi"}:
+        raise ValueError(
+            f"hot_split_join supports how in {{'left','inner','left_semi'}}, "
+            f"got {how!r} — right/full/left_anti would return wrong results "
+            "under the hot/cold split"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     hot = hot.select(*keys)
     l_hot = left.join(F.broadcast(hot), keys, "left_semi")

@@ -85,6 +85,29 @@ class SCD2Spec:
     skew_hot_rows: int = 100_000
     skew_ratio: float = 32.0
 
+    def __post_init__(self) -> None:
+        # fail loud on typos ('Auto', 'none', …) instead of silently
+        # falling into the auto-threshold branch (round-9 advice)
+        if self.skew_policy not in {"auto", "force", "off"}:
+            raise ValueError(
+                f"skew_policy must be one of 'auto'/'force'/'off', "
+                f"got {self.skew_policy!r}"
+            )
+        if self.dedup_mode not in {"keep_latest", "drop_all"}:
+            raise ValueError(
+                f"dedup_mode must be 'keep_latest' or 'drop_all', "
+                f"got {self.dedup_mode!r}"
+            )
+        if self.late_policy not in {"drop", "rebuild"}:
+            raise ValueError(
+                f"late_policy must be 'drop' or 'rebuild', "
+                f"got {self.late_policy!r}"
+            )
+        if self.close_mode not in {"rewrite", "dv"}:
+            raise ValueError(
+                f"close_mode must be 'rewrite' or 'dv', got {self.close_mode!r}"
+            )
+
     @property
     def partition_cols(self) -> list[str]:
         p = self.partition_prefix

@@ -106,3 +106,19 @@ def test_auc_known_values_and_ties(spark):
     # (13 - 6) / 9 = 0.777778
     assert run([1, 2, 3, 4, 5, 6], [0, 1, 0, 0, 1, 1])["auc"] == 0.777778
     assert run([0.1, 0.9], [1, 1])["auc"] is None
+
+
+def test_round_half_up_matches_engine_tie_breaking():
+    """Driver-side chained literals must round ties AWAY FROM ZERO like
+    Spark F.round / DuckDB round — not Python's half-to-even (round-9
+    advice: a .5 tie in a weight update would corrupt all later
+    iterations' literals)."""
+    from delta_lake_pyspark_scd2_spark.operators.classifier import (
+        _round_half_up,
+    )
+
+    assert _round_half_up(0.0000005, 6) == 0.000001   # builtin gives 0.0
+    assert _round_half_up(-0.0000005, 6) == -0.000001
+    assert _round_half_up(0.1234565, 6) == 0.123457
+    assert _round_half_up(2.5, 0) == 3.0              # builtin gives 2.0
+    assert _round_half_up(0.123456449, 6) == 0.123456

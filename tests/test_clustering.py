@@ -237,3 +237,21 @@ def test_kcenter_oversampled_separated_cones(spark):
     ).collect()
     groups = {r["vec_id"] // 10 for r in got}
     assert groups == {0, 1, 2}
+
+
+def test_kcenter_empty_corpus_raises_clear_error(spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.DoubleType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        clustering.kcenter_select(empty, k=2)
+    with pytest.raises(ValueError, match="empty corpus"):
+        clustering.kcenter_select_oversampled(empty, k=2)

@@ -47,6 +47,30 @@ def test_headline_plans_match_baseline():
         if feats["invariant"] != baseline["features"][name]["invariant"]
     }
     assert drifted == {}, json.dumps(drifted, indent=1, sort_keys=True)
+    # Cached-plan exchange counts (plans containing InMemoryTableScan)
+    # are session-history-dependent by ±1 (round-9 finding), so they
+    # live under `runtime` instead of the exact-match invariant block —
+    # but a LARGE regression should still fail the gate. Assert a ±1
+    # tolerance band around the baseline (round-9 advice): a refactor
+    # that doubles the shuffle count of a cached query fails here, the
+    # known one-exchange planner wobble does not.
+    band = {
+        name: {
+            "baseline": baseline["features"][name]["runtime"][
+                "initial_exchanges_cached_plan"
+            ],
+            "now": feats["runtime"].get("initial_exchanges_cached_plan"),
+        }
+        for name, feats in got.items()
+        if "initial_exchanges_cached_plan"
+        in baseline["features"][name].get("runtime", {})
+    }
+    out_of_band = {
+        name: v
+        for name, v in band.items()
+        if v["now"] is None or abs(v["now"] - v["baseline"]) > 1
+    }
+    assert out_of_band == {}, json.dumps(out_of_band, indent=1, sort_keys=True)
     # and the absolute invariants, independent of any baseline
     for name, feats in got.items():
         assert feats["invariant"]["cartesian"] == 0, name

@@ -179,3 +179,17 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     )
     files = {r["f"] for r in tagged.select("f").distinct().collect()}
     assert files and all("o_orderpriority=1-URGENT" in f for f in files)
+
+
+def test_hot_split_join_rejects_unsupported_how(spark):
+    """right/full would duplicate unmatched right rows across the
+    hot/cold branches; left_anti's complement does not split by key
+    routing — all must fail loud (round-9 advice)."""
+    from delta_lake_pyspark_scd2_spark.operators.skew import hot_split_join
+
+    left = spark.createDataFrame([(1, "a")], ["k", "v"])
+    right = spark.createDataFrame([(1, "b")], ["k", "w"])
+    hot = spark.createDataFrame([(1,)], ["k"])
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="hot_split_join"):
+            hot_split_join(left, right, "k", hot=hot, how=how)

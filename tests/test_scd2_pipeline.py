@@ -831,3 +831,20 @@ def test_skew_preflight_auto_stays_off_on_uniform_batches(spark, table_path):
     )
     assert m["n_hot_keys"] == 0
     assert m["n_closed"] == 40 and m["n_inserted"] == 40
+
+
+def test_spec_rejects_unknown_enum_values():
+    """A typo like skew_policy='Auto' or 'none' must fail at spec
+    construction, not silently take the auto-threshold branch
+    (round-9 advice)."""
+    import dataclasses
+
+    for field, bad in [
+        ("skew_policy", "Auto"),
+        ("skew_policy", "none"),
+        ("dedup_mode", "keep_first"),
+        ("late_policy", "ignore"),
+        ("close_mode", "cow"),
+    ]:
+        with pytest.raises(ValueError, match=field):
+            dataclasses.replace(SPEC, **{field: bad})
