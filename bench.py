@@ -23,6 +23,56 @@ import pandas as pd  # module-level: pandas_udf type hints resolve here
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Pinned quiet-box reference timings for the calibration probe
+# (round-10, measured on this box under the round-5 quiet protocol).
+# The probe is DATA-INDEPENDENT — same fixed workload every round — so
+# probe_s / REF_S is a pure box-speed factor: divide each query's raw
+# time by it to compare round-over-round numbers across host drift
+# (rounds 8 and 9 each showed a box-wide ~25% shift on provably
+# untouched code that had to be adjudicated by hand; see BENCH_NOTES.md
+# round-10 notes for the normalization rule).
+SHUFFLE_REF_S = 0.87   # 50M-row range → xxhash64 → 4096-key shuffle agg
+CPU_REF_S = 0.105      # 2M-iteration driver-side integer loop
+
+
+def _calibration_probe(spark, n_runs: int = 3) -> dict:
+    """Fixed-seed, data-independent box-speed probe: one Spark
+    scan+shuffle+agg workload (dominated by the same JVM codegen /
+    shuffle machinery the bench queries use) and one pure-CPU driver
+    loop (isolates host CPU contention from Spark overheads). Medians
+    over ``n_runs`` warm runs; one untimed warm-up absorbs codegen."""
+    from pyspark.sql import functions as F
+
+    def shuffle_once() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 50_000_000, 1, 32)
+            .select((F.xxhash64("id") % 4096).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n").alias("t"))
+            .collect()
+        )
+        return time.time() - t0
+
+    def cpu_once() -> float:
+        t0 = time.time()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i * i
+        return time.time() - t0
+
+    shuffle_once()  # codegen warm-up, untimed
+    sh = sorted(round(shuffle_once(), 3) for _ in range(n_runs))
+    cp = sorted(round(cpu_once(), 3) for _ in range(n_runs))
+    return {
+        "shuffle_s": sh[len(sh) // 2],
+        "cpu_s": cp[len(cp) // 2],
+        "shuffle_runs": sh,
+        "cpu_runs": cp,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from delta_lake_pyspark_scd2_spark.plans import REGISTRY
@@ -57,6 +107,13 @@ def main() -> None:
     # list give future rounds a real signal. Caches are cleared between
     # runs so data work is fully repeated.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Box-speed calibration, measured at the start AND the end of the
+    # bench so drift WITHIN the run is visible too; the normalizer is
+    # the mean of the two medians.
+    cal_start = _calibration_probe(spark)
+    print(f"# calibration(start): {cal_start}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name, spec in bench_specs.items():
@@ -103,6 +160,20 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    cal_end = _calibration_probe(spark)
+    print(f"# calibration(end): {cal_end}", file=sys.stderr)
+    shuffle_s = round((cal_start["shuffle_s"] + cal_end["shuffle_s"]) / 2, 3)
+    cpu_s = round((cal_start["cpu_s"] + cal_end["cpu_s"]) / 2, 3)
+    # box-speed factor: >1 = box slower than the pinned quiet-box
+    # reference; divide raw query times by it for round-over-round
+    # comparison (the bench queries are Spark-bound, so the shuffle
+    # probe is the normalizer; cpu_factor disambiguates pure host-CPU
+    # contention from JVM/IO effects)
+    box_factor = round(shuffle_s / SHUFFLE_REF_S, 3)
+    queries_normalized = {
+        n: round(t / box_factor, 3) for n, t in timings.items()
+    }
+
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
@@ -118,6 +189,24 @@ def main() -> None:
                 "queries": timings,
                 "runs": all_runs,  # every timed run, for spread analysis
                 "sf": sf_val,
+                # Box-drift calibration (round-9 directive #1): a pinned
+                # data-independent probe timed in this same session.
+                # normalized = raw / box_factor, where box_factor =
+                # shuffle_s / shuffle_ref_s. Compare `queries_normalized`
+                # across rounds; a shift that survives normalization is a
+                # code regression, one that normalization removes is host
+                # drift (the r8/r9 pattern).
+                "calibration": {
+                    "shuffle_s": shuffle_s,
+                    "cpu_s": cpu_s,
+                    "shuffle_ref_s": SHUFFLE_REF_S,
+                    "cpu_ref_s": CPU_REF_S,
+                    "box_factor": box_factor,
+                    "cpu_factor": round(cpu_s / CPU_REF_S, 3),
+                    "start": cal_start,
+                    "end": cal_end,
+                },
+                "queries_normalized": queries_normalized,
                 # Measured noise floor of this box (BENCH_NOTES.md,
                 # round-5 controlled re-measure): per-query medians-of-3
                 # are only comparable round-over-round to ~±25%; the
