@@ -61,7 +61,7 @@ import warnings
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1686,25 +1686,35 @@ class VersionedParquetTable:
         the same data-skipping bound as ``delete``, times retained
         versions that share those files (shared files rewrite ONCE).
 
-        Limitations (explicit, never silent): files covered by a
-        deletion vector in any retained version are refused — a blind
-        rewrite would drop the version's DV and resurrect its deleted
-        rows; ``compact()`` materializes DVs at head, and a ``vacuum``
-        that drops the older DV-referencing versions unblocks the
-        purge. Manifest
+        Files covered by a deletion vector in ANY retained version
+        (merge-on-read tables — ``upsert(mode="dv")`` /
+        ``close_mode="dv"``) are handled, not refused (round-9
+        directive #2): the rewrite shifts row positions, so a DV'd
+        file's replacement is forced to a single file written in
+        ascending old-position order, and every sidecar referencing it
+        is rewritten in place — purged positions dropped, surviving
+        dead positions remapped to the new (file, position) — so each
+        retained version still sees exactly its own dead rows, minus
+        the purged ones.
+
+        Limitations (explicit, never silent): manifest
         rewrites are per-file atomic (``os.replace``) but not
         transactional across versions; a crash mid-purge leaves a
         partially-scrubbed history and RE-RUNNING the same purge
         completes it (idempotent: already-scrubbed files no longer
-        match). Rows already delivered to external consumers cannot be
+        match). DV sidecar replacement is write-new/remove-old/rename —
+        a crash in that window leaves the sidecar directory missing and
+        scans of versions referencing it FAIL LOUD (no resurrection) —
+        re-create from a backup or vacuum the referencing versions.
+        Rows already delivered to external consumers cannot be
         recalled — that is inherent to erasure, not this mechanism.
         """
         # candidate files across ALL retained versions (dedup by path;
-        # a file shared by many versions is rewritten once) — collected
-        # and DV-guarded BEFORE any mutation, so a refusal leaves the
-        # table untouched
+        # a file shared by many versions is rewritten once), plus the
+        # union of DV sidecars referencing each candidate — collected
+        # BEFORE any mutation
         candidates: dict[str, dict] = {}
-        dv_paths: set[str] = set()
+        dv_sidecars_by_path: dict[str, set[str]] = {}
         for v in self.versions():
             admitted = {e.path for e in self.files_for(filters, v)}
             for f in self._snapshot_files(v):
@@ -1713,15 +1723,10 @@ class VersionedParquetTable:
                 candidates.setdefault(f["path"], f)
                 if f.get("dv"):
                     # dv is per-VERSION metadata on a shared path —
-                    # any version's coverage blocks the in-place purge
-                    dv_paths.add(f["path"])
-        if dv_paths:
-            raise ValueError(
-                f"purge: file(s) {sorted(dv_paths)} carry a deletion "
-                "vector in a retained version; compact() materializes "
-                "the DVs at head, then vacuum the older versions that "
-                "still reference them, then purge"
-            )
+                    # remember every sidecar that may need a remap
+                    dv_sidecars_by_path.setdefault(f["path"], set()).update(
+                        f["dv"]["paths"]
+                    )
 
         head_out = self.delete(filters)
         head = self.latest_version()
@@ -1739,9 +1744,17 @@ class VersionedParquetTable:
 
         # rewrite candidate data files (None = every row matched)
         replacement: dict[str, list[dict] | None] = {}
+        # DV'd files that got survivors: old path -> (new path, lazy
+        # old-position -> new-position map), consumed by the sidecar
+        # remap below
+        remap: dict[str, tuple[str, DataFrame]] = {}
         n_purged = 0
         for p, f in sorted(candidates.items()):
-            df = self._scan([dict(f, dv=None)], schema, mapping=mapping)
+            has_dv = p in dv_sidecars_by_path
+            df = self._scan(
+                [dict(f, dv=None)], schema,
+                with_position=has_dv, mapping=mapping,
+            )
             survivors = df.filter(~hit)
             n_kept = survivors.count()
             n_before = f.get("rows")
@@ -1756,10 +1769,49 @@ class VersionedParquetTable:
             if n_kept == 0:
                 replacement[p] = None
                 continue
-            new_entries = self._write_files(
-                _align(survivors, schema), pc, mapping=mapping,
-                layout_ready=True,
-            )
+            if has_dv:
+                # The rewrite shifts row positions, so (a) the
+                # replacement must be exactly ONE file written in
+                # ascending old-position order, and (b) an old->new
+                # position map feeds the sidecar remap. Dead-but-
+                # unpurged rows STAY in the file — the per-version
+                # sidecars keep marking them dead.
+                # global-window-ok: scope is the rows of ONE data file,
+                # the same bound as the single-task rewrite below.
+                w = Window.orderBy("__pos").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                pos_map = (
+                    df.select("__pos", (~hit).alias("__keep"))
+                    .withColumn(
+                        "__new_pos",
+                        F.sum(F.col("__keep").cast("long")).over(w) - 1,
+                    )
+                    .filter("__keep")
+                    .select("__pos", "__new_pos")
+                    .persist()
+                )
+                ordered = (
+                    survivors.repartition(1)
+                    .sortWithinPartitions("__pos")
+                    .drop("__file", "__pos")
+                )
+                new_entries = self._write_files(
+                    _align(ordered, schema), pc, mapping=mapping,
+                    layout_ready=True,
+                )
+                if len(new_entries) != 1:  # pragma: no cover - invariant
+                    raise AssertionError(
+                        f"purge: DV'd file {p} rewrote to "
+                        f"{len(new_entries)} files; position remap "
+                        "requires exactly one"
+                    )
+                remap[p] = (new_entries[0].path, pos_map)
+            else:
+                new_entries = self._write_files(
+                    _align(survivors, schema), pc, mapping=mapping,
+                    layout_ready=True,
+                )
             replacement[p] = [
                 {
                     "path": e.path,
@@ -1770,16 +1822,84 @@ class VersionedParquetTable:
                 for e in new_entries
             ]
 
+        # Remap and rewrite the DV sidecars of rewritten files IN PLACE
+        # (paths are referenced by every retained manifest and must not
+        # move): purged positions drop out, surviving dead positions
+        # move to the replacement (file, position). Done BEFORE the old
+        # data files are removed — the lazy position maps read them.
+        n_surv: dict[tuple[str, str], int] = {}
+        dv_touched = sorted(p for p in dv_sidecars_by_path if p in replacement)
+        if dv_touched:
+            remap_all: DataFrame | None = None
+            for p in sorted(remap):
+                newp, pm = remap[p]
+                fr = pm.select(
+                    F.lit(p).alias("__file"),
+                    F.col("__pos"),
+                    F.lit(newp).alias("__new_file"),
+                    F.col("__new_pos"),
+                )
+                remap_all = (
+                    fr if remap_all is None else remap_all.unionByName(fr)
+                )
+            affected = sorted(
+                {s for p in dv_touched for s in dv_sidecars_by_path[p]}
+            )
+            for s in affected:
+                s_dir = os.path.join(self.path, DV_DIR, s)
+                s_df = self.spark.read.parquet(s_dir).select("__file", "__pos")
+                out_df = s_df.filter(~F.col("__file").isin(dv_touched))
+                if remap_all is not None:
+                    moved = s_df.join(remap_all, ["__file", "__pos"], "inner")
+                    # per-(sidecar, old path) surviving dead-row counts:
+                    # bounded by files touched, feeds the per-version
+                    # dv.count update in the manifest substitution
+                    for r in (
+                        moved.groupBy("__file")
+                        .agg(F.count(F.lit(1)).alias("n"))
+                        .collect()
+                    ):
+                        n_surv[(s, r["__file"])] = int(r["n"])
+                    out_df = out_df.unionByName(
+                        moved.select(
+                            F.col("__new_file").alias("__file"),
+                            F.col("__new_pos").alias("__pos"),
+                        )
+                    )
+                tmp = s_dir + f".tmp-{uuid.uuid4().hex}"
+                out_df.coalesce(1).write.parquet(tmp)
+                shutil.rmtree(s_dir)
+                os.rename(tmp, s_dir)
+            for p in remap:
+                remap[p][1].unpersist()
+
         def _map_files(entries: list[dict]) -> tuple[list[dict], bool]:
             out_, changed = [], False
             for f in entries:
-                if f["path"] in replacement:
-                    changed = True
-                    out_.extend(
-                        dict(r) for r in (replacement[f["path"]] or [])
-                    )
-                else:
+                if f["path"] not in replacement:
                     out_.append(f)
+                    continue
+                changed = True
+                repl = replacement[f["path"]] or []
+                if not f.get("dv"):
+                    out_.extend(dict(r) for r in repl)
+                    continue
+                # this version marks some of the file's rows dead: the
+                # replacement is one position-stable file (forced above)
+                # whose sidecars were remapped in place — carry the same
+                # sidecar list with the post-purge dead count, dropping
+                # the reference entirely when every dead row was purged
+                count = sum(
+                    n_surv.get((s, f["path"]), 0) for s in f["dv"]["paths"]
+                )
+                for r in repl:
+                    rec = dict(r)
+                    if count > 0:
+                        rec["dv"] = {
+                            "paths": list(f["dv"]["paths"]),
+                            "count": count,
+                        }
+                    out_.append(rec)
             return out_, changed
 
         if replacement:
