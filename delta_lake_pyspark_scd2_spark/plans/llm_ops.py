@@ -1155,6 +1155,142 @@ def approx_sketches_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_twin_feed(spark: SparkSession, sf_dir: str, name: str):
+    """Shared harness for the streaming-maintainer batch-twin rows:
+    the documents corpus split into 3 disjoint JSON micro-batches by
+    ``doc_id % 3``, landed one at a time under a scratch source dir.
+    Returns ``(root, feed)`` where ``feed(run)`` writes batch *i* and
+    then invokes ``run(src)`` — one AvailableNow pass per landing, so
+    the maintainer genuinely folds three separate micro-batches
+    through its checkpointed file source and ``(app_id, batch_no)``
+    writer transactions, exactly as a live crawl would."""
+    import os
+
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
+    root = scratch_path(name)
+    src = f"{root}/src"
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def feed(run) -> None:
+        for i in range(3):
+            docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).json(src)
+            run(src)
+
+    return root, feed
+
+
+def _hll_stream_twin_oracle() -> str:
+    from delta_lake_pyspark_scd2_spark.operators.sketches import HLL_M
+
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    wf AS (SELECT word FROM words WHERE word <> ''),
+    reg AS (
+      SELECT CAST(('0x' || substr(md5(word), 1, 8))::BIGINT % {HLL_M} AS INT)
+               AS bucket,
+             {_hll_rho_sql('md5(word)')} AS rho
+      FROM wf
+    )
+    SELECT bucket, CAST(max(rho) AS INT) AS max_rho FROM reg GROUP BY 1
+    """
+
+
+@register(
+    "hll_stream_twin",
+    oracle=_hll_stream_twin_oracle(),
+    doc="Batch-twin proof for the streaming HLL maintainer "
+    "(streaming/stream_jobs.hll_stream): the corpus lands as 3 "
+    "disjoint JSON micro-batches, each folded into the persisted "
+    "md5-register sketch by a real AvailableNow file-source stream "
+    "(checkpointed discovery + writer txns), and the FINAL registers "
+    "must be bit-identical to DuckDB's one-shot rebuild over the "
+    "union — the HLL mergeability property proven end to end through "
+    "the streaming path, not just in pytest. Register-wise MAX is "
+    "order- and batching-independent, which is what makes the stream "
+    "fold value-hashable at all.",
+)
+def hll_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+    from delta_lake_pyspark_scd2_spark.streaming import hll_stream
+
+    root, feed = _stream_twin_feed(spark, sf_dir, "hll_stream_twin")
+    feed(lambda src: hll_stream(spark, src, f"{root}/sketch", f"{root}/ckpt"))
+    return (
+        VersionedParquetTable(spark, f"{root}/sketch")
+        .read()
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("max_rho").cast("int").alias("max_rho"),
+        )
+    )
+
+
+def _cms_stream_twin_oracle() -> str:
+    from delta_lake_pyspark_scd2_spark.operators.sketches import DEPTH, WIDTH
+
+    return f"""
+    WITH words AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents
+    ),
+    wf AS (SELECT word FROM words WHERE word <> ''),
+    wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wf GROUP BY 1),
+    cells AS (
+      SELECT t.d,
+             ('0x' || substr(md5(CAST(t.d AS VARCHAR) || ':' || word), 1, 8))
+               ::BIGINT % {WIDTH} AS bucket,
+             c
+      FROM wc CROSS JOIN range({DEPTH}) t(d)
+    )
+    SELECT CAST(d AS INT) AS d, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(c) AS BIGINT) AS cnt
+    FROM cells GROUP BY 1, 2
+    """
+
+
+@register(
+    "cms_stream_twin",
+    oracle=_cms_stream_twin_oracle(),
+    doc="Batch-twin proof for the streaming count-min maintainer "
+    "(streaming/stream_jobs.count_min_stream): 3 JSON micro-batches "
+    "fold token counts into the persisted depth×width counter grid "
+    "through the real AvailableNow stream, and the FINAL cells must "
+    "equal DuckDB's one-shot sketch of the whole corpus. Counter "
+    "ADDITION is order-independent but NOT idempotent — this row "
+    "therefore also exercises the (app_id, batch_no) writer-txn "
+    "exactly-once path for real: a double-applied replay would break "
+    "the value hash.",
+)
+def cms_stream_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+    from delta_lake_pyspark_scd2_spark.streaming import count_min_stream
+
+    root, feed = _stream_twin_feed(spark, sf_dir, "cms_stream_twin")
+    feed(
+        lambda src: count_min_stream(
+            spark, src, f"{root}/sketch", f"{root}/ckpt"
+        )
+    )
+    return (
+        VersionedParquetTable(spark, f"{root}/sketch")
+        .read()
+        .select(
+            F.col("d").cast("int").alias("d"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+
+
 def _lang_oracle() -> str:
     score_exprs = []
     for lang, markers in text.LANG_MARKERS.items():
