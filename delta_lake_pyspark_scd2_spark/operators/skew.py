@@ -84,6 +84,71 @@ def hot_keys(df: DataFrame, keys: Sequence[str], min_rows: int) -> DataFrame:
     )
 
 
+def decide_hot_keys(
+    df: DataFrame,
+    keys: Sequence[str],
+    *,
+    policy: str = "auto",
+    hot_rows: int = 100_000,
+    ratio: float = 32.0,
+    profile: dict | None = None,
+    track: bool = False,
+) -> tuple[DataFrame | None, dict, int]:
+    """The shared pre-flight decision rule used by every skew-aware
+    join site (SCD2 merge Phase A, the generic ``upsert`` target-side
+    joins, ``asof_join``'s probe side): measure the key distribution,
+    decide whether any key is hot enough to route around the shuffle,
+    and if so materialize the (broadcast-sized) hot-key set.
+
+    ``policy``: ``"off"`` → never split; ``"auto"`` → split when the
+    max key reaches ``hot_rows`` AND ``ratio``× the mean; ``"force"``
+    → split whatever the thresholds say (known-skewed feeds / tests).
+    ``profile`` lets a caller hand in a key-count profile it already
+    computed (e.g. piggybacked on a validation aggregation) so the
+    decision costs nothing extra.
+
+    Returns ``(hot_df, profile, n_hot_keys)``. ``hot_df`` is persisted
+    when engaged — the CALLER unpersists it after its joins run.
+    ``track=True`` registers the persist with
+    ``functions.caching.persist_tracked`` instead, for operators that
+    RETURN lazy plans and cannot know when the caller finishes
+    (``asof_join``); harness layers release it at query boundaries.
+    """
+    if policy not in {"auto", "force", "off"}:
+        raise ValueError(
+            f"skew policy must be one of 'auto'/'force'/'off', got {policy!r}"
+        )
+    if policy == "off":
+        return None, {}, 0
+    prof = profile if profile is not None else key_count_profile(df, keys)
+    if policy == "force":
+        # always engage (given any key with >= 2 rows): cap the ratio
+        # cut at the observed max so a single dominant key — which
+        # drags the MEAN up past itself — still routes hot
+        cut = max(2, min(int(ratio * prof["avg_rows"]), prof["max_rows"]))
+    elif prof["max_rows"] >= hot_rows and prof["max_rows"] >= ratio * max(
+        prof["avg_rows"], 1.0
+    ):
+        cut = max(hot_rows, int(ratio * prof["avg_rows"]))
+    else:
+        cut = 0
+    if cut and prof["max_rows"] >= cut:
+        hot = hot_keys(df, keys, cut)
+        if track:
+            from delta_lake_pyspark_scd2_spark.functions.caching import (
+                persist_tracked,
+            )
+
+            hot = persist_tracked(hot)
+        else:
+            hot = hot.persist()
+        n = hot.count()
+        if n:
+            return hot, prof, n
+        hot.unpersist()
+    return None, prof, 0
+
+
 def hot_split_join(
     left: DataFrame,
     right: DataFrame,
@@ -105,17 +170,22 @@ def hot_split_join(
     than salting, and the result equals the plain join row-for-row.
 
     ``how`` supports the shapes a merge needs: ``left``, ``inner``,
-    ``left_semi``. Null-keyed left rows never match ``hot`` (semi/anti
-    null semantics), fall to the cold path, and keep plain-join
-    semantics there. Other join types are REJECTED: right/full would
-    duplicate unmatched right rows across the hot and cold branches,
-    and left_anti's complement semantics do not split by key routing.
+    ``left_semi``, ``left_anti``. Null-keyed left rows never match
+    ``hot`` (semi/anti null semantics), fall to the cold path, and keep
+    plain-join semantics there. ``left_anti`` is sound under the split
+    because routing partitions the LEFT side only and the anti
+    predicate factors through it: ``l_hot``'s keys are a subset of
+    ``hot``, so testing them against ``right ∩ hot`` (the broadcast
+    ``r_hot``) decides exactly membership in ``right``; ``l_cold``
+    tests against all of ``right`` unchanged. Right/full joins remain
+    REJECTED: unmatched right rows would duplicate across the hot and
+    cold branches.
     """
-    if how not in {"left", "inner", "left_semi"}:
+    if how not in {"left", "inner", "left_semi", "left_anti"}:
         raise ValueError(
-            f"hot_split_join supports how in {{'left','inner','left_semi'}}, "
-            f"got {how!r} — right/full/left_anti would return wrong results "
-            "under the hot/cold split"
+            "hot_split_join supports how in "
+            f"{{'left','inner','left_semi','left_anti'}}, got {how!r} — "
+            "right/full would return wrong results under the hot/cold split"
         )
     keys = [on] if isinstance(on, str) else list(on)
     hot = hot.select(*keys)

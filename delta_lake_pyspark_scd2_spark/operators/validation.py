@@ -95,6 +95,61 @@ def dq_metrics(df_tagged: DataFrame) -> dict[str, int]:
     return {k: int(row[k] or 0) for k in row.asDict()}
 
 
+def dq_metrics_with_key_profile(
+    df_tagged: DataFrame, key_cols: Sequence[str]
+) -> tuple[dict[str, int], dict]:
+    """The DQ tallies AND the kept-rows key-skew profile in ONE job
+    (round-9 directive #5): instead of the flat :func:`dq_metrics`
+    aggregate plus a second ``skew.key_count_profile`` pass over the
+    kept rows, aggregate per key first (map-side combinable, output ∝
+    distinct batch keys) and fold both answers out of that one frame.
+
+    The profile covers exactly the rows :func:`split_valid` keeps —
+    a group's kept count is its ``discard IS NULL`` sum, so null-key
+    and fully-discarded groups drop out of max/avg/n_keys the same way
+    they never reach the merge. Returns ``(dq_metrics_dict,
+    key_count_profile_dict)`` with both dicts' shapes unchanged.
+    """
+    per_key = df_tagged.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__n_total"),
+        F.sum(F.col(DISCARD_COL).isNull().cast("int")).alias("__n_kept"),
+        F.sum((F.col(DISCARD_COL) == NULL_KEY).cast("int")).alias("__n_nk"),
+        F.sum((F.col(DISCARD_COL) == BATCH_DATE_MISMATCH).cast("int")).alias(
+            "__n_bdm"
+        ),
+        F.sum((F.col(DISCARD_COL) == DUPLICATE_OLDER).cast("int")).alias(
+            "__n_dup"
+        ),
+    )
+    kept_n = F.when(F.col("__n_kept") > 0, F.col("__n_kept"))
+    row = per_key.agg(
+        F.sum("__n_total").alias("n_total"),
+        F.sum("__n_kept").alias("n_kept"),
+        F.sum("__n_nk").alias("n_null_key"),
+        F.sum("__n_bdm").alias("n_batch_date_mismatch"),
+        F.sum("__n_dup").alias("n_duplicate_older"),
+        F.max(kept_n).alias("max_rows"),
+        F.avg(kept_n).alias("avg_rows"),
+        F.sum((F.col("__n_kept") > 0).cast("int")).alias("n_keys"),
+    ).collect()[0]
+    dq = {
+        k: int(row[k] or 0)
+        for k in (
+            "n_total",
+            "n_kept",
+            "n_null_key",
+            "n_batch_date_mismatch",
+            "n_duplicate_older",
+        )
+    }
+    profile = {
+        "max_rows": int(row["max_rows"] or 0),
+        "avg_rows": float(row["avg_rows"] or 0.0),
+        "n_keys": int(row["n_keys"] or 0),
+    }
+    return dq, profile
+
+
 # ---------------------------------------------------------------------------
 # Declarative data contracts (promoted from the reference's test-only
 # metadata dicts, test/header_etl_test.py:35-47 / items_etl_test.py:43-57).

@@ -280,7 +280,18 @@ def run_scd2_batch(
         )
     tagged = tagged.persist()
     kept, discarded = validation.split_valid(tagged)
-    metrics.update(validation.dq_metrics(tagged))
+    # With skew profiling on, the DQ tallies and the merge's key-count
+    # profile fold out of ONE per-key aggregation instead of a flat DQ
+    # agg plus a dedicated profile job (round-9 directive #5) — the
+    # pre-flight becomes free relative to the validation pass.
+    key_profile: dict | None = None
+    if spec.skew_policy != "off":
+        dq, key_profile = validation.dq_metrics_with_key_profile(
+            tagged, list(spec.key_cols)
+        )
+        metrics.update(dq)
+    else:
+        metrics.update(validation.dq_metrics(tagged))
     if quarantine_path is not None and metrics["n_total"] > metrics["n_kept"]:
         discarded.write.mode("overwrite").parquet(
             f"{quarantine_path}/batch={batch_id}"
@@ -318,7 +329,9 @@ def run_scd2_batch(
         metrics["n_stale"] = 0
     else:
         table = VersionedParquetTable(spark, table_path)
-        m = _merge_batch(spec, table, kept, batch_id)
+        m = _merge_batch(
+            spec, table, kept, batch_id, key_profile=key_profile
+        )
         metrics.update(m)
     metrics["duration_s_merge"] = round(time.time() - t1, 3)
     metrics["duration_s_total"] = round(time.time() - t0, 3)
@@ -331,6 +344,8 @@ def _merge_batch(
     table: VersionedParquetTable,
     kept: DataFrame,
     batch_id: str,
+    *,
+    key_profile: dict | None = None,
 ) -> dict:
     """Two-phase SCD2 merge (reference Phase A/B,
     src/header_etl.py:144-280) on the versioned table.
@@ -389,32 +404,23 @@ def _merge_batch(
     # the batch×current joins whether a hot key needs the broadcast
     # split path. The profile is one batch-sized aggregation; `hot_df`
     # is ≤ rows/cut keys by construction, so always broadcastable.
-    hot_df: DataFrame | None = None
-    n_hot_keys = 0
-    if spec.skew_policy != "off":
-        from delta_lake_pyspark_scd2_spark.operators.skew import (
-            hot_keys as _hot_keys,
-        )
-        from delta_lake_pyspark_scd2_spark.operators.skew import (
-            hot_split_join,
-            key_count_profile,
-        )
+    from delta_lake_pyspark_scd2_spark.operators.skew import (
+        decide_hot_keys,
+        hot_split_join,
+    )
 
-        prof = key_count_profile(kept, keys)
-        if spec.skew_policy == "force":
-            cut = max(2, int(spec.skew_ratio * prof["avg_rows"]))
-        elif prof["max_rows"] >= spec.skew_hot_rows and prof[
-            "max_rows"
-        ] >= spec.skew_ratio * max(prof["avg_rows"], 1.0):
-            cut = max(spec.skew_hot_rows, int(spec.skew_ratio * prof["avg_rows"]))
-        else:
-            cut = 0
-        if cut and prof["max_rows"] >= cut:
-            hot_df = _hot_keys(kept, keys, cut).persist()
-            n_hot_keys = hot_df.count()
-            if n_hot_keys == 0:
-                hot_df.unpersist()
-                hot_df = None
+    # profile normally piggybacked on the validation pass's per-key
+    # aggregation (run_scd2_batch, round-9 directive #5); the
+    # dedicated job inside decide_hot_keys is the fallback for direct
+    # _merge_batch callers
+    hot_df, _, n_hot_keys = decide_hot_keys(
+        kept,
+        keys,
+        policy=spec.skew_policy,
+        hot_rows=spec.skew_hot_rows,
+        ratio=spec.skew_ratio,
+        profile=key_profile,
+    )
 
     def _left_join_current(left: DataFrame, right: DataFrame) -> DataFrame:
         if hot_df is None:

@@ -1394,6 +1394,9 @@ class VersionedParquetTable:
         operation: str = "UPSERT",
         metrics: "dict | Callable[[], dict] | None" = None,
         txn: tuple[str, int] | None = None,
+        skew_policy: str = "off",
+        skew_hot_rows: int = 100_000,
+        skew_ratio: float = 32.0,
     ) -> dict:
         """Generic MERGE (reference S8's ``whenMatchedUpdate`` +
         ``whenNotMatchedInsert``, src/header_etl.py:205-215 shape, made
@@ -1430,8 +1433,31 @@ class VersionedParquetTable:
         skipped before any work, and a lost commit race against the
         same logical transaction lands once — exactly-once foreachBatch
         MERGE sinks.
+
+        ``skew_policy`` (round-9 directive #4, opt-in, default
+        ``"off"``): pre-flight the TARGET's key distribution
+        (``operators/skew.decide_hot_keys`` — "auto" profiles +
+        thresholds, "force" always splits) and route hot keys' target
+        rows through broadcast split joins for every target-side
+        semi/anti probe (match counts, CDC pre-images, the DV dead-row
+        scan, the rewrite survivors anti-join). This is the planned
+        defense for the one shape AQE's skew-join cannot fix: a single
+        key whose target rows exceed a task even after partition
+        splitting. The probe sides (``upd_keys``/``gone_keys``) are
+        key-distinct, so the broadcast branch is replication-free. The
+        "auto" profile is one key-aggregation over the current
+        snapshot — that scan cost is why the default stays "off"; turn
+        it on for tables with power-law keys.
         """
         keys = list(key_cols)
+        if mode not in {"rewrite", "dv"}:
+            raise ValueError(f"unknown upsert mode: {mode!r}")
+        if mode == "dv" and txn is not None:
+            raise ValueError(
+                "txn-idempotent upsert supports mode='rewrite' only "
+                "(the DV commit path does not thread writer "
+                "transactions yet)"
+            )
         m = self._current()
         if txn is not None:
             applied = m.get("txns", {}).get(txn[0])
@@ -1475,18 +1501,41 @@ class VersionedParquetTable:
         gone_keys = (
             upd_keys if del_keys is None else upd_keys.unionByName(del_keys).distinct()
         )
-        n_matched = cur.join(upd_keys, on=keys, how="left_semi").count()
+        from delta_lake_pyspark_scd2_spark.operators.skew import (
+            decide_hot_keys,
+            hot_split_join,
+        )
+
+        hot_df, _, n_hot_keys = decide_hot_keys(
+            cur,
+            keys,
+            policy=skew_policy,
+            hot_rows=skew_hot_rows,
+            ratio=skew_ratio,
+        )
+
+        def _semi(left: DataFrame, right: DataFrame) -> DataFrame:
+            if hot_df is None:
+                return left.join(right, on=keys, how="left_semi")
+            return hot_split_join(left, right, keys, hot=hot_df, how="left_semi")
+
+        def _anti(left: DataFrame, right: DataFrame) -> DataFrame:
+            if hot_df is None:
+                return left.join(right, on=keys, how="left_anti")
+            return hot_split_join(left, right, keys, hot=hot_df, how="left_anti")
+
+        n_matched = _semi(cur, upd_keys).count()
         n_updates = updates.count()
         n_deleted = (
-            cur.join(del_keys, on=keys, how="left_semi").count()
-            if del_keys is not None
-            else 0
+            _semi(cur, del_keys).count() if del_keys is not None else 0
         )
         out = {
             "n_updated": n_matched,
             "n_inserted": n_updates - n_matched,
             "n_deleted": n_deleted,
         }
+        if skew_policy != "off":
+            out["n_hot_keys"] = n_hot_keys
         cdc_files = None
         if self._cdc_enabled(m):
             # Row-level change records, written WITH the commit (Delta
@@ -1496,7 +1545,7 @@ class VersionedParquetTable:
             upd = updates.select(*cur.columns)
             cur_keys = cur.select(*keys).distinct()
             change = (
-                cur.join(upd_keys, on=keys, how="left_semi")
+                _semi(cur, upd_keys)
                 .withColumn("_change_type", F.lit("update_preimage"))
                 .unionByName(
                     upd.join(cur_keys, on=keys, how="left_semi")
@@ -1512,26 +1561,18 @@ class VersionedParquetTable:
                 # (updates win in the merged output), so it must not
                 # also emit a delete record
                 change = change.unionByName(
-                    cur.join(
-                        del_keys.join(upd_keys, on=keys, how="left_anti"),
-                        on=keys,
-                        how="left_semi",
+                    _semi(
+                        cur, del_keys.join(upd_keys, on=keys, how="left_anti")
                     ).withColumn("_change_type", F.lit("delete"))
                 )
             cdc_files = self._write_cdc(change)
         if mode == "dv":
-            if txn is not None:
-                raise ValueError(
-                    "txn-idempotent upsert supports mode='rewrite' only "
-                    "(the DV commit path does not thread writer "
-                    "transactions yet)"
-                )
             # merge-on-read: DV the old rows of every matched/deleted
             # key (positional read scoped to the partitions that hold
             # them), append the updates in the same commit
             if pc:
                 old_parts = (
-                    cur.join(gone_keys, on=keys, how="left_semi")
+                    _semi(cur, gone_keys)
                     .select(*pc)
                     .distinct()
                 )
@@ -1546,8 +1587,10 @@ class VersionedParquetTable:
                 # emptiness gate, remove_rows' per-file counts, AND the
                 # sidecar write — without it the dominant I/O runs 3x
                 dead = (
-                    self.read_partitions(touched, with_position=True)
-                    .join(gone_keys, on=keys, how="left_semi")
+                    _semi(
+                        self.read_partitions(touched, with_position=True),
+                        gone_keys,
+                    )
                     .select("__file", "__pos")
                     .persist()
                 )
@@ -1568,12 +1611,12 @@ class VersionedParquetTable:
             finally:
                 if dead is not None:
                     dead.unpersist()
+                if hot_df is not None:
+                    hot_df.unpersist()
             return out
-        if mode != "rewrite":
-            raise ValueError(f"unknown upsert mode: {mode!r}")
         if pc:
             old_parts = (
-                cur.join(gone_keys, on=keys, how="left_semi").select(*pc).distinct()
+                _semi(cur, gone_keys).select(*pc).distinct()
             )
             parts = old_parts.unionByName(updates.select(*pc).distinct()).distinct()
             touched = [{k: str(r[k]) for k in pc} for r in parts.collect()]
@@ -1581,12 +1624,16 @@ class VersionedParquetTable:
         else:
             touched = [{}]
             base = cur
-        survivors = base.join(gone_keys, on=keys, how="left_anti")
+        survivors = _anti(base, gone_keys)
         merged = survivors.unionByName(updates.select(*base.columns))
-        self.replace_partitions(
-            merged, touched, operation=operation, metrics=metrics or out,
-            cdc_files=cdc_files, txn=txn,
-        )
+        try:
+            self.replace_partitions(
+                merged, touched, operation=operation, metrics=metrics or out,
+                cdc_files=cdc_files, txn=txn,
+            )
+        finally:
+            if hot_df is not None:
+                hot_df.unpersist()
         return out
 
     def delete(

@@ -270,3 +270,88 @@ def test_repair_intervals_is_idempotent_on_clean_chains(spark):
     have = {(r["k"], r["v"]): (r["valid_to"], r["is_current"])
             for r in got.collect()}
     assert have == want
+
+
+def test_asof_join_skew_split_matches_plain(spark):
+    """Round-9 directive #4: asof_join's probe-side hot-key split.
+    Key HOT carries 500 probes against an 8-event history (with
+    equal-ts ties and a NULL tiebreak value, to pin the broadcast
+    array's sort order against the window's asc_nulls_first); cold
+    keys ride along. All four (direction, strict) combinations must be
+    row-identical to the plain window form."""
+    ev_rows = [
+        Row(k="HOT", ets=ts("2023-01-01T02:00:00"), rid=1, val=1, aux="a"),
+        Row(k="HOT", ets=ts("2023-01-01T04:00:00"), rid=2, val=2, aux=None),
+        Row(k="HOT", ets=ts("2023-01-01T04:00:00"), rid=3, val=3, aux="c"),
+        Row(k="HOT", ets=ts("2023-01-01T06:00:00"), rid=None, val=4, aux="d"),
+        Row(k="HOT", ets=ts("2023-01-01T06:00:00"), rid=5, val=5, aux="e"),
+        Row(k="HOT", ets=ts("2023-01-01T08:00:00"), rid=6, val=6, aux="f"),
+        Row(k="C1", ets=ts("2023-01-01T03:00:00"), rid=1, val=10, aux="x"),
+        Row(k="C2", ets=ts("2023-01-01T05:00:00"), rid=1, val=20, aux="y"),
+    ]
+    events = spark.createDataFrame(
+        ev_rows, "k string, ets timestamp, rid int, val int, aux string"
+    )
+    pr_rows = [
+        Row(k="HOT", pts=ts("2023-01-01T00:30:00") + dt.timedelta(minutes=i), pid=i)
+        for i in range(500)
+    ] + [
+        Row(k="C1", pts=ts("2023-01-01T03:00:00"), pid=1000),
+        Row(k="C1", pts=ts("2023-01-01T02:59:00"), pid=1001),
+        Row(k="C2", pts=ts("2023-01-01T09:00:00"), pid=1002),
+        Row(k="MISS", pts=ts("2023-01-01T09:00:00"), pid=1003),
+    ]
+    probes = spark.createDataFrame(pr_rows, "k string, pts timestamp, pid int")
+
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            plain = scd2.asof_join(
+                probes, events, "k", "pts", "ets", ["val", "aux"],
+                strict=strict, event_tiebreak_cols=["rid"],
+                direction=direction,
+            )
+            split = scd2.asof_join(
+                probes, events, "k", "pts", "ets", ["val", "aux"],
+                strict=strict, event_tiebreak_cols=["rid"],
+                direction=direction,
+                skew_policy="force", skew_hot_rows=50,
+            )
+            a = plain.sort("pid").collect()
+            b = split.sort("pid").collect()
+            assert a == b, (direction, strict)
+
+
+def test_asof_join_skew_split_bounds_fail_loud(spark):
+    """The hot arm's in-plan guards: an event history beyond
+    skew_max_events_per_key, or a NULL timestamp on a hot key, must
+    raise at execution instead of silently diverging from the window
+    form."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    events = spark.createDataFrame(
+        [Row(k="HOT", ets=ts("2023-01-01T00:00:00") + dt.timedelta(seconds=i), val=i)
+         for i in range(20)],
+        "k string, ets timestamp, val int",
+    )
+    probes = spark.createDataFrame(
+        [Row(k="HOT", pts=ts("2023-01-01T01:00:00"), pid=i) for i in range(100)],
+        "k string, pts timestamp, pid int",
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="skew_max_events_per_key"):
+        scd2.asof_join(
+            probes, events, "k", "pts", "ets", ["val"],
+            skew_policy="force", skew_hot_rows=10,
+            skew_max_events_per_key=5,
+        ).collect()
+
+    null_probe = probes.withColumn(
+        "pts", F.when(F.col("pid") == 3, F.lit(None)).otherwise(F.col("pts"))
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="non-null probe timestamps"):
+        scd2.asof_join(
+            null_probe, events, "k", "pts", "ets", ["val"],
+            skew_policy="force", skew_hot_rows=10,
+        ).collect()

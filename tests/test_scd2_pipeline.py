@@ -812,6 +812,44 @@ def test_skew_preflight_split_matches_plain_merge(spark, tmp_path):
     assert scd2.check_invariants(_read(spark, p_split), "contract").count() == 0
 
 
+def test_combined_dq_profile_matches_separate_jobs(spark):
+    """Round-9 directive #5: the single-job
+    ``dq_metrics_with_key_profile`` must reproduce BOTH the flat
+    ``dq_metrics`` tallies and ``skew.key_count_profile`` over the
+    kept rows exactly — on a batch exercising every discard reason
+    (null key, duplicate-older, batch-date mismatch) plus a key whose
+    rows are all discarded (must drop out of the profile)."""
+    from delta_lake_pyspark_scd2_spark.operators import validation
+    from delta_lake_pyspark_scd2_spark.operators.skew import key_count_profile
+
+    rows = [
+        ev("A", "2023-03-01T00:00:00", "S0", rid=0),
+        ev("A", "2023-03-01T01:00:00", "S1", rid=1),
+        ev("A", "2023-03-01T02:00:00", "S2", rid=2),
+        ev("B", "2023-03-01T00:00:00", "S0", rid=0),
+        # duplicate (key, ts) pair: loser discarded as DUPLICATE_OLDER
+        ev("B", "2023-03-01T00:00:00", "S1", rid=-1),
+        ev(None, "2023-03-01T00:00:00", "S0", rid=0),  # NULL_KEY
+        # key D: every row lands on the wrong batch date -> all
+        # discarded, so D must not count toward the kept-key profile
+        ev("D", "2023-02-28T00:00:00", "S0", rid=0),
+    ]
+    batch = spark.createDataFrame(rows, BATCH_SCHEMA).withColumn(
+        "batch_date", F.lit("2023-03-01").cast("date")
+    )
+    tagged = validation.tag_discards(
+        batch, ["contract"], "event_time",
+        batch_date_col="batch_date", tiebreak_cols=["rid"],
+    )
+    dq, prof = validation.dq_metrics_with_key_profile(tagged, ["contract"])
+    assert dq == validation.dq_metrics(tagged)
+    kept, _ = validation.split_valid(tagged)
+    assert prof == key_count_profile(kept, ["contract"])
+    assert prof == {"max_rows": 3, "avg_rows": 2.0, "n_keys": 2}
+    assert dq["n_null_key"] == 1 and dq["n_duplicate_older"] == 1
+    assert dq["n_batch_date_mismatch"] == 1 and dq["n_kept"] == 4
+
+
 def test_skew_preflight_auto_stays_off_on_uniform_batches(spark, table_path):
     """A uniform batch must NOT pay the split (no hot keys detected at
     default thresholds), and the default-spec merge still reports the
