@@ -109,3 +109,77 @@ def test_distributed_merge_rounds_counts_are_weighted(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r["left_sym"], r["right_sym"], r["pair_count"]) == ("a", "b</w>", 3)
+
+
+def _rank_order_replace_encode(
+    word: str, merges: list[tuple[str, str]]
+) -> list[str]:
+    """The oracle's encode semantics (plans/llm_ops.bpe_encode_bounded):
+    apply each merge once, in rank order, as a greedy left-to-right
+    non-overlapping replace on the SEP-wrapped symbol string."""
+    sym = bpe._word_symbols(word)
+    if not sym:
+        return []
+    rep = bpe.SEP + (bpe.SEP + bpe.SEP).join(sym) + bpe.SEP
+    for l, r in merges:
+        rep = rep.replace(
+            bpe.SEP + l + bpe.SEP + bpe.SEP + r + bpe.SEP,
+            bpe.SEP + l + r + bpe.SEP,
+        )
+    return rep.strip(bpe.SEP).split(bpe.SEP + bpe.SEP)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=12),
+        min_size=1,
+        max_size=30,
+    ),
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=10), max_size=10
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_encode_word_equals_rank_order_replace_chain(corpus, probe_words):
+    """The theorem bpe_encode_bounded's oracle rests on: because a
+    merge learned at rank r can never CREATE an occurrence of a pair
+    learned at rank < r, _encode_word's iterated lowest-rank-first
+    loop equals one rank-ordered pass of greedy non-overlapping
+    replace-alls. Fuzzed over random corpora (merge rules learned from
+    the corpus, so they have the valid-training-sequence structure the
+    theorem requires) and random probe words, in- and out-of-corpus."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w in corpus:
+        sym = bpe._word_symbols(w)
+        vocab[sym] = vocab.get(sym, 0) + 1
+    # driver-side trainer, inlined: same selection rule as train_bpe
+    merges: list[tuple[str, str]] = []
+    for _ in range(8):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        pair, best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < 2:
+            break
+        merges.append(pair)
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + cnt
+        vocab = new_vocab
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(corpus) + list(probe_words):
+        assert bpe._encode_word(w, ranks) == _rank_order_replace_encode(
+            w, merges
+        ), (w, merges)
