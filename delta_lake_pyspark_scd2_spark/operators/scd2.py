@@ -446,7 +446,10 @@ def _asof_join_broadcast_arrays(
     )
     pr_cols = list(probes.columns)
     raw_pts = F.col(probe_ts)
-    pts = F.when(
+    # null guard evaluated ONCE per probe row as its own column — a
+    # raise_error branch inside the filter lambda would re-evaluate
+    # per array element and blocks codegen in the hot loop
+    guarded_pts = F.when(
         raw_pts.isNull(),
         F.raise_error(
             F.lit(
@@ -455,6 +458,7 @@ def _asof_join_broadcast_arrays(
             )
         ),
     ).otherwise(raw_pts)
+    pts = F.col("__pts")
     if direction == "backward":
         cond = (
             (lambda e: e["__ts"] < pts) if strict else (lambda e: e["__ts"] <= pts)
@@ -463,7 +467,9 @@ def _asof_join_broadcast_arrays(
         cond = (
             (lambda e: e["__ts"] > pts) if strict else (lambda e: e["__ts"] >= pts)
         )
-    joined = probes.join(F.broadcast(ev_arr), list(keys), "left")
+    joined = probes.withColumn("__pts", guarded_pts).join(
+        F.broadcast(ev_arr), list(keys), "left"
+    )
     cand = F.filter(F.col("__evs"), cond)
     picked = (
         F.get(cand, F.size(cand) - 1)

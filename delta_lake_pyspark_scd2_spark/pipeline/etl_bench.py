@@ -116,6 +116,12 @@ def run_synthetic_volume_bench(
     t1 = _t.time()
     m2 = run_scd2_batch(spark, spec, b2, table_path, batch_id="vol_b2")
     t2 = _t.time()
+    from delta_lake_pyspark_scd2_spark.sources.vtable import (
+        VersionedParquetTable,
+    )
+
+    t = VersionedParquetTable(spark, table_path)
+    manifest = t._current()
     return {
         "n_rows": n_rows,
         "load_s": round(t1 - t0, 2),
@@ -123,4 +129,17 @@ def run_synthetic_volume_bench(
         "merge_rows_per_s": round(n_rows / (t2 - t1)),
         "n_closed": m2["n_closed"],
         "n_inserted": m2["n_inserted"],
+        # Phase-A scoping evidence at volume (round-9 directive #6):
+        # partitions rewritten must track the batch's 31-day shift
+        # window, not the table's total partition count, and the
+        # file count must stay ~1 file per partition per commit
+        # (write-layout rebalance), not tasks × partitions.
+        "n_parts_closed": m2.get("n_parts_closed"),
+        "n_table_files": len(manifest["files"]),
+        "n_table_partitions": len(
+            {
+                tuple(sorted((f.get("partition") or {}).items()))
+                for f in manifest["files"]
+            }
+        ),
     }

@@ -648,6 +648,10 @@ def _merge_batch(
         "n_hot_keys": n_hot_keys,
         "n_inserted": n_inserted,
         "n_stale": n_stale,
+        # Phase-A scope evidence: partitions actually rewritten (or
+        # DV'd) this merge — the number that must track the BATCH's
+        # date spread, not the table's, for cost ∝ changed data
+        "n_parts_closed": len(touched),
         # phase breakdown (reference tracks per-phase durations,
         # src/header_etl.py:319-331; these localize merge cost the
         # same way at any scale: close = partition rewrite, insert =

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_lake_pyspark_scd2_spark.operators import scd2
-from delta_lake_pyspark_scd2_spark.plans.registry import register
+from delta_lake_pyspark_scd2_spark.plans.registry import REGISTRY, register
 from delta_lake_pyspark_scd2_spark.sources.tables import load_table
 from delta_lake_pyspark_scd2_spark.sources.vtable import VersionedParquetTable
 
@@ -183,6 +183,43 @@ def scd2_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_asof_join_skew_split",
+    oracle=REGISTRY["scd2_asof_join"].oracle,
+    doc="The SAME as-of join forced through the probe-side hot-key "
+    "split (round-9 directive #4): every user_id above the forced cut "
+    "routes its probes map-side against a broadcast sorted event "
+    "array (operators/scd2._asof_join_broadcast_arrays) while the "
+    "rest keep the union+window plan — and the result must value-hash "
+    "against the identical oracle as scd2_asof_join. This is the arm "
+    "AQE cannot provide: a window partition cannot be split at "
+    "runtime, a broadcast probe can.",
+)
+def scd2_asof_join_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return scd2.asof_join(
+        probes=purchases,
+        events=clicks,
+        key_cols="user_id",
+        probe_ts="ts",
+        event_ts="ts",
+        value_cols=["click_event_id", "click_value"],
+        event_tiebreak_cols=["click_event_id"],
+        skew_policy="force",
+        skew_hot_rows=2,
+        skew_ratio=1.0,
+    )
+
+
+@register(
     "scd2_late_rebuild",
     oracle="""
     WITH flagged AS (
@@ -348,6 +385,66 @@ def dv_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.remove_rows(dead, adds=repl, operation="UPDATE_DV")
     return t.read().select("o_orderkey", "o_orderstatus", "price")
+
+
+@register(
+    "s8_upsert_skew_split",
+    oracle="""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice) AS BIGINT) AS price
+      FROM lineitem
+    ),
+    upd AS (
+      SELECT DISTINCT l_orderkey, 0 AS l_linenumber,
+             CAST(-1 AS BIGINT) AS price
+      FROM lineitem WHERE l_orderkey % 3 = 0
+    )
+    SELECT * FROM upd
+    UNION ALL
+    SELECT * FROM base
+    WHERE l_orderkey NOT IN (SELECT l_orderkey FROM upd)
+    """,
+    doc="Generic MERGE through the target-side hot-key split (round-9 "
+    "directive #4): the target holds MULTIPLE rows per key (lineitem "
+    "keyed by order), skew_policy='force' routes keys at/above the "
+    "per-key line count cut through broadcast semi/anti split joins "
+    "(operators/skew.hot_split_join, incl. the new left_anti mode on "
+    "the survivors join) while below-cut keys keep the ordinary "
+    "shuffle — and the merged table must value-hash against the same "
+    "replace-matched-keys oracle as a plain merge. Proves the split "
+    "is invisible to results through the driver gate, not just "
+    "pytest.",
+)
+def s8_upsert_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from delta_lake_pyspark_scd2_spark.plans.scratch import scratch_path
+
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("long").alias("price"),
+    )
+    updates = (
+        li.filter(F.col("l_orderkey") % 3 == 0)
+        .select("l_orderkey")
+        .distinct()
+        .select(
+            "l_orderkey",
+            F.lit(0).cast("int").alias("l_linenumber"),
+            F.lit(-1).cast("long").alias("price"),
+        )
+    )
+    path = scratch_path("s8_upsert_skew_split")
+    t = VersionedParquetTable.create(spark, base, path)
+    t.upsert(
+        updates,
+        ["l_orderkey"],
+        skew_policy="force",
+        skew_ratio=1.0,
+        skew_hot_rows=2,
+    )
+    return t.read().select("l_orderkey", "l_linenumber", "price")
 
 
 @register(
