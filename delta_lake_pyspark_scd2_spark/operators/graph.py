@@ -360,7 +360,6 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    w_node = Window.partitionBy("__n")
     for i in range(2 * iters):
         parity = i % 2
         votes = (
@@ -373,11 +372,15 @@ def label_propagation(
             .groupBy(F.col("v").alias("__n"), "__cand")
             .agg(F.sum("__w").alias("__s"))
         )
-        top = votes.withColumn("__mx", F.max("__s").over(w_node)).filter(
-            F.col("__s") == F.col("__mx")
-        )
+        # One aggregation picks the winner (round-10 optimization): the
+        # old max-weight window (Exchange + Sort per phase) + argmin
+        # groupBy collapse into max(struct(__s, is_own, -__cand)) —
+        # maximize the vote sum, prefer the node's CURRENT label among
+        # ties (is_own = 1 beats 0), else the lowest tied label wins
+        # (max of -cand = min cand). Vote sums are exact integers, so
+        # the struct comparison reproduces the window+min pick exactly.
         cand = (
-            top.join(
+            votes.join(
                 labels.select(
                     F.col("node").alias("__n"), F.col("label").alias("__own")
                 ),
@@ -385,10 +388,20 @@ def label_propagation(
             )
             .groupBy("__n")
             .agg(
-                F.min("__cand").alias("__pick"),
-                F.max((F.col("__cand") == F.col("__own")).cast("int")).alias(
-                    "__tied"
-                ),
+                F.max(
+                    F.struct(
+                        F.col("__s"),
+                        (F.col("__cand") == F.col("__own"))
+                        .cast("int")
+                        .alias("__is_own"),
+                        (-F.col("__cand")).alias("__negcand"),
+                    )
+                ).alias("__best")
+            )
+            .select(
+                "__n",
+                (-F.col("__best")["__negcand"]).alias("__pick"),
+                F.col("__best")["__is_own"].alias("__tied"),
             )
         )
         labels = (

@@ -84,6 +84,19 @@ def distributed_total_rank(
             "distributed_total_rank needs >=1 tiebreak column to make "
             "the order total (rank must be unique per row)"
         )
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    # The input feeds THREE independent executions: the
+    # percentile_approx threshold probe, the per-bucket offsets
+    # aggregate, and the ranked output itself. Unpersisted, any
+    # non-trivial upstream (w_exact_quantiles' per-customer spend
+    # aggregation, text_vocab_coverage's term counts) recomputes 3× —
+    # persist once (MEMORY_AND_DISK, released at the query boundary);
+    # at production scale this frame is the rank operator's
+    # materialized input table. (round-10 optimization)
+    df = persist_tracked(df)
     if n_buckets is None:
         n_buckets = max(
             64,
@@ -235,7 +248,12 @@ def quantile_normalize(
         F.col("__n").alias("__N"),
         F.col(value_col).alias(out_col),
     )
-    n_total = ref.agg(F.max("__N").alias("__N"))
+    # Global row count directly from the input: the rank output is
+    # 1:1 with input rows, so count(df) == max(__N) by construction —
+    # aggregating over `ref` instead re-executed the whole bucketed
+    # rank chain just to read its constant row-count column.
+    # (round-10 optimization)
+    n_total = df.agg(F.count(F.lit(1)).alias("__N"))
     pr = F.when(F.col("__gn") == 1, F.lit(0.5)).otherwise(
         (F.col("__grk") - F.lit(1.0)) / (F.col("__gn") - F.lit(1.0))
     )
@@ -355,17 +373,23 @@ def bradley_terry_from_counts(
                 ).alias("__d")
             )
         )
-        raw = items.join(denom, items["item"] == denom["a"]).select(
-            "item", (F.col("wins") / F.col("__d")).alias("__raw")
+        # checkpoint RAW, not ratings (round-10 optimization): the mean
+        # aggregate AND the normalized ratings both read this round's
+        # join chain — checkpointing after the normalization made the
+        # chain (2 joins + groupBy + items join) execute twice per
+        # round, once for the mean broadcast and once for the next
+        # round's checkpoint. Checkpointing raw halves the per-round
+        # join work; ratings stays a narrow projection over it (the
+        # broadcast exchange is shared by the pi/pj branches).
+        raw = (
+            items.join(denom, items["item"] == denom["a"])
+            .select("item", (F.col("wins") / F.col("__d")).alias("__raw"))
+            .localCheckpoint(eager=False)
         )
         mean = raw.agg(F.avg("__raw").alias("__mean"))
-        ratings = (
-            raw.crossJoin(F.broadcast(mean))
-            .select(
-                "item",
-                F.round(F.col("__raw") / F.col("__mean"), 6).alias("__p"),
-            )
-            .localCheckpoint(eager=False)
+        ratings = raw.crossJoin(F.broadcast(mean)).select(
+            "item",
+            F.round(F.col("__raw") / F.col("__mean"), 6).alias("__p"),
         )
     return items.join(ratings, "item").select(
         "item", "wins", "n_duels", F.col("__p").alias("rating")

@@ -153,13 +153,59 @@ def assign_to_centroids(
     Centroids are broadcast; ties break toward the lower centroid id.
     At 100 TB this output is written bucketed by ``centroid_id`` so
     probes become partition-pruned scans.
+
+    Shape (round-10 optimization): the k centroids collapse into ONE
+    broadcast row holding an array of (id, vec, norm) structs, and the
+    argmax is a per-row array reduction —
+    ``array_max`` over ``struct(sim, -centroid_id)`` reproduces the
+    previous ``row_number() OVER (PARTITION BY id ORDER BY sim DESC,
+    centroid_id ASC) = 1`` pick exactly (max sim, ties to the lower
+    id; a NULL sim sorts below any value in both forms). This removes
+    the k× row explosion through the per-id Exchange + Sort that the
+    window needed — per k-means iteration and per IVF build, the
+    corpus now flows through zero assignment shuffles. Scores are the
+    same 6-dp-rounded :func:`cosine_prenormed` doubles in the same
+    argument order, so every oracle contract is bit-identical.
     """
-    scored = _centroid_scores(corpus, centroids, id_col, vec_col, centroid_id_col)
-    w = _nearest_centroid_window(id_col, centroid_id_col)
+    packed = (
+        centroids.select(
+            F.col(id_col).alias(centroid_id_col),
+            F.col(vec_col).alias("__cvec"),
+        )
+        .withColumn("__centnorm", norm(F.col("__cvec")))
+        .agg(
+            F.collect_list(
+                F.struct(centroid_id_col, "__cvec", "__centnorm")
+            ).alias("__cents")
+        )
+    )
+    best = F.array_max(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.round(
+                    cosine_prenormed(
+                        c["__cvec"],
+                        F.col(vec_col),
+                        c["__centnorm"],
+                        F.col("__vnorm"),
+                    ),
+                    6,
+                ).alias("__sim"),
+                (-c[centroid_id_col]).alias("__negid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__cvec", "__sim", "__centnorm", "__vnorm")
+        _spread(corpus, id_col)
+        .withColumn("__vnorm", norm(F.col(vec_col)))
+        .crossJoin(F.broadcast(packed))
+        .withColumn("__best", best)
+        # empty centroid set: array_max([]) is NULL — match the old
+        # crossJoin-with-zero-rows semantics (no output rows)
+        .filter(F.col("__best").isNotNull())
+        .withColumn(centroid_id_col, -F.col("__best")["__negid"])
+        .drop("__best", "__cents", "__vnorm")
     )
 
 
