@@ -500,9 +500,16 @@ def shingle_containment_pairs_prefix(
     :func:`shingle_containment_pairs` (the registry oracle runs the
     unblocked form, proving the filter lossless).
     """
-    sh = _spread(df, id_col, jvm_only=True).select(
-        F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # persisted (tracked): feeds the df aggregate AND the ranked-set
+    # build — one shingling pass, not two (same rationale as the
+    # Jaccard prefix emitter; round-10 optimization)
+    sh = persist_tracked(
+        _spread(df, id_col, jvm_only=True).select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     docs = persist_tracked(
@@ -656,11 +663,21 @@ def ngram_jaccard_pairs_prefix(
     makes the surviving join keys precisely the low-df shingles, so the
     blocking join is skew-free by construction.
     """
-    sh = _spread(df, id_col, jvm_only=True).select(
-        F.col(id_col),
-        # already (doc, shingle)-unique: word_shingles applies
-        # array_distinct per document — no dedup shuffle
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("shingle"),
+    # Persisted (tracked): the exploded shingle frame feeds BOTH the
+    # document-frequency aggregate and the frequency-ranked set build —
+    # unpersisted, the normalize/split/slice shingling (the expensive
+    # higher-order compute of this operator) runs twice over the whole
+    # corpus. At production scale this is the materialized inverted
+    # index every SSJoin system builds first. (round-10 optimization)
+    sh = persist_tracked(
+        _spread(df, id_col, jvm_only=True).select(
+            F.col(id_col),
+            # already (doc, shingle)-unique: word_shingles applies
+            # array_distinct per document — no dedup shuffle
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+                "shingle"
+            ),
+        )
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # ONE per-doc aggregation produces the df-ranked set: sorting the
