@@ -41,6 +41,8 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     checkpoint_every: int = 1,
+    *,
+    edges_unique: bool = False,
 ) -> DataFrame:
     """Label every vertex of the undirected graph ``edges`` with the
     minimum vertex id of its connected component.
@@ -50,11 +52,23 @@ def connected_components(
     left-join and coalesce to their own id). Deterministic; raises if
     ``max_iter`` rounds don't converge (near-dup graphs converge in
     O(log max-component-diameter) rounds).
+
+    ``edges_unique=True`` skips the symmetrize-dedup shuffle (round-10
+    optimization, guide §2.4: a ``distinct`` on data that is already
+    unique): every pair emitter in this package yields distinct
+    ``(a, b)`` pairs with ``a < b``, so the two union arms cannot
+    collide and the dedup is a full shuffle of the edge list for
+    nothing. Duplicate edges would not change the labels (min-label
+    propagation is idempotent under edge multiplicity) — the flag only
+    controls whether the per-round join fans out over duplicates, so
+    leave it False for edge sources of unknown multiplicity.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct()
+    )
+    if not edges_unique:
+        sym = sym.distinct()
     # Cache the (static) symmetrized edge list: it is re-joined every
     # round and must not be recomputed from the pair pipeline each time.
     sym = sym.localCheckpoint(eager=True)
@@ -120,6 +134,8 @@ def cluster_documents(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    *,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Assign every document to a near-dup cluster.
 
@@ -131,7 +147,9 @@ def cluster_documents(
     """
     from pyspark.sql import Window
 
-    comp = connected_components(pairs, src=pair_a, dst=pair_b)
+    comp = connected_components(
+        pairs, src=pair_a, dst=pair_b, edges_unique=pairs_unique
+    )
     labeled = (
         docs.select(id_col)
         .join(comp, F.col(id_col) == comp.node, "left")
@@ -216,6 +234,8 @@ def cluster_keep_best(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    *,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Quality-aware canonical selection: within each near-dup cluster
     keep the HIGHEST-``score_col`` document (ties to the lowest id),
@@ -237,7 +257,9 @@ def cluster_keep_best(
     """
     from pyspark.sql import Window
 
-    clustered = cluster_documents(docs, pairs, id_col, pair_a, pair_b)
+    clustered = cluster_documents(
+        docs, pairs, id_col, pair_a, pair_b, pairs_unique=pairs_unique
+    )
     scored = clustered.join(docs.select(id_col, score_col), id_col)
     w = Window.partitionBy("cluster_id").orderBy(
         F.col(score_col).desc(), F.col(id_col).asc()
@@ -258,6 +280,7 @@ def cluster_safe_split(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Leakage-free train/val/test assignment: near-dup CLUSTERS are
     the unit of splitting, so two near-duplicate documents can never
@@ -287,7 +310,9 @@ def cluster_safe_split(
     mod = 1_000_000
     t_train = int(round(weights[0] * mod))
     t_val = int(round((weights[0] + weights[1]) * mod))
-    clustered = cluster_documents(docs, pairs, id_col, pair_a, pair_b)
+    clustered = cluster_documents(
+        docs, pairs, id_col, pair_a, pair_b, pairs_unique=pairs_unique
+    )
     h = keep_hash(F.col("cluster_id"), mod)
     return clustered.select(
         id_col,

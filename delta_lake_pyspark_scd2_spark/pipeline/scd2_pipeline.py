@@ -386,13 +386,24 @@ def _merge_batch(
     cur_src = table.read_where([("is_current", "=", True)])
     if spec.evolve_schema:
         cur_src = _pad_columns(cur_src, kept)
+    # ONE batch×current join per merge (round-10 optimization, guide
+    # §2.4): the staged join carries not just the current row's
+    # valid_from but its TRACKED VALUES too (``__curv_<c>``), so change
+    # detection, the new-key split and the stale split all become
+    # filters/aggregates over the one persisted staged frame. Before,
+    # the batch re-joined the current scan three more times (left_semi
+    # for change detection, left_anti for new keys, plus the scan
+    # itself re-read) — at scale each was a full shuffle against the
+    # table's live key set.
     current = cur_src.select(
-        *keys, F.col("valid_from").alias("__cur_from"), *tracked
+        *keys,
+        F.col("valid_from").alias("__cur_from"),
+        *[F.col(c).alias(f"__curv_{c}") for c in tracked],
     )
 
     # Split staged events: new-key events, fresh events, stale events.
-    # Persisted: reused by the stale count, Phase A and Phase B — without
-    # it every downstream action re-runs the batch×current join.
+    # Persisted: reused by Phase A and Phase B — without it every
+    # downstream action re-runs the batch×current join.
     #
     # Freshness reference point differs by policy. "drop": the current
     # row's valid_from (reference behavior — anything at/before it is
@@ -401,7 +412,7 @@ def _merge_batch(
     # collapsed-away same-value event; only the full event log can see
     # that (convergence property, tests/test_scd2_properties.py).
     # Skew pre-flight (round-8 directive #7): decide BEFORE planning
-    # the batch×current joins whether a hot key needs the broadcast
+    # the batch×current join whether a hot key needs the broadcast
     # split path. The profile is one batch-sized aggregation; `hot_df`
     # is ≤ rows/cut keys by construction, so always broadcastable.
     from delta_lake_pyspark_scd2_spark.operators.skew import (
@@ -442,46 +453,49 @@ def _merge_batch(
             prior_events = existing.select(*kept.columns)
         if seen is None:
             seen = prior_events.groupBy(*keys).agg(F.max(ts).alias("__max_seen"))
-        staged = _left_join_current(
-            _left_join_current(kept, current.select(*keys, "__cur_from")),
-            seen,
-        ).persist()
+        staged = _left_join_current(_left_join_current(kept, current), seen)
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col("__max_seen").isNull() | (F.col(ts) > F.col("__max_seen"))
     else:
-        staged = _left_join_current(
-            kept, current.select(*keys, "__cur_from")
-        ).persist()
+        staged = _left_join_current(kept, current)
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col(ts) > F.col("__cur_from")
+    staged = staged.persist()
     t_a = time.time()
-    helper_cols = [c for c in ("__cur_from", "__max_seen") if c in staged.columns]
+    helper_cols = [
+        c
+        for c in staged.columns
+        if c in ("__cur_from", "__max_seen") or c.startswith("__curv_")
+    ]
     late = staged.filter(~is_new_key & ~is_fresh).drop(*helper_cols)
+    # the count doubles as the cache-materializing action: every
+    # staged row is pinned before any table mutation below
     n_stale = late.count()
     usable = staged.filter(is_new_key | is_fresh).drop(*helper_cols)
 
     # Null-safe change detection + first changing event per key
-    # (J1 + P6 + A1). New keys change by definition. Persisted: feeds
-    # the Phase A close (twice) and the Phase B event filter. The
-    # current row's valid_from rides along (__cur_from) so touched
-    # partitions derive from `changed` alone — no second table scan.
-    if hot_df is None:
-        fresh_existing = usable.join(
-            current.drop("__cur_from"), on=keys, how="left_semi"
+    # (J1 + P6 + A1) as a pure filter+aggregate over staged: a usable
+    # existing-key event row changes iff any tracked value differs
+    # null-safely from the carried current value (same predicate
+    # scd2.detect_changes applies after its join — here the join
+    # already happened once, in staged). One row per changed key with
+    # the first changing event's ts; the current row's valid_from
+    # rides along so Phase A's touched partitions derive from
+    # `changed` alone — no table re-scan, no second join.
+    any_change = F.lit(False)
+    for c in tracked:
+        any_change = any_change | scd2.null_safe_neq(
+            F.col(c), F.col(f"__curv_{c}")
         )
-    else:
-        fresh_existing = hot_split_join(
-            usable, current.drop("__cur_from"), keys, hot=hot_df,
-            how="left_semi",
+    changed = (
+        staged.filter(~is_new_key & is_fresh & any_change)
+        .groupBy(*keys)
+        .agg(
+            F.min(ts).alias("first_change_ts"),
+            F.min("__cur_from").alias("__cur_from"),
         )
-    changed = scd2.detect_changes(
-        current,
-        fresh_existing,
-        keys,
-        tracked,
-        ts,
-        carry_cols=("__cur_from",),
-    ).persist()
+        .persist()
+    )
 
     # Phase A — close current rows of changed keys at first_change_ts,
     # rewriting only the partitions those rows live in. Touched
@@ -586,7 +600,10 @@ def _merge_batch(
     # Phase B — insert version rows from the first change onward for
     # changed keys plus everything for new keys; idempotency key =
     # (key, valid_from) anti-join (reference src/header_etl.py:247-280).
-    new_key_events = usable.join(current, on=keys, how="left_anti")
+    # New keys read straight off the staged frame (null __cur_from ⇔
+    # the left join found no current row) — the former left_anti join
+    # against the current scan re-derived exactly this.
+    new_key_events = staged.filter(is_new_key).drop(*helper_cols)
     changed_events = (
         usable.join(changed, on=keys, how="inner")
         .filter(F.col(ts) >= F.col("first_change_ts"))

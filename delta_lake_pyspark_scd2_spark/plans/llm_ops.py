@@ -1939,7 +1939,9 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
         "id_a", "id_b"
     )
-    return graph.cluster_documents(docs, pairs)
+    # the prefix emitter aggregates on (id_a, id_b): pairs are unique
+    # by construction, so CC can skip its symmetrize-dedup shuffle
+    return graph.cluster_documents(docs, pairs, pairs_unique=True)
 
 
 # ---------------------------------------------------------------------------
@@ -5088,7 +5090,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
         "id_a", "id_b"
     )
-    return graph.cluster_keep_best(docs, pairs, "n_chars")
+    # unique by construction (emitter aggregates on the pair) — skip
+    # the CC symmetrize-dedup shuffle
+    return graph.cluster_keep_best(docs, pairs, "n_chars", pairs_unique=True)
 
 
 @register(
@@ -5236,7 +5240,11 @@ def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs_prefix(docs, threshold=0.8).select(
         "id_a", "id_b"
     )
-    return graph.cluster_safe_split(docs, pairs, weights=(0.8, 0.1, 0.1))
+    # unique by construction (emitter aggregates on the pair) — skip
+    # the CC symmetrize-dedup shuffle
+    return graph.cluster_safe_split(
+        docs, pairs, weights=(0.8, 0.1, 0.1), pairs_unique=True
+    )
 
 
 @register(
