@@ -852,6 +852,16 @@ def embedding_lsh_pairs(
         buckets = bits.reshape(len(mat), bands, bits_per_band) @ powers
         return pd.Series(list(buckets))
 
+    # The function IS deterministic (md5-derived hyperplanes), but the
+    # optimizer must not know it: posexplode's implicit
+    # size>0/notnull guard gets filter-pushed below the spread
+    # exchange, and because it references the UDF column the plan
+    # evaluated the matmul TWICE per vector (two ArrowEvalPython nodes
+    # for one call — guide §4.4). Marking it non-deterministic forbids
+    # the duplication; the guard is vacuous anyway (the UDF always
+    # returns a bands-length array). (round-10 optimization)
+    band_buckets = band_buckets.asNondeterministic()
+
     # Bucket join + pair-dedup carry IDS ONLY — hashing/shuffling the
     # vectors through the n-candidate distinct would dominate the cost;
     # vectors re-attach afterwards (|pairs| rows, not |candidates|).
