@@ -216,10 +216,20 @@ def contamination_bloom(
         .agg(F.max("__h").alias("bloom_hit"))
     )
     # docs with no grams at all (empty text) never reach per_doc —
-    # they are trivially clean
-    flagged = docs.select(id_col).join(per_doc, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+    # they are trivially clean.
+    # Persisted (tracked): flagged embeds the FULL corpus gram-probe
+    # pass and is referenced twice (the stage-2 survivor semi-join and
+    # the final flag join) — unpersisted, the whole explode+probe ran
+    # twice. The cached frame is (id, bool). (round-10 optimization)
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    flagged = persist_tracked(
+        docs.select(id_col).join(per_doc, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+        )
     )
     survivors_to_confirm = docs.join(
         flagged.filter(F.col("bloom_hit")).select(id_col), id_col, "left_semi"

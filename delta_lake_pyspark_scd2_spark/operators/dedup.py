@@ -1111,12 +1111,13 @@ def _semantic_membership(df, k, iters, dim, id_col, vec_col):
     cents = kmeans_fit(
         df, k=k, iters=iters, dim=dim, id_col=id_col, vec_col=vec_col
     )
-    memb = df.select(F.col(id_col), F.col(vec_col)).join(
-        assign_to_centroids(
-            df, cents, id_col=id_col, vec_col=vec_col
-        ).select(id_col, "centroid_id"),
-        id_col,
-    )
+    # assign_to_centroids preserves the corpus columns, so membership
+    # reads straight off its output — the old join of the corpus back
+    # onto its own assignment was a second corpus scan plus an id-keyed
+    # shuffle join for columns already present (round-10 optimization)
+    memb = assign_to_centroids(
+        df, cents, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col), F.col(vec_col), F.col("centroid_id"))
     # persisted: every SemDeDup consumer references membership 2-3
     # times (both pair-join sides + the survivor frame) — without this
     # each reference re-scans the corpus and re-runs the broadcast
@@ -1354,11 +1355,14 @@ def build_semantic_index(
         VersionedParquetTable,
     )
 
-    rows = df.select(F.col(id_col), F.col(vec_col)).join(
-        assign_to_centroids(
-            df, centroids, id_col=id_col, vec_col=vec_col
-        ).select(id_col, F.col("centroid_id").alias("cluster_id")),
-        id_col,
+    # assignment output carries the corpus columns — no join-back
+    # (one corpus pass instead of two + an id shuffle)
+    rows = assign_to_centroids(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id").alias("cluster_id"),
     )
     return VersionedParquetTable.create(
         df.sparkSession,
@@ -1399,12 +1403,18 @@ def semantic_dedup_incremental(
         norm,
     )
 
-    ba = batch.select(F.col(id_col), F.col(vec_col)).join(
+    # assignment output carries the batch columns — no join-back
+    ba = (
         assign_to_centroids(
             batch, centroids, id_col=id_col, vec_col=vec_col
-        ).select(id_col, F.col("centroid_id").alias("cluster_id")),
-        id_col,
-    ).withColumn("__new", F.lit(1))
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id").alias("cluster_id"),
+        )
+        .withColumn("__new", F.lit(1))
+    )
     # bounded collect: <= k cluster ids present in the batch
     probed = sorted(
         r["cluster_id"] for r in ba.select("cluster_id").distinct().collect()

@@ -50,7 +50,14 @@ def sample_to_mixture(
         [(g, float(wt) / tot) for g, wt in weights.items()],
         f"{group_col} string, share double",
     )
-    counts = (
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    # persisted (tracked): feeds both the capacity scalar and the
+    # threshold table — unpersisted, the corpus count aggregation ran
+    # twice; the cache is domains-sized (round-10)
+    counts = persist_tracked(
         df.join(F.broadcast(w), group_col)
         .groupBy(group_col, "share")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -89,7 +96,16 @@ def sample_to_temperature(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    # persisted (tracked): the domain-count table feeds three scalar
+    # branches (tot, cap, thr) — unpersisted, each re-ran the full
+    # corpus count aggregation; the cache is domains-sized (round-10)
+    counts = persist_tracked(
+        df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    )
     powed = counts.withColumn("npow", F.pow("n", F.lit(float(alpha))))
     tot = powed.agg(F.sum("npow").alias("tot"))
     shares = powed.crossJoin(F.broadcast(tot)).select(
@@ -485,6 +501,17 @@ def loss_reweight(
     Returns ``(group, n_docs, base_share, mean_nll, excess_nll,
     weight)``; weights sum to 1 up to rounding.
     """
+    # scored feeds TWO aggregations (per-group and corpus-wide);
+    # unpersisted, a non-trivial upstream (the bigram-LM scorer in
+    # mixture_loss_reweight) executes twice end to end. Persist once —
+    # the frame is (doc, group, nll), narrow rows. (round-10
+    # optimization; keeps both aggregates byte-identical, unlike
+    # deriving the corpus mean from rounded group means)
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    scored = persist_tracked(scored.select(group_col, nll_col))
     g = scored.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg(F.col(nll_col)), 6).alias("mean_nll"),

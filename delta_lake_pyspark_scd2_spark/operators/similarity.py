@@ -690,11 +690,19 @@ def pq_encode(
     codebooks: list,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    carry_cols: "Sequence[str]" = (),
 ) -> DataFrame:
     """Encode each vector as ``m`` one-byte-ish codes (argmin centroid
     per subspace) — Arrow-batched numpy matmul per partition, the
     standard ||x−c||² = ||x||² − 2x·c + ||c||² trick. 64-dim float64
-    → 8 int codes is an 8×…64× memory cut for the search structure."""
+    → 8 int codes is an 8×…64× memory cut for the search structure.
+
+    ``carry_cols`` pass through the Arrow hop unchanged (round-10
+    optimization): IVF-PQ builds need ``(id, centroid_id, codes)`` and
+    previously joined the encode output back onto the assignment on
+    the id — a second corpus pass plus an id-keyed shuffle for a
+    column the input row already had.
+    """
     import numpy as np
     import pandas as pd
 
@@ -702,9 +710,12 @@ def pq_encode(
 
     m_sub = len(codebooks)
     d_sub = len(codebooks[0][0])
+    carry = list(carry_cols)
+    in_schema = df.select(id_col, vec_col, *carry).schema
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),
+            *[in_schema[c] for c in carry],
             T.StructField("pq_codes", T.ArrayType(T.IntegerType())),
         ]
     )
@@ -719,11 +730,15 @@ def pq_encode(
                 S = X[:, m * d_sub : (m + 1) * d_sub]
                 d2 = bnorm2[m][None, :] - 2.0 * (S @ books[m].T)
                 codes[:, m] = d2.argmin(axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "pq_codes": list(codes)}
-            )
+            out = {id_col: pdf[id_col]}
+            for c in carry:
+                out[c] = pdf[c]
+            out["pq_codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(_enc, schema=out_schema)
+    return df.select(id_col, vec_col, *carry).mapInPandas(
+        _enc, schema=out_schema
+    )
 
 
 def pq_topk(
@@ -848,11 +863,18 @@ def ivfpq_topk(
     :func:`pq_encode` + the :func:`pq_topk` LUT fold with a bucket
     pre-filter.
     """
-    assigned = assign_to_centroids(
-        corpus, centroids, id_col=id_col, vec_col=vec_col
-    )
-    codes = pq_encode(corpus, codebooks, vec_col, id_col).join(
-        assigned.select(id_col, "centroid_id"), id_col
+    # ONE corpus pass: the assignment output (corpus cols +
+    # centroid_id) feeds the encoder directly, with centroid_id
+    # carried through the Arrow hop — the old shape encoded the corpus
+    # in a second scan and joined it back onto the assignment by id
+    codes = pq_encode(
+        assign_to_centroids(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        ),
+        codebooks,
+        vec_col,
+        id_col,
+        carry_cols=["centroid_id"],
     )
     probe_ids = probe_centroids(
         query_vec, centroids, nprobe, id_col=id_col, vec_col=vec_col
@@ -1054,11 +1076,15 @@ def extend_ivfpq_index(
     _check_centroids_tag(
         props, centroids, id_col, vec_col, "extend_ivfpq_index"
     )
-    assigned = assign_to_centroids(
-        new_vectors, centroids, id_col=id_col, vec_col=vec_col
-    ).select(id_col, "centroid_id")
-    rows = pq_encode(new_vectors, codebooks, vec_col, id_col).join(
-        assigned, id_col
+    # one batch pass: centroid_id carried through the encoder
+    rows = pq_encode(
+        assign_to_centroids(
+            new_vectors, centroids, id_col=id_col, vec_col=vec_col
+        ),
+        codebooks,
+        vec_col,
+        id_col,
+        carry_cols=["centroid_id"],
     )
     return index.append(rows, txn=txn)
 

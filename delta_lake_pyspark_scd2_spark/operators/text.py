@@ -428,14 +428,32 @@ def bm25_topk(
       * final top-k is one ORDER BY ... LIMIT k (TakeOrdered, no full
         sort materialization).
     """
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
     words = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
-    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # Two corpus tokenize passes instead of four (round-10
+    # optimization): dl and tf are persisted (doc-sized / query-hit-
+    # sized aggregates — tiny vs the token stream), and df is derived
+    # from tf exactly — tf has one row per (doc, term), so
+    # count(*) per term == countDistinct(doc). Previously dl fed two
+    # consumers and qwords two aggregations, each re-running the
+    # normalize+split+explode over the whole corpus. Token-level
+    # `words` itself stays uncached deliberately: at scale it is far
+    # larger than the corpus and recomputing the narrow explode is
+    # cheaper than materializing it (guide §5).
+    dl = persist_tracked(
+        words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    )
     qwords = words.filter(F.col("term").isin(query_terms))
-    tf = qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = qwords.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    tf = persist_tracked(
+        qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
         dl.agg(F.avg("dl").alias("avgdl"))
     )
@@ -488,12 +506,29 @@ def bigram_lm_scores(
         id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
     )
     # per-doc bigram multiplicities first: the expensive joins below see
-    # |distinct (doc, bigram)| rows, not |corpus tokens|
-    m = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
-    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = d.select(F.explode("_t").alias("w")).agg(
-        F.countDistinct("w").alias("v")
+    # |distinct (doc, bigram)| rows, not |corpus tokens|. ONE corpus
+    # tokenize/explode pass (round-10 optimization): m is persisted and
+    # every other statistic is derived algebraically from it instead of
+    # re-aggregating `big` —
+    #   c2(w1,w2) = Σ_doc m        (exact integer sum)
+    #   c1(w1)    = Σ_w2 c2        (left-context total)
+    #   vocab     = |distinct w1 ∪ w2 of m| (every token of a ≥2-token
+    #               doc occurs in ≥1 of its bigrams, so the bigram
+    #               vocabulary IS the document vocabulary here)
+    # Previously big was aggregated three times and d scanned twice —
+    # four corpus tokenize passes per call.
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    m = persist_tracked(
+        big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("m"))
+    )
+    c2 = m.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = (
+        m.select(F.explode(F.array("w1", "w2")).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
     )
     logp = F.log(
         (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))

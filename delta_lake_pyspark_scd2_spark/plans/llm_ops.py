@@ -2162,7 +2162,20 @@ def pipeline_pretrain_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.5
         )
     )
-    clean = decontam.decontaminate(gated, eval_docs, n=_DECON_N)
+    # persist the decontamination VERDICT (ids only), not the
+    # text-bearing frame: `clean` feeds both the dedup pass and the
+    # final semi-join, and unpersisted the gram-explode decontaminate
+    # ran end to end twice; caching just the id set keeps the memory
+    # footprint trivial while the corpus re-reads are pruned parquet
+    # scans (round-10 optimization)
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    clean_ids = persist_tracked(
+        decontam.decontaminate(gated, eval_docs, n=_DECON_N).select("doc_id")
+    )
+    clean = gated.join(clean_ids, "doc_id", "left_semi")
     keep = dedup.exact_dedup(clean).select(F.col("keep_id").alias("doc_id"))
     return clean.join(keep, "doc_id", "left_semi").select(
         "doc_id", "source", "n_chars"
@@ -3509,9 +3522,9 @@ def ann_ivfpq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ONE cross-engine probe contract (left-assoc IEEE dot, 6-dp
     # rounding, lower-id ties) lives in similarity.probe_centroids
     probe_ids = S.probe_centroids(list(q), cents, 3)
-    bucket = emb.join(
-        assigned.select("vec_id", "centroid_id"), "vec_id"
-    ).filter(F.col("centroid_id").isin(probe_ids))
+    # assignment output carries the corpus columns — filter it
+    # directly instead of joining the corpus back on (round-10)
+    bucket = assigned.filter(F.col("centroid_id").isin(probe_ids))
     codes = S.pq_encode_expr(bucket, books)
     return S.pq_adc_topk_contract(codes, books, [float(x) for x in q], k=10)
 

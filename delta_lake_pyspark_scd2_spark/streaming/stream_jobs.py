@@ -909,11 +909,11 @@ def semantic_index_stream(
             pairs_t.append(pairs, txn=(app_id, batch_no))
         n_pairs = pairs_t.read().count()  # cumulative — small table
         if (index.last_txn_version(app_id) or -1) < batch_no:
-            rows = batch_df.select("vec_id", "embedding").join(
-                assign_to_centroids(batch_df, centroids).select(
-                    "vec_id", F.col("centroid_id").alias("cluster_id")
-                ),
+            # assignment output carries the batch columns — no join-back
+            rows = assign_to_centroids(batch_df, centroids).select(
                 "vec_id",
+                "embedding",
+                F.col("centroid_id").alias("cluster_id"),
             )
             index.append(rows, txn=(app_id, batch_no))
         if on_batch is not None:

@@ -240,8 +240,14 @@ def test_quality_gate_single_corpus_explode(spark):
     plan = _simple(REGISTRY["pipeline_quality_gate"].builder(spark, SF))
     assert "CartesianProduct" not in plan
     # heuristics must not add corpus-wide exchanges beyond the LM's
-    # count aggregations + the final doc_id join
-    assert plan.count("Exchange") <= 14
+    # count aggregations + the final doc_id join. The bigram LM's
+    # persisted per-doc count table (round-10: one tokenize pass)
+    # textually repeats its cached child plan — and the exchange
+    # inside it — once per reference; count executed exchanges by
+    # discounting those repeats (an InMemoryTableScan replays the
+    # cache, it does not re-shuffle).
+    executed = plan.count("Exchange") - plan.count("InMemoryTableScan")
+    assert executed <= 14, (plan.count("Exchange"), plan.count("InMemoryTableScan"))
 
 
 def test_hashed_embedding_df_join_is_broadcast(spark):
