@@ -5949,8 +5949,12 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     counts = persist_tracked(text.word_counts(docs))
-    member = text.word_counts(docs.filter(F.col("source") == "src0")).select(
-        "word"
+    # persisted: feeds the Bloom build AND the final membership join —
+    # unpersisted, the src0 tokenize+count ran twice (round-10)
+    member = persist_tracked(
+        text.word_counts(docs.filter(F.col("source") == "src0")).select(
+            "word"
+        )
     )
     bloom = sketches.bloom_build(member, "word")
     topk = counts.orderBy(F.desc("c"), "word").limit(20)
