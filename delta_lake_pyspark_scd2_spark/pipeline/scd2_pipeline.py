@@ -512,139 +512,170 @@ def _merge_batch(
         "valid_from",
         spec.partition_prefix,
     )
+    # this collect also materializes the `changed` cache, so the
+    # overlapped Phase-B thread below never races Phase A on it
     touched = [
         {k: str(r[k]) for k in spec.partition_cols}
         for r in close_parts.select(*spec.partition_cols).distinct().collect()
     ]
-    if touched and spec.close_mode == "dv":
-        # Deletion-vector close: mark the (few) current rows of changed
-        # keys dead at their (file, position) and append their closed
-        # copies — no partition rewrite at all. The positional read
-        # applies existing DVs, so an already-closed row can't close
-        # twice. Write amplification: O(closed rows), not O(partition).
-        to_close = changed.drop("__cur_from")
-        part_df = table.read_partitions(touched, with_position=True)
-        closing = (
-            part_df.join(to_close, on=keys, how="inner")
-            .filter(
-                F.col("is_current")
-                & F.col("first_change_ts").isNotNull()
-                & (F.col("first_change_ts") > F.col("valid_from"))
-            )
-            .persist()
+
+    # Phase B's COMPUTE overlapped with Phase A's write (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially). Safe because Phase A never changes any
+    # (key, valid_from) pair — "rewrite" flips valid_to/is_current/
+    # closed_by_batch in place, "dv" kills rows while appending closed
+    # copies with the SAME (key, valid_from) — so the idempotency
+    # anti-join is invariant under A's commit and is planned against
+    # the explicitly pinned pre-A manifest version (read_partitions
+    # resolves its file list eagerly). Only the append COMMIT orders
+    # after A: committing B first would let A's partition rewrite
+    # (planned over pre-B files) drop B's freshly appended rows.
+    v_pre = table.latest_version()
+
+    def _phase_b_compute() -> tuple[DataFrame, DataFrame, int]:
+        # insert version rows from the first change onward for changed
+        # keys plus everything for new keys; idempotency key =
+        # (key, valid_from) anti-join (reference src/header_etl.py:
+        # 247-280). New keys read straight off the staged frame (null
+        # __cur_from ⇔ the left join found no current row).
+        new_key_events = staged.filter(is_new_key).drop(*helper_cols)
+        changed_events = (
+            usable.join(changed, on=keys, how="inner")
+            .filter(F.col(ts) >= F.col("first_change_ts"))
+            .drop("first_change_ts", "__cur_from")
         )
-        dead = closing.select("__file", "__pos")
-        closed = dead.count()
-        if closed:
-            closed_copies = (
-                closing.withColumn("valid_to", F.col("first_change_ts"))
-                .withColumn("is_current", F.lit(False))
-                .withColumn("closed_by_batch", F.lit(batch_id))
-                .drop("first_change_ts", "__file", "__pos")
+        to_version = new_key_events.unionByName(changed_events)
+        # Persisted: feeds the partition-scope collect AND the
+        # anti-join — without it the collapse+intervalize windows run
+        # twice.
+        versions = _prepare_versions(spec, to_version).persist()
+        # Idempotency conflicts share (key, valid_from), and the
+        # partition columns are a pure function of valid_from — so a
+        # conflicting existing row can only live in a partition some
+        # incoming version also maps to. Scope the anti-join's right
+        # side to exactly those partitions (manifest-pruned scan)
+        # instead of the whole table: per-batch cost stays ∝ batch
+        # footprint as the table grows 100×.
+        ins_touched = [
+            {k: str(r[k]) for k in spec.partition_cols}
+            for r in versions.select(*spec.partition_cols).distinct().collect()
+        ]
+        existing_keys = table.read_partitions(
+            ins_touched, version=v_pre
+        ).select(*keys, "valid_from")
+        inserts = versions.join(
+            existing_keys, on=[*keys, "valid_from"], how="left_anti"
+        ).persist()
+        # the count materializes the cache (the append replays it) and
+        # is the exact insert count — the append no longer needs an
+        # Observation riding its write
+        return versions, inserts, inserts.count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    fut = pool.submit(_phase_b_compute)
+    try:
+        if touched and spec.close_mode == "dv":
+            # Deletion-vector close: mark the (few) current rows of
+            # changed keys dead at their (file, position) and append
+            # their closed copies — no partition rewrite at all. The
+            # positional read applies existing DVs, so an
+            # already-closed row can't close twice. Write
+            # amplification: O(closed rows), not O(partition).
+            to_close = changed.drop("__cur_from")
+            part_df = table.read_partitions(touched, with_position=True)
+            closing = (
+                part_df.join(to_close, on=keys, how="inner")
+                .filter(
+                    F.col("is_current")
+                    & F.col("first_change_ts").isNotNull()
+                    & (F.col("first_change_ts") > F.col("valid_from"))
+                )
+                .persist()
             )
-            table.remove_rows(
-                dead,
-                adds=closed_copies,
-                operation="SCD2_CLOSE_DV",
-                metrics={"batch_id": batch_id, "n_closed": closed},
+            dead = closing.select("__file", "__pos")
+            closed = dead.count()
+            if closed:
+                closed_copies = (
+                    closing.withColumn("valid_to", F.col("first_change_ts"))
+                    .withColumn("is_current", F.lit(False))
+                    .withColumn("closed_by_batch", F.lit(batch_id))
+                    .drop("first_change_ts", "__file", "__pos")
+                )
+                table.remove_rows(
+                    dead,
+                    adds=closed_copies,
+                    operation="SCD2_CLOSE_DV",
+                    metrics={"batch_id": batch_id, "n_closed": closed},
+                )
+            closing.unpersist()
+        elif touched:
+            to_close = changed.drop("__cur_from")
+            part_df = table.read_partitions(touched)
+            updated = (
+                part_df.alias("t")
+                .join(to_close.alias("c"), on=keys, how="left")
+                .withColumn(
+                    "__close",
+                    F.col("is_current")
+                    & F.col("first_change_ts").isNotNull()
+                    & (F.col("first_change_ts") > F.col("valid_from")),
+                )
+                .withColumn(
+                    "valid_to",
+                    F.when(F.col("__close"), F.col("first_change_ts")).otherwise(
+                        F.col("valid_to")
+                    ),
+                )
+                .withColumn(
+                    "is_current",
+                    F.when(F.col("__close"), F.lit(False)).otherwise(
+                        F.col("is_current")
+                    ),
+                )
+                .withColumn(
+                    "closed_by_batch",
+                    F.when(F.col("__close"), F.lit(batch_id)).otherwise(
+                        F.col("closed_by_batch")
+                    ),
+                )
             )
-        closing.unpersist()
-    elif touched:
-        to_close = changed.drop("__cur_from")
-        part_df = table.read_partitions(touched)
-        updated = (
-            part_df.alias("t")
-            .join(to_close.alias("c"), on=keys, how="left")
-            .withColumn(
-                "__close",
-                F.col("is_current")
-                & F.col("first_change_ts").isNotNull()
-                & (F.col("first_change_ts") > F.col("valid_from")),
+            # count piggybacks on the write job (observe) — no
+            # separate scan
+            obs = Observation("scd2_close")
+            updated = updated.observe(
+                obs, F.sum(F.col("__close").cast("long")).alias("n_closed")
             )
-            .withColumn(
-                "valid_to",
-                F.when(F.col("__close"), F.col("first_change_ts")).otherwise(
-                    F.col("valid_to")
-                ),
+            table.replace_partitions(
+                updated.drop("first_change_ts", "__close"),
+                touched,
+                operation="SCD2_CLOSE",
+                # evaluated at commit time, after the write job
+                # resolves the observation — count rides the write,
+                # no extra scan
+                metrics=lambda: {
+                    "batch_id": batch_id,
+                    "n_closed": int(obs.get["n_closed"] or 0),
+                },
             )
-            .withColumn(
-                "is_current",
-                F.when(F.col("__close"), F.lit(False)).otherwise(F.col("is_current")),
-            )
-            .withColumn(
-                "closed_by_batch",
-                F.when(F.col("__close"), F.lit(batch_id)).otherwise(
-                    F.col("closed_by_batch")
-                ),
-            )
-        )
-        # count piggybacks on the write job (observe) — no separate scan
-        obs = Observation("scd2_close")
-        updated = updated.observe(
-            obs, F.sum(F.col("__close").cast("long")).alias("n_closed")
-        )
-        table.replace_partitions(
-            updated.drop("first_change_ts", "__close"),
-            touched,
-            operation="SCD2_CLOSE",
-            # evaluated at commit time, after the write job resolves the
-            # observation — count rides the write, no extra scan
-            metrics=lambda: {
-                "batch_id": batch_id,
-                "n_closed": int(obs.get["n_closed"] or 0),
-            },
-        )
-        closed = int(obs.get["n_closed"] or 0)
+            closed = int(obs.get["n_closed"] or 0)
+    finally:
+        # on a Phase-A failure, wait out the in-flight Phase-B jobs
+        # before propagating — no dangling actions against a table
+        # whose merge aborted
+        pool.shutdown(wait=True)
 
     t_b = time.time()
-    # Phase B — insert version rows from the first change onward for
-    # changed keys plus everything for new keys; idempotency key =
-    # (key, valid_from) anti-join (reference src/header_etl.py:247-280).
-    # New keys read straight off the staged frame (null __cur_from ⇔
-    # the left join found no current row) — the former left_anti join
-    # against the current scan re-derived exactly this.
-    new_key_events = staged.filter(is_new_key).drop(*helper_cols)
-    changed_events = (
-        usable.join(changed, on=keys, how="inner")
-        .filter(F.col(ts) >= F.col("first_change_ts"))
-        .drop("first_change_ts", "__cur_from")
-    )
-    to_version = new_key_events.unionByName(changed_events)
-    # Persisted: feeds the partition-scope collect AND the anti-join —
-    # without it the collapse+intervalize windows run twice.
-    versions = _prepare_versions(spec, to_version).persist()
-    # Idempotency conflicts share (key, valid_from), and the partition
-    # columns are a pure function of valid_from — so a conflicting
-    # existing row can only live in a partition some incoming version
-    # also maps to. Scope the anti-join's right side to exactly those
-    # partitions (manifest-pruned scan) instead of the whole table:
-    # per-batch cost stays ∝ batch footprint as the table grows 100×.
-    # Same derivation Phase A uses for `touched`; the collect is a
-    # distinct over the (small, persisted) batch, bounded by its
-    # distinct valid_from days.
-    ins_touched = [
-        {k: str(r[k]) for k in spec.partition_cols}
-        for r in versions.select(*spec.partition_cols).distinct().collect()
-    ]
-    existing_keys = table.read_partitions(ins_touched).select(*keys, "valid_from")
-    inserts = versions.join(
-        existing_keys, on=[*keys, "valid_from"], how="left_anti"
-    ).persist()
-    n_inserted = 0
-    if not inserts.isEmpty():  # cheap gate (first non-empty partition)
-        obs_ins = Observation("scd2_insert")
-        counted = inserts.observe(
-            obs_ins, F.count(F.lit(1)).alias("n_inserted")
-        )
+    # Phase B — commit: append the (already computed, cached) inserts
+    # strictly after Phase A's commit.
+    versions, inserts, n_inserted = fut.result()
+    if n_inserted:
         table.append(
-            counted,
+            inserts,
             merge_schema=spec.evolve_schema,
-            metrics=lambda: {
-                "batch_id": batch_id,
-                "n_inserted": int(obs_ins.get["n_inserted"] or 0),
-            },
+            metrics={"batch_id": batch_id, "n_inserted": n_inserted},
         )
-        n_inserted = int(obs_ins.get["n_inserted"] or 0)
 
     # Phase C (optional) — late-arriving interval rebuild. Runs after
     # A/B so rebuilt histories include this batch's fresh versions.

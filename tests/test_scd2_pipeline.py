@@ -886,3 +886,77 @@ def test_spec_rejects_unknown_enum_values():
     ]:
         with pytest.raises(ValueError, match=field):
             dataclasses.replace(SPEC, **{field: bad})
+
+
+def test_overlapped_phase_b_matches_serialized_merge(spark, tmp_path):
+    """The Phase-B compute runs CONCURRENTLY with Phase A's write
+    (round-10 optimization, guide §2.6), with its idempotency anti-join
+    planned against the pinned pre-A manifest version. Equivalence rests
+    on Phase A never changing a (key, valid_from) pair; prove it by
+    running the same two batches through the overlapped merge and a
+    serialized one (synchronous executor monkeypatch — same code path,
+    overlap removed) and comparing full version histories row-for-row.
+    The batch mixes the racy ingredients: closes and inserts in the SAME
+    partition, an idempotent replayed event, and a brand-new key."""
+    import concurrent.futures as cf
+
+    class _SyncFuture:
+        def __init__(self, v):
+            self._v = v
+
+        def result(self):
+            return self._v
+
+    class _SyncPool:
+        def __init__(self, *a, **k):
+            pass
+
+        def submit(self, fn, *a, **k):
+            return _SyncFuture(fn(*a, **k))
+
+        def shutdown(self, wait=True):
+            pass
+
+    b1 = [
+        ev("A", "2023-01-21T10:00:00", "Draft"),
+        ev("B", "2023-01-21T11:00:00", "Draft"),
+    ]
+    # same-day close+insert for A and B (same partition), replay of A's
+    # b1 event (idempotency conflict), new key C
+    b2 = [
+        ev("A", "2023-01-21T10:00:00", "Draft"),  # replay: no-op
+        ev("A", "2023-01-21T15:00:00", "Active"),
+        ev("B", "2023-01-21T16:00:00", "Closed"),
+        ev("C", "2023-01-21T17:00:00", "Draft"),
+    ]
+    metrics = {}
+    for variant, pool_cls in [("overlap", None), ("serial", _SyncPool)]:
+        real = cf.ThreadPoolExecutor
+        if pool_cls is not None:
+            cf.ThreadPoolExecutor = pool_cls
+        try:
+            path = str(tmp_path / f"t_{variant}")
+            run_scd2_batch(
+                spark, SPEC, spark.createDataFrame(b1, BATCH_SCHEMA), path,
+                batch_id="b1",
+            )
+            metrics[variant] = run_scd2_batch(
+                spark, SPEC, spark.createDataFrame(b2, BATCH_SCHEMA), path,
+                batch_id="b2",
+            )
+        finally:
+            cf.ThreadPoolExecutor = real
+        cols = ["contract", "valid_from", "valid_to", "is_current",
+                "status", "agent", "closed_by_batch"]
+        hist = sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in _read(spark, path).select(*cols).collect()
+        )
+        if variant == "overlap":
+            overlap_hist = hist
+        else:
+            assert hist == overlap_hist
+    for k in ("n_closed", "n_inserted", "n_stale"):
+        assert metrics["overlap"][k] == metrics["serial"][k], k
+    assert metrics["overlap"]["n_closed"] == 2
+    assert metrics["overlap"]["n_inserted"] == 3
