@@ -280,59 +280,93 @@ def run_scd2_batch(
         )
     tagged = tagged.persist()
     kept, discarded = validation.split_valid(tagged)
+
     # With skew profiling on, the DQ tallies and the merge's key-count
     # profile fold out of ONE per-key aggregation instead of a flat DQ
     # agg plus a dedicated profile job (round-9 directive #5) — the
     # pre-flight becomes free relative to the validation pass.
+    def _dq_compute() -> tuple[dict, dict | None]:
+        if spec.skew_policy != "off":
+            return validation.dq_metrics_with_key_profile(
+                tagged, list(spec.key_cols)
+            )
+        return validation.dq_metrics(tagged), None
+
+    def _write_quarantine(dq: dict) -> None:
+        if quarantine_path is not None and dq["n_total"] > dq["n_kept"]:
+            discarded.write.mode("overwrite").parquet(
+                f"{quarantine_path}/batch={batch_id}"
+            )
+
+    creating = not VersionedParquetTable.is_table(table_path)
     key_profile: dict | None = None
-    if spec.skew_policy != "off":
-        dq, key_profile = validation.dq_metrics_with_key_profile(
-            tagged, list(spec.key_cols)
-        )
-        metrics.update(dq)
-    else:
-        metrics.update(validation.dq_metrics(tagged))
-    if quarantine_path is not None and metrics["n_total"] > metrics["n_kept"]:
-        discarded.write.mode("overwrite").parquet(
-            f"{quarantine_path}/batch={batch_id}"
-        )
-    metrics["duration_s_validation"] = round(time.time() - t0, 3)
+    dq: dict = {}
+    if not creating:
+        # the merge needs the key-count profile BEFORE planning the
+        # batch×current join (skew pre-flight), so DQ stays inline here
+        dq, key_profile = _dq_compute()
+        _write_quarantine(dq)
+    metrics_val_s = round(time.time() - t0, 3)
 
     # -- merge --------------------------------------------------------------
     t1 = time.time()
     if spec.late_policy == "rebuild":
         _append_event_log(spec, kept, table_path, batch_id)
-    if not VersionedParquetTable.is_table(table_path):
-        versions = _prepare_versions(spec, kept)
-        # count rides the initial write job (observe) — recomputing the
-        # whole versions plan for a count would double the load cost
-        obs = Observation("scd2_create")
-        versions = versions.observe(obs, F.count(F.lit(1)).alias("n_inserted"))
-        VersionedParquetTable.create(
-            spark,
-            versions,
-            table_path,
-            partition_cols=spec.partition_cols,
-            metrics={"batch_id": batch_id},
-            # partition layout as GENERATED columns: the table itself
-            # re-derives/validates y/m/d from valid_from on every write
-            # path, so no future writer can land a version row in the
-            # wrong partition (the pruning in Phases A/B relies on it)
-            generated_cols={
-                f"{spec.partition_prefix}_year": "year(valid_from)",
-                f"{spec.partition_prefix}_month": "month(valid_from)",
-                f"{spec.partition_prefix}_day": "dayofmonth(valid_from)",
-            },
-        )
-        metrics["n_inserted"] = int(obs.get["n_inserted"] or 0)
-        metrics["n_closed"] = 0
-        metrics["n_stale"] = 0
+    if creating:
+        # Initial load: the DQ aggregation and the table write are
+        # independent consumers of the tagged cache — overlap them
+        # (guide §2.6) instead of paying the validation aggregation as
+        # a serial prefix of the load. The quarantine write (gated on
+        # the DQ counts) lands after the create commit.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        dq_fut = pool.submit(_dq_compute)
+        try:
+            versions = _prepare_versions(spec, kept)
+            # count rides the initial write job (observe) — recomputing
+            # the whole versions plan for a count would double the cost
+            obs = Observation("scd2_create")
+            versions = versions.observe(
+                obs, F.count(F.lit(1)).alias("n_inserted")
+            )
+            VersionedParquetTable.create(
+                spark,
+                versions,
+                table_path,
+                partition_cols=spec.partition_cols,
+                metrics={"batch_id": batch_id},
+                # partition layout as GENERATED columns: the table
+                # itself re-derives/validates y/m/d from valid_from on
+                # every write path, so no future writer can land a
+                # version row in the wrong partition (the pruning in
+                # Phases A/B relies on it)
+                generated_cols={
+                    f"{spec.partition_prefix}_year": "year(valid_from)",
+                    f"{spec.partition_prefix}_month": "month(valid_from)",
+                    f"{spec.partition_prefix}_day": "dayofmonth(valid_from)",
+                },
+            )
+        finally:
+            pool.shutdown(wait=True)
+        dq, _ = dq_fut.result()
+        _write_quarantine(dq)
+        merge_part: dict = {
+            "n_inserted": int(obs.get["n_inserted"] or 0),
+            "n_closed": 0,
+            "n_stale": 0,
+        }
     else:
         table = VersionedParquetTable(spark, table_path)
-        m = _merge_batch(
+        merge_part = _merge_batch(
             spec, table, kept, batch_id, key_profile=key_profile
         )
-        metrics.update(m)
+    # canonical key order (dq before durations, merge keys after) so
+    # the metrics CSV header is identical whichever path ran and
+    # whenever the DQ future resolved
+    metrics.update(dq)
+    metrics["duration_s_validation"] = metrics_val_s
+    metrics.update(merge_part)
     metrics["duration_s_merge"] = round(time.time() - t1, 3)
     metrics["duration_s_total"] = round(time.time() - t0, 3)
     tagged.unpersist()
