@@ -43,6 +43,8 @@ def _calibration_probe(spark, n_runs: int = 3) -> dict:
     over ``n_runs`` warm runs; one untimed warm-up absorbs codegen."""
     from pyspark.sql import functions as F
 
+    spark.sparkContext.setJobDescription("bench:calibration_probe")
+
     def shuffle_once() -> float:
         t0 = time.time()
         (
@@ -65,6 +67,7 @@ def _calibration_probe(spark, n_runs: int = 3) -> dict:
     shuffle_once()  # codegen warm-up, untimed
     sh = sorted(round(shuffle_once(), 3) for _ in range(n_runs))
     cp = sorted(round(cpu_once(), 3) for _ in range(n_runs))
+    spark.sparkContext.setJobDescription(None)
     return {
         "shuffle_s": sh[len(sh) // 2],
         "cpu_s": cp[len(cp) // 2],
@@ -116,11 +119,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    sc = spark.sparkContext
     for name, spec in bench_specs.items():
+        # label the jobs (guide §1.5) so the driver's event logs / UI
+        # map stages back to queries without changing what is timed
+        sc.setJobDescription(f"bench:{name}:warmup")
         n = spec.builder(spark, sf_dir).count()  # warm-up, untimed
         spark.catalog.clearCache()
         runs = []
-        for _ in range(n_runs):
+        for i in range(n_runs):
+            sc.setJobDescription(f"bench:{name}:run{i}")
             t0 = time.time()
             df = spec.builder(spark, sf_dir)
             n = df.count()
@@ -128,6 +136,7 @@ def main() -> None:
             # operators persist reusable intermediates; drop them so no
             # run is timed under another's cache
             spark.catalog.clearCache()
+        sc.setJobDescription(None)
         all_runs[name] = runs
         timings[name] = sorted(runs)[len(runs) // 2]
         print(
@@ -145,9 +154,11 @@ def main() -> None:
     # numbers are the baseline-graded ones and single runs swing ±30%
     # with machine noise at this duration.
     etl_runs = []
-    for _ in range(max(1, n_runs)):
+    for i in range(max(1, n_runs)):
+        sc.setJobDescription(f"bench:scd2_etl:run{i}")
         with tempfile.TemporaryDirectory() as tmp:
             etl_runs.append(run_volume_bench(spark, sf_dir, f"{tmp}/scd2_events"))
+    sc.setJobDescription(None)
     etl_runs.sort(key=lambda r: r["scd2_etl_load"] + r["scd2_etl_merge"])
     etl = etl_runs[len(etl_runs) // 2]
     all_runs["scd2_etl_load"] = [r["scd2_etl_load"] for r in etl_runs]
