@@ -436,22 +436,39 @@ def bm25_topk(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("term"),
     )
-    # Two corpus tokenize passes instead of four (round-10
-    # optimization): dl and tf are persisted (doc-sized / query-hit-
-    # sized aggregates — tiny vs the token stream), and df is derived
-    # from tf exactly — tf has one row per (doc, term), so
-    # count(*) per term == countDistinct(doc). Previously dl fed two
-    # consumers and qwords two aggregations, each re-running the
-    # normalize+split+explode over the whole corpus. Token-level
-    # `words` itself stays uncached deliberately: at scale it is far
-    # larger than the corpus and recomputing the narrow explode is
-    # cheaper than materializing it (guide §5).
-    dl = persist_tracked(
-        words.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # ONE corpus tokenize pass (round-10 optimization, second cut —
+    # was four, then two): doc length and the per-query-term counts
+    # fold into a single per-doc aggregation — the query is a tiny
+    # literal list, so each term costs one conditional SUM riding the
+    # same map-side combine as the length count, and the (doc, term,
+    # tf) frame is a cheap unpivot of the persisted doc-sized result.
+    # The normalize+split+explode over the full corpus text — the
+    # dominant per-byte cost of BM25 at scale — now runs exactly once.
+    # df is derived from tf exactly (tf has one row per (doc, term),
+    # so count(*) per term == countDistinct(doc)). Token-level `words`
+    # itself stays uncached deliberately: at scale it is far larger
+    # than the corpus and recomputing the narrow explode is cheaper
+    # than materializing it (guide §5).
+    terms = list(query_terms)
+    per_doc = persist_tracked(
+        words.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"__tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
-    qwords = words.filter(F.col("term").isin(query_terms))
-    tf = persist_tracked(
-        qwords.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = per_doc.select(id_col, "dl")
+    stack_args = []
+    for i, t in enumerate(terms):
+        stack_args.extend([F.lit(t), F.col(f"__tf{i}")])
+    tf = (
+        per_doc.select(
+            F.col(id_col),
+            F.stack(F.lit(len(terms)), *stack_args).alias("term", "tf"),
+        )
+        .filter(F.col("tf") > 0)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = df.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
