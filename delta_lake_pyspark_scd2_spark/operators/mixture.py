@@ -207,8 +207,20 @@ def dsir_importance_scores(
         word_tokens,
     )
 
+    # ONE corpus tokenize pass (round-10 optimization): the per-doc
+    # word counts are persisted once and feed BOTH the corpus LM
+    # (Σ_doc is exact — integer counts) and the probe join, which
+    # previously re-ran the normalize+split+explode over the whole
+    # corpus as a raw token stream. The probe join now also shuffles
+    # count-compressed (doc, word, c) rows instead of one row per
+    # token occurrence (guide §2.3: shuffle fewer bytes).
+    m = persist_tracked(
+        word_tokens(docs, text_col, id_col)
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     corpus_counts = persist_tracked(
-        word_counts(docs, text_col).withColumnRenamed("c", "__cw")
+        m.groupBy("word").agg(F.sum("__c").alias("__cw"))
     )
     # referenced twice below (size scalar + model join) — persist, or
     # the target side tokenizes twice per action
@@ -250,8 +262,7 @@ def dsir_importance_scores(
     )
     # the shared tokenizer guarantees every token exists in the model
     # vocabulary (same split built corpus_counts), so the inner probe
-    # join cannot drop occurrences
-    tokens = word_tokens(docs, text_col, id_col)
+    # join cannot drop occurrences.
     # the model IS the full corpus vocabulary — unbounded by
     # construction, so no forced broadcast hint (a web-scale corpus
     # has 10^8-10^9 unigrams; Spark hard-fails broadcasts at 8 GB).
@@ -259,10 +270,21 @@ def dsir_importance_scores(
     # broadcasts it at runtime (when genuinely small) or falls back to
     # a word-keyed shuffle join for free. The principled fixed-size
     # variant is dsir_importance_scores_hashed below.
+    # Per-doc mean as the count-weighted form over (doc, word, c):
+    # every token row of a (doc, word) group carries the same 9-dp-
+    # rounded __llr, so Σ_w c·llr / Σ_w c equals the token-level avg
+    # exactly in ℝ; the FP summation-structure delta (~1e-15 relative)
+    # sits twelve orders below the 6-dp rounding boundary — the same
+    # sum-order contract the docstring already pins (oracle-verified
+    # hash-identical at sf0.001/sf0.01/sf0.1).
     scored = (
-        tokens.join(model, "word")
+        m.join(model, "word")
         .groupBy(id_col)
-        .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
+        .agg(
+            F.round(
+                F.sum(F.col("__llr") * F.col("__c")) / F.sum("__c"), 6
+            ).alias("dsir_score")
+        )
     )
     # full coverage: a doc normalizing to zero tokens gets an explicit
     # NULL score rather than silently vanishing from a keep-list join
@@ -310,11 +332,18 @@ def dsir_importance_scores_hashed(
         # inlined copy would let the oracle contract drift silently
         return (_md5_32(col) % n_buckets).cast("int")
 
-    tokens = word_tokens(docs, text_col, id_col).select(
-        id_col, _bucket(F.col("word")).alias("__b")
+    # ONE corpus tokenize+hash pass (round-10 optimization, the exact
+    # variant's pattern): per-doc bucket counts persist once and feed
+    # both the corpus LM (Σ_doc, exact integers) and the probe join,
+    # which now shuffles count-compressed (doc, bucket, c) rows.
+    m = persist_tracked(
+        word_tokens(docs, text_col, id_col)
+        .select(id_col, _bucket(F.col("word")).alias("__b"))
+        .groupBy(id_col, "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     corpus_counts = persist_tracked(
-        tokens.groupBy("__b").agg(F.count(F.lit(1)).alias("__cb"))
+        m.groupBy("__b").agg(F.sum("__c").alias("__cb"))
     )
     target_counts = persist_tracked(
         word_tokens(target, text_col)
@@ -350,11 +379,18 @@ def dsir_importance_scores_hashed(
         )
     )
     # the model is ≤ n_buckets rows BY CONSTRUCTION — this broadcast is
-    # bounded, unlike the exact variant's vocab-sized model
+    # bounded, unlike the exact variant's vocab-sized model. Count-
+    # weighted per-doc mean over (doc, bucket, c): identical in ℝ to
+    # the token-level avg (same 9-dp __llr per bucket), FP delta far
+    # below the 6-dp rounding (see the exact variant's note).
     scored = (
-        tokens.join(F.broadcast(model), "__b")
+        m.join(F.broadcast(model), "__b")
         .groupBy(id_col)
-        .agg(F.round(F.avg("__llr"), 6).alias("dsir_score"))
+        .agg(
+            F.round(
+                F.sum(F.col("__llr") * F.col("__c")) / F.sum("__c"), 6
+            ).alias("dsir_score")
+        )
     )
     return docs.select(id_col).join(scored, id_col, "left")
 
