@@ -1403,8 +1403,12 @@ def semantic_dedup_incremental(
         norm,
     )
 
-    # assignment output carries the batch columns — no join-back
-    ba = (
+    # assignment output carries the batch columns — no join-back.
+    # Persisted (round-10 optimization): ba feeds the probed-cluster
+    # collect, the stored side's replay-safety anti-join AND both arms
+    # of the pair self-join — unpersisted, the batch assignment (a
+    # batch scan + k-centroid argmax) re-executed up to five times.
+    ba = persist_tracked(
         assign_to_centroids(
             batch, centroids, id_col=id_col, vec_col=vec_col
         )
@@ -1430,7 +1434,11 @@ def semantic_dedup_incremental(
         .join(ba.select(id_col), id_col, "left_anti")
         .withColumn("__new", F.lit(0))
     )
-    both = stored.unionByName(ba)
+    # persisted: both arms of the pair self-join replay this frame —
+    # without it the manifest-pruned index read + anti-join run twice.
+    # Size is the per-batch working set (batch + probed partitions
+    # only), never the whole index.
+    both = persist_tracked(stored.unionByName(ba))
     a = _spread(
         both.select(
             F.col(id_col).alias("id_a"),
