@@ -236,7 +236,20 @@ def tokens_before(
             "string ids to a numeric surrogate first"
         )
     toks = toks.cast("long")
-    bounds = df.groupBy(F.col(source_col).alias("__bsrc")).agg(
+    # The source bounds and the chunk-offset table only need
+    # (source, id, token count) — computing them straight off ``df``
+    # re-read (and re-tokenized) the text-bearing frame once per pass.
+    # A persisted narrow projection feeds both (round-10 optimization,
+    # guide §2.3/§8: decide with small rows); the full frame passes
+    # through exactly ONE scan, in the final assembly below.
+    from delta_lake_pyspark_scd2_spark.functions.caching import (
+        persist_tracked,
+    )
+
+    narrow = persist_tracked(
+        df.select(F.col(source_col), F.col(id_col), toks.alias("__toks"))
+    )
+    bounds = narrow.groupBy(F.col(source_col).alias("__bsrc")).agg(
         F.min(id_col).alias("__min_id"),
         F.max(id_col).alias("__max_id"),
     )
@@ -269,12 +282,23 @@ def tokens_before(
         .orderBy("__ochunk")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    nchunked = (
+        narrow.join(
+            F.broadcast(bounds),
+            F.col(source_col).eqNullSafe(F.col("__bsrc")),
+        )
+        .withColumn(
+            "__chunk",
+            F.floor((F.col(id_col) - F.col("__min_id")) / span).cast("long"),
+        )
+        .drop("__bsrc", "__min_id", "__max_id")
+    )
     offsets = (
-        chunked.groupBy(
+        nchunked.groupBy(
             F.col(source_col).alias("__osrc"),
             F.col("__chunk").alias("__ochunk"),
         )
-        .agg(F.sum(toks).alias("__chunk_tok"))
+        .agg(F.sum("__toks").alias("__chunk_tok"))
         .withColumn(
             "__chunk_before",
             F.coalesce(
