@@ -5334,13 +5334,19 @@ def export_token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from delta_lake_pyspark_scd2_spark.sources.export import tokens_before
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = text.token_count_ws(F.col("text")).cast("long")
-    return tokens_before(
-        docs.select("doc_id", "source", "text"), toks
-    ).select(
+    # shard assignment needs only (id, source, token count) — tokenize
+    # once at the scan and keep the text column OUT of the prefix-sum
+    # window's exchange (guide §2.3: shuffle keys and metadata, not
+    # payloads; the packing decision is exactly such a decision)
+    narrow = docs.select(
         "doc_id",
         "source",
-        toks.alias("n_tokens"),
+        text.token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return tokens_before(narrow, F.col("n_tokens")).select(
+        "doc_id",
+        "source",
+        "n_tokens",
         F.floor(F.col("tok_before") / F.lit(2000.0)).cast("int").alias(
             "shard_no"
         ),
