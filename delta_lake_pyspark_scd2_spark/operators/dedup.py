@@ -500,16 +500,14 @@ def shingle_containment_pairs_prefix(
     :func:`shingle_containment_pairs` (the registry oracle runs the
     unblocked form, proving the filter lossless).
     """
-    # persisted (tracked): feeds the df aggregate AND the ranked-set
-    # build — one shingling pass, not two (same rationale as the
-    # Jaccard prefix emitter; round-10 optimization)
-    sh = persist_tracked(
-        _spread(df, id_col, jvm_only=True).select(
-            F.col(id_col),
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
-                "shingle"
-            ),
-        )
+    # NOT persisted (round-11, same revert as the Jaccard prefix
+    # emitter): the token-level exploded frame outweighs the saved
+    # re-explode; only the df-sorted sets below are cached.
+    sh = _spread(df, id_col, jvm_only=True).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+            "shingle"
+        ),
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     docs = persist_tracked(
@@ -663,21 +661,21 @@ def ngram_jaccard_pairs_prefix(
     makes the surviving join keys precisely the low-df shingles, so the
     blocking join is skew-free by construction.
     """
-    # Persisted (tracked): the exploded shingle frame feeds BOTH the
-    # document-frequency aggregate and the frequency-ranked set build —
-    # unpersisted, the normalize/split/slice shingling (the expensive
-    # higher-order compute of this operator) runs twice over the whole
-    # corpus. At production scale this is the materialized inverted
-    # index every SSJoin system builds first. (round-10 optimization)
-    sh = persist_tracked(
-        _spread(df, id_col, jvm_only=True).select(
-            F.col(id_col),
-            # already (doc, shingle)-unique: word_shingles applies
-            # array_distinct per document — no dedup shuffle
-            F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
-                "shingle"
-            ),
-        )
+    # NOT persisted (round-11 revert of the round-10 persist): the
+    # exploded shingle frame is token-level — strictly larger than the
+    # corpus — and materializing it cost more than the narrow
+    # re-explode it saved (driver bench 2.06 s → 2.75 s; the same §5
+    # trade this package rejects for BM25's `words`). The two
+    # consumers (document-frequency aggregate, ranked set build) each
+    # recompute the narrow explode; the expensive product — the
+    # df-sorted per-doc sets — is persisted once below.
+    sh = _spread(df, id_col, jvm_only=True).select(
+        F.col(id_col),
+        # already (doc, shingle)-unique: word_shingles applies
+        # array_distinct per document — no dedup shuffle
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias(
+            "shingle"
+        ),
     )
     doc_freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     # ONE per-doc aggregation produces the df-ranked set: sorting the
