@@ -379,7 +379,19 @@ def label_propagation(
     both = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"), F.col("__w"))
     )
-    both = persist_tracked(both)
+    # Pre-partition the static edge list by the vote-join key ONCE
+    # (round-11, guide §2.4 "two operations keyed the same way share
+    # one exchange"): every phase joins `both` to the fresh labels on
+    # ``u`` — unpartitioned, that is an edge-list-wide Exchange per
+    # phase (2·iters of them); hash-partitioned in the cache, only the
+    # vertex-sized label frame moves each phase. Partition count pinned
+    # to the session's shuffle setting so the label exchange matches
+    # and the cached side's Exchange is elided.
+    n_shuffle = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    both = persist_tracked(both.repartition(n_shuffle, "u"))
+    w_type = both.schema["__w"].dataType
     labels = (
         both.select(F.col("u").alias("node"))
         .distinct()
@@ -387,38 +399,53 @@ def label_propagation(
     )
     for i in range(2 * iters):
         parity = i % 2
-        votes = (
-            both.join(
-                labels.select(
-                    F.col("node").alias("u"), F.col("label").alias("__cand")
-                ),
-                "u",
-            )
-            .groupBy(F.col("v").alias("__n"), "__cand")
-            .agg(F.sum("__w").alias("__s"))
+        # Vote rows from ONE edge×label join; the node's OWN label
+        # rides in as a vertex-sized zero-weight union row instead of
+        # a second labels join per phase (round-11, guide §2.3
+        # "aggregate before you shuffle"): __own marks it, __real=0
+        # keeps it out of the candidate set unless real votes exist —
+        # own-label preference only applies among actual candidates,
+        # exactly the pre-union semantics.
+        votes_in = both.join(
+            labels.select(
+                F.col("node").alias("u"), F.col("label").alias("__cand")
+            ),
+            "u",
+        ).select(
+            F.col("v").alias("__n"),
+            "__cand",
+            F.col("__w").alias("__s"),
+            F.lit(0).alias("__own"),
+            F.lit(1).alias("__real"),
         )
-        # One aggregation picks the winner (round-10 optimization): the
-        # old max-weight window (Exchange + Sort per phase) + argmin
-        # groupBy collapse into max(struct(__s, is_own, -__cand)) —
-        # maximize the vote sum, prefer the node's CURRENT label among
-        # ties (is_own = 1 beats 0), else the lowest tied label wins
-        # (max of -cand = min cand). Vote sums are exact integers, so
-        # the struct comparison reproduces the window+min pick exactly.
+        own_rows = labels.select(
+            F.col("node").alias("__n"),
+            F.col("label").alias("__cand"),
+            F.lit(0).cast(w_type).alias("__s"),
+            F.lit(1).alias("__own"),
+            F.lit(0).alias("__real"),
+        )
+        # One aggregation per (node, candidate) then ONE winner pick:
+        # max(struct(__s, is_own, -__cand)) — maximize the vote sum,
+        # prefer the node's CURRENT label among ties (is_own = 1 beats
+        # 0), else the lowest tied label wins (max of -cand = min
+        # cand). Vote sums are exact integers, so the struct
+        # comparison reproduces the window+min pick exactly.
         cand = (
-            votes.join(
-                labels.select(
-                    F.col("node").alias("__n"), F.col("label").alias("__own")
-                ),
-                "__n",
+            votes_in.unionAll(own_rows)
+            .groupBy("__n", "__cand")
+            .agg(
+                F.sum("__s").alias("__s"),
+                F.max("__own").alias("__is_own"),
+                F.max("__real").alias("__real"),
             )
+            .filter(F.col("__real") == 1)
             .groupBy("__n")
             .agg(
                 F.max(
                     F.struct(
                         F.col("__s"),
-                        (F.col("__cand") == F.col("__own"))
-                        .cast("int")
-                        .alias("__is_own"),
+                        F.col("__is_own"),
                         (-F.col("__cand")).alias("__negcand"),
                     )
                 ).alias("__best")
