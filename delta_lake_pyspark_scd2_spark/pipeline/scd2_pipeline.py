@@ -209,6 +209,32 @@ def _read_event_log(
     )
 
 
+def _observed_long(obs: Observation, key: str) -> int | None:
+    """Non-blocking read of one observed long metric; ``None`` when the
+    metrics row is unavailable (the action has not run, or AQE's
+    empty-relation propagation elided the CollectMetrics node — the
+    round-10 rejected-variant failure mode) so the caller can fall back
+    to an explicit action. ``Observation.get`` would BLOCK forever in
+    the elided case; the JVM-side ``getRowOrEmpty`` does not."""
+    try:
+        jopt = obs._jo.getRowOrEmpty()
+        if not jopt.isDefined():
+            return None
+        from pyspark.serializers import CPickleSerializer
+
+        utils = getattr(
+            obs._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils"
+        )
+        row = CPickleSerializer().loads(utils.toPyRow(jopt.get()))
+        d = row.asDict(recursive=False)
+        if key not in d:
+            return None
+        v = d[key]
+        return 0 if v is None else int(v)
+    except Exception:
+        return None
+
+
 def _prepare_versions(spec: SCD2Spec, staged_events: DataFrame) -> DataFrame:
     """Collapse + intervalize a batch of events into SCD2 version rows
     with partition columns (reference transform, src/header_etl.py:106-125).
@@ -494,7 +520,22 @@ def _merge_batch(
         staged = _left_join_current(kept, current)
         is_new_key = F.col("__cur_from").isNull()
         is_fresh = F.col(ts) > F.col("__cur_from")
-    staged = staged.persist()
+    # The stale count rides the staged cache's materialization as an
+    # Observation INSIDE the persisted plan (round-11, guide §5 "the
+    # driver is a single process"): it fires exactly once, on the
+    # first action that fills the cache (the `touched` collect below),
+    # so the dedicated `late.count()` job — previously a full serial
+    # prefix of Phase A — disappears. when/otherwise (not a bare
+    # cast) so NULL predicates count as 0, exactly like filter().
+    import uuid as _uuid
+
+    stale_obs = Observation(f"scd2_stale_{_uuid.uuid4().hex[:8]}")
+    staged = staged.observe(
+        stale_obs,
+        F.sum(
+            F.when(~is_new_key & ~is_fresh, F.lit(1)).otherwise(F.lit(0))
+        ).alias("n_stale"),
+    ).persist()
     t_a = time.time()
     helper_cols = [
         c
@@ -502,9 +543,6 @@ def _merge_batch(
         if c in ("__cur_from", "__max_seen") or c.startswith("__curv_")
     ]
     late = staged.filter(~is_new_key & ~is_fresh).drop(*helper_cols)
-    # the count doubles as the cache-materializing action: every
-    # staged row is pinned before any table mutation below
-    n_stale = late.count()
     usable = staged.filter(is_new_key | is_fresh).drop(*helper_cols)
 
     # Null-safe change detection + first changing event per key
@@ -546,12 +584,21 @@ def _merge_batch(
         "valid_from",
         spec.partition_prefix,
     )
-    # this collect also materializes the `changed` cache, so the
-    # overlapped Phase-B thread below never races Phase A on it
+    # this collect materializes the `staged` AND `changed` caches (its
+    # plan scans every staged partition), fires the stale Observation,
+    # and pins every staged row before any table mutation below — the
+    # single serial prefix of Phase A
     touched = [
         {k: str(r[k]) for k in spec.partition_cols}
         for r in close_parts.select(*spec.partition_cols).distinct().collect()
     ]
+    # Guarded read (round-10's rejected variant showed AQE's
+    # empty-relation propagation can complete a query without its
+    # CollectMetrics row): non-blocking getRowOrEmpty, falling back to
+    # an explicit count — cheap now, the cache is materialized.
+    n_stale = _observed_long(stale_obs, "n_stale")
+    if n_stale is None:
+        n_stale = late.count()
 
     # Phase B's COMPUTE overlapped with Phase A's write (guide §2.6:
     # actions are only sequential because the driver calls them
@@ -590,20 +637,31 @@ def _merge_batch(
         # side to exactly those partitions (manifest-pruned scan)
         # instead of the whole table: per-batch cost stays ∝ batch
         # footprint as the table grows 100×.
-        ins_touched = [
-            {k: str(r[k]) for k in spec.partition_cols}
-            for r in versions.select(*spec.partition_cols).distinct().collect()
-        ]
-        existing_keys = table.read_partitions(
-            ins_touched, version=v_pre
-        ).select(*keys, "valid_from")
-        inserts = versions.join(
-            existing_keys, on=[*keys, "valid_from"], how="left_anti"
-        ).persist()
-        # the count materializes the cache (the append replays it) and
-        # is the exact insert count — the append no longer needs an
-        # Observation riding its write
-        return versions, inserts, inserts.count()
+        inserts: DataFrame | None = None
+        try:
+            ins_touched = [
+                {k: str(r[k]) for k in spec.partition_cols}
+                for r in versions.select(*spec.partition_cols)
+                .distinct()
+                .collect()
+            ]
+            existing_keys = table.read_partitions(
+                ins_touched, version=v_pre
+            ).select(*keys, "valid_from")
+            inserts = versions.join(
+                existing_keys, on=[*keys, "valid_from"], how="left_anti"
+            ).persist()
+            # the count materializes the cache (the append replays it)
+            # and is the exact insert count — the append no longer
+            # needs an Observation riding its write
+            return versions, inserts, inserts.count()
+        except BaseException:
+            # release this thread's persists on ANY failure so an
+            # aborted merge leaves no cache entries behind
+            versions.unpersist()
+            if inserts is not None:
+                inserts.unpersist()
+            raise
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -694,10 +752,21 @@ def _merge_batch(
                 },
             )
             closed = int(obs.get["n_closed"] or 0)
+    except BaseException:
+        # Phase A failed: wait out the in-flight Phase-B jobs (no
+        # dangling actions against a table whose merge aborted), then
+        # DRAIN the future — fut.result() below is never reached, so a
+        # completed Phase B's persisted frames must be released here
+        # or they leak for the life of the session (round-10 ADVICE).
+        # Phase A's exception propagates; a Phase-B failure in this
+        # path cleaned up after itself inside _phase_b_compute.
+        pool.shutdown(wait=True)
+        if fut.done() and not fut.cancelled() and fut.exception() is None:
+            v_b, ins_b, _ = fut.result()
+            ins_b.unpersist()
+            v_b.unpersist()
+        raise
     finally:
-        # on a Phase-A failure, wait out the in-flight Phase-B jobs
-        # before propagating — no dangling actions against a table
-        # whose merge aborted
         pool.shutdown(wait=True)
 
     t_b = time.time()
