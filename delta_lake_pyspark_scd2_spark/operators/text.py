@@ -449,7 +449,21 @@ def bm25_topk(
     # itself stays uncached deliberately: at scale it is far larger
     # than the corpus and recomputing the narrow explode is cheaper
     # than materializing it (guide §5).
-    terms = list(query_terms)
+    # Dedupe while preserving order (round-10 ADVICE): each duplicate
+    # query term would otherwise get its own __tf column and stack row
+    # — double-counting its score contribution and inflating df — where
+    # the pre-round-10 isin+groupBy form deduplicated implicitly. BM25
+    # is defined over the query's term SET.
+    terms = list(dict.fromkeys(query_terms))
+    if not terms:
+        # empty query: no terms, no scores (the historical isin([])
+        # behavior; stack() with zero columns would raise instead)
+        return (
+            df.select(
+                F.col(id_col), F.lit(0.0).cast("double").alias("bm25")
+            )
+            .limit(0)
+        )
     per_doc = persist_tracked(
         words.groupBy(id_col).agg(
             F.count(F.lit(1)).alias("dl"),

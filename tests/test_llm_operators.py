@@ -1086,3 +1086,28 @@ def test_line_dedup_corpus_removes_cross_doc_boilerplate(spark):
     assert out[4].text_deduped == u("z")
     assert (out[5].n_chunks, out[5].n_kept) == (0, 0)
     assert out[5].text_deduped == ""
+
+
+def test_bm25_duplicate_query_terms_score_as_term_set(spark):
+    # BM25 is defined over the query's term set: a duplicated term must
+    # not double its contribution or inflate df (round-10 ADVICE).
+    rows = [
+        Row(doc_id=1, text="merge join shuffle"),
+        Row(doc_id=2, text="merge merge join"),
+        Row(doc_id=3, text="broadcast join"),
+        Row(doc_id=4, text="shuffle sort merge join"),
+        Row(doc_id=5, text="plain text row"),
+    ]
+    df = spark.createDataFrame(rows)
+    dup = text.bm25_topk(df, ["merge", "merge", "join"]).collect()
+    uniq = text.bm25_topk(df, ["merge", "join"]).collect()
+    assert dup == uniq
+
+
+def test_bm25_empty_query_returns_empty_topk(spark):
+    # the pre-round-10 isin([]) path returned an empty frame; the stack
+    # form must not raise WRONG_NUM_ARGS (round-10 ADVICE)
+    df = spark.createDataFrame([Row(doc_id=1, text="merge join")])
+    out = text.bm25_topk(df, [])
+    assert out.columns == ["doc_id", "bm25"]
+    assert out.count() == 0
