@@ -380,25 +380,86 @@ def export_token_shards(
     # scoped release: free only THIS export's caches on the way out
     # (success or failure), never a surrounding caller's tracked frames
     with tracked_scope():
-        # the write and the manifest stats both consume the packed
-        # frame, and re-deriving it would replay the tokenize + both
-        # prefix-sum levels — persist across the two
-        sharded = persist_tracked(
-            tokens_before(df, toks, source_col=source_col, id_col=id_col)
-            .withColumn(
-                "shard",
-                F.concat_ws(
-                    "_",
-                    F.col(source_col),
-                    F.floor(F.col("tok_before") / F.lit(float(budget))).cast(
-                        "int"
-                    ),
-                ),
-            )
-            .drop("tok_before")
+        shard_expr = F.concat_ws(
+            "_",
+            F.col(source_col),
+            F.floor(F.col("tok_before") / F.lit(float(budget))).cast("int"),
         )
+        # Shard placement depends only on (source, id, token count) —
+        # decide it on a NARROW frame and re-attach by BROADCAST so the
+        # text payload crosses exactly ONE shuffle, the shard
+        # repartition (guide §8: decide with small rows, move big rows
+        # once; round-10 backlog #2 — text previously crossed both the
+        # (source, chunk) prefix-sum window exchange AND the shard
+        # repartition). The plan table is one (source, id, shard, tok)
+        # row per doc, so the attach is gated: broadcast only when it
+        # fits comfortably (rows ≤ autoBroadcastJoinThreshold / 64B)
+        # AND (source, id) is a unique non-null key (the broadcast join
+        # on the pair must be 1:1 with the window form; NULL keys take
+        # the window path, whose null-safe joins keep them). Oversized
+        # or degenerate inputs fall back to the full-frame prefix sum —
+        # the plan compute spent on the narrow frame is metadata-sized.
+        plan = persist_tracked(
+            tokens_before(
+                df.select(
+                    F.col(source_col), F.col(id_col), toks.alias("__tok_n")
+                ),
+                F.col("__tok_n"),
+                source_col=source_col,
+                id_col=id_col,
+            ).withColumn("shard", shard_expr)
+        )
+        gate = plan.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(source_col), F.col(id_col)).alias("nk"),
+            F.sum(
+                (
+                    F.col(source_col).isNull() | F.col(id_col).isNull()
+                ).cast("long")
+            ).alias("nulls"),
+        ).first()
+        raw_thresh = df.sparkSession.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold", "10485760"
+        )
+        try:  # Spark's own size-string parser ("64m", "10485760b", ...)
+            jvm = df.sparkSession._jvm
+            bcast_bytes = int(
+                jvm.org.apache.spark.util.Utils.byteStringAsBytes(raw_thresh)
+            )
+        except Exception:
+            try:
+                bcast_bytes = int(raw_thresh)
+            except ValueError:
+                bcast_bytes = 0
+        plan_fits = (
+            gate["n"] * 64 <= max(bcast_bytes, 0)
+            and gate["nk"] == gate["n"]
+            and not gate["nulls"]
+        )
+        if plan_fits:
+            sharded = persist_tracked(
+                df.join(
+                    F.broadcast(
+                        plan.select(source_col, id_col, "shard", "__tok_n")
+                    ),
+                    on=[source_col, id_col],
+                )
+            )
+            stats_tok = F.sum("__tok_n")
+            # same column order as the window path: df's columns + shard
+            write_df = sharded.select(*df.columns, "shard")
+        else:
+            sharded = persist_tracked(
+                tokens_before(
+                    df, toks, source_col=source_col, id_col=id_col
+                )
+                .withColumn("shard", shard_expr)
+                .drop("tok_before")
+            )
+            stats_tok = F.sum(toks)
+            write_df = sharded
         (
-            sharded.repartition("shard")
+            write_df.repartition("shard")
             .sortWithinPartitions("shard", id_col)
             .write.mode("overwrite")
             .partitionBy("shard")
@@ -409,7 +470,7 @@ def export_token_shards(
             sharded.groupBy("shard")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(toks).cast("long").alias("tok"),
+                stats_tok.cast("long").alias("tok"),
             )
             .collect()
         )

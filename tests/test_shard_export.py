@@ -221,3 +221,51 @@ def test_tracked_scope_is_thread_scoped(spark):
     assert not inner.storageLevel.useMemory   # my scope freed mine
     assert mine.storageLevel.useMemory        # pre-scope frame survives
     assert release_tracked() == 1             # only `mine` left tracked
+
+
+def test_export_token_shards_broadcast_plan_matches_window_path(
+    spark, tmp_path
+):
+    """The gated broadcast-plan attach (round-11: text crosses only the
+    shard repartition) must produce byte-equal assignments, manifests
+    and file contents as the full-frame window path it replaces."""
+    from delta_lake_pyspark_scd2_spark.sources.export import (
+        export_token_shards,
+    )
+
+    rows = [
+        (i, "s1" if i % 3 else "s2", f"w{i} " * ((i % 11) + 1))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    saved = spark.conf.get(key)
+    try:
+        m_bcast = export_token_shards(df, str(tmp_path / "b"), budget=25)
+        spark.conf.set(key, "-1")  # gate closes -> window fallback
+        m_window = export_token_shards(df, str(tmp_path / "w"), budget=25)
+    finally:
+        spark.conf.set(key, saved)
+    assert m_bcast["tokens_per_shard"] == m_window["tokens_per_shard"]
+    assert m_bcast["rows_per_shard"] == m_window["rows_per_shard"]
+    a = spark.read.json(str(tmp_path / "b") + "/shard=*").orderBy("doc_id")
+    b = spark.read.json(str(tmp_path / "w") + "/shard=*").orderBy("doc_id")
+    assert a.columns == b.columns
+    assert a.collect() == b.collect()
+
+
+def test_export_token_shards_null_or_dup_ids_take_window_path(spark, tmp_path):
+    """Degenerate keys (NULL id) must close the broadcast gate and
+    still export every row via the null-safe window path."""
+    from delta_lake_pyspark_scd2_spark.sources.export import (
+        export_token_shards,
+    )
+
+    rows = [(None, "s1", "a b c")] + [
+        (float(i), "s1", "tok tok") for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id double, source string, text string"
+    )
+    man = export_token_shards(df, str(tmp_path / "n"), budget=100)
+    assert man["total_rows"] == 6
