@@ -343,7 +343,13 @@ def run_scd2_batch(
         # independent consumers of the tagged cache — overlap them
         # (guide §2.6) instead of paying the validation aggregation as
         # a serial prefix of the load. The quarantine write (gated on
-        # the DQ counts) lands after the create commit.
+        # the DQ counts) lands after the create commit — i.e. on the
+        # CREATE path quarantine durability is guaranteed only after a
+        # successful create (round-10 ADVICE, documented contract: a
+        # failed create aborts the whole load and the batch is
+        # re-submitted, so nothing is lost, merely not yet
+        # quarantined); the merge path keeps DQ (and quarantine)
+        # strictly before any table mutation.
         from concurrent.futures import ThreadPoolExecutor
 
         pool = ThreadPoolExecutor(max_workers=1)
